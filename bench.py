@@ -1,0 +1,65 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line with per-query
+wall times.
+
+Headline set = the heaviest representative of each operator family
+(scan+agg, dedup-shuffle, join, window, pivot, topk, text, embedding).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "a1_group_multi_avg",
+    "r2_dedup_full_row",
+    "r4_value_remap",
+    "j2_group_mean_impute",
+    "r1_pivot_events_wide",
+    "o2_topk",
+    "a8_pearson_corr",
+    "d2_date_roundtrip",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from weather_analysis_bigdata__spark.registry import all_queries
+    from weather_analysis_bigdata__spark.session import get_spark
+
+    spark = get_spark("bench")
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry]
+    # Warm the JVM + parquet footers with one tiny action.
+    spark.range(1).count()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = registry[name].fn(spark, sf_dir)
+        # noop sink: materializes every column of every row, writes nothing —
+        # measures compute without driver-transfer or disk noise.
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    total = round(sum(times.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference (Weather_API.py) runs on a Databricks-provided session with
+stock settings and no Arrow, no AQE, no caching (SURVEY.md §4). Here every
+session is configured for the 100 TB design point:
+
+- AQE on: runtime partition coalescing + skew-join splitting.
+- Arrow on: vectorized toPandas()/createDataFrame and Pandas-UDF transfer.
+- UTC session timezone: deterministic date/timestamp semantics that match
+  ANSI engines (the DuckDB oracle) regardless of host timezone.
+- shuffle.partitions sized for the local harness; on a real cluster AQE
+  coalesces from a deliberately high initial number instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "weather_analysis_bigdata__spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default all
+    cores). On a real cluster pass ``master=None`` with a cluster manager
+    configured and only the conf below applies.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    return builder.getOrCreate()
+
+
+def configure_for_oracle_parity(spark: SparkSession) -> None:
+    """Set runtime-mutable conf needed for deterministic, ANSI-comparable
+    results on a session we did not build (the driver passes its own)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")

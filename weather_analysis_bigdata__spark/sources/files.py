@@ -1,0 +1,90 @@
+"""File sources: Parquet/CSV scans with explicit schemas.
+
+The reference reads CSV through pandas and bridges to Spark
+(Weather_API.py:154, 194) — a driver-side bottleneck that cannot scale.
+Here every table is a native distributed ``spark.read`` scan, so column
+pruning and filter pushdown reach the Parquet footers (SURVEY.md §2.1
+S3-S5) and a 100 TB table is read by executors, never the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: Driver-generated test tables (TESTDATA.md). One parquet file each.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table as Parquet. Schema comes from the footer; at 100 TB
+    the same call reads a multi-file dataset with partition pruning."""
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects. Read nanos as long (legacy conf) and convert to a
+    microsecond timestamp — the same truncation ANSI engines apply."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all test tables as temp views for ``spark.sql`` queries."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_csv_with_schema(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+) -> DataFrame:
+    """CSV scan with an explicit schema (no inference pass over the data).
+
+    Replaces the reference's pandas ``read_csv`` → ``createDataFrame``
+    bridge (Weather_API.py:154,194), which funnels all bytes through the
+    driver and silently drops the declared schema (SURVEY.md §0).
+    """
+    return spark.read.schema(schema).option("header", header).csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Layer sink: Parquet, optionally hive-partitioned.
+
+    Replaces the reference's CSV sinks (Weather_API.py:130, 1180-1184).
+    Partitioning by low-cardinality keys (e.g. ``year``) makes downstream
+    year filters prune whole directories at 100 TB.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
