@@ -1,22 +1,444 @@
 """Generic relational operator coverage (SURVEY.md §7.2 M4).
 
 Operators the reference never uses but a complete engine must provide:
-inner/semi/anti joins, set ops, windows, rollup, string functions,
-having, subqueries, time-bucketed event aggregation.
+inner/semi/anti joins, set ops, windows, rollup/cube, string functions,
+having, subqueries, time-bucketed event aggregation. All oracle-checked
+with the same determinism discipline as queries_reference.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from weather_analysis_bigdata__spark.functions.deterministic import (
-    davg,
     dec,
     dsum,
-    sql_davg,
     sql_dec,
     sql_dsum,
 )
 from weather_analysis_bigdata__spark.registry import register
 from weather_analysis_bigdata__spark.sources.files import load_table
+
+
+REVENUE_SQL = f"SUM({sql_dec('l_extendedprice')} * (1 - {sql_dec('l_discount')}))"
+
+
+def _revenue() -> F.Column:
+    return F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+
+
+# ---------------------------------------------------------------------------
+# Multi-table inner joins + agg + top-k
+# ---------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey, CAST({REVENUE_SQL} AS DOUBLE) AS revenue, o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: 3-way inner join, filtered dim, grouped revenue, "
+    "tie-broken top-k. Catalyst reorders joins; small filtered customer "
+    "side broadcasts under AQE.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_revenue().cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_regional_revenue",
+    oracle=f"""
+    SELECT r.r_name, n.n_name, CAST({REVENUE_SQL} AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="5-way snowflake join rolled up to region×nation revenue (TPC-H Q5 "
+    "shape). The dim chain (region→nation→customer) broadcasts; only the "
+    "orders⋈lineitem join shuffles on orderkey.",
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        r.join(n, n.n_regionkey == r.r_regionkey).join(
+            c, c.c_nationkey == n.n_nationkey
+        )
+    )
+    return (
+        dims.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            _revenue().cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins & subqueries
+# ---------------------------------------------------------------------------
+@register(
+    "semi_join_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-semi join (EXISTS): customers having at least one order.",
+)
+def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "anti_join_not_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-anti join (NOT EXISTS): customers with no orders.",
+)
+def anti_join_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "in_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+    """,
+    doc="IN-subquery as a left-semi join against a filtered key set.",
+)
+def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    keys = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "MACHINERY")
+        .select("c_custkey")
+    )
+    return o.join(keys, o.o_custkey == keys.c_custkey, "left_semi").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+@register(
+    "union_all_tagged",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, 'high' AS band FROM orders WHERE o_totalprice >= 300000
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'low' AS band FROM orders WHERE o_totalprice < 20000
+    """,
+    doc="UNION ALL of two tagged projections (unionByName).",
+)
+def union_all_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") >= 300000).select(
+        "o_orderkey", "o_totalprice", F.lit("high").alias("band")
+    )
+    lo = o.filter(F.col("o_totalprice") < 20000).select(
+        "o_orderkey", "o_totalprice", F.lit("low").alias("band")
+    )
+    return hi.unionByName(lo)
+
+
+@register(
+    "except_distinct",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    doc="EXCEPT (distinct): customers ordering in 1995 but not 1996.",
+)
+def except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.subtract(y96)  # EXCEPT DISTINCT semantics
+
+
+@register(
+    "intersect_distinct",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    doc="INTERSECT (distinct): customers ordering in both years.",
+)
+def intersect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+@register(
+    "window_rank_topn",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    doc="Top-N per group via row_number with full tiebreak — the scalable "
+    "per-key top-k (one shuffle on the partition key, no global sort).",
+)
+def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_sum_lag",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM({sql_dec('o_totalprice')}) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total,
+           lag(o_totalprice) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS prev_price
+    FROM orders
+    """,
+    doc="Running total (exact decimal prefix sums) + lag over an ordered "
+    "per-key frame.",
+)
+def window_running_sum_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_total"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup / cube / grouping sets
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP with grouping markers (subtotals + grand total).",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+@register(
+    "cube_agg",
+    oracle=f"""
+    SELECT l_returnflag, CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(CAST(year(l_shipdate) AS INT)) AS INT) AS g_year,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY CUBE(l_returnflag, CAST(year(l_shipdate) AS INT))
+    """,
+    doc="CUBE over flag×year with grouping markers.",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    return li.cube("l_returnflag", "ship_year").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("ship_year").cast("int").alias("g_year"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# String functions / HAVING / count distinct
+# ---------------------------------------------------------------------------
+@register(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           lower(p_type) AS type_lower,
+           substr(p_name, 1, 8) AS name_prefix,
+           CAST(length(p_name) AS INT) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           replace(p_type, ' ', '_') AS type_snake,
+           trim(p_name) AS name_trim,
+           CAST(strpos(p_name, 'a') AS INT) AS first_a
+    FROM part WHERE p_name LIKE '%a%'
+    """,
+    doc="Scalar string battery: upper/lower/substr/length/concat/replace/"
+    "trim/instr over a LIKE-filtered scan.",
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").like("%a%")).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.trim("p_name").alias("name_trim"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+    )
+
+
+@register(
+    "having_filter",
+    oracle="""
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 5
+    """,
+    doc="HAVING: post-aggregation predicate (filter after agg in DataFrame form).",
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .filter(F.col("n_customers") > 5)
+    )
+
+
+@register(
+    "count_distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Multi count-distinct per group (expand + two-phase aggregate).",
+)
+def count_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time bucketing (batch form of the streaming windows)
+# ---------------------------------------------------------------------------
+@register(
+    "events_tumbling_1h",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value')} AS sum_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Tumbling 1h event-time window × type — identical aggregation shape "
+    "to the Structured Streaming version in streaming/ (batch = replay).",
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value", "n_users")
+    )
+
+
+@register(
+    "events_sliding_1h_30m",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS b, value FROM events
+    )
+    SELECT b AS window_start, CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM assigned GROUP BY 1
+    """,
+    doc="Sliding window (1h width, 30m slide): each event lands in two "
+    "buckets. Spark's window() does the multi-assignment natively.",
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
