@@ -1,0 +1,152 @@
+"""Unit tests for the LLM-data-pipeline operators (queries_llmops)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from weather_analysis_bigdata__spark.registry import all_queries
+
+    return all_queries()
+
+
+def test_exact_hash_finds_injected_dups(spark, sf_dir, registry):
+    rows = registry["dedup_exact_hash"].fn(spark, sf_dir).collect()
+    dup_groups = [r for r in rows if r.n_copies >= 2]
+    assert dup_groups, "injected exact duplicates must be detected"
+    # every injected group keeps the ORIGINAL id as canonical (min)
+    assert all(g.canonical_doc_id % 50 == 0 for g in dup_groups)
+    assert all(g.canonical_doc_id < 1000000 for g in dup_groups)
+
+
+def test_fingerprint_catches_case_and_whitespace(spark, sf_dir, registry):
+    df = registry["dedup_fingerprint_normalized"].fn(spark, sf_dir)
+    dups = df.filter(F.col("is_duplicate")).collect()
+    assert dups, "perturbed copies (upper + trailing ws) must collide"
+    assert all(r.doc_id >= 2000000 for r in dups)
+
+
+def test_minhash_exact_dup_pairs_have_full_signature_match(spark, sf_dir, registry):
+    rows = registry["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    injected = [r for r in rows if r.doc_id_2 == r.doc_id_1 + 1000000]
+    assert injected, "exact-dup injected pairs must be LSH candidates"
+    for r in injected:
+        assert r.est_jaccard == 1.0
+        assert r.n_shared_bands == 4
+
+
+def test_jaccard_detects_injected_dups(spark, sf_dir, registry):
+    rows = registry["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    got = {(r.doc_id_1, r.doc_id_2): r.jaccard for r in rows}
+    injected = {k: v for k, v in got.items() if k[1] == k[0] + 1000000}
+    assert injected
+    assert all(v == 1.0 for v in injected.values())
+    assert all(0.5 <= r.jaccard <= 1.0 for r in rows)
+
+
+def test_simhash_identical_docs_share_hash(spark, sf_dir, registry):
+    rows = registry["dedup_simhash"].fn(spark, sf_dir).collect()
+    by_id = {r.doc_id: r.simhash for r in rows}
+    for doc_id, sh in by_id.items():
+        if doc_id >= 1000000:
+            assert sh == by_id[doc_id - 1000000]
+        assert 0 <= sh < 2**16
+
+
+def test_topk_shape_and_bounds(spark, sf_dir, registry):
+    rows = registry["sim_search_topk"].fn(spark, sf_dir).collect()
+    per_query: dict[int, list] = {}
+    for r in rows:
+        per_query.setdefault(r.query_id, []).append(r)
+        assert -1.0 - 1e-9 <= r.cosine_sim <= 1.0 + 1e-9
+        assert r.neighbor_id != r.query_id
+    for q, neighbors in per_query.items():
+        assert len(neighbors) == 5
+        sims = [r.cosine_sim for r in sorted(neighbors, key=lambda r: r.rn)]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_recall_vs_bruteforce_top1(spark, sf_dir, registry):
+    """LSH is approximate, but a same-bucket top-1 must be a genuinely
+    similar vector: its sim must be within the brute-force top-5 range."""
+    brute = registry["sim_search_topk"].fn(spark, sf_dir).collect()
+    brute_best = {}
+    for r in brute:
+        cur = brute_best.get(r.query_id)
+        if cur is None or r.cosine_sim > cur:
+            brute_best[r.query_id] = r.cosine_sim
+    lsh = registry["sim_search_lsh"].fn(spark, sf_dir).collect()
+    for r in lsh:
+        if r.query_id in brute_best and r.rn == 1:
+            assert r.cosine_sim <= brute_best[r.query_id] + 1e-12
+
+
+def test_multimodal_metadata_matches_hashlib(spark, sf_dir, registry):
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(20)
+        .collect()
+    }
+    meta = {
+        r.doc_id: r
+        for r in registry["multimodal_decode_stub"].fn(spark, sf_dir).collect()
+    }
+    for doc_id, text in docs.items():
+        h = hashlib.sha256(text.encode()).hexdigest()
+        m = meta[doc_id]
+        assert m.content_sha256 == h
+        assert m.n_bytes == len(text.encode())
+        assert m.fake_width == 16 + int(h[0:2], 16) % 240
+        assert m.fake_height == 16 + int(h[2:4], 16) % 240
+        assert m.n_frames == 1 + int(h[4:6], 16) % 8
+
+
+def test_multimodal_decode_stubs_raise():
+    from weather_analysis_bigdata__spark.operators import multimodal
+
+    for fn in (
+        multimodal.decode_image,
+        multimodal.sample_video_frames,
+        multimodal.extract_audio_features,
+    ):
+        with pytest.raises(NotImplementedError):
+            fn(b"\x00\x01")
+
+
+def test_quality_filter_is_subset(spark, sf_dir, registry):
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    kept = registry["text_quality_filter"].fn(spark, sf_dir)
+    assert 0 < kept.count() <= total
+    assert all(r.quality_score > 0.05 for r in kept.collect())
+
+
+def test_token_stats_invariants(spark, sf_dir, registry):
+    rows = registry["text_token_stats"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r.n_distinct <= r.n_tokens
+        assert 0.0 < r.type_token_ratio <= 1.0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+        assert r.avg_token_len > 0
+
+
+def test_cosine_is_deterministic_across_partitionings(spark, sf_dir, registry):
+    """The exact-decimal dot must be invariant to physical layout."""
+    fn = registry["sim_search_topk"].fn
+    a = {(r.query_id, r.neighbor_id): r.cosine_sim for r in fn(spark, sf_dir).collect()}
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = {
+            (r.query_id, r.neighbor_id): r.cosine_sim
+            for r in fn(spark, sf_dir).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b  # bitwise equality, not approx

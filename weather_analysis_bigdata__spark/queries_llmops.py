@@ -1,13 +1,831 @@
 """LLM-data-pipeline operators (charter extensions, SURVEY.md §7.2 M5).
 
-Deduplication (exact / minhash / simhash / n-gram Jaccard / embedding),
-similarity search over embeddings, and text analysis over `documents`.
+Deduplication (exact hash / normalized fingerprint / word-n-gram Jaccard /
+MinHash+LSH / SimHash / embedding cosine), similarity search (brute-force
+top-k baseline + hyperplane-LSH bucketed scale path), text analysis
+(token stats, language-ID heuristic, quality filter), and the multimodal
+binary-column plumbing (Arrow-batched ``mapInPandas``).
+
+Design rules:
+
+- Everything except the multimodal decode is built-in-function
+  composition — JVM-side, whole-stage codegen, no Python in the hot path.
+- Every float that crosses an aggregation boundary does so in exact
+  DECIMAL arithmetic (functions.vectorops), so results are bit-identical
+  to the DuckDB oracle and run-to-run deterministic at any parallelism.
+- The test corpus has no *exact* duplicates, so the exact-dedup queries
+  inject synthetic copies (a deterministic UNION ALL mirrored in the
+  oracle SQL) — the dup-detection path is exercised, not vacuous.
+
+Scale notes (100 TB design point) are per-query in docstrings.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from weather_analysis_bigdata__spark.functions.textops import (
+    SQL_NORMALIZED,
+    SQL_TOKENS,
+    STOPWORDS,
+    hexval,
+    md5s,
+    normalized_text,
+    sql_hexval,
+    sql_word_ngrams,
+    tokens,
+    word_ngrams,
+)
+from weather_analysis_bigdata__spark.functions.vectorops import (
+    cosine,
+    dot,
+    norm,
+    scaled_vec,
+    sql_dot,
+    sql_norm,
+)
 from weather_analysis_bigdata__spark.registry import register
 from weather_analysis_bigdata__spark.sources.files import load_table
+
+# ---------------------------------------------------------------------------
+# Shared builders
+# ---------------------------------------------------------------------------
+
+#: Oracle CTE: documents with injected exact duplicates (1 in 50 docs).
+SQL_DOCS_DUP = """
+docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+)
+"""
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies of every 50th doc (id-shifted)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return d.unionByName(copies)
+
+
+def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct (doc_id, gram) word-n-gram shingle table."""
+    return (
+        docs.select("doc_id", F.explode(word_ngrams(tokens("text"), n)).alias("gram"))
+        .distinct()
+    )
+
+
+SQL_SHINGLES = f"""
+sh AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest({sql_word_ngrams('toks')}) AS gram
+    FROM (SELECT doc_id, {SQL_TOKENS.format(c='text')} AS toks FROM docs)
+  )
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact_hash",
+    oracle=f"""
+    WITH {SQL_DOCS_DUP.strip()}
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS canonical_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM docs GROUP BY 1
+    """,
+    doc="Exact dedup by content hash: group on md5(text), keep the "
+    "smallest doc_id as canonical. One hash-shuffle on a 16-byte key "
+    "regardless of document size — the 100 TB-safe form of pandas "
+    "drop_duplicates (Weather_API.py:117-120).",
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_dups(spark, sf_dir)
+    return docs.groupBy(md5s(F.col("text")).alias("text_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "dedup_fingerprint_normalized",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, upper(text) || '  ' AS text
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    fp AS (
+      SELECT doc_id, md5({SQL_NORMALIZED.format(c='text')}) AS fingerprint
+      FROM docs
+    )
+    SELECT doc_id, fingerprint,
+           MIN(doc_id) OVER (PARTITION BY fingerprint) AS canonical_doc_id,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY fingerprint) AS is_duplicate
+    FROM fp
+    """,
+    doc="Normalized-fingerprint dedup: lowercase + whitespace-collapse + "
+    "trim, then md5 — catches case/spacing perturbations exact hashing "
+    "misses (injected here as upper(text)+'  ' copies). Canonical doc via "
+    "a min-over-fingerprint window.",
+)
+def dedup_fingerprint_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    fp = d.unionByName(copies).select(
+        "doc_id", md5s(normalized_text("text")).alias("fingerprint")
+    )
+    w = Window.partitionBy("fingerprint")
+    canonical = F.min("doc_id").over(w)
+    return fp.select(
+        "doc_id",
+        "fingerprint",
+        canonical.alias("canonical_doc_id"),
+        (F.col("doc_id") != canonical).alias("is_duplicate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dedup (inverted-index join)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {SQL_DOCS_DUP.strip()},
+    {SQL_SHINGLES.strip()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_1, doc_id_2,
+           CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) AS jaccard
+    FROM common
+    JOIN sizes s1 ON doc_id_1 = s1.doc_id
+    JOIN sizes s2 ON doc_id_2 = s2.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.5
+    """,
+    doc="Near-dedup by word-3-gram Jaccard ≥ 0.5 via an inverted-index "
+    "self-join on shingles (never an O(N²) document cross join: only "
+    "pairs sharing ≥1 shingle are generated). At 100 TB add a "
+    "document-frequency cap on shingles (drop grams appearing in >k docs) "
+    "to bound the skew of the shingle join; AQE skew-split handles the "
+    "residue. The test corpus has planted near-dup pairs (max J≈0.99).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(_docs_with_dups(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("s1.n") + F.col("s2.n") - F.col("n_common")
+    )
+    return (
+        common.join(s1, F.col("doc_id_1") == F.col("s1.doc_id"))
+        .join(s2, F.col("doc_id_2") == F.col("s2.doc_id"))
+        .select("doc_id_1", "doc_id_2", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup
+# ---------------------------------------------------------------------------
+_MINHASH_K = 8  # signature length
+_LSH_BANDS = 4  # bands of 2 rows each
+
+
+def _sql_minhash_cols() -> str:
+    return ", ".join(
+        f"MIN(md5('{j}:' || gram)) AS mh{j}" for j in range(_MINHASH_K)
+    )
+
+
+def _sql_band_keys() -> list[str]:
+    r = _MINHASH_K // _LSH_BANDS
+    return [
+        "md5(" + " || ".join(f"mh{b * r + i}" for i in range(r)) + ")"
+        for b in range(_LSH_BANDS)
+    ]
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {SQL_DOCS_DUP.strip()},
+    {SQL_SHINGLES.strip()},
+    sig AS (
+      SELECT doc_id, {_sql_minhash_cols()} FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig"
+        for b, key in enumerate(_sql_band_keys())
+      )}
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_1, doc_id_2, n_shared_bands,
+           ({" + ".join(
+               f"CASE WHEN s1.mh{j} = s2.mh{j} THEN 1 ELSE 0 END"
+               for j in range(_MINHASH_K)
+           )}) / {float(_MINHASH_K)} AS est_jaccard
+    FROM cand
+    JOIN sig s1 ON doc_id_1 = s1.doc_id
+    JOIN sig s2 ON doc_id_2 = s2.doc_id
+    """,
+    doc=f"MinHash({_MINHASH_K}) + LSH({_LSH_BANDS} bands × "
+    f"{_MINHASH_K // _LSH_BANDS}) near-dedup: per-doc signature = K "
+    "min-hashes of the shingle set (K salted md5s aggregated as MIN — "
+    "lexicographic min of hex is a valid uniform min-hash); docs collide "
+    "if any band of the signature matches; candidate pairs then get an "
+    "estimated Jaccard = fraction of matching signature rows. The only "
+    "shuffles are the signature groupBy and the narrow band-key self-join "
+    "on (band_id, 16-byte key) — never a document cross join, and the "
+    "signature table is K×16 bytes/doc regardless of document size, so "
+    "the candidate-generation cost at 100 TB is independent of text "
+    "volume.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(_docs_with_dups(spark, sf_dir))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(md5s(F.concat(F.lit(f"{j}:"), F.col("gram")))).alias(f"mh{j}")
+            for j in range(_MINHASH_K)
+        ]
+    )
+    r = _MINHASH_K // _LSH_BANDS
+    band_key = [
+        md5s(F.concat(*[F.col(f"mh{b * r + i}") for i in range(r)]))
+        for b in range(_LSH_BANDS)
+    ]
+    bands = None
+    for b in range(_LSH_BANDS):
+        part = sig.select(
+            "doc_id", F.lit(b).alias("band_id"), band_key[b].alias("band_key")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    s1 = sig.alias("s1")
+    s2 = sig.alias("s2")
+    est = sum(
+        F.when(F.col(f"s1.mh{j}") == F.col(f"s2.mh{j}"), 1).otherwise(0)
+        for j in range(_MINHASH_K)
+    ) / float(_MINHASH_K)
+    return (
+        cand.join(s1, F.col("doc_id_1") == F.col("s1.doc_id"))
+        .join(s2, F.col("doc_id_2") == F.col("s2.doc_id"))
+        .select("doc_id_1", "doc_id_2", "n_shared_bands", est.alias("est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {SQL_DOCS_DUP.strip()},
+    tok AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest({SQL_TOKENS.format(c='text')}) AS tok FROM docs
+      )
+    ),
+    th AS (SELECT doc_id, substr(md5(tok), 1, 4) AS h4 FROM tok),
+    sums AS (
+      SELECT doc_id,
+             {", ".join(
+               f"SUM(2 * (({sql_hexval(f'substr(h4, {p // 4 + 1}, 1)')} >> {3 - p % 4}) & 1) - 1) AS s{p}"
+               for p in range(16)
+             )}
+      FROM th GROUP BY doc_id
+    ),
+    sim AS (
+      SELECT doc_id,
+             CAST({" + ".join(
+               f"CASE WHEN s{p} > 0 THEN {1 << p} ELSE 0 END" for p in range(16)
+             )} AS BIGINT) AS simhash
+      FROM sums
+    )
+    SELECT doc_id, simhash,
+           CAST(COUNT(*) OVER (PARTITION BY simhash) AS BIGINT) AS n_docs_same_hash
+    FROM sim
+    """,
+    doc="SimHash(16-bit) over distinct word unigrams (unit weights): each "
+    "token votes ±1 per bit position from its md5; the sign of the summed "
+    "vote is the fingerprint bit. Docs sharing a simhash are near-dup "
+    "candidates. One explode + one 16-expression hash aggregate — no "
+    "joins at all until candidate grouping, so it scales linearly; at "
+    "100 TB use 64-bit fingerprints and group by hamming-ball probes.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_dups(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    ).distinct()
+    th = tok.select("doc_id", F.substring(F.md5(F.col("tok").cast("binary")), 1, 4).alias("h4"))
+    sums = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                2
+                * (
+                    F.shiftright(
+                        hexval(F.substring("h4", p // 4 + 1, 1)), 3 - p % 4
+                    ).bitwiseAND(F.lit(1))
+                )
+                - 1
+            ).alias(f"s{p}")
+            for p in range(16)
+        ]
+    )
+    simhash = sum(
+        F.when(F.col(f"s{p}") > 0, F.lit(1 << p)).otherwise(0) for p in range(16)
+    ).cast("bigint")
+    sim = sums.select("doc_id", simhash.alias("simhash"))
+    w = Window.partitionBy("simhash")
+    return sim.select(
+        "doc_id", "simhash", F.count(F.lit(1)).over(w).alias("n_docs_same_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup + similarity search
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_cosine_pairs",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm FROM embeddings
+    )
+    SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+           {sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.35
+    """,
+    doc="Embedding near-dup baseline: all-pairs cosine ≥ 0.35 with "
+    "exact-decimal dot products (bit-deterministic at any parallelism). "
+    "This is the O(N²) reference semantics; the scale path is "
+    "sim_search_lsh (hyperplane bucketing) — identical per-pair math, "
+    "candidate set bounded by bucket. Norms are computed once per vector "
+    "before the pair join, not per pair.",
+)
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(scaled_vec("embedding")).alias("nrm")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = cosine(
+        scaled_vec(F.col("a.embedding")),
+        scaled_vec(F.col("b.embedding")),
+        F.col("a.nrm"),
+        F.col("b.nrm"),
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id_1"),
+            F.col("b.vec_id").alias("vec_id_2"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.35)
+    )
+
+
+_TOPK_QUERIES = 10  # vec_id < 10 are the query vectors
+_TOPK = 5
+
+
+@register(
+    "sim_search_topk",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine_sim
+      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_TOPK_QUERIES}
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS rn
+      FROM scored)
+    WHERE rn <= {_TOPK}
+    """,
+    doc=f"Brute-force ANN baseline: top-{_TOPK} cosine neighbors for "
+    f"{_TOPK_QUERIES} query vectors. The tiny query side is broadcast, so "
+    "the candidate scan is one pass over the corpus with no shuffle "
+    "(score) + one row_number window per query partition (select). Exact "
+    "answer — the recall yardstick for the LSH variant.",
+)
+def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(scaled_vec("embedding")).alias("nrm")
+    )
+    q = emb.filter(F.col("vec_id") < _TOPK_QUERIES).alias("q")
+    c = emb.alias("c")
+    sim = cosine(
+        scaled_vec(F.col("q.embedding")),
+        scaled_vec(F.col("c.embedding")),
+        F.col("q.nrm"),
+        F.col("c.nrm"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("c.vec_id") != F.col("q.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            sim.alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), "neighbor_id"
+    )
+    return (
+        scored.select("*", F.row_number().over(w).cast("bigint").alias("rn"))
+        .filter(F.col("rn") <= _TOPK)
+    )
+
+
+_LSH_PLANES = 8
+_EMB_DIM = 64
+
+
+def _hyperplanes() -> list[list[int]]:
+    """Deterministic pseudo-random hyperplanes: odd integer weights in
+    [-15, 15] derived from md5(plane:dim). Computed at plan-build time and
+    embedded as literals — identical constants on both engines."""
+    planes = []
+    for p in range(_LSH_PLANES):
+        row = []
+        for d in range(_EMB_DIM):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            row.append(2 * int(h[0], 16) - 15)  # odd ∈ {-15..15}, never 0
+        planes.append(row)
+    return planes
+
+
+_PLANES = _hyperplanes()
+
+
+def _sql_bucket() -> str:
+    # Projection in pure integer arithmetic over the 10^9-scaled elements:
+    # sign(Σ w_i·x_i) is exact, so bucket assignment is deterministic.
+    ielem = (
+        "CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) "
+        "* 1000000000 AS BIGINT)"
+    )
+    terms = []
+    for p in range(_LSH_PLANES):
+        wlist = "[" + ", ".join(str(w) for w in _PLANES[p]) + "]"
+        proj = (
+            f"list_sum(list_transform(generate_series(1, {_EMB_DIM}), "
+            f"i -> ({wlist})[i] * {ielem}))"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
+    return " + ".join(terms)
+
+
+@register(
+    "sim_search_lsh",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm FROM embeddings
+    ),
+    bucketed AS (
+      SELECT vec_id, embedding, nrm, ({_sql_bucket()}) AS bucket FROM n
+    )
+    SELECT bucket, query_id, neighbor_id, cosine_sim, rn FROM (
+      SELECT a.bucket, a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine_sim,
+             CAST(row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) DESC,
+                        b.vec_id) AS BIGINT) AS rn
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+    WHERE rn <= 3
+    """,
+    doc=f"Hyperplane-LSH similarity search: {_LSH_PLANES} deterministic "
+    "pseudo-random hyperplanes (integer weights from md5, embedded as "
+    "plan literals) sign-hash each vector into one of 256 buckets; "
+    "candidates are same-bucket only, then exact cosine top-3 per query. "
+    "Candidate count drops from O(N²) to O(N²/2^planes) per bucket — the "
+    "shuffle key is the bucket id, so at 100 TB each bucket is an "
+    "independent partition-local problem. Projections use exact decimal "
+    "sums (deterministic bucket assignment).",
+)
+def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    planes = _hyperplanes()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(scaled_vec("embedding")).alias("nrm")
+    )
+    dv = scaled_vec(F.col("embedding"))
+    bucket: Column = F.lit(0)
+    for p in range(_LSH_PLANES):
+        w_arr = F.array(*[F.lit(w).cast("long") for w in planes[p]])
+        # Integer projection: sign(Σ w_i·x_i) over 10^9-scaled elements —
+        # exact in 64-bit (|w|≤15, |x|<10^9, 64 terms ≪ 2^63).
+        proj = F.aggregate(
+            F.zip_with(dv, w_arr, lambda x, w: x * w),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
+    bucketed = emb.select("vec_id", "embedding", "nrm", bucket.alias("bucket"))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    sim = cosine(
+        scaled_vec(F.col("a.embedding")),
+        scaled_vec(F.col("b.embedding")),
+        F.col("a.nrm"),
+        F.col("b.nrm"),
+    )
+    scored = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.bucket").alias("bucket"),
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        sim.alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), "neighbor_id"
+    )
+    return (
+        scored.select(
+            "bucket",
+            "query_id",
+            "neighbor_id",
+            "cosine_sim",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+_SQL_STOP = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {SQL_TOKENS.format(c='text')} AS toks,
+             CAST(length(text) AS BIGINT) AS n_chars_actual
+      FROM documents
+    )
+    SELECT doc_id, n_chars_actual,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+             AS avg_token_len,
+           CAST(len(list_filter(toks, t -> t IN ({_SQL_STOP}))) AS DOUBLE) / len(toks)
+             AS stopword_ratio
+    FROM tok
+    """,
+    doc="Token statistics per document: whitespace token count, distinct "
+    "tokens, type-token ratio, mean token length, stopword ratio — all "
+    "higher-order array functions over one scan, no explode, no shuffle "
+    "at all (purely row-local), so it's embarrassingly parallel at 100 TB.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tok).alias(
+            "type_token_ratio"
+        ),
+        (
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / n_tok
+        ).alias("avg_token_len"),
+        (
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+                "double"
+            )
+            / n_tok
+        ).alias("stopword_ratio"),
+    )
+
+
+#: Language marker tokens for the n-gram/stopword language-ID heuristic.
+_LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "es": ("el", "la", "de"),
+    "fr": ("le", "la", "du"),
+    "de": ("der", "die", "und"),
+}
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {SQL_TOKENS.format(c='text')} AS toks FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             {", ".join(
+               f"CAST(len(list_filter(toks, t -> t IN ({', '.join(chr(39) + m + chr(39) for m in markers)}))) AS BIGINT) AS s_{lang}"
+               for lang, markers in _LANG_MARKERS.items()
+             )}
+      FROM tok
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                WHEN s_fr >= s_de THEN 'fr'
+                ELSE 'de' END AS pred_lang,
+           s_en, s_es, s_fr, s_de,
+           (CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                WHEN s_fr >= s_de THEN 'fr'
+                ELSE 'de' END) = lang AS is_correct
+    FROM scored
+    """,
+    doc="Language-ID heuristic: per-language marker-token counts, argmax "
+    "with a fixed deterministic tie-break order. (The synthetic corpus "
+    "uses one shared vocabulary, so the heuristic mostly predicts 'en' "
+    "and 'zh' is never predictable from Latin markers — the machinery, "
+    "scoring + argmax over row-local array ops, is what's under test.) "
+    "Zero shuffles; scales linearly.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    cols = [F.col("doc_id"), F.col("lang")]
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        cols.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+            .cast("bigint")
+            .alias(f"s_{lang}")
+        )
+    scored = d.select(*cols)
+    s = {lang: F.col(f"s_{lang}") for lang in _LANG_MARKERS}
+    pred = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"]), "en"
+        )
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]), "es")
+        .when(s["fr"] >= s["de"], "fr")
+        .otherwise("de")
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        "s_en",
+        "s_es",
+        "s_fr",
+        "s_de",
+        (pred == F.col("lang")).alias("is_correct"),
+    )
+
+
+@register(
+    "text_quality_filter",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {SQL_TOKENS.format(c='text')} AS toks FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+             CAST(len(list_filter(toks, t -> t IN ({_SQL_STOP}))) AS DOUBLE) / len(toks)
+               AS stop_ratio
+      FROM tok
+    )
+    SELECT doc_id, n_tokens, ttr * (1.0 - stop_ratio) AS quality_score
+    FROM feat
+    WHERE n_tokens >= 20 AND ttr * (1.0 - stop_ratio) > 0.05
+    """,
+    doc="Quality gate for a training-data pipeline: type-token ratio "
+    "discounted by stopword density, with a minimum-length floor. The "
+    "filter composes with any downstream op and pushes to the scan "
+    "(row-local predicate, no shuffle).",
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
+        / n_tok
+    )
+    score = ttr * (F.lit(1.0) - stop_ratio)
+    return (
+        d.select(
+            "doc_id",
+            n_tok.cast("bigint").alias("n_tokens"),
+            score.alias("quality_score"),
+        )
+        .filter((F.col("n_tokens") >= 20) & (F.col("quality_score") > 0.05))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns + Arrow-batched mapInPandas)
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_decode_stub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha256,
+           CAST(16 + ({sql_hexval("substr(sha256(text), 1, 1)")} * 16
+                      + {sql_hexval("substr(sha256(text), 2, 1)")}) % 240 AS BIGINT)
+             AS fake_width,
+           CAST(16 + ({sql_hexval("substr(sha256(text), 3, 1)")} * 16
+                      + {sql_hexval("substr(sha256(text), 4, 1)")}) % 240 AS BIGINT)
+             AS fake_height,
+           CAST(1 + ({sql_hexval("substr(sha256(text), 5, 1)")} * 16
+                     + {sql_hexval("substr(sha256(text), 6, 1)")}) % 8 AS BIGINT)
+             AS n_frames
+    FROM documents
+    """,
+    doc="Multimodal-column plumbing: an opaque binary payload column is "
+    "processed by an Arrow-batched mapInPandas stage (the real "
+    "image/audio decode is stubbed — see operators/multimodal.py — with a "
+    "deterministic metadata extractor: byte length, sha256, fake "
+    "dimensions derived from the digest). The Spark-side contract is "
+    "real: binary schema in, typed metadata schema out, batch-wise "
+    "pandas, no driver involvement, partition-parallel at 100 TB.",
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.operators.multimodal import (
+        extract_binary_metadata,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return extract_binary_metadata(d, id_col="doc_id", payload_col="payload")

@@ -442,3 +442,121 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gap-based) — batch form of the stateful streaming op
+# ---------------------------------------------------------------------------
+@register(
+    "events_sessionize_30m",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, SUM(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM e
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM s GROUP BY 1, 2
+    """,
+    doc="Gap-based sessionization (30-min inactivity): lag+prefix-sum "
+    "session ids, then per-session rollup. One shuffle on user_id serves "
+    "both windows and the final aggregate (same partition key). Batch "
+    "twin of a stateful-streaming sessionizer; exact-microsecond gap "
+    "arithmetic on both engines.",
+)
+def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(
+        prev_us.isNull() | (F.unix_micros("ts") - prev_us > 1_800_000_000), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = ev.select(
+        "user_id", "event_id", "ts", "value", new_s.alias("new_s")
+    ).select("*", F.sum("new_s").over(run).alias("session_id"))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (event → most recent order at-or-before event time)
+# ---------------------------------------------------------------------------
+@register(
+    "asof_join_event_order",
+    oracle="""
+    WITH merged AS (
+      SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ts,
+             0 AS kind, o_orderkey AS sort_id,
+             o_orderkey, NULL::BIGINT AS event_id
+      FROM orders
+      UNION ALL
+      SELECT user_id, ts, 1 AS kind, event_id AS sort_id,
+             NULL::BIGINT AS o_orderkey, event_id
+      FROM events
+    ),
+    filled AS (
+      SELECT *, last_value(o_orderkey IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, kind, sort_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey
+      FROM merged
+    )
+    SELECT event_id, user_id, ts AS event_ts, asof_orderkey
+    FROM filled WHERE kind = 1
+    """,
+    doc="As-of (backward) join: each event picks the user's most recent "
+    "order at-or-before its timestamp — Spark has no ASOF JOIN operator, "
+    "so it's expressed as the scalable union-merge form: tag both sides, "
+    "sort-merge per user, forward-fill the order key with "
+    "last_value(ignore nulls). ONE shuffle on user_id, no row "
+    "amplification (vs. the naive inequality join whose intermediate is "
+    "|events|×|orders per user|). Ties broken (ts, kind, id) — an order "
+    "dated exactly at the event instant matches.",
+)
+def asof_join_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.lit(0).alias("kind"),
+        F.col("o_orderkey").alias("sort_id"),
+        F.col("o_orderkey"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("sort_id"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        "event_id",
+    )
+    merged = o.unionByName(e)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "sort_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        "*", F.last("o_orderkey", ignorenulls=True).over(w).alias("asof_orderkey")
+    )
+    return filled.filter(F.col("kind") == 1).select(
+        "event_id", "user_id", F.col("ts").alias("event_ts"), "asof_orderkey"
+    )

@@ -1,0 +1,119 @@
+"""Event-time windowed aggregation over the ``events`` stream.
+
+The reference has no streaming surface (SURVEY.md §2.8) — this is the
+engine's net-new streaming story: ``readStream`` → watermarked
+event-time window aggregation → sink, with the *same aggregation
+expressions* as the batch query ``events_tumbling_1h`` so stream and
+batch replay provably agree (tested via the memory-sink harness below;
+registered as ``streaming_tumbling_replay``).
+
+Scale notes: state is keyed by (window, event_type) — bounded by the
+watermark horizon × type cardinality, independent of input volume.
+``availableNow`` replay processes a backlog with the same code path as
+a live stream; on a real cluster the parquet source is swapped for
+Kafka without touching the aggregation.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from weather_analysis_bigdata__spark.functions.deterministic import dec
+
+#: events.parquet physical schema (ts is TIMESTAMP(NANOS) read as long —
+#: see sources.files._load_events for the same batch-side handling).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Open a parquet-directory stream of events with event-time ``ts``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(events_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling event-time aggregation (streaming or batch).
+
+    Same expression shape as the batch query events_tumbling_1h minus
+    COUNT(DISTINCT) (unsupported in streaming aggregations; the batch
+    query keeps it). Sums are exact decimal → deterministic replay.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def replay_to_memory(
+    spark: SparkSession, events_parquet: str, width: str = "1 hour"
+) -> DataFrame:
+    """Replay a parquet events file through the *streaming* engine and
+    return the final aggregate state as a batch DataFrame.
+
+    Harness: copy the file into a fresh stream source dir, run the
+    watermarked tumbling aggregation with an ``availableNow`` trigger
+    into a complete-mode memory sink, await termination, read the table
+    back. The result must equal the batch aggregation bit-for-bit —
+    that equivalence is the streaming correctness gate.
+    """
+    run_id = uuid.uuid4().hex[:12]
+    src_dir = tempfile.mkdtemp(prefix=f"events_stream_{run_id}_")
+    sink = f"stream_replay_{run_id}"
+    try:
+        shutil.copy(events_parquet, os.path.join(src_dir, "part-000.parquet"))
+        agg = tumbling_agg(stream_events(spark, src_dir), width=width)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # Materialize before the temp dir disappears.
+        rows = spark.table(sink).collect()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema=tumbling_agg_schema())
+
+
+def tumbling_agg_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("window_start", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_events", T.LongType(), nullable=False),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
