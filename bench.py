@@ -24,6 +24,16 @@ HEADLINE = [
     "o2_topk",
     "a8_pearson_corr",
     "d2_date_roundtrip",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "window_rank_topn",
+    "events_sessionize_30m",
+    "asof_join_event_order",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_token_stats",
+    "sim_search_topk",
+    "sim_search_lsh",
 ]
 
 

@@ -5,7 +5,15 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO_ROOT = os.path.dirname(_TESTS_DIR)
+sys.path.insert(0, _REPO_ROOT)
+
+# Python workers must be able to import test modules whose functions are
+# shipped inside mapInPandas closures (pickled by reference).
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [_REPO_ROOT, _TESTS_DIR, os.environ.get("PYTHONPATH", "")]
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 

@@ -1,26 +1,30 @@
 """Vector (embedding) expressions: exact dot product, norm, cosine.
 
 Embeddings are ``array<float>`` columns. A float dot product summed in
-parallel is order-dependent in the last bits, and even an exact DECIMAL
-sum diverges between engines at the final decimal→double cast (DuckDB
-converts via hugeint × 10^-scale — two roundings, 10^-18 is inexact;
-Spark's BigDecimal.doubleValue rounds once: measured 1-ulp cosine
-drift). The portable exact form used here:
+parallel is order-dependent in the last bits, and decimal→double casts
+round differently across engines (DuckDB goes hugeint × 10^-scale — two
+roundings; measured 1-ulp cosine drift vs Spark's BigDecimal path). The
+portable exact form used here is **pure 64-bit integer arithmetic**:
 
-1. quantize each element float → double → DECIMAL(18,9) (both engines
+1. quantize each element float → double → DECIMAL(18,8) (both engines
    round the binary double identically — verified bit-exact),
-2. scale to integers: xi = x·10^9 (exact, the decimal is integral),
-3. dot = Σ xi·yi — every product < 10^18 fits a 64-bit long; the sum
-   accumulates exactly (DECIMAL(38,0) on Spark, HUGEINT via list_sum on
-   DuckDB),
-4. one correctly-rounded integer→double cast, then divide by 1e18
-   (exactly representable: 10^18 = 2^18·5^18, 5^18 < 2^53).
+2. scale to longs: xi = x·10^8,
+3. dot = Σ xi·yi — each product ≤ 10^16·‖x‖∞², the sum stays exact in
+   64 bits for any vector family with dims·(‖x‖∞·10^8)² < 2^63 (64-dim
+   unit vectors: ≤ 6.4·10^17 — ample margin),
+4. one correctly-rounded BIGINT→double cast (identical on both engines),
+   then divide by 1e16 (exactly representable: 2^16·5^16, 5^16 < 2^53).
 
-Result: bit-identical on Spark and DuckDB, and — the property that
-matters at 1000-executor scale — independent of partitioning and
-reduction order. All expressions are higher-order functions
-(``zip_with``/``aggregate``) — JVM-side codegen, no UDFs, no explode:
-a 64-dim dot product is one expression per row.
+Quantization to 1e-8 is part of the operator contract (float32 carries
+~7 significant digits; at |x|≤1 the quantization is at or below input
+precision) — both engines apply it identically, so results are
+bit-identical AND independent of partitioning/reduction order at
+1000-executor scale.
+
+Everything is higher-order functions (``zip_with``/``aggregate``) over
+primitive longs — no UDFs, no explode, no Decimal object allocation
+(HOFs run interpreted, so per-element object cost is the constant that
+matters; longs are ~10× cheaper than Decimals here).
 """
 
 from __future__ import annotations
@@ -29,15 +33,14 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_ELEM = T.DecimalType(18, 9)
-_ACC = T.DecimalType(38, 0)
-_SCALE = 1_000_000_000  # 10^9 per element → 10^18 per product
+_ELEM = T.DecimalType(18, 8)
+_SCALE = 100_000_000  # 10^8 per element → 10^16 per product
 _SCALE_SQ = float(_SCALE) ** 2
 
 
 def scaled_vec(col: Column | str) -> Column:
-    """array<float> → array<long>: each element quantized to DECIMAL(18,9)
-    and scaled by 10^9 (exact integer representation)."""
+    """array<float> → array<long>: elements quantized to DECIMAL(18,8)
+    and scaled by 10^8 (exact integer representation)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(
         c, lambda x: (x.cast("double").cast(_ELEM) * F.lit(_SCALE)).cast("long")
@@ -45,16 +48,10 @@ def scaled_vec(col: Column | str) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Exact dot product of two scaled-int vectors → double.
-
-    The exact sum is narrowed to a 64-bit long before the double cast:
-    DuckDB's HUGEINT→DOUBLE conversion is off by 1 ulp for some negative
-    values (measured), while BIGINT→DOUBLE rounds correctly on both
-    engines. |Σ xi·yi| ≤ ‖a‖‖b‖·10^18 — fits 64 bits whenever the norm
-    product is < 9.2 (embeddings are unit-norm; ample margin)."""
-    prod = F.zip_with(a, b, lambda x, y: (x * y).cast(_ACC))
-    s = F.aggregate(prod, F.lit(0).cast(_ACC), lambda acc, x: (acc + x).cast(_ACC))
-    return s.cast("long").cast("double") / F.lit(_SCALE_SQ)
+    """Exact dot product of two scaled-long vectors → double."""
+    prod = F.zip_with(a, b, lambda x, y: x * y)
+    s = F.aggregate(prod, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return s.cast("double") / F.lit(_SCALE_SQ)
 
 
 def norm(a: Column) -> Column:
@@ -71,17 +68,16 @@ def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
 
 # ---- SQL mirrors (DuckDB list lambdas) --------------------------------
 
-#: Element → scaled BIGINT (mirror of scaled_vec's per-element transform).
+
 def _sql_ielem(x: str) -> str:
-    return (
-        f"CAST(CAST(CAST({x} AS DOUBLE) AS DECIMAL(18,9)) * {_SCALE} AS BIGINT)"
-    )
+    return f"CAST(CAST(CAST({x} AS DOUBLE) AS DECIMAL(18,8)) * {_SCALE} AS BIGINT)"
 
 
 def sql_dot(a: str, b: str) -> str:
     """DuckDB: exact dot of two FLOAT[] columns → DOUBLE. list_sum over
     BIGINT promotes to HUGEINT (exact); the BIGINT narrowing before the
-    double cast mirrors :func:`dot` (HUGEINT→DOUBLE misrounds negatives)."""
+    double cast matters — DuckDB's HUGEINT→DOUBLE misrounds some
+    negative values, BIGINT→DOUBLE rounds correctly (measured)."""
     term = f"{_sql_ielem(f'{a}[i]')} * {_sql_ielem(f'{b}[i]')}"
     return (
         f"(CAST(CAST(list_sum(list_transform(generate_series(1, len({a})), "

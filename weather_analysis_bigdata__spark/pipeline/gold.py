@@ -72,13 +72,16 @@ def yearly_trend(silver: DataFrame) -> DataFrame:
 
 def remap_station_names(df: DataFrame, mapping: DataFrame) -> DataFrame:
     """station id → display name via broadcast join (the scalable form of
-    pandas .replace(station_mapping), Weather_API.py:1026-1033)."""
+    pandas .replace(station_mapping), Weather_API.py:1026-1033).
+
+    Aliased explicitly: ``df`` often shares lineage with ``mapping``
+    (the dim joined earlier in Silver), which otherwise trips Spark's
+    ambiguous-self-join detection."""
+    m = mapping.select(
+        F.col("station_id").alias("__map_id"), F.col("name").alias("__map_name")
+    )
     return (
-        df.join(
-            F.broadcast(mapping),
-            df.station == mapping.station_id,
-            "left",
-        )
-        .withColumn("station", F.coalesce(mapping.name, df.station))
-        .drop("station_id", "name")
+        df.join(F.broadcast(m), df["station"] == m["__map_id"], "left")
+        .withColumn("station", F.coalesce(F.col("__map_name"), F.col("station")))
+        .drop("__map_id", "__map_name")
     )

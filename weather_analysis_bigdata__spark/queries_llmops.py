@@ -222,15 +222,24 @@ _LSH_BANDS = 4  # bands of 2 rows each
 
 
 def _sql_minhash_cols() -> str:
-    return ", ".join(
-        f"MIN(md5('{j}:' || gram)) AS mh{j}" for j in range(_MINHASH_K)
-    )
+    # Integer min-hashes: 60-bit value from the first 15 hex chars of the
+    # salted md5. MIN over BIGINT keeps the engine in a hash aggregate
+    # (MIN over strings falls back to a sort aggregate — measured).
+    from weather_analysis_bigdata__spark.functions.textops import sql_hex15_to_long
+
+    cols = []
+    for j in range(_MINHASH_K):
+        digest = f"md5('{j}:' || gram)"
+        cols.append(f"MIN({sql_hex15_to_long(digest)}) AS mh{j}")
+    return ", ".join(cols)
 
 
 def _sql_band_keys() -> list[str]:
     r = _MINHASH_K // _LSH_BANDS
     return [
-        "md5(" + " || ".join(f"mh{b * r + i}" for i in range(r)) + ")"
+        "md5("
+        + " || ':' || ".join(f"CAST(mh{b * r + i} AS VARCHAR)" for i in range(r))
+        + ")"
         for b in range(_LSH_BANDS)
     ]
 
@@ -279,27 +288,54 @@ def _sql_band_keys() -> list[str]:
     "volume.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.textops import hex15_to_long
+
     sh = _shingles(_docs_with_dups(spark, sf_dir))
+    # Integer min-hashes keep the aggregate hash-based (MIN over strings
+    # falls back to SortAggregate — measured).
     sig = sh.groupBy("doc_id").agg(
         *[
-            F.min(md5s(F.concat(F.lit(f"{j}:"), F.col("gram")))).alias(f"mh{j}")
+            F.min(
+                hex15_to_long(md5s(F.concat(F.lit(f"{j}:"), F.col("gram"))))
+            ).alias(f"mh{j}")
             for j in range(_MINHASH_K)
         ]
     )
     r = _MINHASH_K // _LSH_BANDS
-    band_key = [
-        md5s(F.concat(*[F.col(f"mh{b * r + i}") for i in range(r)]))
-        for b in range(_LSH_BANDS)
-    ]
-    bands = None
-    for b in range(_LSH_BANDS):
-        part = sig.select(
-            "doc_id", F.lit(b).alias("band_id"), band_key[b].alias("band_key")
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                md5s(
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.col(f"mh{b * r + i}").cast("string")
+                            for i in range(r)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(_LSH_BANDS)
+        ]
+    )
+    # ONE pass over sig: explode the band array (the 4-way union form
+    # recomputes the whole signature subtree per branch); mh columns ride
+    # along so candidate pairs never join back to sig.
+    bands = sig.select("doc_id", *[f"mh{j}" for j in range(_MINHASH_K)],
+                       F.explode(band_structs).alias("band")).select(
+        "doc_id",
+        *[f"mh{j}" for j in range(_MINHASH_K)],
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_key").alias("band_key"),
+    )
     a = bands.alias("a")
     b_ = bands.alias("b")
-    cand = (
+    est = sum(
+        F.when(F.col(f"a.mh{j}") == F.col(f"b.mh{j}"), 1).otherwise(0)
+        for j in range(_MINHASH_K)
+    ) / float(_MINHASH_K)
+    return (
         a.join(
             b_,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -309,18 +345,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2")
         )
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-    )
-    s1 = sig.alias("s1")
-    s2 = sig.alias("s2")
-    est = sum(
-        F.when(F.col(f"s1.mh{j}") == F.col(f"s2.mh{j}"), 1).otherwise(0)
-        for j in range(_MINHASH_K)
-    ) / float(_MINHASH_K)
-    return (
-        cand.join(s1, F.col("doc_id_1") == F.col("s1.doc_id"))
-        .join(s2, F.col("doc_id_2") == F.col("s2.doc_id"))
-        .select("doc_id_1", "doc_id_2", "n_shared_bands", est.alias("est_jaccard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_bands"),
+            F.max(est).alias("est_jaccard"),
+        )
     )
 
 
@@ -520,8 +548,8 @@ def _sql_bucket() -> str:
     # Projection in pure integer arithmetic over the 10^9-scaled elements:
     # sign(Σ w_i·x_i) is exact, so bucket assignment is deterministic.
     ielem = (
-        "CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) "
-        "* 1000000000 AS BIGINT)"
+        "CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,8)) "
+        "* 100000000 AS BIGINT)"
     )
     terms = []
     for p in range(_LSH_PLANES):
