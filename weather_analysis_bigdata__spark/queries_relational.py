@@ -560,3 +560,183 @@ def asof_join_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.filter(F.col("kind") == 1).select(
         "event_id", "user_id", F.col("ts").alias("event_ts"), "asof_orderkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# F2 — row-wise null-drop (na.drop "any")
+# ---------------------------------------------------------------------------
+@register(
+    "f2_dropna_any",
+    oracle="""
+    WITH holey AS (
+      SELECT l_orderkey, l_linenumber,
+             NULLIF(l_quantity, 25.0) AS qty_or_null,
+             CASE WHEN l_linenumber = 3 THEN NULL ELSE l_discount END AS disc_or_null
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, qty_or_null, disc_or_null
+    FROM holey WHERE qty_or_null IS NOT NULL AND disc_or_null IS NOT NULL
+    """,
+    doc="Row-wise any-null drop (Weather_API.py:843 etc. .dropna() before "
+    "plotting → df.na.drop('any')). The test tables are null-free, so "
+    "nulls are injected deterministically first — the drop is exercised, "
+    "not vacuous. Row-local predicate: pushes to the scan, no shuffle.",
+)
+def f2_dropna_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    holey = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_quantity"), F.lit(25.0)).alias("qty_or_null"),
+        F.when(F.col("l_linenumber") != 3, F.col("l_discount")).alias("disc_or_null"),
+    )
+    return holey.na.drop("any")
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction from a string column
+# ---------------------------------------------------------------------------
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+           json_extract_string(props, '$.missing') AS missing_field
+    FROM events
+    """,
+    doc="JSON field extraction from a string column (get_json_object ≡ "
+    "json_extract_string): typed path hit + null on a missing path. "
+    "Row-local; at 100 TB prefer from_json with an explicit schema once "
+    "per column instead of repeated path probes.",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        F.get_json_object("props", "$.missing").alias("missing_field"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentiles: native exact percentile + manual windowed median
+# ---------------------------------------------------------------------------
+@register(
+    "percentile_by_group",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.50) AS p50,
+           quantile_cont(l_extendedprice, 0.90) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact linear-interpolated percentiles per group (Spark "
+    "percentile() ≡ DuckDB quantile_cont — verified bit-identical "
+    "interpolation on this data). Exact percentile sorts per group; at "
+    "100 TB switch to approx_percentile (t-digest) — see "
+    "sketch_approx_aggs for the sketch path.",
+)
+def percentile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+        F.expr("percentile(l_extendedprice, 0.50)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.90)").alias("p90"),
+    )
+
+
+@register(
+    "exact_median_manual",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_orderstatus, {sql_dec('o_totalprice')} AS price,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS cnt
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(AVG(price) AS DOUBLE) AS median_price,
+           CAST(MAX(cnt) AS BIGINT) AS n_orders
+    FROM ranked
+    WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+    GROUP BY o_orderstatus
+    """,
+    doc="Median as an explicit composition (row_number + count windows, "
+    "pick middle row(s), exact-decimal average) — the from-primitives "
+    "form of percentile(0.5), deterministic in exact arithmetic. One "
+    "shuffle on the group key shared by both windows and the final agg.",
+)
+def exact_median_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy("o_orderstatus")
+    ranked = o.select(
+        "o_orderstatus",
+        dec("o_totalprice").alias("price"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("cnt") + 2) / 2))
+    )
+    return mid.groupBy("o_orderstatus").agg(
+        F.avg("price").cast("double").alias("median_price"),
+        F.max("cnt").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate (sketch) aggregates — rows-only check (sketches are
+# engine-specific; a unit test bounds the error vs exact instead)
+# ---------------------------------------------------------------------------
+@register(
+    "sketch_approx_aggs",
+    oracle=None,
+    doc="Sketch aggregates for 100 TB interactive profiling: HLL++ "
+    "approx_count_distinct and t-digest approx_percentile per group. No "
+    "SQL oracle (sketch internals are engine-specific by design); "
+    "tests/test_relational_extras.py bounds the error against the exact "
+    "values (<5% HLL, <2% percentile rank).",
+)
+def sketch_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_p50"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pure-SQL API surface (spark.sql over registered views)
+# ---------------------------------------------------------------------------
+@register(
+    "sql_api_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount', 4)} AS promo_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape executed through the *SQL string* API "
+    "(spark.sql over temp views) — same Catalyst plan as the DataFrame "
+    "form; proves the engine's SQL entry point. Scan-only with every "
+    "predicate pushed; sum in exact decimal(·,4) (price×discount needs "
+    "4 fractional digits).",
+)
+def sql_api_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        f"""
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                 AS promo_revenue,
+               COUNT(*) AS n_items
+        FROM lineitem_v
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+        """
+    )
