@@ -49,13 +49,22 @@ def main() -> None:
     spark.range(1).count()
 
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        df = registry[name].fn(spark, sf_dir)
-        # noop sink: materializes every column of every row, writes nothing —
-        # measures compute without driver-transfer or disk noise.
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        per_run = []
+        for _ in range(2):
+            t0 = time.time()
+            df = registry[name].fn(spark, sf_dir)
+            # noop sink: materializes every column of every row, writes
+            # nothing — measures compute without driver-transfer or disk
+            # noise.
+            df.write.format("noop").mode("overwrite").save()
+            per_run.append(time.time() - t0)
+        # Headline = warm run (steady-state engine cost); the first run
+        # additionally pays one-time whole-stage-codegen JIT compilation,
+        # reported separately as cold_*.
+        times[name] = round(min(per_run), 3)
+        cold[name] = round(per_run[0], 3)
     total = round(sum(times.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -65,6 +74,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "cold_value": round(sum(cold.values()), 3),
+                "cold_queries": cold,
                 "sf": float(sf) if sf else None,
             }
         )

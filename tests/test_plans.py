@@ -1,0 +1,81 @@
+"""Plan-contract regression tests: the physical plans that matter at
+100 TB, pinned as assertions (SURVEY.md §4 — broadcast dims, pushdown,
+shuffle budgets, TakeOrdered top-k, column pruning)."""
+
+from __future__ import annotations
+
+import pytest
+
+from weather_analysis_bigdata__spark.plans.inspect import (
+    has_take_ordered,
+    n_broadcast_joins,
+    n_shuffles,
+    n_sortmerge_joins,
+    plan_of,
+    pushed_filters,
+    scan_columns,
+)
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from weather_analysis_bigdata__spark.registry import all_queries
+
+    return all_queries()
+
+
+def test_dim_join_broadcasts_not_sortmerge(spark, sf_dir, registry):
+    plan = plan_of(registry["j1_left_join_dim"].fn(spark, sf_dir))
+    assert n_broadcast_joins(plan) >= 1
+    assert n_sortmerge_joins(plan) == 0
+
+
+def test_snowflake_q5_broadcasts_dim_chain(spark, sf_dir, registry):
+    plan = plan_of(registry["q5_regional_revenue"].fn(spark, sf_dir))
+    assert n_broadcast_joins(plan) >= 3  # region, nation, customer chain
+    assert n_sortmerge_joins(plan) == 0
+
+
+def test_topk_is_take_ordered_no_shuffle(spark, sf_dir, registry):
+    plan = plan_of(registry["o2_topk"].fn(spark, sf_dir))
+    assert has_take_ordered(plan)
+    assert n_shuffles(plan) == 0
+
+
+def test_q3_filter_pushed_to_scan(spark, sf_dir, registry):
+    plan = plan_of(registry["q3_shipping_priority"].fn(spark, sf_dir))
+    assert any("c_mktsegment" in f and "BUILDING" in f for f in pushed_filters(plan))
+
+
+def test_grouped_agg_single_shuffle(spark, sf_dir, registry):
+    plan = plan_of(registry["a1_group_multi_avg"].fn(spark, sf_dir))
+    assert n_shuffles(plan) == 1  # partial+final hash agg, one exchange
+
+
+def test_window_impute_single_shuffle(spark, sf_dir, registry):
+    """The window rewrite of the reference's agg+self-join imputation
+    (SURVEY §2.4 J2) must cost exactly one shuffle."""
+    plan = plan_of(registry["j2_group_mean_impute"].fn(spark, sf_dir))
+    assert n_shuffles(plan) == 1
+
+
+def test_rowlocal_text_ops_shuffle_free(spark, sf_dir, registry):
+    for name in ("text_token_stats", "text_quality_filter", "multimodal_decode_stub"):
+        plan = plan_of(registry[name].fn(spark, sf_dir))
+        assert n_shuffles(plan) == 0, name
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir, registry):
+    """o1 selects 3 of orders' 9 columns — the scan must read only those."""
+    plan = plan_of(registry["o1_filtered_series"].fn(spark, sf_dir))
+    cols = scan_columns(plan)
+    assert cols and all(
+        c <= {"o_orderkey", "o_orderdate", "o_totalprice", "o_custkey"} for c in cols
+    ), cols
+
+
+def test_sessionize_windows_and_agg_share_one_shuffle(spark, sf_dir, registry):
+    """lag, prefix-sum and the session rollup all partition by user_id —
+    Catalyst must plan a single exchange, reusing the partitioning."""
+    plan = plan_of(registry["events_sessionize_30m"].fn(spark, sf_dir))
+    assert n_shuffles(plan) == 1

@@ -87,3 +87,45 @@ def sql_dot(a: str, b: str) -> str:
 
 def sql_norm(a: str) -> str:
     return f"sqrt({sql_dot(a, a)})"
+
+
+def lsh_bucket(emb_col: Column, planes: list[list[int]]) -> Column:
+    """Hyperplane-LSH bucket id in ONE pass over the embedding.
+
+    Eight separate projection expressions would each inline (and
+    re-evaluate) the scaled-vector transform — expression trees don't
+    share work across siblings. Here a single ``aggregate`` folds over
+    element indices once, carrying an array of P partial sums (one per
+    plane), and the finish lambda turns the signs into the bucket id.
+    Per row: dims × P multiply-adds, every access O(1) (elements are
+    indexed from the raw array; the flat weight matrix is a literal).
+    Integer arithmetic throughout → deterministic bucket assignment.
+    """
+    n_planes = len(planes)
+    dims = len(planes[0])
+    w_flat = F.array(
+        *[F.lit(w).cast("long") for row in planes for w in row]
+    )  # index p·dims + i (1-based via element_at)
+    pow2 = F.array(*[F.lit(1 << p) for p in range(n_planes)])
+
+    def xi(i: Column) -> Column:
+        return (
+            F.element_at(emb_col, i).cast("double").cast(_ELEM) * F.lit(_SCALE)
+        ).cast("long")
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(dims)),
+        F.array_repeat(F.lit(0).cast("long"), n_planes),
+        lambda acc, i: F.transform(
+            acc,
+            lambda s, p: s + F.element_at(w_flat, p * dims + i) * xi(i),
+        ),
+        lambda acc: F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            F.lit(0),
+            lambda b, p: b
+            + F.when(F.element_at(acc, p + 1) > 0, F.element_at(pow2, p + 1)).otherwise(
+                0
+            ),
+        ),
+    )

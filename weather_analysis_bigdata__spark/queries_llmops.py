@@ -596,18 +596,9 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", norm(scaled_vec("embedding")).alias("nrm")
     )
-    dv = scaled_vec(F.col("embedding"))
-    bucket: Column = F.lit(0)
-    for p in range(_LSH_PLANES):
-        w_arr = F.array(*[F.lit(w).cast("long") for w in planes[p]])
-        # Integer projection: sign(Σ w_i·x_i) over 10^9-scaled elements —
-        # exact in 64-bit (|w|≤15, |x|<10^9, 64 terms ≪ 2^63).
-        proj = F.aggregate(
-            F.zip_with(dv, w_arr, lambda x, w: x * w),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
+    from weather_analysis_bigdata__spark.functions.vectorops import lsh_bucket
+
+    bucket = lsh_bucket(F.col("embedding"), planes)
     bucketed = emb.select("vec_id", "embedding", "nrm", bucket.alias("bucket"))
     a = bucketed.alias("a")
     b = bucketed.alias("b")

@@ -740,3 +740,375 @@ def sql_api_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Date arithmetic battery
+# ---------------------------------------------------------------------------
+@register(
+    "date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_diff('day', o_orderdate, DATE '1998-12-31') AS INT) AS days_to_eoy,
+           CAST(CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS TIMESTAMP) AS due_date,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow, -- DuckDB: 0=Sun; Spark: 1=Sun
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           CAST(quarter(o_orderdate) AS INT) AS q
+    FROM orders
+    """,
+    doc="Date arithmetic battery: diff/add/last_day/trunc/day-of-week/"
+    "day-of-year/quarter — all row-local, codegen'd, shuffle-free. "
+    "(DATE outputs are cast to TIMESTAMP at the boundary: the two "
+    "engines' date objects compare differently through pandas.)",
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.lit("1998-12-31").cast("date"), "o_orderdate").alias(
+            "days_to_eoy"
+        ),
+        F.date_add("o_orderdate", 90).cast("timestamp").alias("due_date"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.trunc("o_orderdate", "month").cast("timestamp").alias("month_start"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.quarter("o_orderdate").alias("q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup (levenshtein) — string-similarity family
+# ---------------------------------------------------------------------------
+@register(
+    "levenshtein_pairs",
+    oracle="""
+    WITH names AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 60)
+    SELECT a.p_partkey AS key_1, b.p_partkey AS key_2,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM names a JOIN names b ON a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 12
+    """,
+    doc="Edit-distance pairs over a bounded candidate block (levenshtein "
+    "is O(len²) per pair — at 100 TB it is the verify step AFTER cheap "
+    "blocking such as LSH buckets or sorted-neighborhood, never a bare "
+    "cross join; the partkey bound stands in for the block).",
+)
+def levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 60)
+        .select("p_partkey", "p_name")
+    )
+    a, b = names.alias("a"), names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .select(
+            F.col("a.p_partkey").alias("key_1"),
+            F.col("b.p_partkey").alias("key_2"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 12)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full outer join with null-balance
+# ---------------------------------------------------------------------------
+@register(
+    "full_outer_join",
+    oracle="""
+    WITH a AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+               WHERE year(o_orderdate) = 1995 GROUP BY 1),
+         b AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+               WHERE year(o_orderdate) = 1996 GROUP BY 1)
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+           CAST(COALESCE(a.n_orders, 0) AS BIGINT) AS orders_1995,
+           CAST(COALESCE(b.n_orders, 0) AS BIGINT) AS orders_1996
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    """,
+    doc="FULL OUTER join of two yearly aggregates with coalesced keys — "
+    "the year-over-year comparison shape. Both sides pre-aggregated "
+    "before the join (map-side combine first), so the outer join is on "
+    "small keyed sets.",
+)
+def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def year_counts(y: int) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == y)
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+        )
+
+    a, b = year_counts(1995).alias("a"), year_counts(1996).alias("b")
+    return a.join(b, F.col("a.o_custkey") == F.col("b.o_custkey"), "full_outer").select(
+        F.coalesce(F.col("a.o_custkey"), F.col("b.o_custkey")).alias("o_custkey"),
+        F.coalesce(F.col("a.n_orders"), F.lit(0)).alias("orders_1995"),
+        F.coalesce(F.col("b.n_orders"), F.lit(0)).alias("orders_1996"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross join (deliberate, bounded)
+# ---------------------------------------------------------------------------
+@register(
+    "cross_join_region_matrix",
+    oracle="""
+    SELECT a.r_name AS region_a, b.r_name AS region_b
+    FROM region a CROSS JOIN region b WHERE a.r_name <> b.r_name
+    """,
+    doc="Explicit bounded cross join (5×5 regions) — the only legitimate "
+    "cross-join shape at scale: both sides tiny, broadcast, no shuffle.",
+)
+def cross_join_region_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    a, b = r.alias("a"), r.alias("b")
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a.r_name") != F.col("b.r_name"))
+        .select(F.col("a.r_name").alias("region_a"), F.col("b.r_name").alias("region_b"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (rewritten as join — the scalable form)
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_subquery_max_order",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           (SELECT MAX(o.o_totalprice) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS max_order_price
+    FROM customer c WHERE c.c_custkey <= 300
+    """,
+    doc="Correlated scalar subquery (max order per customer). Catalyst "
+    "decorrelates this into an aggregate + left join — the same plan the "
+    "hand-written join form produces; expressed here via the DataFrame "
+    "aggregate-join to keep the plan explicit.",
+)
+def scalar_subquery_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    mx = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.max("o_totalprice").alias("max_order_price"))
+    )
+    return c.join(mx, c.c_custkey == mx.o_custkey, "left").select(
+        "c_custkey", "c_name", "max_order_price"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation (FILTER clause / sum-of-cases)
+# ---------------------------------------------------------------------------
+@register(
+    "conditional_aggregation",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+           CAST(COUNT(*) FILTER (WHERE l_quantity >= 30) AS BIGINT) AS n_bulk,
+           {sql_dsum('CASE WHEN l_discount > 0.05 THEN l_extendedprice END')}
+             AS discounted_revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Conditional aggregation: FILTER-clause counts and a CASE-guarded "
+    "exact-decimal sum in one pass — one aggregate instead of three "
+    "self-joined subqueries.",
+)
+def conditional_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.count(F.when(F.col("l_quantity") >= 30, 1)).alias("n_bulk"),
+        F.sum(
+            F.when(F.col("l_discount") > 0.05, dec("l_extendedprice"))
+        ).cast("double").alias("discounted_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorted array aggregation + explode round-trip
+# ---------------------------------------------------------------------------
+@register(
+    "array_agg_sorted",
+    oracle="""
+    SELECT n_nationkey,
+           list(s_name ORDER BY s_name) AS supplier_names,
+           CAST(len(list(s_name ORDER BY s_name)) AS INT) AS n_suppliers
+    FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+    doc="Deterministic array aggregation: collect_list is order-undefined "
+    "under parallelism, so the contract is array_sort(collect_list(…)) — "
+    "the only reproducible form at scale.",
+)
+def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        n.join(s, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(F.array_sort(F.collect_list("s_name")).alias("supplier_names"))
+        .select(
+            "n_nationkey",
+            "supplier_names",
+            F.size("supplier_names").alias("n_suppliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+@register(
+    "null_safe_join",
+    oracle="""
+    WITH a AS (SELECT l_orderkey, l_linenumber,
+                      CASE WHEN l_linenumber = 2 THEN NULL
+                           ELSE l_returnflag END AS flag_or_null
+               FROM lineitem WHERE l_orderkey <= 200),
+         m AS (SELECT * FROM (VALUES ('A', 'accepted'), ('R', 'returned'),
+                                     (NULL, 'unknown')) t(flag_key, label))
+    SELECT a.l_orderkey, a.l_linenumber, a.flag_or_null, m.label
+    FROM a JOIN m ON a.flag_or_null IS NOT DISTINCT FROM m.flag_key
+    """,
+    doc="Null-safe equi-join (<=> ≡ IS NOT DISTINCT FROM): NULL keys "
+    "match NULL — the semantics pandas merge silently drops. Spark plans "
+    "this as a regular hash join on a null-safe key.",
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    a = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_linenumber") != 2, F.col("l_returnflag")).alias("flag_or_null"),
+    )
+    m = spark.createDataFrame(
+        [("A", "accepted"), ("R", "returned"), (None, "unknown")],
+        "flag_key string, label string",
+    )
+    return a.join(
+        F.broadcast(m), a.flag_or_null.eqNullSafe(m.flag_key)
+    ).select("l_orderkey", "l_linenumber", "flag_or_null", "label")
+
+
+# ---------------------------------------------------------------------------
+# Salted join (skew-mitigation mechanics, result ≡ plain join)
+# ---------------------------------------------------------------------------
+_SALT = 4
+
+
+@register(
+    "salted_join_demo",
+    oracle=f"""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
+           CAST(round({sql_dec('l.l_extendedprice')} * (1 - {sql_dec('l.l_discount')}), 2) AS DOUBLE)
+             AS net_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    doc=f"Hand-salted equi-join: the big side derives a deterministic "
+    f"salt (l_linenumber % {_SALT}), the other side is replicated "
+    f"{_SALT}× with exploded salts, and the join key becomes "
+    "(orderkey, salt) — splitting any hot key across N reducers. The "
+    "oracle is the PLAIN join: salting must never change results. (AQE "
+    "skew-split does this automatically at runtime; the manual form is "
+    "for engines/paths where it can't, e.g. bucketed storage layouts.)",
+)
+def salted_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.col("l_linenumber") % _SALT
+    )
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1)))
+    )
+    net = F.round(
+        dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), 2
+    ).cast("double")
+    return li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt)).select(
+        "l_orderkey", "l_linenumber", "o_custkey", net.alias("net_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vectorized (Arrow) pandas UDF — the sanctioned Python escape hatch
+# ---------------------------------------------------------------------------
+@register(
+    "pandas_udf_tokenize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+    FROM documents
+    """,
+    doc="Arrow-vectorized @pandas_udf computing token/space counts with "
+    "pandas str ops — the sanctioned form when Python is unavoidable "
+    "(batched columnar transfer; 10-100× over row-at-a-time UDFs). The "
+    "oracle is pure SQL: the UDF must agree with the built-in relational "
+    "semantics exactly.",
+)
+def pandas_udf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    # Lambda form: `from __future__ import annotations` stringizes type
+    # hints, which PySpark's hint-based UDF typing can't resolve here.
+    n_tokens_udf = pandas_udf(
+        lambda s: s.str.strip().str.split(r"\s+").str.len().astype("int64"),
+        "bigint",
+    )
+    n_spaces_udf = pandas_udf(
+        lambda s: (
+            s.str.len() - s.str.replace(" ", "", regex=False).str.len()
+        ).astype("int64"),
+        "bigint",
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        n_tokens_udf("text").alias("n_tokens"),
+        n_spaces_udf("text").alias("n_spaces"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE window frame over event time (interval-bounded running aggregate)
+# ---------------------------------------------------------------------------
+@register(
+    "window_range_7d",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM({sql_dec('o_totalprice')}) OVER (
+                PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS TIMESTAMP)
+                RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rolling_7d_total,
+           CAST(COUNT(*) OVER (
+                PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS TIMESTAMP)
+                RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS rolling_7d_orders
+    FROM orders
+    """,
+    doc="Interval RANGE window frame: 7-day rolling sum/count per "
+    "customer ordered by event time — value-bounded frames (all ties at "
+    "one timestamp aggregate together), unlike ROWS frames. Exact "
+    "decimal running sums.",
+)
+def window_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    frame = (
+        "PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS TIMESTAMP) "
+        "RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW"
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.expr(
+            f"CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER ({frame}) AS DOUBLE)"
+        ).alias("rolling_7d_total"),
+        F.expr(f"COUNT(*) OVER ({frame})").cast("bigint").alias("rolling_7d_orders"),
+    )
