@@ -34,6 +34,7 @@ HEADLINE = [
     "text_token_stats",
     "sim_search_topk",
     "sim_search_lsh",
+    "pipeline_end_to_end",
 ]
 
 

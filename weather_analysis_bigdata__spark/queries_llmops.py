@@ -23,11 +23,8 @@ Scale notes (100 TB design point) are per-query in docstrings.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
 
-import pandas as pd
-
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from weather_analysis_bigdata__spark.functions.textops import (

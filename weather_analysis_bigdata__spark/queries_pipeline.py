@@ -1,0 +1,153 @@
+"""End-to-end pipeline query: the full Bronze→Silver chain as ONE
+oracle-checked dataflow.
+
+The weather tables don't exist in the driver's testdata, so a
+weather-shaped long table is derived deterministically from ``events``
+(station ← user_id bucket, date ← day truncation, datatype ←
+event_type, seq ← event_id) and pushed through the exact transform
+sequence the reference notebook runs (Weather_API.py:76-490):
+
+  long records
+    → whitelist + PIVOT wide with last-write-wins on duplicates (R1)
+    → full-row distinct (R2)
+    → derived key column (D1)
+    → window group-mean imputation with fallback constant (J2/E1)
+    → derived-mean CASE repair (E2)
+    → constant fill (E3/E4)
+    → date parse (D2) + round (E5)
+
+Everything the per-operator queries verify in isolation is verified
+here *composed*, against a single ANSI-SQL mirror — the end-to-end
+reference-parity proof in the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weather_analysis_bigdata__spark.functions.deterministic import dec, sql_dec
+from weather_analysis_bigdata__spark.registry import register
+from weather_analysis_bigdata__spark.sources.files import load_table
+
+#: event_type → measure column (stands in for COLUMNS_MAPPING,
+#: Weather_API.py:34-45; 'error' is deliberately OUT of the whitelist to
+#: exercise the filter, like non-whitelisted NOAA datatypes).
+MEASURES = {"click": "m_click", "view": "m_view", "purchase": "m_purchase",
+            "signup": "m_signup"}
+
+_SQL_LONG = """
+long AS (
+  SELECT 'S' || CAST(user_id % 5 AS VARCHAR) AS station,
+         strftime(date_trunc('day', ts), '%Y-%m-%dT%H:%M:%S') AS date,
+         event_type AS datatype,
+         value,
+         event_id AS seq
+  FROM events
+)
+"""
+
+_SQL_PIVOT_COLS = ",\n         ".join(
+    f"arg_max(value, seq) FILTER (WHERE datatype = '{et}') AS {col}"
+    for et, col in MEASURES.items()
+)
+
+
+@register(
+    "pipeline_end_to_end",
+    oracle=f"""
+    WITH {_SQL_LONG.strip()},
+    wide AS (
+      SELECT date, station,
+         {_SQL_PIVOT_COLS}
+      FROM long
+      WHERE datatype IN ({", ".join(f"'{et}'" for et in MEASURES)})
+      GROUP BY date, station
+    ),
+    keyed AS (
+      SELECT DISTINCT *, CAST(month(CAST(date AS TIMESTAMP)) AS INT) AS month
+      FROM wide
+    ),
+    imputed AS (
+      SELECT date, station, month,
+             COALESCE(m_click,
+                      CAST(SUM({sql_dec('m_click')}) OVER w AS DOUBLE)
+                        / NULLIF(COUNT(m_click) OVER w, 0),
+                      0.0) AS m_click_imputed,
+             CASE WHEN m_view IS NOT NULL THEN m_view
+                  WHEN m_click IS NOT NULL AND m_purchase IS NOT NULL
+                    THEN (m_click + m_purchase) / 2
+                  ELSE 0.0 END AS m_view_repaired,
+             COALESCE(m_purchase, 0.0) AS m_purchase_filled,
+             COALESCE(CAST(m_signup AS VARCHAR), '0') AS m_signup_flag
+      FROM keyed
+      WINDOW w AS (PARTITION BY station, month)
+    )
+    SELECT station, month,
+           CAST(CAST(strptime(date, '%Y-%m-%dT%H:%M:%S') AS DATE) AS TIMESTAMP)
+             AS date_1,
+           CAST(round(CAST(m_click_imputed AS DECIMAL(28,10)), 2) AS DOUBLE)
+             AS m_click_rounded,
+           m_view_repaired, m_purchase_filled, m_signup_flag
+    FROM imputed
+    """,
+    doc="Full Bronze→Silver chain composed as one dataflow (see module "
+    "docstring): whitelist→pivot(last-write-wins via max_by)→distinct→"
+    "window group-mean impute→CASE repair→fills→date parse→round. One "
+    "shuffle for the pivot aggregate, one for the impute window — the "
+    "same budget the layered pipeline pays at 100 TB.",
+)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    long_df = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 5).cast("string")).alias("station"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd'T'HH:mm:ss").alias(
+            "date"
+        ),
+        F.col("event_type").alias("datatype"),
+        "value",
+        F.col("event_id").alias("seq"),
+    )
+    wide = (
+        long_df.filter(F.col("datatype").isin(list(MEASURES)))
+        .groupBy("date", "station")
+        .pivot("datatype", list(MEASURES))
+        .agg(F.max_by("value", "seq"))
+    )
+    for et, col in MEASURES.items():
+        wide = wide.withColumnRenamed(et, col)
+    keyed = wide.distinct().withColumn(
+        "month", F.month(F.col("date").cast("timestamp")).cast("int")
+    )
+    w = Window.partitionBy("station", "month")
+    group_mean = F.sum(dec("m_click", 10, 28)).over(w).cast("double") / F.nullif(
+        F.count("m_click").over(w), F.lit(0)
+    )
+    imputed = keyed.select(
+        "date",
+        "station",
+        "month",
+        F.coalesce("m_click", group_mean, F.lit(0.0)).alias("m_click_imputed"),
+        F.when(F.col("m_view").isNotNull(), F.col("m_view"))
+        .when(
+            F.col("m_click").isNotNull() & F.col("m_purchase").isNotNull(),
+            (F.col("m_click") + F.col("m_purchase")) / 2,
+        )
+        .otherwise(0.0)
+        .alias("m_view_repaired"),
+        F.coalesce("m_purchase", F.lit(0.0)).alias("m_purchase_filled"),
+        F.coalesce(F.col("m_signup").cast("string"), F.lit("0")).alias(
+            "m_signup_flag"
+        ),
+    )
+    return imputed.select(
+        "station",
+        "month",
+        F.to_date("date", "yyyy-MM-dd'T'HH:mm:ss").cast("timestamp").alias("date_1"),
+        F.round(F.col("m_click_imputed").cast("decimal(28,10)"), 2)
+        .cast("double")
+        .alias("m_click_rounded"),
+        "m_view_repaired",
+        "m_purchase_filled",
+        "m_signup_flag",
+    )
