@@ -596,7 +596,13 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_analysis_bigdata__spark.functions.vectorops import lsh_bucket
 
     bucket = lsh_bucket(F.col("embedding"), planes)
-    bucketed = emb.select("vec_id", "embedding", "nrm", bucket.alias("bucket"))
+    # shuffle_hash hint: auto-broadcast would collect one side through the
+    # driver and re-evaluate the bucket/norm subtree there (measured 2×
+    # slower); a shuffle join computes each side once in executors and is
+    # the strategy a real-scale self-join takes anyway.
+    bucketed = emb.select(
+        "vec_id", "embedding", "nrm", bucket.alias("bucket")
+    ).hint("shuffle_hash")
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     sim = cosine(

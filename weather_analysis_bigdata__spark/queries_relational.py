@@ -1112,3 +1112,144 @@ def window_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rolling_7d_total"),
         F.expr(f"COUNT(*) OVER ({frame})").cast("bigint").alias("rolling_7d_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: conditional revenue ratio over a date-bounded join
+# ---------------------------------------------------------------------------
+@register(
+    "q14_promo_ratio",
+    oracle=f"""
+    SELECT CAST(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN {sql_dec('l_extendedprice')} * (1 - {sql_dec('l_discount')})
+                   ELSE 0 END)
+               / SUM({sql_dec('l_extendedprice')} * (1 - {sql_dec('l_discount')}))
+             AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
+    """,
+    doc="TPC-H Q14 shape: promo-revenue percentage — conditional and "
+    "unconditional exact-decimal sums in ONE aggregate over a "
+    "date-bounded fact⋈dim join (part broadcasts; the month filter is "
+    "pushed to the lineitem scan). The single final double division is "
+    "deterministic from exact operands.",
+)
+def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    net = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type").like("PROMO%"), net).otherwise(F.lit(0)))
+            / F.sum(net)
+        )
+        .cast("double")
+        .alias("promo_revenue_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-order customers via HAVING subquery
+# ---------------------------------------------------------------------------
+@register(
+    "q18_large_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM({sql_dec('l_quantity')}) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           {sql_dsum('l_quantity')} AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+    doc="TPC-H Q18 shape: orders whose total quantity exceeds a "
+    "threshold (HAVING aggregate subquery → left-semi join on the "
+    "pre-aggregated key set), re-joined to customers and re-aggregated. "
+    "The semi-join input is the aggregate output (small), never the raw "
+    "fact table.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity").alias("total_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert semantics (full-outer coalesce form — no table format
+# required; with Delta/Iceberg this is MERGE INTO, same logical plan)
+# ---------------------------------------------------------------------------
+@register(
+    "merge_upsert_demo",
+    oracle="""
+    WITH updates AS (
+      -- deterministic update set: re-priced copies of 1-in-20 orders,
+      -- plus brand-new keys offset past the domain
+      SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice,
+             'U' AS src FROM orders WHERE o_orderkey % 20 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+             o_totalprice, 'I' AS src
+      FROM orders WHERE o_orderkey % 500 = 0
+    )
+    SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,
+           COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+           CASE WHEN u.o_orderkey IS NULL THEN 'unchanged'
+                WHEN b.o_orderkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_action
+    FROM orders b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+    """,
+    doc="MERGE/upsert semantics without a table format: base FULL OUTER "
+    "JOIN updates on the key, update-side wins via COALESCE, action "
+    "tagged per row (matched→update, unmatched-source→insert, "
+    "unmatched-target→keep). This is exactly the logical plan Delta/"
+    "Iceberg MERGE INTO executes; at 100 TB both sides shuffle once on "
+    "the key (or the update side broadcasts when small).",
+)
+def merge_upsert_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    upd = o.filter(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey", "o_custkey", (F.col("o_totalprice") * 1.1).alias("o_totalprice")
+    )
+    ins = o.filter(F.col("o_orderkey") % 500 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    u = upd.unionByName(ins).alias("u")
+    b = o.alias("b")
+    return b.join(u, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full_outer").select(
+        F.coalesce(F.col("u.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("u.o_custkey"), F.col("b.o_custkey")).alias("o_custkey"),
+        F.coalesce(F.col("u.o_totalprice"), F.col("b.o_totalprice")).alias(
+            "o_totalprice"
+        ),
+        F.when(F.col("u.o_orderkey").isNull(), "unchanged")
+        .when(F.col("b.o_orderkey").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
