@@ -1253,3 +1253,174 @@ def merge_upsert_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("updated")
         .alias("merge_action"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Window functions II: ranking distributions + positional values
+# ---------------------------------------------------------------------------
+@register(
+    "window_distributions",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(ntile(4) OVER w AS INT) AS price_quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cum_dist,
+           first_value(o_orderkey) OVER w2 AS cheapest_order,
+           last_value(o_orderkey) OVER w2 AS priciest_order,
+           nth_value(o_orderkey, 2) OVER w2 AS second_cheapest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="Ranking-distribution windows (ntile/percent_rank/cume_dist — "
+    "exact integer-ratio arithmetic, identical across engines) and "
+    "positional values over an unbounded frame (first/last/nth). All six "
+    "share one (key, order) → one shuffle + one sort.",
+)
+def window_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+        F.first("o_orderkey").over(w2).alias("cheapest_order"),
+        F.last("o_orderkey").over(w2).alias("priciest_order"),
+        F.nth_value("o_orderkey", 2).over(w2).alias("second_cheapest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array set operations (order-normalized — engines differ on raw order)
+# ---------------------------------------------------------------------------
+@register(
+    "array_set_ops",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             COALESCE(list_sort(list_distinct(list(CAST(year(o_orderdate) AS INT))
+               FILTER (year(o_orderdate) <= 1995))), []::INT[]) AS early_years,
+             COALESCE(list_sort(list_distinct(list(CAST(year(o_orderdate) AS INT))
+               FILTER (year(o_orderdate) > 1995))), []::INT[]) AS late_years
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, early_years, late_years,
+           list_sort(list_intersect(early_years, late_years)) AS never_possible,
+           CAST(len(early_years) + len(late_years) AS INT) AS n_active_years
+    FROM per_cust WHERE o_custkey <= 200
+    """,
+    doc="Array set algebra over grouped collections: distinct year sets "
+    "per customer, intersect/size — every array is sort-normalized "
+    "because collect order is engine- and partitioning-dependent; the "
+    "sorted form is the only reproducible contract (same rule as "
+    "array_agg_sorted).",
+)
+def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    y = F.year("o_orderdate").cast("int")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.array_sort(
+            F.array_distinct(F.collect_list(F.when(y <= 1995, y)))
+        ).alias("early_years"),
+        F.array_sort(
+            F.array_distinct(F.collect_list(F.when(y > 1995, y)))
+        ).alias("late_years"),
+    )
+    return per_cust.filter(F.col("o_custkey") <= 200).select(
+        "o_custkey",
+        "early_years",
+        "late_years",
+        F.array_sort(
+            F.array_intersect("early_years", "late_years")
+        ).alias("never_possible"),
+        (F.size("early_years") + F.size("late_years")).alias("n_active_years"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# String battery II: regexp, padding, greatest/least
+# ---------------------------------------------------------------------------
+@register(
+    "string_functions_2",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_name, '[0-9]') AS has_digit,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+           rpad(p_brand, 12, '.') AS brand_padded,
+           greatest(p_retailprice, 1000.0) AS price_floor,
+           least(p_retailprice, 1500.0) AS price_cap,
+           CAST(p_size AS VARCHAR) || ':' || p_type AS size_type
+    FROM part WHERE p_partkey <= 400
+    """,
+    doc="String battery II: global regexp_replace, regexp predicate, "
+    "lpad/rpad, greatest/least, typed concat — all row-local and "
+    "codegen'd.",
+)
+def string_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 400)
+    return p.select(
+        "p_partkey",
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("[0-9]").alias("has_digit"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.rpad("p_brand", 12, ".").alias("brand_padded"),
+        F.greatest("p_retailprice", F.lit(1000.0)).alias("price_floor"),
+        F.least("p_retailprice", F.lit(1500.0)).alias("price_cap"),
+        F.concat(
+            F.col("p_size").cast("string"), F.lit(":"), F.col("p_type")
+        ).alias("size_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dispersion statistics in closed form (exact sums → deterministic)
+# ---------------------------------------------------------------------------
+@register(
+    "dispersion_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM({sql_dec('l_quantity')}) AS DOUBLE) AS sx,
+             CAST(SUM({sql_dec('l_quantity')} * {sql_dec('l_quantity')}) AS DOUBLE) AS sxx,
+             CAST(SUM({sql_dec('l_extendedprice')}) AS DOUBLE) AS sy,
+             CAST(SUM({sql_dec('l_quantity')} * {sql_dec('l_extendedprice')}) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           (sxx - sx * sx / n) / n AS var_pop_qty,
+           sqrt((sxx - sx * sx / n) / n) AS stddev_pop_qty,
+           (sxx - sx * sx / n) / (n - 1) AS var_samp_qty,
+           (sxy - sx * sy / n) / n AS covar_pop_qty_price
+    FROM s
+    """,
+    doc="Variance / stddev / covariance in closed form from exact "
+    "decimal sums — the deterministic equivalent of var_pop/stddev/"
+    "covar_pop, whose native float accumulators are reduction-order-"
+    "dependent at scale (same pattern as a8/a9). One aggregate pass.",
+)
+def dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = dec("l_quantity"), dec("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "sxy"))
+    var_pop = (sxx - sx * sx / n) / n
+    return s.select(
+        "l_returnflag",
+        var_pop.alias("var_pop_qty"),
+        F.sqrt(var_pop).alias("stddev_pop_qty"),
+        ((sxx - sx * sx / n) / (n - 1)).alias("var_samp_qty"),
+        ((sxy - sx * sy / n) / n).alias("covar_pop_qty_price"),
+    )
