@@ -1304,41 +1304,42 @@ def window_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per_cust AS (
       SELECT o_custkey,
              COALESCE(list_sort(list_distinct(list(CAST(year(o_orderdate) AS INT))
-               FILTER (year(o_orderdate) <= 1995))), []::INT[]) AS early_years,
+               FILTER (o_orderkey % 2 = 0))), []::INT[]) AS even_years,
              COALESCE(list_sort(list_distinct(list(CAST(year(o_orderdate) AS INT))
-               FILTER (year(o_orderdate) > 1995))), []::INT[]) AS late_years
+               FILTER (o_orderkey % 2 = 1))), []::INT[]) AS odd_years
       FROM orders GROUP BY o_custkey
     )
-    SELECT o_custkey, early_years, late_years,
-           list_sort(list_intersect(early_years, late_years)) AS never_possible,
-           CAST(len(early_years) + len(late_years) AS INT) AS n_active_years
+    SELECT o_custkey, even_years, odd_years,
+           list_sort(list_intersect(even_years, odd_years)) AS shared_years,
+           CAST(len(even_years) + len(odd_years) AS INT) AS n_year_slots
     FROM per_cust WHERE o_custkey <= 200
     """,
-    doc="Array set algebra over grouped collections: distinct year sets "
-    "per customer, intersect/size — every array is sort-normalized "
-    "because collect order is engine- and partitioning-dependent; the "
-    "sorted form is the only reproducible contract (same rule as "
-    "array_agg_sorted).",
+    doc="Array set algebra over grouped collections: distinct active-year "
+    "sets per customer split by order-key parity (the two sets overlap, "
+    "so the intersection branch is genuinely exercised), intersect/size "
+    "— every array is sort-normalized because collect order is engine- "
+    "and partitioning-dependent; the sorted form is the only "
+    "reproducible contract (same rule as array_agg_sorted).",
 )
 def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     y = F.year("o_orderdate").cast("int")
     per_cust = o.groupBy("o_custkey").agg(
         F.array_sort(
-            F.array_distinct(F.collect_list(F.when(y <= 1995, y)))
-        ).alias("early_years"),
+            F.array_distinct(F.collect_list(F.when(F.col("o_orderkey") % 2 == 0, y)))
+        ).alias("even_years"),
         F.array_sort(
-            F.array_distinct(F.collect_list(F.when(y > 1995, y)))
-        ).alias("late_years"),
+            F.array_distinct(F.collect_list(F.when(F.col("o_orderkey") % 2 == 1, y)))
+        ).alias("odd_years"),
     )
     return per_cust.filter(F.col("o_custkey") <= 200).select(
         "o_custkey",
-        "early_years",
-        "late_years",
+        "even_years",
+        "odd_years",
         F.array_sort(
-            F.array_intersect("early_years", "late_years")
-        ).alias("never_possible"),
-        (F.size("early_years") + F.size("late_years")).alias("n_active_years"),
+            F.array_intersect("even_years", "odd_years")
+        ).alias("shared_years"),
+        (F.size("even_years") + F.size("odd_years")).alias("n_year_slots"),
     )
 
 
@@ -1350,7 +1351,7 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey,
            regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
-           regexp_matches(p_name, '[0-9]') AS has_digit,
+           regexp_matches(p_brand, '1') AS brand_series_1x,
            lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
            rpad(p_brand, 12, '.') AS brand_padded,
            greatest(p_retailprice, 1000.0) AS price_floor,
@@ -1367,7 +1368,7 @@ def string_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey",
         F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
-        F.col("p_name").rlike("[0-9]").alias("has_digit"),
+        F.col("p_brand").rlike("1").alias("brand_series_1x"),
         F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
         F.rpad("p_brand", 12, ".").alias("brand_padded"),
         F.greatest("p_retailprice", F.lit(1000.0)).alias("price_floor"),
@@ -1387,9 +1388,9 @@ def string_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT l_returnflag,
              CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM({sql_dec('l_quantity')}) AS DOUBLE) AS sx,
+             {sql_dsum('l_quantity')} AS sx,
              CAST(SUM({sql_dec('l_quantity')} * {sql_dec('l_quantity')}) AS DOUBLE) AS sxx,
-             CAST(SUM({sql_dec('l_extendedprice')}) AS DOUBLE) AS sy,
+             {sql_dsum('l_extendedprice')} AS sy,
              CAST(SUM({sql_dec('l_quantity')} * {sql_dec('l_extendedprice')}) AS DOUBLE) AS sxy
       FROM lineitem GROUP BY l_returnflag
     )
@@ -1410,9 +1411,9 @@ def dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     x, y = dec("l_quantity"), dec("l_extendedprice")
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(x).cast("double").alias("sx"),
+        dsum("l_quantity").alias("sx"),
         F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(y).cast("double").alias("sy"),
+        dsum("l_extendedprice").alias("sy"),
         F.sum(x * y).cast("double").alias("sxy"),
     )
     n, sx, sxx, sy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "sxy"))
