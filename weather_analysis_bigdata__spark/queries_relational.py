@@ -1425,3 +1425,60 @@ def dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((sxx - sx * sx / n) / (n - 1)).alias("var_samp_qty"),
         ((sxy - sx * sy / n) / n).alias("covar_pop_qty_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Array → rows with ordinality (posexplode)
+# ---------------------------------------------------------------------------
+@register(
+    "posexplode_embedding",
+    oracle="""
+    SELECT vec_id, CAST(t.i - 1 AS INT) AS pos,
+           CAST(embedding[t.i] AS DOUBLE) AS val
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    WHERE vec_id < 20
+    """,
+    doc="Array → rows with position (posexplode; mirrored as a lateral "
+    "index unnest): the long-format bridge for vector columns (feeds "
+    "per-dimension aggregates/joins). Generator runs inline in the scan "
+    "stage — no shuffle.",
+)
+def posexplode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", "pos", F.col("val").cast("double").alias("val"))
+
+
+# ---------------------------------------------------------------------------
+# Histogram via exact integer bucketing
+# ---------------------------------------------------------------------------
+@register(
+    "histogram_totalprice",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST({sql_dec('o_totalprice')} * 100 AS BIGINT) AS c FROM orders
+    )
+    SELECT CAST(least(c // 5000000, 9) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(c) AS DOUBLE) / 100 AS bucket_min,
+           CAST(MAX(c) AS DOUBLE) / 100 AS bucket_max
+    FROM cents GROUP BY 1
+    """,
+    doc="Value histogram: 50k-wide buckets (top bucket open) computed in "
+    "exact integer cents — float width_bucket boundaries round "
+    "differently across engines at exact edges; integer division "
+    "doesn't. One aggregate pass; the profile a 100 TB skew analysis "
+    "starts from.",
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = (dec("o_totalprice") * 100).cast("bigint")
+    bucket = F.least(F.expr(
+        f"CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 5000000"
+    ), F.lit(9)).cast("int")
+    return o.select(cents.alias("c"), bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.min("c").cast("double") / 100).alias("bucket_min"),
+        (F.max("c").cast("double") / 100).alias("bucket_max"),
+    )
