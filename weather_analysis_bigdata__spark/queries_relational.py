@@ -938,7 +938,7 @@ def conditional_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_sorted",
     oracle="""
     SELECT n_nationkey,
-           list(s_name ORDER BY s_name) AS supplier_names,
+           array_to_string(list(s_name ORDER BY s_name), '|') AS supplier_names,
            CAST(len(list(s_name ORDER BY s_name)) AS INT) AS n_suppliers
     FROM nation JOIN supplier ON s_nationkey = n_nationkey
     GROUP BY n_nationkey
@@ -953,11 +953,15 @@ def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n.join(s, s.s_nationkey == n.n_nationkey)
         .groupBy("n_nationkey")
-        .agg(F.array_sort(F.collect_list("s_name")).alias("supplier_names"))
+        .agg(F.array_sort(F.collect_list("s_name")).alias("names_arr"))
         .select(
             "n_nationkey",
-            "supplier_names",
-            F.size("supplier_names").alias("n_suppliers"),
+            # arrays are serialized at the query boundary: cross-engine
+            # pandas representations of array cells differ (list vs
+            # ndarray), which an exact value-hash comparator may not
+            # normalize; a joined string is representation-stable
+            F.array_join("names_arr", "|").alias("supplier_names"),
+            F.size("names_arr").alias("n_suppliers"),
         )
     )
 
@@ -1309,8 +1313,13 @@ def window_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
                FILTER (o_orderkey % 2 = 1))), []::INT[]) AS odd_years
       FROM orders GROUP BY o_custkey
     )
-    SELECT o_custkey, even_years, odd_years,
-           list_sort(list_intersect(even_years, odd_years)) AS shared_years,
+    SELECT o_custkey,
+           -- DuckDB array_to_string of an EMPTY list yields NULL; Spark
+           -- array_join yields '' — coalesce to match
+           COALESCE(array_to_string(even_years, ','), '') AS even_years,
+           COALESCE(array_to_string(odd_years, ','), '') AS odd_years,
+           COALESCE(array_to_string(list_sort(list_intersect(even_years, odd_years)), ','), '')
+             AS shared_years,
            CAST(len(even_years) + len(odd_years) AS INT) AS n_year_slots
     FROM per_cust WHERE o_custkey <= 200
     """,
@@ -1332,12 +1341,21 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.collect_list(F.when(F.col("o_orderkey") % 2 == 1, y)))
         ).alias("odd_years"),
     )
+    # arrays serialized at the boundary (representation-stable for the
+    # driver's value-hash; see array_agg_sorted)
     return per_cust.filter(F.col("o_custkey") <= 200).select(
         "o_custkey",
-        "even_years",
-        "odd_years",
-        F.array_sort(
-            F.array_intersect("even_years", "odd_years")
+        F.array_join(F.col("even_years").cast("array<string>"), ",").alias(
+            "even_years"
+        ),
+        F.array_join(F.col("odd_years").cast("array<string>"), ",").alias(
+            "odd_years"
+        ),
+        F.array_join(
+            F.array_sort(F.array_intersect("even_years", "odd_years")).cast(
+                "array<string>"
+            ),
+            ",",
         ).alias("shared_years"),
         (F.size("even_years") + F.size("odd_years")).alias("n_year_slots"),
     )
