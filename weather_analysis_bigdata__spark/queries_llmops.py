@@ -851,3 +851,127 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return extract_binary_metadata(d, id_col="doc_id", payload_col="payload")
+
+
+# ---------------------------------------------------------------------------
+# IVF building blocks: exact centroids + nearest-centroid assignment
+# ---------------------------------------------------------------------------
+_SQL_VPOS = """
+vpos AS (
+  SELECT vec_id, label, CAST(t.i AS INT) AS pos,
+         CAST(CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(18,8))
+              * 100000000 AS BIGINT) AS v_int
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+)
+"""
+
+#: floor-division of possibly-negative s by positive n, portable across
+#: engines (Spark `div` truncates toward zero, DuckDB `//` floors — so
+#: neither operator is used; remainder semantics DO agree).
+_SQL_FLOORDIV = "((({s}) - (((({s}) % ({n})) + ({n})) % ({n}))) / ({n}))"
+
+
+@register(
+    "embedding_centroids",
+    oracle=f"""
+    WITH {_SQL_VPOS.strip()}
+    SELECT label, pos,
+           CAST({_SQL_FLOORDIV.format(s='SUM(v_int)', n='COUNT(*)')} AS DOUBLE)
+             / 100000000 AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM vpos GROUP BY label, pos
+    """,
+    doc="Per-label centroid of the embedding column — the vector-mean "
+    "aggregate, computed per dimension over the position-exploded long "
+    "format in scaled-integer arithmetic with a portable floor division "
+    "(Spark's `div` truncates toward zero, DuckDB's `//` floors; the "
+    "remainder-adjusted form agrees on both). One shuffle on "
+    "(label, pos); at 100 TB this is the k-means/IVF training step's "
+    "inner aggregate.",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vpos = _vpos(spark, sf_dir)
+    s, n = F.sum("v_int"), F.count(F.lit(1))
+    floordiv = (s - (((s % n) + n) % n)) / n
+    return vpos.groupBy("label", "pos").agg(
+        (floordiv.cast("double") / 100000000).alias("centroid"),
+        n.alias("n_vectors"),
+    )
+
+
+def _vpos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        (F.col("val").cast("double").cast("decimal(18,8)") * F.lit(100000000))
+        .cast("long")
+        .alias("v_int"),
+    )
+
+
+@register(
+    "ivf_assign_nearest_centroid",
+    oracle=f"""
+    WITH {_SQL_VPOS.strip()},
+    cent AS (
+      SELECT label AS c_label, pos,
+             CAST({_SQL_FLOORDIV.format(s='SUM(v_int)', n='COUNT(*)')} AS BIGINT)
+               AS c_int
+      FROM vpos GROUP BY label, pos
+    ),
+    dists AS (
+      SELECT v.vec_id, v.label AS true_label, c.c_label,
+             CAST(SUM((v.v_int - c.c_int) * (v.v_int - c.c_int)) AS BIGINT)
+               AS dist_scaled
+      FROM vpos v JOIN cent c ON v.pos = c.pos
+      GROUP BY v.vec_id, v.label, c.c_label
+    )
+    SELECT vec_id, true_label, c_label AS assigned_label,
+           CAST(dist_scaled AS DOUBLE) / 10000000000000000.0 AS sq_dist,
+           true_label = c_label AS self_assigned
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY vec_id ORDER BY dist_scaled, c_label) AS rn
+      FROM dists)
+    WHERE rn = 1
+    """,
+    doc="IVF coarse quantizer: assign every vector to its nearest "
+    "per-label centroid by squared L2, entirely in 64-bit integers "
+    "(quantized elements and centroids are ≤10^8 in magnitude, so the "
+    "64-dim squared distance ≤ 2.6·10^18 fits a long exactly) — argmin "
+    "is an exact integer comparison, deterministically tie-broken by "
+    "label. The pos-join fans each vector out 10× (one per centroid "
+    "dimension row); at 100 TB the centroid side (k×d rows) broadcasts "
+    "and the argmin is a row_number window on vec_id. This is the "
+    "partition-assignment step of IVF-style ANN: probe only the "
+    "assigned (or few nearest) partitions at query time.",
+)
+def ivf_assign_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vpos = _vpos(spark, sf_dir)
+    s, n = F.sum("v_int"), F.count(F.lit(1))
+    floordiv = (s - (((s % n) + n) % n)) / n
+    cent = vpos.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        floordiv.cast("long").alias("c_int")
+    )
+    diff = F.col("v_int") - F.col("c_int")
+    dists = (
+        vpos.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", F.col("label").alias("true_label"), "c_label")
+        .agg(F.sum(diff * diff).cast("long").alias("dist_scaled"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist_scaled", "c_label")
+    return (
+        dists.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "true_label",
+            F.col("c_label").alias("assigned_label"),
+            (F.col("dist_scaled").cast("double") / 1e16).alias("sq_dist"),
+            (F.col("true_label") == F.col("c_label")).alias("self_assigned"),
+        )
+    )
