@@ -150,3 +150,42 @@ def test_cosine_is_deterministic_across_partitionings(spark, sf_dir, registry):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b  # bitwise equality, not approx
+
+
+def test_ivf_probe_distances_match_numpy(spark, sf_dir, registry):
+    """Every reported IVF sq_dist must equal the numpy recomputation of
+    the quantized-integer squared L2, and per-query ranks must be
+    contiguous with nondecreasing distance."""
+    import numpy as np
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+
+    def q8(v):  # quantize to 1e-8 like vectorops.scaled_vec
+        return np.round(v * 1e8).astype(np.int64)
+
+    rows = registry["ivf_probe_topk"].fn(spark, sf_dir).collect()
+    per_query: dict[int, list] = {}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        d = q8(emb[r.query_id]) - q8(emb[r.neighbor_id])
+        assert r.sq_dist == int((d * d).sum()) / 1e16
+        per_query.setdefault(r.query_id, []).append(r)
+    for neighbors in per_query.values():
+        ranked = sorted(neighbors, key=lambda r: r.rn)
+        assert [r.rn for r in ranked] == list(range(1, len(ranked) + 1))
+        dists = [r.sq_dist for r in ranked]
+        assert dists == sorted(dists)
+
+
+def test_centroid_assignment_consistency(spark, sf_dir, registry):
+    """The IVF coarse quantizer must produce one partition per vector,
+    and embedding_centroids must emit exactly n_labels x dims rows."""
+    cents = registry["embedding_centroids"].fn(spark, sf_dir).collect()
+    labels = {r.label for r in cents}
+    assert len(cents) == len(labels) * 64
+    assign = registry["ivf_assign_nearest_centroid"].fn(spark, sf_dir).collect()
+    assert len({r.vec_id for r in assign}) == len(assign)
+    assert {r.assigned_label for r in assign} <= labels

@@ -79,3 +79,17 @@ def test_sessionize_windows_and_agg_share_one_shuffle(spark, sf_dir, registry):
     Catalyst must plan a single exchange, reusing the partitioning."""
     plan = plan_of(registry["events_sessionize_30m"].fn(spark, sf_dir))
     assert n_shuffles(plan) == 1
+
+
+def test_range_band_join_is_broadcast_nested_loop(spark, sf_dir, registry):
+    """The interval-dim join must broadcast the band side (nested-loop
+    probe, no shuffle of the fact side before the final aggregate)."""
+    plan = plan_of(registry["range_band_join"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert n_sortmerge_joins(plan) == 0
+
+
+def test_unpivot_is_shuffle_free(spark, sf_dir, registry):
+    """Unpivot is an Expand evaluated in the scan stage — no exchange."""
+    plan = plan_of(registry["unpivot_measures"].fn(spark, sf_dir))
+    assert n_shuffles(plan) == 0

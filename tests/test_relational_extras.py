@@ -12,3 +12,22 @@ def test_sketch_aggs_error_bounds(spark, sf_dir):
         assert abs(r.approx_parts - r.exact_parts) <= 0.05 * r.exact_parts + 2
         # t-digest p50 within 2% of the exact median (relative to median)
         assert abs(r.approx_p50 - r.exact_p50) <= 0.02 * abs(r.exact_p50)
+
+
+def test_gapfill_spine_dense_and_fill_total(spark, sf_dir):
+    """The gap-filled series must be a dense daily spine per user with
+    no null filled values, and observed days must pass through."""
+    from weather_analysis_bigdata__spark.registry import all_queries
+
+    rows = all_queries()["gapfill_forward_fill"].fn(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        assert r.filled_value is not None
+        if not r.is_gap:
+            assert r.filled_value == r.day_value
+        else:
+            assert r.day_value is None
+        by_user.setdefault(r.user_id, []).append(r)
+    for series in by_user.values():
+        days = sorted(r.day for r in series)
+        assert len(days) == (days[-1] - days[0]).days + 1  # dense, no dups

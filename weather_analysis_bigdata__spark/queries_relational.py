@@ -17,6 +17,11 @@ from weather_analysis_bigdata__spark.functions.deterministic import (
     sql_dec,
     sql_dsum,
 )
+from weather_analysis_bigdata__spark.functions.textops import (
+    hex15_to_long,
+    md5s,
+    sql_hex15_to_long,
+)
 from weather_analysis_bigdata__spark.registry import register
 from weather_analysis_bigdata__spark.sources.files import load_table
 
@@ -1499,4 +1504,251 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         (F.min("c").cast("double") / 100).alias("bucket_min"),
         (F.max("c").cast("double") / 100).alias("bucket_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS with grouping id (generalizes rollup/cube)
+# ---------------------------------------------------------------------------
+@register(
+    "grouping_sets_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+             AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="Arbitrary GROUPING SETS (finer + coarser + grand total in one "
+    "pass) with a portable grouping id composed from per-column "
+    "GROUPING() bits — generalizes the rollup/cube queries. Catalyst "
+    "expands the sets into one Expand + single hash aggregate: one "
+    "shuffle regardless of how many sets, vs. one scan per set if "
+    "written as a UNION ALL. Executed through the SQL-string entry "
+    "point (same Catalyst plan as the DataFrame form).",
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_gs_v"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT)
+                 AS gid,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem_gs_v
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (band) join: non-equi broadcast join against an interval dim
+# ---------------------------------------------------------------------------
+_BANDS = [
+    (1, 0, 15_000_000),
+    (2, 15_000_000, 30_000_000),
+    (3, 30_000_000, 45_000_000),
+    (4, 45_000_000, 10_000_000_000),
+]
+
+
+@register(
+    "range_band_join",
+    oracle=f"""
+    WITH bands(band_id, lo_cents, hi_cents) AS (
+      VALUES {', '.join(f'(CAST({b} AS INT), CAST({lo} AS BIGINT), CAST({hi} AS BIGINT))' for b, lo, hi in _BANDS)}
+    ),
+    c AS (
+      SELECT CAST({sql_dec('o_totalprice')} * 100 AS BIGINT) AS cents,
+             o_totalprice
+      FROM orders
+    )
+    SELECT band_id,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_price,
+           CAST(MIN(cents) AS DOUBLE) / 100 AS min_price,
+           CAST(MAX(cents) AS DOUBLE) / 100 AS max_price
+    FROM c JOIN bands ON cents >= lo_cents AND cents < hi_cents
+    GROUP BY band_id
+    """,
+    doc="Range (interval) join: every order matched to its price band "
+    "via a non-equi `lo <= x < hi` condition against a tiny inline "
+    "interval dimension. The band side broadcasts, so the physical plan "
+    "is BroadcastNestedLoopJoin — a per-row interval probe with NO "
+    "shuffle of the fact side; the only shuffle is the final 4-group "
+    "aggregate. Band edges compared in exact integer cents (float "
+    "boundary rounding differs across engines at exact edges). At "
+    "100 TB the same shape handles any banded/histogram join; for "
+    "non-broadcastable interval dims the scale path is bucketing both "
+    "sides by floor(x / band_width) + an equi-join on the bucket.",
+)
+def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = spark.createDataFrame(
+        _BANDS, "band_id INT, lo_cents BIGINT, hi_cents BIGINT"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        (dec("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_totalprice",
+    )
+    joined = o.join(
+        F.broadcast(bands),
+        (F.col("cents") >= F.col("lo_cents"))
+        & (F.col("cents") < F.col("hi_cents")),
+    )
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+        (F.min("cents").cast("double") / 100).alias("min_price"),
+        (F.max("cents").cast("double") / 100).alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide → long): the inverse of the reference's R1 pivot
+# ---------------------------------------------------------------------------
+@register(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, value
+    FROM (SELECT l_orderkey, l_linenumber,
+                 l_quantity, l_extendedprice, l_discount, l_tax
+          FROM lineitem WHERE l_orderkey <= 200)
+    UNPIVOT (value FOR measure IN
+             (l_quantity, l_extendedprice, l_discount, l_tax))
+    """,
+    doc="Unpivot (wide→long): four measure columns melted into "
+    "(measure, value) rows — the inverse of the reference's R1 pivot "
+    "(SURVEY §2.2), closing the reshape round-trip. Spark's `unpivot` "
+    "is an Expand node evaluated inline in the scan stage: no shuffle, "
+    "no UDF, output = 4× input rows. The long format is what "
+    "per-measure aggregation/quality profiling consumes at 100 TB.",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 200)
+        .select(
+            "l_orderkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        )
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling (portable, partitioning-invariant)
+# ---------------------------------------------------------------------------
+@register(
+    "deterministic_sample",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           {sql_dsum('l_extendedprice')} AS sum_price_sampled
+    FROM lineitem
+    WHERE {sql_hex15_to_long(
+        "md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR))"
+    )} % 20 = 0
+    GROUP BY l_returnflag
+    """,
+    doc="Deterministic ~5% sample: keep rows whose md5(primary key) "
+    "lands in 1 of 20 residue classes — reproducible across engines, "
+    "runs, AND any repartitioning (unlike `df.sample`, whose output "
+    "depends on partition layout), so downstream numbers are stable "
+    "and auditable. The filter is row-local (scan-stage, codegen'd); "
+    "per-stratum counts + exact sums come from one aggregate. This is "
+    "how a 100 TB pipeline pins dev/debug subsets and A/B splits.",
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    keep = hex15_to_long(md5s(key)) % 20 == 0
+    return li.filter(keep).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        dsum("l_extendedprice").alias("sum_price_sampled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap-fill: per-key date spine + forward fill
+# ---------------------------------------------------------------------------
+@register(
+    "gapfill_forward_fill",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             {sql_dsum('value', 4)} AS day_value
+      FROM events WHERE user_id <= 5 GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(MIN(day), MAX(day),
+                                             INTERVAL 1 DAY)) AS day
+      FROM daily GROUP BY user_id
+    ),
+    joined AS (
+      SELECT s.user_id, s.day, d.day_value,
+             COUNT(d.day_value) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM spine s LEFT JOIN daily d
+        ON s.user_id = d.user_id AND s.day = d.day
+    )
+    SELECT user_id, day, day_value,
+           MAX(day_value) OVER (PARTITION BY user_id, grp) AS filled_value,
+           day_value IS NULL AS is_gap
+    FROM joined
+    """,
+    doc="Time-series gap-fill / resample: per-user daily totals, a "
+    "dense date spine from sequence(min_day, max_day) exploded per key, "
+    "a left join marking the gaps, then forward-fill WITHOUT any "
+    "IGNORE-NULLS dependency: a running COUNT of non-null values forms "
+    "a 'last seen' group id and MAX over (key, grp) copies the value "
+    "across the gap — portable and exactly reproducible (the filled "
+    "value is copied, never recomputed). Spine generation is inline "
+    "(no shuffle); the join and both windows share the user_id "
+    "partitioning. At 100 TB: spine length is bounded per key, window "
+    "state is O(1), and keys parallelize across executors; skewed keys "
+    "(one user with years of history) split by (user_id, month) first.",
+)
+def gapfill_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 5)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(dsum("value", 4).alias("day_value"))
+    spine = daily.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    ).select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_grp = joined.select(
+        "user_id", "day", "day_value",
+        F.count("day_value").over(w_run).alias("grp"),
+    )
+    w_grp = Window.partitionBy("user_id", "grp")
+    return with_grp.select(
+        "user_id", "day", "day_value",
+        F.max("day_value").over(w_grp).alias("filled_value"),
+        F.col("day_value").isNull().alias("is_gap"),
     )
