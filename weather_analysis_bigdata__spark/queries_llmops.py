@@ -31,9 +31,11 @@ from weather_analysis_bigdata__spark.functions.textops import (
     SQL_NORMALIZED,
     SQL_TOKENS,
     STOPWORDS,
+    hex15_to_long,
     hexval,
     md5s,
     normalized_text,
+    sql_hex15_to_long,
     sql_hexval,
     sql_word_ngrams,
     tokens,
@@ -1130,4 +1132,84 @@ def ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dist").cast("double") / 1e16).alias("sq_dist"),
             "rn",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: winnowing (rolling min-hash windows)
+# ---------------------------------------------------------------------------
+_WINNOW_W = 4  # shingle-hash window width
+_FP_MOD = 1_000_000_007
+
+
+@register(
+    "doc_winnowing_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(c='text')} AS t FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             list_transform({sql_word_ngrams('t', 3)},
+                            s -> {sql_hex15_to_long('md5(s)')}) AS a
+      FROM toks
+    ),
+    wins AS (
+      SELECT doc_id, CAST(len(a) AS INT) AS n_shingles,
+             list_transform(generate_series(1, len(a) - {_WINNOW_W - 1}),
+                            i -> least(a[i], a[i+1], a[i+2], a[i+3])) AS w
+      FROM hashed WHERE len(a) >= {_WINNOW_W}
+    )
+    SELECT doc_id, n_shingles,
+           CAST(len(f) AS INT) AS n_fingerprints,
+           CAST(list_sum(list_transform(f, x -> x % {_FP_MOD})) AS BIGINT)
+             AS fp_digest,
+           list_min(f) AS min_fp,
+           list_max(f) AS max_fp
+    FROM (SELECT doc_id, n_shingles, list_sort(list_distinct(w)) AS f
+          FROM wins)
+    """,
+    doc=f"Winnowing document fingerprints (Schleimer et al., MOSS): "
+    f"hash every word 3-gram shingle to a 60-bit integer, slide a "
+    f"width-{_WINNOW_W} window over the hash sequence keeping each "
+    "window's minimum, and emit the distinct minima — a position-"
+    "robust fingerprint set guaranteeing any shared run of ≥ w+n-1 "
+    "words yields a shared fingerprint. Entirely row-local built-in "
+    "HOFs (no shuffle, no UDF): the windows are zip_with/least over "
+    "four shifted slices — array arguments materialize once per row, "
+    "avoiding the O(n²) index-lambda re-evaluation trap. The summary "
+    "here is per-doc (count + modular digest + extrema); the dedup "
+    "join form explodes fingerprints and groups on them — at 100 TB "
+    "winnowing keeps ~2/(w+1) of shingles, shrinking that shuffle "
+    "~2.5× vs full-shingle Jaccard with near-identical recall.",
+)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    grams = word_ngrams(tokens("text"), 3)
+    a = F.transform(grams, lambda s: hex15_to_long(md5s(s)))
+    staged = d.select("doc_id", a.alias("a")).filter(
+        F.size("a") >= _WINNOW_W
+    )
+    m = F.size("a") - (_WINNOW_W - 1)
+    s1, s2, s3, s4 = (
+        F.slice("a", 1 + j, m) for j in range(_WINNOW_W)
+    )
+    least2 = lambda x, y: F.least(x, y)  # noqa: E731
+    wins = F.zip_with(
+        F.zip_with(s1, s2, least2), F.zip_with(s3, s4, least2), least2
+    )
+    staged2 = staged.select(
+        "doc_id",
+        F.size("a").alias("n_shingles"),
+        F.array_sort(F.array_distinct(wins)).alias("f"),
+    )
+    return staged2.select(
+        "doc_id",
+        "n_shingles",
+        F.size("f").alias("n_fingerprints"),
+        F.aggregate(
+            "f", F.lit(0).cast("long"), lambda acc, x: acc + x % _FP_MOD
+        ).alias("fp_digest"),
+        F.array_min("f").alias("min_fp"),
+        F.array_max("f").alias("max_fp"),
     )

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from weather_analysis_bigdata__spark.functions.deterministic import dec, sql_dec
+from weather_analysis_bigdata__spark.functions.deterministic import dec, dsum, sql_dec, sql_dsum
 from weather_analysis_bigdata__spark.registry import register
 from weather_analysis_bigdata__spark.sources.files import load_table
 
@@ -150,4 +150,45 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m_view_repaired",
         "m_purchase_filled",
         "m_signup_flag",
+    )
+
+
+# ---------------------------------------------------------------------------
+# CSV sink → CSV scan round-trip (S3/S4/S6), verified by aggregate parity
+# ---------------------------------------------------------------------------
+@register(
+    "csv_roundtrip_agg",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders GROUP BY 1
+    """,
+    doc="CSV sink + schema-enforced CSV scan round-trip (reference "
+    "S3/S4/S6, Weather_API.py:130,154,1180-1184): orders written to a "
+    "header CSV, read back with an EXPLICIT schema (no inference scan "
+    "— inference costs a full extra pass and guesses types), then "
+    "aggregated per year. The oracle runs on the original parquet, so "
+    "a hash match proves the text round-trip is lossless: doubles "
+    "survive via shortest-round-trip formatting, timestamps via the "
+    "default ISO format under the UTC session zone. Parquet remains "
+    "the layer format at 100 TB (columnar, typed, prunable) — CSV is "
+    "the interchange path this query gates.",
+)
+def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    path = f"/tmp/spark_graft_csv_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    o.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(
+        "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderdate TIMESTAMP"
+    ).option("header", True).csv(path)
+    return back.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
     )

@@ -12,8 +12,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from weather_analysis_bigdata__spark.functions.deterministic import (
+    davg,
     dec,
     dsum,
+    sql_davg,
     sql_dec,
     sql_dsum,
 )
@@ -1751,4 +1753,165 @@ def gapfill_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "day", "day_value",
         F.max("day_value").over(w_grp).alias("filled_value"),
         F.col("day_value").isNull().alias("is_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4: order-priority count with correlated EXISTS
+# ---------------------------------------------------------------------------
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: orders in one quarter having at least one "
+    "line item shipped after the order date (correlated EXISTS with an "
+    "extra non-equi term), counted per priority. The EXISTS compiles "
+    "to a LEFT SEMI join — probe-side rows short-circuit on first "
+    "match and never duplicate; the date filter is pushed to the "
+    "orders scan so the semi join's build input is one quarter, not "
+    "the whole table. Cites Weather_API.py:344-349 (grouped counts) "
+    "for the aggregate shape; the subquery form is driver-surface "
+    "extension.",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    matched = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13: customer order-count distribution (two-level aggregate)
+# ---------------------------------------------------------------------------
+@register(
+    "q13_custdist",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: left-join customers to orders (keeping "
+    "zero-order customers), count orders per customer, then histogram "
+    "the counts — a two-level aggregate where the second groupBy key "
+    "is the first's output. COUNT(o_orderkey) counts non-null keys "
+    "only, so customers with no orders land in the c_count=0 bucket "
+    "(the semantic point of the left join). Both aggregates shuffle "
+    "on different keys by necessity; the first reuses the join's "
+    "c_custkey partitioning, so the plan is join+agg in one stage, "
+    "then one small shuffle over the per-customer counts.",
+)
+def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    c_orders = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: above-average idle customers (scalar subquery + anti join)
+# ---------------------------------------------------------------------------
+@register(
+    "q22_idle_rich_customers",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT {sql_davg('c_acctbal')} AS ab FROM customer WHERE c_acctbal > 0
+    )
+    SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {sql_dsum('c_acctbal')} AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '1999-01-01')
+    GROUP BY 1
+    """,
+    doc="TPC-H Q22 shape (adapted to the available columns: country "
+    "code ← c_nationkey mod 5): customers with above-average positive "
+    "balance and no RECENT orders (none since 1999 — lapsed accounts; the unrestricted form is vacuous on this corpus, every customer has some order) — a scalar aggregate subquery feeding the "
+    "main predicate plus a NOT EXISTS anti join, grouped per code. "
+    "The average is computed once (1-row broadcast); the anti join "
+    "streams the customer side. The threshold itself uses the exact "
+    "decimal-sum/count form so the > comparison is bit-identical "
+    "across engines (a float-accumulated average could flip rows at "
+    "the boundary).",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal").alias("ab")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("ab")
+    )
+    recent = o.filter(F.col("o_orderdate") >= F.lit("1999-01-01"))
+    idle = rich.join(
+        recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    )
+    return idle.groupBy(
+        (F.col("c_nationkey") % 5).cast("bigint").alias("cntrycode")
+    ).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dsum("c_acctbal").alias("totacctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group mode (most frequent value, tie-broken)
+# ---------------------------------------------------------------------------
+@register(
+    "mode_per_group",
+    oracle="""
+    WITH counts AS (
+      SELECT p_type, p_brand, COUNT(*) AS n FROM part GROUP BY 1, 2
+    )
+    SELECT p_type, p_brand AS mode_brand, CAST(n AS BIGINT) AS n_mode
+    FROM (SELECT *, row_number() OVER (
+             PARTITION BY p_type ORDER BY n DESC, p_brand) AS rn
+          FROM counts)
+    WHERE rn = 1
+    """,
+    doc="Per-group mode with DETERMINISTIC tie-breaking: count "
+    "(type, brand) pairs, then keep the max-count brand per type, ties "
+    "broken lexicographically. Native mode() leaves tie order "
+    "engine-defined — unusable for reproducible pipelines; this "
+    "count+row_number form is the portable contract. Two shuffles "
+    "(pair counts, then per-type window) but the window input is "
+    "already one row per pair — tiny.",
+)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    counts = p.groupBy("p_type", "p_brand").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("p_type").orderBy(F.col("n").desc(), "p_brand")
+    return (
+        counts.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("p_type", F.col("p_brand").alias("mode_brand"), F.col("n").alias("n_mode"))
     )
