@@ -107,3 +107,70 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, time_split_events_dir)
     }
     assert streamed == batch_closed
     assert len(streamed) > 100  # the stream actually closed sessions
+
+
+def test_watermark_drops_late_rows(spark):
+    """Event-time watermark semantics: the streaming aggregation must
+    DROP input older than the committed watermark (update mode). The
+    late-data filter uses the watermark committed at the end of the
+    PREVIOUS batch, so three single-file micro-batches: batch 0 advances
+    event time to T0+3h11m, batch 1 commits that watermark (T0+2h11m),
+    batch 2 delivers two T0 events (too late) and one fresh event."""
+    from weather_analysis_bigdata__spark.streaming.windows import (
+        EVENTS_RAW_SCHEMA,
+        stream_events,
+        tumbling_agg,
+    )
+
+    t0_s = 1_700_000_000 - (1_700_000_000 % 3600)  # hour-aligned
+    ns = lambda off_s: (t0_s + off_s) * 1_000_000_000  # noqa: E731
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, ns(off), 1, "click", 1.0, "{}") for i, off in enumerate(rows)],
+            EVENTS_RAW_SCHEMA,
+        )
+
+    batches = [
+        mk([3 * 3600, 3 * 3600 + 300, 3 * 3600 + 600, 3 * 3600 + 660]),
+        mk([3 * 3600 + 1200]),  # commits the batch-0 watermark
+        mk([0, 60, 4 * 3600 + 900]),  # 2 late (T0) + 1 fresh (T0+4h)
+    ]
+
+    src_dir = tempfile.mkdtemp(prefix="wm_drop_")
+    sink = f"wm_drop_{uuid.uuid4().hex[:8]}"
+    try:
+        for i, b in enumerate(batches):
+            stage = os.path.join(src_dir, f"stage{i}")
+            b.coalesce(1).write.parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src_dir, f"{i:03d}.parquet")
+            shutil.copy(os.path.join(stage, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        agg = tumbling_agg(
+            stream_events(spark, src_dir, max_files_per_trigger=1),
+            width="1 hour",
+            watermark="1 hour",
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.table(sink).collect()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+    # update mode re-emits a window per refining batch -> keep the max
+    by_window: dict[int, int] = {}
+    for r in rows:
+        key = int(r.window_start.timestamp()) - t0_s
+        by_window[key] = max(by_window.get(key, 0), r.n_events)
+    assert 0 not in by_window and 60 not in by_window  # late rows dropped
+    assert by_window[3 * 3600] == 5  # batch-0 4 rows + batch-1 refinement
+    assert by_window[4 * 3600] == 1  # fresh batch-2 row admitted

@@ -41,12 +41,12 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
-def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+def stream_events(spark: SparkSession, events_dir: str, max_files_per_trigger: int = 4) -> DataFrame:
     """Open a parquet-directory stream of events with event-time ``ts``."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -117,3 +117,73 @@ def tumbling_agg_schema() -> T.StructType:
             T.StructField("sum_value", T.DoubleType()),
         ]
     )
+
+
+def sliding_agg(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SLIDING event-time aggregation: each event lands in
+    width/slide overlapping windows (2 here); state is keyed per window
+    so memory = horizon/slide × groups, still bounded."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def stream_static_join_agg(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream ⋈ static enrichment join, then watermarked tumbling agg
+    per dim attribute. The static side is planned as a broadcast into
+    every micro-batch (no stream-side shuffle before the agg)."""
+    enriched = events.withWatermark("ts", "2 hours").join(
+        F.broadcast(dim), "user_id"
+    )
+    return (
+        enriched.groupBy(F.window("ts", "6 hours").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def replay_build_to_memory(
+    spark: SparkSession,
+    events_parquet: str,
+    build,
+    schema: T.StructType,
+) -> DataFrame:
+    """Generic availableNow replay: copy the events parquet into a temp
+    stream source dir, apply ``build(stream_df) -> DataFrame``, run the
+    streaming engine to a memory sink (complete mode), and return the
+    final state as a batch DataFrame with a pinned schema."""
+    run_id = uuid.uuid4().hex[:12]
+    src_dir = tempfile.mkdtemp(prefix=f"events_stream_{run_id}_")
+    sink = f"stream_replay_{run_id}"
+    try:
+        shutil.copy(events_parquet, os.path.join(src_dir, "part-000.parquet"))
+        agg = build(stream_events(spark, src_dir))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.table(sink).collect()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema=schema)
