@@ -35,6 +35,11 @@ HEADLINE = [
     "sim_search_topk",
     "sim_search_lsh",
     "pipeline_end_to_end",
+    "ivf_probe_topk",
+    "doc_winnowing_fingerprints",
+    "gapfill_forward_fill",
+    "q13_custdist",
+    "grouping_sets_agg",
 ]
 
 
