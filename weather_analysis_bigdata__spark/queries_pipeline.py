@@ -192,3 +192,39 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON-lines sink → scan round-trip (interchange format #2)
+# ---------------------------------------------------------------------------
+@register(
+    "json_roundtrip_agg",
+    oracle=f"""
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS total_len
+    FROM documents GROUP BY 1, 2
+    """,
+    doc="JSON-lines sink + schema-enforced scan round-trip over the "
+    "documents table (free text with quotes/newlines — the hard case "
+    "for a text format), verified by aggregate parity against the "
+    "original parquet: a hash match proves JSON string escaping is "
+    "lossless. Explicit schema on read (no inference pass). JSONL is "
+    "the interchange format of LLM data pipelines; Parquet stays the "
+    "processing format at 100 TB.",
+)
+def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    path = f"/tmp/spark_graft_json_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+    d = load_table(spark, sf_dir, "documents")
+    d.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).json(path)
+    return back.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text").cast("bigint")).alias("total_len"),
+    )

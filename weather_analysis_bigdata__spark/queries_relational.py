@@ -1915,3 +1915,283 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("p_type", F.col("p_brand").alias("mode_brand"), F.col("n").alias("n_mode"))
     )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery (top-2 orders per customer)
+# ---------------------------------------------------------------------------
+@register(
+    "lateral_topk_per_customer",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_custkey <= 100
+    """,
+    doc="Correlated LATERAL subquery: the two priciest orders per "
+    "customer, written as a per-row dependent subquery (the SQL:1999 "
+    "LATERAL form) through the SQL-string entry point. Catalyst "
+    "de-correlates it into the same window/top-k plan the DataFrame "
+    "row_number form produces — proving the engine accepts the "
+    "correlated-subquery dialect users port in, without a per-row "
+    "re-execution (which at 100 TB would be N subquery scans).",
+)
+def lateral_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lv")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lv")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_lv c,
+             LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lv
+                      WHERE o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey <= 100
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise aggregates (exact on integers)
+# ---------------------------------------------------------------------------
+@register(
+    "bitwise_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           bit_and(l_orderkey) AS key_and,
+           bit_or(l_orderkey) AS key_or,
+           bit_xor(l_orderkey) AS key_xor,
+           bit_xor(CAST(l_orderkey * 2654435761 % 9223372036854775807
+                        AS BIGINT)) AS mixed_xor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Bitwise aggregate battery (AND/OR/XOR over 64-bit keys, plus "
+    "a Knuth-multiplicative-mixed XOR — the cheap order-independent "
+    "set-digest used for partition checksums). All four are "
+    "associative+commutative integer folds: exact, reduction-order- "
+    "independent, HashAggregate all the way — the class of aggregates "
+    "that needs NO determinism scaffolding at 1000-executor scale.",
+)
+def bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    mixed = (
+        (F.col("l_orderkey") * F.lit(2654435761)) % F.lit(9223372036854775807)
+    ).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_orderkey").alias("key_and"),
+        F.bit_or("l_orderkey").alias("key_or"),
+        F.bit_xor("l_orderkey").alias("key_xor"),
+        F.bit_xor(mixed).alias("mixed_xor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-safety battery: try_* semantics under ANSI mode
+# ---------------------------------------------------------------------------
+@register(
+    "null_safety_battery",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / NULLIF(CAST(o_orderkey % 3 AS DOUBLE), 0.0)
+             AS price_per_mod,
+           TRY_CAST(o_orderpriority AS INT) AS bad_cast_null,
+           COALESCE(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT), -1)
+             AS priority_digit,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END
+             AS nullable_price,
+           ifnull(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                       ELSE o_totalprice END, 0.0) AS filled_price
+    FROM orders WHERE o_orderkey <= 300
+    """,
+    doc="Null-safety battery under ANSI mode: try_divide (÷0 → NULL, "
+    "never a runtime error mid-pipeline — one poison row must not kill "
+    "a 100 TB job), try_cast of unparseable strings → NULL (reference "
+    "F5 coercion semantics, Weather_API.py:1150), NULLIF/COALESCE/"
+    "ifnull repair chains (reference E1-E4). Spark's ANSI dialect "
+    "makes bare ÷0 and bad casts THROW; the try_* forms are the "
+    "engine's sanctioned lenient path, mirrored exactly by DuckDB's "
+    "NULL-on-zero division and TRY_CAST. All row-local, codegen'd.",
+)
+def null_safety_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    nullable_price = F.when(
+        F.col("o_orderkey") % 3 == 0, F.lit(None).cast("double")
+    ).otherwise(F.col("o_totalprice"))
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice"), (F.col("o_orderkey") % 3).cast("double")
+        ).alias("price_per_mod"),
+        F.try_to_number("o_orderpriority", F.lit("9")).cast("int").alias(
+            "bad_cast_null"
+        ),
+        F.coalesce(
+            F.substring("o_orderpriority", 1, 1).try_cast("int"), F.lit(-1)
+        ).alias("priority_digit"),
+        nullable_price.alias("nullable_price"),
+        F.ifnull(nullable_price, F.lit(0.0)).alias("filled_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IGNORE NULLS positional windows (native last-non-null fill)
+# ---------------------------------------------------------------------------
+@register(
+    "window_ignore_nulls_fill",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                  ELSE o_totalprice END AS sparse_price
+      FROM orders WHERE o_custkey <= 50
+    )
+    SELECT o_orderkey, o_custkey, sparse_price,
+           last_value(sparse_price IGNORE NULLS) OVER w AS last_seen_price,
+           first_value(sparse_price IGNORE NULLS) OVER w2 AS first_ever_price
+    FROM base
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="Native IGNORE NULLS positional windows: last-seen (running "
+    "forward-fill) and first-ever values over a sparse column — the "
+    "built-in alternative to the count-group fill trick in "
+    "gapfill_forward_fill, on the SAME total ordering so both engines "
+    "agree exactly (every null is deterministically injected by key "
+    "residue). One shuffle + one sort shared by both frames. The "
+    "running-fill frame carries O(1) state per partition at 100 TB.",
+)
+def window_ignore_nulls_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    sparse = F.when(
+        F.col("o_orderkey") % 4 == 0, F.lit(None).cast("double")
+    ).otherwise(F.col("o_totalprice"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w2 = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    base = o.select(
+        "o_orderkey", "o_custkey", "o_orderdate", sparse.alias("sparse_price")
+    )
+    return base.select(
+        "o_orderkey",
+        "o_custkey",
+        "sparse_price",
+        F.last("sparse_price", ignorenulls=True).over(w).alias(
+            "last_seen_price"
+        ),
+        F.first("sparse_price", ignorenulls=True).over(w2).alias(
+            "first_ever_price"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map-typed column ops (build / probe / serialize)
+# ---------------------------------------------------------------------------
+@register(
+    "map_column_ops",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events WHERE user_id <= 40 GROUP BY 1, 2
+    )
+    SELECT user_id,
+           array_to_string(
+             list_sort(list(event_type || ':' || CAST(cnt AS VARCHAR))), ',')
+             AS type_counts,
+           CAST(COUNT(*) AS INT) AS n_types,
+           COALESCE(MAX(cnt) FILTER (event_type = 'click'), 0) AS click_count,
+           BOOL_OR(event_type = 'purchase') AS has_purchase
+    FROM counts GROUP BY user_id
+    """,
+    doc="Map-typed column lifecycle: per-user event_type→count maps "
+    "built with map_from_entries over sort-normalized entries, probed "
+    "with element_at / map_contains_key / map_keys, and serialized "
+    "key-sorted at the boundary (map iteration order is engine- and "
+    "partitioning-dependent — the sorted serialization is the only "
+    "portable contract, mirrored as a sorted list in the oracle). "
+    "Maps are the natural carrier for sparse per-record feature "
+    "bundles at 100 TB; all ops here are row-local post-aggregation.",
+)
+def map_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 40)
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_user = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    return per_user.select(
+        "user_id",
+        F.array_join(
+            F.transform(
+                F.map_entries("m"),
+                lambda e: F.concat(
+                    e["key"], F.lit(":"), e["value"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("type_counts"),
+        F.size(F.map_keys("m")).alias("n_types"),
+        F.coalesce(F.element_at("m", F.lit("click")), F.lit(0)).alias(
+            "click_count"
+        ),
+        F.map_contains_key("m", F.lit("purchase")).alias("has_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot with MULTIPLE aggregations per pivot value
+# ---------------------------------------------------------------------------
+@register(
+    "pivot_multi_agg",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT)
+             AS click_n,
+           COALESCE(CAST(SUM(CASE WHEN event_type = 'click'
+                     THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE), 0.0)
+             AS click_sum,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT)
+             AS view_n,
+           COALESCE(CAST(SUM(CASE WHEN event_type = 'view'
+                     THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE), 0.0)
+             AS view_sum
+    FROM events WHERE user_id <= 60 GROUP BY user_id
+    """,
+    doc="Pivot with TWO aggregations per pivot value (count + exact "
+    "sum), explicit value list — one Expand-free hash aggregate with "
+    "2×|values| buffers, never a distinct-scan to discover values "
+    "(the at-scale pivot rule from the reference's COLUMNS_MAPPING "
+    "whitelist, Weather_API.py:34-45). Missing cells surface as "
+    "count=0 / sum=0.0 via coalesce so the wide row is total.",
+)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 60)
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value", 4)).cast("double").alias("s"),
+        )
+    )
+    return wide.select(
+        "user_id",
+        F.coalesce(F.col("click_n"), F.lit(0)).alias("click_n"),
+        F.coalesce(F.col("click_s"), F.lit(0.0)).alias("click_sum"),
+        F.coalesce(F.col("view_n"), F.lit(0)).alias("view_n"),
+        F.coalesce(F.col("view_s"), F.lit(0.0)).alias("view_sum"),
+    )
