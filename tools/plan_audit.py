@@ -1,0 +1,93 @@
+"""Physical-plan audit: sweep every registered query, count the plan
+nodes that matter at 100 TB, and flag scale red flags.
+
+Usage: python tools/plan_audit.py [--sf DIR]
+
+Red flags (printed with !!):
+- CartesianProduct      unbounded N×M blowup
+- SortMergeJoin         a join that failed to broadcast (fine for
+                        fact⋈fact, a bug for dim joins)
+- SortAggregate         agg fell off the hash path (non-mutable buffer
+                        type — e.g. string min/max; see PERF.md)
+- exchanges > 4         likely a redundant shuffle to merge
+
+Queries that execute side effects at build time (streaming replays,
+file-format round-trips, MERGE materialization) are skipped — their
+plans are pinned by dedicated tests instead.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SKIP_PREFIXES = ("streaming_", "csv_", "json_roundtrip", "merge_")
+
+
+def main() -> None:
+    sf_dir = "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    if "--sf" in args:
+        sf_dir = args[args.index("--sf") + 1]
+
+    from weather_analysis_bigdata__spark.registry import all_queries
+    from weather_analysis_bigdata__spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    flagged = 0
+    rows = []
+    for name, q in all_queries().items():
+        if name.startswith(SKIP_PREFIXES):
+            continue
+        try:
+            plan = (
+                q.fn(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception as e:  # noqa: BLE001
+            rows.append((name, f"BUILD ERROR: {e}"))
+            flagged += 1
+            continue
+        n = lambda op: plan.count(op)  # noqa: E731
+        stats = {
+            "xchg": n("Exchange hashpartitioning")
+            + n("Exchange rangepartitioning")
+            + n("Exchange SinglePartition"),
+            "bhj": n("BroadcastHashJoin"),
+            "smj": n("SortMergeJoin"),
+            "bnlj": n("BroadcastNestedLoopJoin"),
+            "cart": n("CartesianProduct"),
+            "sortagg": n("SortAggregate"),
+        }
+        flags = []
+        if stats["cart"]:
+            flags.append("CARTESIAN")
+        if stats["smj"]:
+            flags.append("SORTMERGE")
+        if stats["sortagg"]:
+            flags.append("SORTAGG")
+        if stats["xchg"] > 4:
+            flags.append(f"XCHG={stats['xchg']}")
+        mark = " !! " + ",".join(flags) if flags else ""
+        if flags:
+            flagged += 1
+        rows.append(
+            (
+                name,
+                f"xchg={stats['xchg']} bhj={stats['bhj']} "
+                f"smj={stats['smj']} bnlj={stats['bnlj']} "
+                f"sortagg={stats['sortagg']}{mark}",
+            )
+        )
+    width = max(len(r[0]) for r in rows)
+    for name, line in rows:
+        print(f"{name:<{width}}  {line}")
+    print(f"\n{len(rows)} plans audited, {flagged} flagged")
+
+
+if __name__ == "__main__":
+    main()
