@@ -2195,3 +2195,154 @@ def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("view_n"), F.lit(0)).alias("view_n"),
         F.coalesce(F.col("view_s"), F.lit(0.0)).alias("view_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# NOT IN with a nullable subquery (the three-valued-logic trap, pinned)
+# ---------------------------------------------------------------------------
+@register(
+    "not_in_with_nulls",
+    oracle="""
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+       WHERE o_custkey NOT IN
+             (SELECT c_custkey FROM customer WHERE c_custkey <= 100))
+        AS not_in_clean,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+       WHERE o_custkey NOT IN
+             (SELECT CASE WHEN c_custkey <= 100 THEN c_custkey END
+              FROM customer))
+        AS not_in_with_null
+    """,
+    doc="NOT IN three-valued-logic semantics, pinned as a query: "
+    "against a null-free subquery NOT IN behaves like an anti join "
+    "(count > 0); the moment the subquery contains ONE null, "
+    "`x NOT IN (…)` is never true and the count is exactly 0 — the "
+    "classic silent-empty-result trap. Spark plans this as a "
+    "null-aware anti join (one broadcast flag, no per-row subquery); "
+    "both engines implement the ANSI rule identically. Production "
+    "rule at 100 TB: filter nulls from the subquery or use explicit "
+    "LEFT ANTI — this query documents why.",
+)
+def not_in_with_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_niv")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_niv"
+    )
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM orders_niv
+           WHERE o_custkey NOT IN
+                 (SELECT c_custkey FROM customer_niv WHERE c_custkey <= 100))
+            AS not_in_clean,
+          (SELECT COUNT(*) FROM orders_niv
+           WHERE o_custkey NOT IN
+                 (SELECT CASE WHEN c_custkey <= 100 THEN c_custkey END
+                  FROM customer_niv))
+            AS not_in_with_null
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# regexp_extract_all → explode → word frequency
+# ---------------------------------------------------------------------------
+@register(
+    "regexp_extract_all_wordfreq",
+    oracle="""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(regexp_extract_all(p_name, '[a-z]+')) AS word
+          FROM part)
+    GROUP BY word
+    """,
+    doc="regexp_extract_all → explode → frequency count: tokenize part "
+    "names by regex (ALL matches per row, not just the first), flatten "
+    "the match arrays to rows inline in the scan stage (generator, no "
+    "shuffle), and count per token — the grep-then-histogram shape of "
+    "log/text mining. One aggregate shuffle total.",
+)
+def regexp_extract_all_wordfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            F.explode(
+                F.regexp_extract_all("p_name", F.lit("[a-z]+"), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-engine generated source (spark.range — no input table at all)
+# ---------------------------------------------------------------------------
+@register(
+    "generated_range_source",
+    oracle="""
+    SELECT CAST(i % 7 AS BIGINT) AS g,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((i * i) % 97) AS BIGINT) AS sum_sq_mod,
+           CAST(MIN((i * 13) % 101) AS BIGINT) AS min_mix,
+           CAST(MAX((i * 13) % 101) AS BIGINT) AS max_mix
+    FROM generate_series(0, 99999) t(i)
+    GROUP BY 1
+    """,
+    doc="Generated source: a 100k-row integer sequence synthesized "
+    "entirely in-engine (spark.range — a splittable, parallel "
+    "generator with no storage scan) with pure-integer derived "
+    "columns and a grouped aggregate. This is the engine's dual-use "
+    "tool: synthetic data generation AND the driving table for "
+    "spine/backfill patterns (cf. gapfill_forward_fill). range(N) "
+    "partitions evenly across executors — generating 10^12 rows on a "
+    "1000-executor cluster is embarrassingly parallel.",
+)
+def generated_range_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = spark.range(0, 100000).withColumnRenamed("id", "i")
+    return r.groupBy((F.col("i") % 7).alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("i") * F.col("i")) % 97).alias("sum_sq_mod"),
+        F.min((F.col("i") * 13) % 101).alias("min_mix"),
+        F.max((F.col("i") * 13) % 101).alias("max_mix"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decile statistics (ntile bucketing → per-bucket aggregate)
+# ---------------------------------------------------------------------------
+@register(
+    "decile_stats",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM ranked GROUP BY 1
+    """,
+    doc="Decile profile: ntile(10) over a fully tie-broken global "
+    "order, then per-decile count/min/max/exact-sum — the "
+    "distribution summary a 100 TB skew analysis reports. The global "
+    "sort is the honest cost (one range-partitioned exchange); at "
+    "scale the same table is approximated shuffle-free with "
+    "approx_percentile boundaries + a bucket join (sketch_approx_aggs "
+    "shows the sketch side).",
+)
+def decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_totalprice", F.ntile(10).over(w).alias("decile")
+    )
+    return ranked.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
