@@ -2346,3 +2346,120 @@ def decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("hi"),
         dsum("o_totalprice").alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map applyInPandas custom aggregate (exact parity with SQL)
+# ---------------------------------------------------------------------------
+def _ols_per_group(pdf):
+    """Per-group OLS of extendedprice on quantity with EXACT integer
+    sums (python ints over cent-scaled values — no float accumulation,
+    so the result is independent of row order and partitioning), then
+    one fixed IEEE-double formula evaluation identical to the SQL
+    mirror's."""
+    import pandas as pd
+
+    q = [int(round(v * 100)) for v in pdf["l_quantity"]]
+    p = [int(round(v * 100)) for v in pdf["l_extendedprice"]]
+    n = len(q)
+    sx, sy = float(sum(q)), float(sum(p))
+    sxx = float(sum(a * a for a in q))
+    sxy = float(sum(a * b for a, b in zip(q, p)))
+    nf = float(n)
+    slope = (nf * sxy - sx * sy) / (nf * sxx - sx * sx)
+    intercept = (sy - slope * sx) / nf / 100.0
+    return pd.DataFrame(
+        {
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "n_rows": [n],
+            "slope": [slope],
+            "intercept": [intercept],
+        }
+    )
+
+
+@register(
+    "grouped_ols_pandas",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                         * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS BIGINT) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                         * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS BIGINT) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_rows,
+           (CAST(n_rows AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n_rows AS DOUBLE) * sxx - sx * sx) AS slope,
+           (sy - ((CAST(n_rows AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n_rows AS DOUBLE) * sxx - sx * sx)) * sx)
+             / CAST(n_rows AS DOUBLE) / 100.0 AS intercept
+    FROM s
+    """,
+    doc="Custom grouped-map operator via applyInPandas (Arrow-batched "
+    "Python per group): per-returnflag OLS fit computed with EXACT "
+    "python-int sums over cent-scaled inputs, then one fixed IEEE "
+    "double formula — bit-identical to the SQL closed form on the "
+    "oracle side AND invariant to row order/partitioning (a naive "
+    "numpy float dot here would drift with partition layout at 1000 "
+    "executors). This is the engine's template for operators Spark "
+    "genuinely can't express (per-group model fits): groupBy shuffles "
+    "once, each group fits in one Arrow batch, Python cost is "
+    "O(group), and determinism comes from exact accumulation — the "
+    "same discipline functions/vectorops.py applies JVM-side. "
+    "Contrast a9_ols_trend (pure-SQL closed form of the same math).",
+)
+def grouped_ols_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return li.groupBy("l_returnflag").applyInPandas(
+        _ols_per_group,
+        "l_returnflag string, n_rows bigint, slope double, intercept double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generator OUTER semantics (explode_outer over empty arrays)
+# ---------------------------------------------------------------------------
+@register(
+    "explode_outer_semantics",
+    oracle="""
+    WITH arrs AS (
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 3 = 0 THEN []::VARCHAR[]
+                  ELSE regexp_extract_all(p_brand, '[0-9]+') END AS digits
+      FROM part WHERE p_partkey <= 150
+    )
+    SELECT a.p_partkey, u.d AS digit,
+           len(a.digits)::INT AS n_digits
+    FROM arrs a LEFT JOIN LATERAL unnest(a.digits) AS u(d) ON TRUE
+    """,
+    doc="Generator OUTER semantics: explode_outer keeps rows whose "
+    "array is EMPTY (emitting one null element) where plain explode "
+    "silently drops them — the difference between 'no matches' rows "
+    "surviving a flatten or vanishing. A third of the inputs here are "
+    "forced empty, so the outer branch is genuinely exercised "
+    "(mirrored as LEFT JOIN LATERAL unnest … ON TRUE). Inline "
+    "generator in the scan stage — no shuffle.",
+)
+def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 150)
+    digits = F.when(
+        F.col("p_partkey") % 3 == 0,
+        F.array().cast("array<string>"),
+    ).otherwise(F.regexp_extract_all("p_brand", F.lit("[0-9]+"), 0))
+    arrs = p.select("p_partkey", digits.alias("digits"))
+    return arrs.select(
+        "p_partkey",
+        F.explode_outer("digits").alias("digit"),
+        F.size("digits").alias("n_digits"),
+    )
