@@ -189,3 +189,45 @@ def test_centroid_assignment_consistency(spark, sf_dir, registry):
     assign = registry["ivf_assign_nearest_centroid"].fn(spark, sf_dir).collect()
     assert len({r.vec_id for r in assign}) == len(assign)
     assert {r.assigned_label for r in assign} <= labels
+
+
+def test_connected_components_operator_chain():
+    """Min-label propagation on a synthetic graph: a 4-chain, a
+    triangle, and an isolated edge — labels must be the min reachable
+    id, found only via propagation for the chain."""
+    from weather_analysis_bigdata__spark.operators.components import (
+        connected_components,
+    )
+    from weather_analysis_bigdata__spark.session import get_spark
+
+    spark = get_spark("test")
+    edges = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40),  # chain: all -> 10
+         (50, 60), (60, 70), (50, 70),  # triangle: all -> 50
+         (80, 90)],                      # pair: -> 80
+        "u BIGINT, v BIGINT",
+    )
+    got = {
+        r.node: r.comp for r in connected_components(edges).collect()
+    }
+    assert got == {10: 10, 20: 10, 30: 10, 40: 10,
+                   50: 50, 60: 50, 70: 50, 80: 80, 90: 80}
+
+
+def test_dedup_components_cluster_via_propagation(spark, sf_dir, registry):
+    """Every planted B/C copy must land in its base doc's component,
+    and within a component exactly one row is canonical."""
+    rows = registry["dedup_connected_components"].fn(spark, sf_dir).collect()
+    comp_of = {r.doc_id: r.component_id for r in rows}
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, []).append(r)
+    for comp, members in by_comp.items():
+        assert sum(m.is_canonical for m in members) == 1
+        assert min(m.doc_id for m in members) == comp
+        for m in members:
+            assert m.cluster_size == len(members)
+    # non-vacuous: at least one multi-doc cluster resolved
+    assert any(len(m) >= 2 for m in by_comp.values())
+    # planted copies live in SOME cluster keyed by a smaller doc id
+    assert any(did >= 3000000 and comp < did for did, comp in comp_of.items())

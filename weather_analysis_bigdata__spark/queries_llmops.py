@@ -1213,3 +1213,113 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("f").alias("min_fp"),
         F.array_max("f").alias("max_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: connected components over near-dup pair edges
+# ---------------------------------------------------------------------------
+_CC_TAU = 0.7
+_CC_SUF1 = " ".join(f"qq{i}" for i in range(25))
+_CC_SUF2 = " ".join(f"qq{i}" for i in range(25, 50))
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, text || ' {_CC_SUF1}'
+      FROM documents WHERE doc_id % 50 = 0
+      UNION ALL
+      SELECT doc_id + 4000000, text || ' {_CC_SUF1} {_CC_SUF2}'
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    {SQL_SHINGLES.strip()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT u, v FROM common
+      JOIN sizes s1 ON u = s1.doc_id JOIN sizes s2 ON v = s2.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= {_CC_TAU}
+    ),
+    sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+    reach(src, dst) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT r.src, s.v FROM reach r JOIN sym s ON r.dst = s.u
+    ),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component_id
+             FROM reach GROUP BY src)
+    SELECT doc_id, component_id,
+           CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT)
+             AS cluster_size,
+           doc_id = component_id AS is_canonical
+    FROM comp
+    """,
+    doc=f"Dedup CLUSTERING: near-dup pair edges (word-3-gram Jaccard ≥ "
+    f"{_CC_TAU}, the dedup_ngram_jaccard inverted-index pipeline) "
+    "resolved into connected components by iterative min-label "
+    "propagation (operators/components.py) — similarity is NOT "
+    "transitive, so 'keep one per cluster' needs components, not "
+    "groupBy. The corpus is extended with CHAINED copies (B = A + 25 "
+    "filler tokens, C = A + 50): mid-size docs produce A–B and B–C "
+    "edges but no A–C edge, so the cluster only emerges through "
+    "propagation — the non-trivial case a single-join dedup misses. "
+    "Oracle: DuckDB recursive-CTE reachability — a genuinely "
+    "iterative distributed algorithm, still hash-checked exactly. "
+    "Component id = min reachable doc_id: deterministic at any "
+    "parallelism; canonical doc = the id-equal row.",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.operators.components import (
+        connected_components,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 50 == 0)
+    b = planted.select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat("text", F.lit(" " + _CC_SUF1)).alias("text"),
+    )
+    c = planted.select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.concat("text", F.lit(" " + _CC_SUF1 + " " + _CC_SUF2)).alias("text"),
+    )
+    docs = d.unionByName(b).unionByName(c)
+
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("s1.n") + F.col("s2.n") - F.col("n_common")
+    )
+    edges = (
+        common.join(sizes.alias("s1"), F.col("u") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("v") == F.col("s2.doc_id"))
+        .filter(jac >= _CC_TAU)
+        .select("u", "v")
+    )
+    comp = connected_components(edges)
+    w = Window.partitionBy("comp")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("component_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("node") == F.col("comp")).alias("is_canonical"),
+    )

@@ -2463,3 +2463,96 @@ def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode_outer("digits").alias("digit"),
         F.size("digits").alias("n_digits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 validity intervals (temporal dimension construction)
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_intervals",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w AS valid_to,
+           lead(o_orderdate) OVER w IS NULL AS is_current,
+           CAST(row_number() OVER w AS BIGINT) AS version
+    FROM orders
+    WHERE o_custkey <= 30
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="SCD-type-2 interval construction: each customer's order "
+    "history becomes versioned validity ranges — valid_from = this "
+    "change's date, valid_to = next change's date (NULL ⇒ current "
+    "row), version = change ordinal. One window (single shuffle+sort "
+    "on the entity key) builds the temporal dimension that as-of "
+    "joins (asof_join_event_order) then probe. The order is fully "
+    "tie-broken so intervals are reproducible at any parallelism.",
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 30)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (table function): one row in → N rows out
+# ---------------------------------------------------------------------------
+@register(
+    "udtf_installments",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           CAST(t.i AS INT) AS installment_no,
+           CAST(o.o_orderkey % 3 + 1 AS INT) AS n_installments,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                // (o_orderkey % 3 + 1)
+                + CASE WHEN t.i = 1 THEN
+                    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    % (o_orderkey % 3 + 1) ELSE 0 END AS DOUBLE) / 100
+             AS installment_cents
+    FROM orders o, unnest(generate_series(1, CAST(o_orderkey % 3 + 1 AS INT)))
+      AS t(i)
+    WHERE o.o_orderkey <= 400
+    """,
+    doc="Python UDTF (Spark 4 user-defined TABLE function): each order "
+    "expands into 1-3 payment installments computed with exact integer "
+    "cents (remainder folded into the first installment so the split "
+    "sums back to the total). The lateral-generator shape — one row "
+    "in, variable rows out with per-row state — is what UDTFs add over "
+    "scalar UDFs; the oracle mirrors it as a lateral generate_series. "
+    "Python is the slow path (row-at-a-time here, unlike Arrow-batched "
+    "pandas UDFs) — sanctioned for low-volume expansion logic, not "
+    "100 TB hot paths; the pure-SQL equivalent (sequence + explode) is "
+    "the scale form.",
+)
+def udtf_installments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="installment_no int, n_installments int, "
+                     "installment_cents double")
+    class Installments:
+        def eval(self, o_orderkey: int, o_totalprice: float):  # noqa: D401
+            n = o_orderkey % 3 + 1
+            cents = int(round(o_totalprice * 100))
+            base, rem = divmod(cents, n)
+            for i in range(1, n + 1):
+                yield i, n, (base + (rem if i == 1 else 0)) / 100.0
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400)
+    o.createOrReplaceTempView("orders_udtf_v")
+    spark.udtf.register("installments_udtf", Installments)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.installment_no, t.n_installments,
+               t.installment_cents
+        FROM orders_udtf_v o,
+             LATERAL installments_udtf(o_orderkey, o_totalprice) t
+        """
+    )
