@@ -2556,3 +2556,139 @@ def udtf_installments(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL installments_udtf(o_orderkey, o_totalprice) t
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# arg-min / arg-max aggregates (min_by/max_by, deterministically keyed)
+# ---------------------------------------------------------------------------
+@register(
+    "argmin_argmax_agg",
+    oracle="""
+    SELECT l_returnflag,
+           arg_min(l_orderkey, epoch(l_shipdate) * 10000000 + l_orderkey)
+             AS first_shipped_order,
+           arg_max(l_orderkey, epoch(l_shipdate) * 10000000 + l_orderkey)
+             AS last_shipped_order,
+           MIN(l_shipdate) AS first_shipdate,
+           MAX(l_shipdate) AS last_shipdate
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="arg-min/arg-max (min_by/max_by): WHICH order shipped "
+    "first/last per flag, not just when. Bare min_by over a tied "
+    "ordering key is nondeterministic (engine/partition-order "
+    "dependent) — the ordering key here is a composite "
+    "epoch·10^7+orderkey bigint, unique per row, so the argmin is "
+    "exact and partitioning-invariant. Single hash aggregate with a "
+    "(value, key) pair buffer — the cheap alternative to a "
+    "row_number window when only the extreme row's attribute is "
+    "needed (no sort, no second pass).",
+)
+def argmin_argmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    okey = (
+        F.unix_timestamp("l_shipdate") * F.lit(10000000) + F.col("l_orderkey")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.min_by("l_orderkey", okey).alias("first_shipped_order"),
+        F.max_by("l_orderkey", okey).alias("last_shipped_order"),
+        F.min("l_shipdate").alias("first_shipdate"),
+        F.max("l_shipdate").alias("last_shipdate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling (per-stratum rates)
+# ---------------------------------------------------------------------------
+@register(
+    "stratified_sample",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT l_returnflag, l_extendedprice,
+             {sql_hex15_to_long(
+                 "md5(CAST(l_orderkey AS VARCHAR) || ':' "
+                 "|| CAST(l_linenumber AS VARCHAR))")} % 100 AS bucket
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           {sql_dsum('l_extendedprice')} AS sum_price
+    FROM tagged
+    WHERE bucket < CASE l_returnflag
+                     WHEN 'R' THEN 20 WHEN 'A' THEN 10 ELSE 5 END
+    GROUP BY l_returnflag
+    """,
+    doc="STRATIFIED deterministic sampling: per-stratum rates (20% of "
+    "returns, 10% of A, 5% of the rest) via md5-residue buckets — the "
+    "class-imbalance tool of training-data curation (over-sample rare "
+    "strata, thin the bulk). Same reproducibility contract as "
+    "deterministic_sample: row membership depends only on the primary "
+    "key, never on partition layout, so the sample is stable across "
+    "runs, engines, AND cluster reconfigurations. Row-local filter + "
+    "one aggregate.",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    bucket = hex15_to_long(md5s(key)) % 100
+    rate = (
+        F.when(F.col("l_returnflag") == "R", 20)
+        .when(F.col("l_returnflag") == "A", 10)
+        .otherwise(5)
+    )
+    return (
+        li.filter(bucket < rate)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# NULLS FIRST / NULLS LAST ordering, pinned portably
+# ---------------------------------------------------------------------------
+@register(
+    "nulls_ordering",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE o_totalprice END AS p
+      FROM orders WHERE o_orderkey <= 200
+    )
+    SELECT o_orderkey, p,
+           CAST(row_number() OVER (
+                ORDER BY p ASC NULLS FIRST, o_orderkey) AS BIGINT)
+             AS rk_nulls_first,
+           CAST(row_number() OVER (
+                ORDER BY p DESC NULLS LAST, o_orderkey) AS BIGINT)
+             AS rk_nulls_last
+    FROM base
+    """,
+    doc="NULL ordering pinned EXPLICITLY: Spark's default is NULLS "
+    "FIRST for ASC, DuckDB's is NULLS LAST — identical queries "
+    "silently rank nulls at opposite ends unless the direction is "
+    "spelled out. Both rankings here declare it (asc_nulls_first / "
+    "desc_nulls_last + unique tie-break), making the captured ranks "
+    "engine-invariant. Any ORDER BY a nullable key at 100 TB should "
+    "do the same — this query is the portability contract.",
+)
+def nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    p = F.when(
+        F.col("o_orderkey") % 5 == 0, F.lit(None).cast("double")
+    ).otherwise(F.col("o_totalprice"))
+    base = o.select("o_orderkey", p.alias("p"))
+    w1 = Window.orderBy(F.col("p").asc_nulls_first(), "o_orderkey")
+    w2 = Window.orderBy(F.col("p").desc_nulls_last(), "o_orderkey")
+    return base.select(
+        "o_orderkey",
+        "p",
+        F.row_number().over(w1).cast("bigint").alias("rk_nulls_first"),
+        F.row_number().over(w2).cast("bigint").alias("rk_nulls_last"),
+    )
