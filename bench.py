@@ -40,6 +40,7 @@ HEADLINE = [
     "gapfill_forward_fill",
     "q13_custdist",
     "grouping_sets_agg",
+    "recursive_cte_ancestors",
 ]
 
 

@@ -2692,3 +2692,52 @@ def nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w1).cast("bigint").alias("rk_nulls_first"),
         F.row_number().over(w2).cast("bigint").alias("rk_nulls_last"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Native recursive CTE (Spark 4): hierarchical ancestor walk
+# ---------------------------------------------------------------------------
+@register(
+    "recursive_cte_ancestors",
+    oracle="""
+    WITH RECURSIVE walk(start_key, cur, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey <= 127
+      UNION ALL
+      SELECT start_key, cur // 2, depth + 1 FROM walk WHERE cur > 1
+    )
+    SELECT start_key,
+           CAST(MAX(depth) AS INT) AS depth_to_root,
+           CAST(SUM(cur) AS BIGINT) AS path_sum,
+           CAST(COUNT(*) AS BIGINT) AS path_len
+    FROM walk GROUP BY start_key
+    """,
+    doc="NATIVE recursive CTE (new in Spark 4): every customer ≤127 "
+    "walks its implicit binary-tree ancestry (parent = key/2) to the "
+    "root, emitting one row per hop; the outer aggregate folds each "
+    "path into depth/sum/length. The recursion is strictly decreasing "
+    "so it terminates in ≤7 supersteps; Spark executes it as "
+    "iterated union steps (same BSP shape as "
+    "operators/components.py, but expressed declaratively). Exact "
+    "integer arithmetic throughout; positive-operand floor vs "
+    "truncating division agree, so DuckDB's // mirrors Spark's DIV "
+    "bit-for-bit.",
+)
+def recursive_cte_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_rcte_v"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(start_key, cur, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM customer_rcte_v
+          WHERE c_custkey <= 127
+          UNION ALL
+          SELECT start_key, cur DIV 2, depth + 1 FROM walk WHERE cur > 1
+        )
+        SELECT start_key,
+               CAST(MAX(depth) AS INT) AS depth_to_root,
+               SUM(cur) AS path_sum,
+               COUNT(*) AS path_len
+        FROM walk GROUP BY start_key
+        """
+    )
