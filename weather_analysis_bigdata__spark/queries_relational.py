@@ -2741,3 +2741,121 @@ def recursive_cte_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM walk GROUP BY start_key
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of FORWARD join (+ tolerance): next order strictly after each event
+# ---------------------------------------------------------------------------
+@register(
+    "asof_join_forward_tolerance",
+    oracle="""
+    WITH merged AS (
+      SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ts,
+             0 AS kind, o_orderkey AS sort_id,
+             o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS order_ts,
+             NULL::BIGINT AS event_id
+      FROM orders
+      UNION ALL
+      SELECT user_id, ts, 1 AS kind, event_id AS sort_id,
+             NULL::BIGINT, NULL::TIMESTAMP, event_id
+      FROM events
+    ),
+    filled AS (
+      SELECT *,
+             first_value(o_orderkey IGNORE NULLS) OVER w AS next_orderkey,
+             first_value(order_ts IGNORE NULLS) OVER w AS next_order_ts
+      FROM merged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind DESC, sort_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id, ts AS event_ts,
+           CASE WHEN next_order_ts <= ts + INTERVAL 90 DAY
+                THEN next_orderkey END AS next_order_within_90d,
+           next_order_ts <= ts + INTERVAL 90 DAY AS converted
+    FROM filled WHERE kind = 1
+    """,
+    doc="As-of FORWARD join with tolerance: each event finds the "
+    "user's NEXT order strictly after it, kept only if within 90 days "
+    "— the attribution/conversion query shape. Same scalable "
+    "union-merge as the backward as-of (one user_id shuffle, no row "
+    "amplification), mirrored: first_value(ignore nulls) over a "
+    "forward frame, kind DESC so an order at the exact event instant "
+    "is NOT matched (strictly-after semantics). The tolerance is a "
+    "row-local post-filter, NULLing out conversions beyond the "
+    "window. COALESCE'd boolean so non-converting events read false, "
+    "not null.",
+)
+def asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.lit(0).alias("kind"),
+        F.col("o_orderkey").alias("sort_id"),
+        F.col("o_orderkey"),
+        F.col("o_orderdate").cast("timestamp").alias("order_ts"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("sort_id"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("order_ts"),
+        "event_id",
+    )
+    merged = o.unionByName(e)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("kind").desc(), F.col("sort_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = merged.select(
+        "*",
+        F.first("o_orderkey", ignorenulls=True).over(w).alias("next_orderkey"),
+        F.first("order_ts", ignorenulls=True).over(w).alias("next_order_ts"),
+    )
+    within = F.col("next_order_ts") <= F.col("ts") + F.expr("INTERVAL 90 DAY")
+    return filled.filter(F.col("kind") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("event_ts"),
+        F.when(within, F.col("next_orderkey")).alias("next_order_within_90d"),
+        within.alias("converted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Numeric RANGE window frame (value-offset, not row-count)
+# ---------------------------------------------------------------------------
+@register(
+    "window_value_range",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 10000.0 PRECEDING AND 10000.0 FOLLOWING)
+             AS BIGINT) AS n_similar_price
+    FROM orders WHERE o_custkey <= 80
+    """,
+    doc="Numeric-RANGE window frame: for each order, how many of the "
+    "same customer's orders fall within ±10000 of ITS price — the "
+    "frame boundary is a VALUE offset on the ordering column, not a "
+    "row count (window_range_7d is the interval-typed cousin). A "
+    "COUNT over the frame is exact regardless of peers/ties, so no "
+    "tie-break column is needed. One shuffle + one sort; the frame "
+    "scan is the sliding two-pointer the executor runs natively.",
+)
+def window_value_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fractional RANGE offsets aren't expressible through the PySpark
+    # Window builder (rangeBetween takes ints) — the SQL frame syntax is.
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 80)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.expr(
+            "COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice "
+            "RANGE BETWEEN 10000.0 PRECEDING AND 10000.0 FOLLOWING)"
+        ).alias("n_similar_price"),
+    )
