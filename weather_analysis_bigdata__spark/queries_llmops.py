@@ -1323,3 +1323,64 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("node") == F.col("comp")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style subword token estimation (regex classes, portable)
+# ---------------------------------------------------------------------------
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@register(
+    "text_bpe_token_estimate",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, length(text) AS n_chars,
+             regexp_extract_all(lower(text), '{_BPE_RE}') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]'))) AS BIGINT)
+             AS n_word_tokens,
+           CAST(len(list_filter(toks, t -> regexp_matches(t, '^[0-9]'))) AS BIGINT)
+             AS n_num_tokens,
+           CAST(len(list_filter(toks, t -> NOT regexp_matches(t, '^[a-z0-9]'))) AS BIGINT)
+             AS n_punct_tokens,
+           CAST(n_chars AS DOUBLE) / NULLIF(len(toks), 0)
+             AS chars_per_token
+    FROM m
+    """,
+    doc="BPE-style token-count estimation: a GPT-tokenizer-shaped regex "
+    "(letter runs | digit runs | single punctuation) over lowercased "
+    "text — the standard pre-tokenization pass whose match count "
+    "approximates subword token counts for budget/cost accounting "
+    "(chars-per-token ≈ 4 on English prose). The pattern uses only "
+    "class alternation — no lookarounds — so Java regex (Spark) and "
+    "RE2 (DuckDB) agree exactly. Row-local regexp_extract_all + array "
+    "filters: zero shuffles, embarrassingly parallel; this is the "
+    "count a 100 TB corpus budget sums per source/language.",
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), 0)
+    m = d.select(
+        "doc_id", F.length("text").alias("n_chars"), toks.alias("toks")
+    )
+    n = F.size("toks")
+    return m.select(
+        "doc_id",
+        n.cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.filter("toks", lambda t: t.rlike("^[a-z]")))
+        .cast("bigint")
+        .alias("n_word_tokens"),
+        F.size(F.filter("toks", lambda t: t.rlike("^[0-9]")))
+        .cast("bigint")
+        .alias("n_num_tokens"),
+        F.size(F.filter("toks", lambda t: ~t.rlike("^[a-z0-9]")))
+        .cast("bigint")
+        .alias("n_punct_tokens"),
+        (F.col("n_chars").cast("double") / F.nullif(n, F.lit(0))).alias(
+            "chars_per_token"
+        ),
+    )
