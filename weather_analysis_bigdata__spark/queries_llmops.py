@@ -1384,3 +1384,138 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jaccard dedup with a document-frequency cap (the skew mitigation)
+# ---------------------------------------------------------------------------
+_DF_CAP = 20
+
+
+@register(
+    "dedup_jaccard_dfcapped",
+    oracle=f"""
+    WITH {SQL_DOCS_DUP.strip()},
+    {SQL_SHINGLES.strip()},
+    rare AS (
+      SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) <= {_DF_CAP}
+    ),
+    shc AS (SELECT sh.doc_id, sh.gram FROM sh JOIN rare USING (gram)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS n_common
+      FROM shc a JOIN shc b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_1, doc_id_2,
+           CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) AS jaccard
+    FROM common
+    JOIN sizes s1 ON doc_id_1 = s1.doc_id
+    JOIN sizes s2 ON doc_id_2 = s2.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.5
+    """,
+    doc=f"Jaccard near-dedup with a DOCUMENT-FREQUENCY CAP: shingles "
+    f"appearing in more than {_DF_CAP} docs are dropped before the "
+    "inverted-index self-join — the concrete form of the skew "
+    "mitigation dedup_ngram_jaccard's docstring prescribes for "
+    "100 TB. A stop-shingle in k docs generates k² candidate pairs "
+    "in ONE reducer partition (quadratic hot key); capping bounds "
+    "every gram's fan-out at DF_CAP² while leaving discriminative "
+    "shingles (the signal) untouched, so planted near-dups still "
+    "surface with J≈0.99. The cap is one extra group+semi-join on "
+    "the gram key — same partitioning as the index join it protects.",
+)
+def dedup_jaccard_dfcapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(_docs_with_dups(spark, sf_dir))
+    rare = (
+        sh.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _DF_CAP)
+        .select("gram")
+    )
+    shc = sh.join(rare, "gram")
+    sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        shc.alias("a")
+        .join(
+            shc.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("s1.n") + F.col("s2.n") - F.col("n_common")
+    )
+    return (
+        common.join(sizes.alias("s1"), F.col("doc_id_1") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("doc_id_2") == F.col("s2.doc_id"))
+        .select("doc_id_1", "doc_id_2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector unit-normalization with a quantized digest
+# ---------------------------------------------------------------------------
+@register(
+    "vector_normalize_digest",
+    oracle=f"""
+    WITH sv AS (
+      SELECT vec_id, {_SQL_SVA} AS sva, {sql_norm('embedding')} AS nrm
+      FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id, nrm,
+             list_transform(sva, x ->
+               CAST(CAST((CAST(x AS DOUBLE) / 100000000) / nrm
+                    AS DECIMAL(18,8)) * 100000000 AS BIGINT)) AS u
+      FROM sv
+    )
+    SELECT vec_id, nrm,
+           CAST(list_sum(u) AS BIGINT) AS unit_digest,
+           list_max(u) AS max_unit_q
+    FROM unit
+    """,
+    doc="Vector transform op: unit-L2 normalization of every "
+    "embedding, verified through a quantized integer digest. The norm "
+    "comes from the exact integer self-dot (vectorops) — one "
+    "correctly-rounded sqrt; each element's (x/1e8)/nrm is two IEEE "
+    "divisions on identical inputs, so both engines produce "
+    "bit-identical doubles, re-quantized to 1e-8 longs for the "
+    "hashable contract. Row-local transform (no shuffle) — the "
+    "preprocessing step before cosine ANN reduces to dot-product ANN "
+    "(sim_search queries), done once at ingest instead of per query "
+    "at 100 TB.",
+)
+def vector_normalize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    sv = e.select(
+        "vec_id",
+        scaled_vec("embedding").alias("sva"),
+        norm(scaled_vec("embedding")).alias("nrm"),
+    )
+    unit = sv.select(
+        "vec_id",
+        "nrm",
+        F.transform(
+            "sva",
+            lambda x: (
+                ((x.cast("double") / F.lit(100000000.0)) / F.col("nrm"))
+                .cast("decimal(18,8)")
+                * F.lit(100000000)
+            ).cast("long"),
+        ).alias("u"),
+    )
+    return unit.select(
+        "vec_id",
+        "nrm",
+        F.aggregate(
+            "u", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("unit_digest"),
+        F.array_max("u").alias("max_unit_q"),
+    )
