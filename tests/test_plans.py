@@ -93,3 +93,19 @@ def test_unpivot_is_shuffle_free(spark, sf_dir, registry):
     """Unpivot is an Expand evaluated in the scan stage — no exchange."""
     plan = plan_of(registry["unpivot_measures"].fn(spark, sf_dir))
     assert n_shuffles(plan) == 0
+
+
+def test_cached_layer_reads_from_memory(spark, sf_dir):
+    """Materializing a layer with cache() must turn downstream scans
+    into InMemoryTableScan — the §3.2 fix for the reference's
+    re-execute-full-lineage-per-action bottleneck."""
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    silver = load_table(spark, sf_dir, "orders").filter("o_orderkey <= 500")
+    silver.cache()
+    try:
+        silver.count()  # populate
+        plan = plan_of(silver.groupBy("o_orderstatus").count())
+        assert "InMemoryTableScan" in plan
+    finally:
+        silver.unpersist()
