@@ -2859,3 +2859,121 @@ def window_value_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             "RANGE BETWEEN 10000.0 PRECEDING AND 10000.0 FOLLOWING)"
         ).alias("n_similar_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature scaling: per-group z-score standardization (exact closed form)
+# ---------------------------------------------------------------------------
+@register(
+    "zscore_standardize",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             {sql_dsum('l_quantity')} AS sx,
+             CAST(SUM({sql_dec('l_quantity')} * {sql_dec('l_quantity')}) AS DOUBLE)
+               AS sxx
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           (l_quantity - sx / n) / sqrt((sxx - sx * sx / n) / n) AS qty_z
+    FROM lineitem JOIN s USING (l_returnflag)
+    WHERE l_orderkey <= 300
+    """,
+    doc="Per-group z-score standardization — the feature-scaling pass "
+    "of every ML pipeline — with mean and population-σ derived from "
+    "EXACT decimal sums (dispersion_stats' closed form), then one "
+    "row-local IEEE expression per value: identical inputs → "
+    "bit-identical z on both engines, invariant to partitioning. The "
+    "3-row stats side broadcasts back onto the fact scan (no second "
+    "shuffle of the big side) — the two-pass pattern a 100 TB "
+    "normalize takes: tiny stats pass, then a map-only standardize.",
+)
+def zscore_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = dec("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("l_quantity").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    z = (F.col("l_quantity") - sx / n) / F.sqrt((sxx - sx * sx / n) / n)
+    return (
+        li.filter(F.col("l_orderkey") <= 300)
+        .join(F.broadcast(s), "l_returnflag")
+        .select("l_orderkey", "l_linenumber", "l_quantity", z.alias("qty_z"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization (rank → uniform [0,1])
+# ---------------------------------------------------------------------------
+@register(
+    "quantile_normalize",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           percent_rank() OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey) AS price_quantile
+    FROM orders WHERE o_custkey <= 100
+    """,
+    doc="Quantile normalization: map each value to its within-group "
+    "percent_rank — the rank-to-uniform feature transform robust to "
+    "outliers and scale. percent_rank is an exact integer ratio "
+    "((rank-1)/(n-1)): no floating accumulation, so it is "
+    "bit-portable given the fully tie-broken ordering. One shuffle + "
+    "sort per group; at 100 TB the same transform with bounded memory "
+    "is approx_percentile-bucketed (sketch_approx_aggs shows the "
+    "sketch machinery).",
+)
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("price_quantile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Share-of-total crosstab (aggregate + window composition)
+# ---------------------------------------------------------------------------
+@register(
+    "crosstab_share",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT source, lang, n_docs,
+           CAST(n_docs AS DOUBLE)
+             / SUM(n_docs) OVER (PARTITION BY source) AS share_in_source,
+           CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS share_total
+    FROM c
+    """,
+    doc="Share-of-total crosstab: counts per (source, language) with "
+    "each cell's share of its source and of the corpus — the "
+    "composition report every data curation pass starts from. Window "
+    "sums over EXACT bigint counts (one small post-aggregate window; "
+    "the OVER () global sum runs on the already-aggregated cells, "
+    "never the raw table), then one IEEE division — portable. Shape: "
+    "aggregate → window over aggregate, 2 small shuffles after the "
+    "single big one.",
+)
+def crosstab_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_src = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    nd = F.col("n_docs").cast("double")
+    return c.select(
+        "source",
+        "lang",
+        "n_docs",
+        (nd / F.sum("n_docs").over(w_src)).alias("share_in_source"),
+        (nd / F.sum("n_docs").over(w_all)).alias("share_total"),
+    )
