@@ -1519,3 +1519,126 @@ def vector_normalize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("unit_digest"),
         F.array_max("u").alias("max_unit_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup (asymmetric: short doc quoted inside long doc)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      -- planted: the first 12 tokens of every 40th doc as a standalone
+      -- short doc (a quote/excerpt — high containment, low Jaccard)
+      SELECT doc_id + 5000000,
+             array_to_string(({SQL_TOKENS.format(c='text')})[1:12], ' ')
+      FROM documents WHERE doc_id % 40 = 0
+    ),
+    {SQL_SHINGLES.strip()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_1, doc_id_2,
+           CAST(n_common AS DOUBLE) / least(s1.n, s2.n) AS containment,
+           CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) AS jaccard
+    FROM common
+    JOIN sizes s1 ON doc_id_1 = s1.doc_id
+    JOIN sizes s2 ON doc_id_2 = s2.doc_id
+    WHERE CAST(n_common AS DOUBLE) / least(s1.n, s2.n) >= 0.8
+    """,
+    doc="CONTAINMENT near-dup: |A∩B| / min(|A|,|B|) ≥ 0.8 over shingle "
+    "sets — catches a short document quoted verbatim inside a long one "
+    "(planted here as 12-token excerpts), which symmetric Jaccard "
+    "misses entirely (the excerpt pairs score J≈0.05 but C≈1.0; both "
+    "columns returned to show the gap). Same inverted-index join as "
+    "dedup_ngram_jaccard — only the final ratio differs — so the "
+    "100 TB scaling (DF cap, AQE skew-split) carries over unchanged. "
+    "This is the dedup rule that removes boilerplate/quotation "
+    "contamination from training corpora.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = d.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.array_join(F.slice(tokens("text"), 1, 12), " ").alias("text"),
+    )
+    sh = _shingles(d.unionByName(excerpts))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    containment = F.col("n_common").cast("double") / F.least(
+        F.col("s1.n"), F.col("s2.n")
+    )
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("s1.n") + F.col("s2.n") - F.col("n_common")
+    )
+    return (
+        common.join(sizes.alias("s1"), F.col("doc_id_1") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("doc_id_2") == F.col("s2.doc_id"))
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            containment.alias("containment"),
+            jaccard.alias("jaccard"),
+        )
+        .filter(F.col("containment") >= 0.8)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split assignment
+# ---------------------------------------------------------------------------
+@register(
+    "train_val_test_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, source,
+             {sql_hex15_to_long("md5('split:' || CAST(doc_id AS VARCHAR))")}
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    """,
+    doc="Deterministic train/val/test split (80/10/10): every document "
+    "assigned by md5('split:'||id) residue — a pure function of the "
+    "stable id, so the split survives reruns, engine changes, corpus "
+    "growth (old docs never migrate between splits when new docs "
+    "arrive), and any repartitioning; the salt prefix decorrelates it "
+    "from every other hash-based decision (sampling, sharding) in the "
+    "pipeline. THE leakage-safety primitive of training-data prep — "
+    "`df.randomSplit` guarantees none of this. Row-local, zero "
+    "shuffles; at 100 TB the split column becomes a partition key so "
+    "each split reads its own files.",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        hex15_to_long(
+            md5s(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        )
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return d.select("doc_id", "source", split.alias("split"))
