@@ -174,3 +174,53 @@ def test_watermark_drops_late_rows(spark):
     assert 0 not in by_window and 60 not in by_window  # late rows dropped
     assert by_window[3 * 3600] == 5  # batch-0 4 rows + batch-1 refinement
     assert by_window[4 * 3600] == 1  # fresh batch-2 row admitted
+
+
+def test_foreachbatch_incremental_sink(spark, sf_dir):
+    """foreachBatch sink pattern: each micro-batch is aggregated and
+    merged into a driver-side dict keyed by window — after an
+    availableNow replay the merged state must equal the batch
+    aggregate of the same file (stream ≡ batch through a custom sink)."""
+    from weather_analysis_bigdata__spark.streaming.windows import (
+        stream_events,
+        tumbling_agg,
+    )
+
+    src_dir = tempfile.mkdtemp(prefix="feb_sink_")
+    merged: dict = {}
+    try:
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src_dir, "part-000.parquet"),
+        )
+
+        def merge_batch(batch_df, batch_id):
+            for r in batch_df.collect():
+                key = (r.window_start, r.event_type)
+                n, s = merged.get(key, (0, 0.0))
+                merged[key] = (n + r.n_events, s + r.sum_value)
+
+        agg = tumbling_agg(stream_events(spark, src_dir))
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    batch = (
+        tumbling_agg(load_table(spark, sf_dir, "events"))
+        .collect()
+    )
+    expect = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch
+    }
+    # update-mode re-emissions refine earlier values; with a single
+    # input file every key is emitted exactly once, so plain merge works
+    assert merged == expect
