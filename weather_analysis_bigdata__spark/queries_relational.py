@@ -2977,3 +2977,112 @@ def crosstab_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nd / F.sum("n_docs").over(w_src)).alias("share_in_source"),
         (nd / F.sum("n_docs").over(w_all)).alias("share_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Longest daily streaks (gaps-and-islands on the date axis)
+# ---------------------------------------------------------------------------
+@register(
+    "streak_lengths",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+      FROM events WHERE user_id <= 30
+    ),
+    tagged AS (
+      SELECT user_id, day,
+             day - INTERVAL 1 DAY * row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS anchor
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len,
+             MIN(day) AS streak_start
+      FROM tagged GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           MAX(len) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           MIN(streak_start) AS first_active_day
+    FROM runs GROUP BY user_id
+    """,
+    doc="Gaps-and-islands on the DATE axis: consecutive active days "
+    "collapse to one 'anchor' (day minus row_number days — constant "
+    "within a run, the classic islands trick), runs aggregate to "
+    "lengths, then per-user longest-streak/streak-count. Pure "
+    "integer/date arithmetic — no floats anywhere. One shuffle+sort "
+    "for the window, two cheap aggregates; at 100 TB the distinct-day "
+    "pre-aggregate shrinks the window input to ≤365 rows/user/year "
+    "regardless of event volume. Engagement-streak analytics shape.",
+)
+def streak_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 30)
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    tagged = days.select(
+        "user_id",
+        "day",
+        (
+            F.col("day")
+            - F.expr("INTERVAL 1 DAY") * F.row_number().over(w)
+        ).alias("anchor"),
+    )
+    runs = tagged.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("streak_start")
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.min("streak_start").alias("first_active_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (FK orphan counts across the schema)
+# ---------------------------------------------------------------------------
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'orders->customer' AS fk, CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'lineitem->orders', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT)
+    FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+    UNION ALL
+    SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+    """,
+    doc="Referential-integrity audit: orphan counts for four FK "
+    "relationships via anti joins (key sets are null-free, so NOT IN "
+    "is safe here — not_in_with_nulls documents the trap), tagged and "
+    "unioned into one data-quality report. Each anti join broadcasts "
+    "the distinct key side when it fits, or hashes on the key "
+    "otherwise; zero-row results are the CONTRACT (all four must be "
+    "0 on healthy data) — the pre-flight gate a 100 TB pipeline runs "
+    "before training-data export.",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def orphans(fact, fk, dim, pk, tag):
+        n = (
+            fact.join(dim, fact[fk] == dim[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(tag).alias("fk"), "n_orphans")
+        )
+        return n
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        orphans(o, "o_custkey", c, "c_custkey", "orders->customer")
+        .unionByName(orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders"))
+        .unionByName(orphans(c, "c_nationkey", n, "n_nationkey", "customer->nation"))
+        .unionByName(orphans(li, "l_partkey", p, "p_partkey", "lineitem->part"))
+    )
