@@ -228,3 +228,50 @@ def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.sum(F.length("text").cast("bigint")).alias("total_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Parquet schema evolution: mergeSchema across heterogeneous files
+# ---------------------------------------------------------------------------
+@register(
+    "parquet_schema_merge",
+    oracle="""
+    WITH merged AS (
+      SELECT doc_id, n_chars, NULL AS lang FROM documents
+      UNION ALL
+      SELECT doc_id, NULL, lang FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(n_chars) AS BIGINT) AS n_with_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM merged GROUP BY lang
+    """,
+    doc="Schema EVOLUTION read: two parquet file generations with "
+    "different column sets (v1: doc_id+n_chars, v2: doc_id+lang) "
+    "read as one dataset via mergeSchema — absent columns surface as "
+    "NULL per file generation, exactly the UNION-with-NULLs relation "
+    "the oracle states. This is how a 100 TB layer absorbs added "
+    "columns without rewriting history; the per-file footer merge "
+    "happens once at planning, scans stay pruned. COUNT(col) vs "
+    "COUNT(*) shows which generation each row came from.",
+)
+def parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    base = f"/tmp/spark_graft_schema_merge_{os.path.basename(sf_dir.rstrip('/'))}"
+    d = load_table(spark, sf_dir, "documents")
+    d.select("doc_id", "n_chars").write.mode("overwrite").parquet(
+        f"{base}/gen=1"
+    )
+    d.select("doc_id", "lang").write.mode("overwrite").parquet(
+        f"{base}/gen=2"
+    )
+    merged = spark.read.option("mergeSchema", True).option(
+        "recursiveFileLookup", True
+    ).parquet(base)
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("n_chars").alias("n_with_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -3086,3 +3086,41 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(orphans(c, "c_nationkey", n, "n_nationkey", "customer->nation"))
         .unionByName(orphans(li, "l_partkey", p, "p_partkey", "lineitem->part"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Typed from_json parsing (schema once, not per-path probes)
+# ---------------------------------------------------------------------------
+@register(
+    "from_json_typed_agg",
+    oracle="""
+    WITH parsed AS (
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events
+    )
+    SELECT CAST(k // 10 AS INT) AS k_decade,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(k) AS INT) AS k_min,
+           CAST(MAX(k) AS INT) AS k_max
+    FROM parsed GROUP BY 1
+    """,
+    doc="Typed from_json: the props column parsed ONCE with an "
+    "explicit struct schema (vs get_json_object's per-path re-parse "
+    "in json_extract_props — n paths cost n parses; from_json costs "
+    "one), then struct-field access feeding a grouped aggregate. "
+    "Non-negative k makes // vs DIV agree. At 100 TB, schema-on-read "
+    "JSON parsing is a top-3 CPU line item: one from_json per column "
+    "is the rule this query pins.",
+)
+def from_json_typed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id", F.from_json("props", "k INT").alias("p")
+    ).select("event_id", F.col("p.k").alias("k"))
+    return parsed.groupBy(
+        F.expr("k div 10").cast("int").alias("k_decade")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("k").cast("int").alias("k_min"),
+        F.max("k").cast("int").alias("k_max"),
+    )
