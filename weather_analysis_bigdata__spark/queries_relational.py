@@ -3124,3 +3124,61 @@ def from_json_typed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("int").alias("k_min"),
         F.max("k").cast("int").alias("k_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (duration-weighted, exact integer arithmetic)
+# ---------------------------------------------------------------------------
+@register(
+    "time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value, ts,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_ts
+      FROM events WHERE user_id <= 20
+    ),
+    weighted AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * (epoch_us(next_ts) - epoch_us(ts)) AS wv,
+             epoch_us(next_ts) - epoch_us(ts) AS w
+      FROM seq WHERE next_ts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(CAST(SUM(wv) AS BIGINT) AS DOUBLE)
+             / CAST(SUM(w) AS BIGINT) / 100 AS tw_avg_value,
+           CAST(SUM(w) AS BIGINT) AS total_span_us,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+    FROM weighted GROUP BY user_id
+    """,
+    doc="TIME-WEIGHTED average: each observation weighted by how long "
+    "it was current (until the next event), the correct mean for "
+    "irregularly sampled series — a plain AVG over-counts bursts "
+    "(reference A1's naive mean is the wrong tool on event streams). "
+    "All arithmetic is exact 64-bit: cent-scaled values × microsecond "
+    "durations (≤5·10¹² per term, ≤~10¹⁶ summed) as longs, one double "
+    "division at the end — partitioning-invariant. One window + one "
+    "aggregate sharing the user_id shuffle.",
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        "ts",
+        F.lead("ts").over(w_seq).alias("next_ts"),
+    ).filter(F.col("next_ts").isNotNull())
+    dur = F.unix_micros("next_ts") - F.unix_micros("ts")
+    cents = (dec("value") * 100).cast("long")
+    weighted = seq.select(
+        "user_id", (cents * dur).alias("wv"), dur.alias("w")
+    )
+    return weighted.groupBy("user_id").agg(
+        (
+            F.sum("wv").cast("double") / F.sum("w").cast("bigint") / 100
+        ).alias("tw_avg_value"),
+        F.sum("w").cast("bigint").alias("total_span_us"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
