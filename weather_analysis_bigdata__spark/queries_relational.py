@@ -3182,3 +3182,64 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").cast("bigint").alias("total_span_us"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: ordered step progression per user
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_steps",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t_view
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+             AS n_view_click_purchase
+    """,
+    doc="Funnel analysis: users progressing view → (later) click → "
+    "(later) purchase, each stage anchored at the earliest qualifying "
+    "time of the previous stage — the ORDERED-sequence semantics "
+    "(conditional-count funnels ignore order and overcount). Three "
+    "stage aggregates, each joined back on user_id — all shuffles "
+    "share the user_id key, so at 100 TB they pipeline in one "
+    "co-partitioned stage chain; output is 3 scalars.",
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(prev, etype, tcol, prev_tcol):
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(tcol))
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_tcol))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    s1 = stage(None, "view", "t_view", None)
+    s2 = stage(s1, "click", "t_click", "t_view")
+    s3 = stage(s2, "purchase", "t_purchase", "t_click")
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(
+            s3.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+        )
+    )
