@@ -3243,3 +3243,99 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             s3.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix (first-activity cohort × day offset)
+# ---------------------------------------------------------------------------
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: users bucketed by FIRST-activity day "
+    "(the cohort), then counted per (cohort, day-offset) for the "
+    "first week — the product-analytics retention triangle. The "
+    "first-activity aggregate and the activity join share the "
+    "user_id shuffle; the distinct collapses multiple same-day "
+    "events before counting (a user is active once per day). All "
+    "date arithmetic is integer days — exact. At 100 TB the firsts "
+    "table is the small side (one row per user) and broadcasts or "
+    "co-partitions with the event scan.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+        .filter(F.col("day_offset") <= 7)
+    )
+    return activity.groupBy(
+        "cohort_day", F.col("day_offset").cast("int").alias("day_offset")
+    ).agg(F.count(F.lit(1)).alias("n_active_users"))
+
+
+# ---------------------------------------------------------------------------
+# Rolling distinct users (sliding window COUNT DISTINCT via range join)
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_distinct_users",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    spine AS (SELECT DISTINCT day FROM user_days)
+    SELECT s.day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau_7d
+    FROM spine s JOIN user_days u
+      ON u.day BETWEEN s.day - INTERVAL 6 DAY AND s.day
+    GROUP BY s.day
+    """,
+    doc="Rolling 7-day distinct users (WAU): COUNT(DISTINCT) over a "
+    "sliding window — windows don't support DISTINCT aggregates, so "
+    "the scalable form is a bounded range join: the (day, user) "
+    "pre-aggregate (tiny: one row per user-day) joined to the day "
+    "spine within the trailing week, then exact distinct per day. "
+    "Row amplification is exactly 7× the pre-aggregate, NOT the raw "
+    "events — at 100 TB the pre-aggregate is what makes this "
+    "tractable; for wider windows swap in an HLL sketch per day and "
+    "merge (sketch_approx_aggs shows the machinery).",
+)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    spine = user_days.select("day").distinct().alias("s")
+    u = user_days.alias("u")
+    joined = spine.join(
+        u,
+        (F.col("u.day") >= F.col("s.day") - F.expr("INTERVAL 6 DAY"))
+        & (F.col("u.day") <= F.col("s.day")),
+    )
+    return joined.groupBy(F.col("s.day").alias("day")).agg(
+        F.countDistinct("u.user_id").alias("wau_7d")
+    )
