@@ -1050,7 +1050,7 @@ def salted_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "pandas_udf_tokenize",
-    oracle=f"""
+    oracle=rf"""
     SELECT doc_id,
            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
            CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
