@@ -1,0 +1,386 @@
+"""Training-data-pipeline operators, batch 2: corpus hygiene and
+retrieval shapes a 100 TB pre-training pipeline runs alongside dedup.
+
+- Gopher/C4-style repetition filtering (top-bigram coverage),
+- BM25 keyword retrieval (rational-idf variant — no transcendental
+  functions, so the score is bit-identical across engines),
+- PII extraction / redaction battery (emails, URLs, phone numbers),
+- Z-order (Morton) clustering keys for multi-dimensional file layout.
+
+Everything is built-in-function composition (JVM-side, codegen-capable);
+no Python UDFs. Cross-engine determinism follows the repo's rules
+(functions/deterministic.py): exact integer/decimal accumulation, one
+final IEEE double division per ratio, mirrored expression trees.
+
+Reference parity note: the reference notebook has no text corpus — this
+module is charter-extension breadth (SURVEY.md §7.2 M4, "LLM-data-
+pipeline operators"); its dedup-adjacent hygiene rules complement
+queries_llmops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_analysis_bigdata__spark.functions.textops import (
+    SQL_TOKENS,
+    md5s,
+    sql_word_ngrams,
+    tokens,
+    word_ngrams,
+)
+from weather_analysis_bigdata__spark.registry import register
+from weather_analysis_bigdata__spark.sources.files import load_table
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filter
+# ---------------------------------------------------------------------------
+@register(
+    "repetition_topgram_filter",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {SQL_TOKENS.format(c='text')} AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest({sql_word_ngrams('toks', 2)}) AS bigram
+        FROM t
+    ),
+    cnt AS (SELECT doc_id, bigram, count(*) AS c FROM g GROUP BY doc_id, bigram),
+    top AS (SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT)            AS n_tokens,
+           CAST(coalesce(top.top_c, 0) AS BIGINT) AS top_bigram_count,
+           CAST(coalesce(top.top_c, 0) * 2 AS DOUBLE)
+             / CAST(NULLIF(len(t.toks), 0) AS DOUBLE) AS rep_fraction,
+           (CAST(coalesce(top.top_c, 0) * 2 AS DOUBLE)
+             / CAST(NULLIF(len(t.toks), 0) AS DOUBLE) < 0.125) AS keep
+    FROM t LEFT JOIN top USING (doc_id)
+    """,
+    doc="Gopher-style repetition filter: fraction of tokens covered by "
+    "the single most frequent word bigram (Rae et al. 2021 use the same "
+    "family of duplicate-n-gram-coverage rules). Spark side is entirely "
+    "row-local — bigrams via the O(n) zip_with shingle builder, then the "
+    "max duplicate count from a SINGLE aggregate pass over the SORTED "
+    "bigram array (max run length of equal adjacent elements ≡ max "
+    "multiplicity). No explode, no shuffle: at 100 TB this scans and "
+    "filters in place, while the oracle's unnest+GROUP BY form (clearer, "
+    "but a shuffle) verifies it at test scale.",
+)
+def repetition_topgram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    sorted_b = F.array_sort(word_ngrams(toks, 2))
+    # One pass over the sorted bigram array: (prev, current-run, best-run).
+    top_c = F.aggregate(
+        sorted_b,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            (F.when(x == acc["prev"], acc["run"]).otherwise(F.lit(0)) + 1).alias(
+                "run"
+            ),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"]).otherwise(F.lit(0)) + 1,
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_tok = F.size(toks)
+    rep = top_c.cast("double") * 2 / F.nullif(n_tok, F.lit(0)).cast("double")
+    return d.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        top_c.cast("bigint").alias("top_bigram_count"),
+        rep.alias("rep_fraction"),
+        (rep < 0.125).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "join", "window")
+_K1 = "1.2"
+_B = "0.75"
+
+
+@register(
+    "bm25_search_topk",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS dl,
+               {', '.join(
+                   f"CAST(len(list_filter(toks, t -> t = '{w}')) AS BIGINT) AS tf{i}"
+                   for i, w in enumerate(_BM25_TERMS)
+               )}
+        FROM (SELECT doc_id, {SQL_TOKENS.format(c='text')} AS toks FROM documents)
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs,
+               sum(dl) AS sum_dl,
+               {', '.join(
+                   f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+                   for i in range(len(_BM25_TERMS))
+               )}
+        FROM per_doc
+    )
+    SELECT doc_id, dl, tf0, tf1, tf2,
+           ({' + '.join(
+               f"(((CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE)) + 0.5)"
+               f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+               f" * ((CAST(tf{i} AS DOUBLE) * ({_K1} + 1.0))"
+               f" / (CAST(tf{i} AS DOUBLE) + {_K1} * ((1.0 - {_B}) + {_B}"
+               f" * (CAST(dl AS DOUBLE)"
+               f" / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))"
+               for i in range(len(_BM25_TERMS))
+           )}) AS score
+    FROM per_doc, stats
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+    doc="BM25 top-10 keyword retrieval for a 3-term query. Uses the "
+    "rational idf variant idf = (N - df + ½)/(df + ½) — monotone in the "
+    "standard log idf, but free of transcendental functions, so both "
+    "engines produce bit-identical IEEE doubles (every +,×,/ is "
+    "correctly rounded and the expression trees mirror exactly). "
+    "Per-doc term frequencies fold in ONE aggregate pass over the token "
+    "array (PERF.md: sibling expressions re-evaluate an inlined split() "
+    "per reference; the explode(array(struct)) Generate node is a "
+    "collapse barrier that materializes the fold once). Corpus stats "
+    "(N, Σdl, df) are one exact-integer global aggregate broadcast to "
+    "every scorer; top-k is TakeOrdered — no global sort.",
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    nt = len(_BM25_TERMS)
+    # [dl, tf0, tf1, tf2] in one pass; finish folds into a struct.
+    sig = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), nt + 1),
+        lambda acc, x: F.array(
+            acc[0] + 1,
+            *[
+                acc[i + 1]
+                + F.when(x == _BM25_TERMS[i], F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for i in range(nt)
+            ],
+        ),
+        lambda acc: F.struct(
+            acc[0].alias("dl"), *[acc[i + 1].alias(f"tf{i}") for i in range(nt)]
+        ),
+    )
+    # explode(array(s)): a Generate node CollapseProject cannot inline
+    # through — the aggregate fold runs once per row, not once per field.
+    per_doc = d.select(
+        "doc_id", F.explode(F.array(sig)).alias("s")
+    ).select("doc_id", "s.*")
+
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(nt)
+        ],
+    )
+
+    def fdbl(c: str) -> F.Column:
+        return F.col(c).cast("double")
+
+    avgdl = fdbl("sum_dl") / fdbl("n_docs")
+    score = None
+    for i in range(nt):
+        idf = ((fdbl("n_docs") - fdbl(f"df{i}")) + F.lit(0.5)) / (
+            fdbl(f"df{i}") + F.lit(0.5)
+        )
+        w = (fdbl(f"tf{i}") * (F.lit(1.2) + F.lit(1.0))) / (
+            fdbl(f"tf{i}")
+            + F.lit(1.2)
+            * ((F.lit(1.0) - F.lit(0.75)) + F.lit(0.75) * (fdbl("dl") / avgdl))
+        )
+        term = idf * w
+        score = term if score is None else score + term
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select("doc_id", "dl", "tf0", "tf1", "tf2", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII extraction / redaction
+# ---------------------------------------------------------------------------
+# Simple character-class patterns only — no lookaround, no backrefs — so
+# Java regex (Spark) and RE2 (DuckDB) agree on every match.
+_PAT_EMAIL = r"[a-z0-9._]+@[a-z0-9.]+\.[a-z]+"
+_PAT_URL = r"https?://[a-z0-9./_-]+"
+_PAT_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+@register(
+    "pii_extract_redact",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN ' contact u' || doc_id
+                              || '@mail.example.com or http://ex.example.com/p/'
+                              || doc_id
+                         ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0
+                         THEN ' call 555-0' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0')
+                         ELSE '' END AS text2
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text2, '{_PAT_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text2, '{_PAT_URL}')) AS BIGINT)   AS n_urls,
+           CAST(len(regexp_extract_all(text2, '{_PAT_PHONE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text2, '{_PAT_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PAT_URL}', '<URL>', 'g'),
+                 '{_PAT_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+    doc="PII scrubbing battery: extract-count and redact emails / URLs / "
+    "phone numbers. The test corpus contains no PII, so deterministic "
+    "synthetic PII is appended to a doc_id-selected subset — mirrored "
+    "verbatim in the oracle (the repo's standard trick for null-free / "
+    "PII-free test tables). Patterns are plain character classes so the "
+    "Java-regex and RE2 engines agree; redaction order is fixed "
+    "(email → URL → phone; prefixes don't overlap) and verified via md5 "
+    "of the fully-redacted text. Row-local → shuffle-free at any scale. "
+    "DuckDB regexp_replace needs the explicit 'g' flag for "
+    "replace-all parity with Spark.",
+)
+def pii_extract_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact u"),
+                did.cast("string"),
+                F.lit("@mail.example.com or http://ex.example.com/p/"),
+                did.cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" call 555-0"),
+                F.lpad((did % 100).cast("string"), 3, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text2, _PAT_EMAIL, "<EMAIL>"),
+            _PAT_URL,
+            "<URL>",
+        ),
+        _PAT_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(text2, F.lit(_PAT_EMAIL), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(text2, F.lit(_PAT_URL), 0))
+        .cast("bigint")
+        .alias("n_urls"),
+        F.size(F.regexp_extract_all(text2, F.lit(_PAT_PHONE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+        md5s(redacted).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering keys
+# ---------------------------------------------------------------------------
+def _zkey_sql(xe: str, ye: str, bits: int, div: str) -> str:
+    """Bit-interleave via pure integer arithmetic — ((v div 2^i) % 2) *
+    2^(2i[+1]) — identical formula on both engines; only the integer-
+    division token differs (Spark ``div``, DuckDB ``//``). Inputs are
+    non-negative so truncating and flooring division coincide."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xe}) {div} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((({ye}) {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_ZX = "user_id % 1024"
+_ZBITS = 10
+
+
+@register(
+    "zorder_cluster_stats",
+    oracle=f"""
+    WITH k AS (
+        SELECT event_id,
+               {_ZX} AS x,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 1024 AS y
+        FROM events
+    ),
+    z AS (
+        SELECT event_id, x, y,
+               {_zkey_sql('x', 'y', _ZBITS, '//')} AS zkey
+        FROM k
+    )
+    SELECT zkey // {1 << 8} AS zbucket,
+           count(*) AS n_events,
+           CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+           CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+    FROM z
+    GROUP BY zbucket
+    """,
+    doc="Z-order (Morton) clustering key over (user bucket, day): "
+    "interleave 10 bits of each dimension, then report per-zbucket "
+    "min/max envelopes of BOTH dimensions. This is the layout primitive "
+    "behind multi-dimensional data skipping (Delta/Iceberg Z-ORDER BY): "
+    "sorting 100 TB of files by zkey bounds every file's (x, y) "
+    "envelope, so parquet min/max stats prune scans on EITHER predicate "
+    "column — a 1-D sort can only prune one. The interleave is pure "
+    "integer arithmetic (shift-free, engine-portable), row-local, and "
+    "the bucket aggregation is one shuffle.",
+)
+def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = e.select(
+        "event_id",
+        F.expr(_ZX).alias("x"),
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 1024).alias("y"),
+    )
+    z = k.select(
+        "event_id", "x", "y", F.expr(_zkey_sql("x", "y", _ZBITS, "div")).alias("zkey")
+    )
+    return (
+        z.groupBy(F.expr(f"zkey div {1 << 8}").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("x").cast("bigint").alias("min_x"),
+            F.max("x").cast("bigint").alias("max_x"),
+            F.min("y").cast("bigint").alias("min_y"),
+            F.max("y").cast("bigint").alias("max_y"),
+        )
+    )
