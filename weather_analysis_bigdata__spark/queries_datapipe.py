@@ -384,3 +384,133 @@ def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").cast("bigint").alias("max_y"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters (Misra-Gries two-pass)
+# ---------------------------------------------------------------------------
+@register(
+    "heavy_hitters_tokens",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({SQL_TOKENS.format(c='text')}) AS token FROM documents
+    ),
+    tot AS (SELECT count(*) AS n_total FROM tok),
+    cnt AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+    SELECT token, cnt FROM cnt CROSS JOIN tot WHERE cnt * 30 > n_total
+    """,
+    doc="Exact corpus heavy hitters: tokens whose frequency exceeds "
+    "1/30 of the total token count, computed by the two-pass "
+    "Misra-Gries scheme in operators/heavyhitters.py — a bounded-memory "
+    "mapInPandas candidate sketch (k counters per partition, no "
+    "shuffle) followed by an exact broadcast-semi-join recount. The "
+    "candidate set is partitioning-DEPENDENT; the final answer is "
+    "partitioning-INVARIANT because any MG superset recounts to the "
+    "same exact result — the oracle is the plain GROUP BY + HAVING "
+    "the sketch replaces at scale. Threshold comparison is integer "
+    "(cnt·k > n), no division.",
+)
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.operators.heavyhitters import (
+        frequent_tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    tok_df = d.select(F.explode(tokens("text")).alias("token"))
+    return frequent_tokens(tok_df, "token", k=30)
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the event-type transition graph
+# ---------------------------------------------------------------------------
+def _pagerank_oracle(iters: int, scale: int) -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs (aggregation
+    inside a recursive term is not portable SQL; 5 unrolled steps are)."""
+    parts = [
+        f"""
+    WITH pairs AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM events
+    ),
+    edges AS (SELECT src, dst, count(*) AS w FROM pairs
+              WHERE dst IS NOT NULL GROUP BY src, dst),
+    outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),
+    e AS (SELECT edges.src, edges.dst, edges.w, outw.out_w
+          FROM edges JOIN outw USING (src)),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM edges
+               UNION ALL SELECT dst FROM edges)),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS rank_scaled
+           FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    r{i} AS (
+        SELECT nodes.node,
+               CAST((15 * {scale}) // (100 * nn.n)
+                    + coalesce(c.s, 0) AS BIGINT) AS rank_scaled
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN (SELECT e.dst AS node,
+                          sum((r.rank_scaled * 85 * e.w) // (100 * e.out_w)) AS s
+                   FROM e JOIN r{i - 1} r ON e.src = r.node
+                   GROUP BY e.dst) c ON c.node = nodes.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, rank_scaled,
+           CAST(rank_scaled AS DOUBLE) / 1e10 AS rank
+    FROM r{iters}"""
+    )
+    return "".join(parts)
+
+
+from weather_analysis_bigdata__spark.operators.pagerank import (  # noqa: E402
+    SCALE as _PR_SCALE,
+)
+from weather_analysis_bigdata__spark.operators.pagerank import (  # noqa: E402
+    pagerank_fixed_point,
+)
+
+
+@register(
+    "pagerank_event_types",
+    oracle=_pagerank_oracle(5, _PR_SCALE),
+    doc="PageRank (5 iterations, damping 0.85) over the event-type "
+    "transition graph: edges are consecutive-event pairs per user "
+    "(LEAD over (user_id, ts)), weighted by transition count — the "
+    "'which states dominate user journeys' question. Runs the exact "
+    "fixed-point iterative operator (operators/pagerank.py): ranks are "
+    "10^10-scaled BIGINTs, every superstep is integer multiply / floor-"
+    "divide / sum, so the result is bit-identical across engines and "
+    "reduction orders. The oracle unrolls the same five supersteps as "
+    "chained CTEs (aggregation inside a recursive CTE term is not "
+    "portable; WITH RECURSIVE stays the Spark-side tool for traversal "
+    "shapes — see recursive_cte_ancestors). Each Spark superstep is one "
+    "broadcast join + one aggregate with lineage truncated by eager "
+    "localCheckpoint, the components.py pattern.",
+)
+def pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    edges = (
+        pairs.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank_fixed_point(edges, iters=5)
+    return ranks.select(
+        "node",
+        "rank_scaled",
+        (F.col("rank_scaled").cast("double") / F.lit(1e10)).alias("rank"),
+    )
