@@ -224,3 +224,58 @@ def test_foreachbatch_incremental_sink(spark, sf_dir):
     # update-mode re-emissions refine earlier values; with a single
     # input file every key is emitted exactly once, so plain merge works
     assert merged == expect
+
+
+def test_streaming_dedup_suppresses_cross_batch_duplicates(spark, sf_dir):
+    """A duplicate re-delivered in a LATER micro-batch must still be
+    suppressed: dropDuplicatesWithinWatermark state spans batches for
+    the watermark horizon (here ≫ the data's time span)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weather_analysis_bigdata__spark.streaming.joins import dedup_replay
+
+    src = os.path.join(sf_dir, "events.parquet")
+    out = tempfile.mkdtemp(prefix=f"dedup_split_{uuid.uuid4().hex[:8]}_")
+    try:
+        t = pq.read_table(src)
+        pq.write_table(t, os.path.join(out, "a_originals.parquet"))
+        mask = t["event_id"].to_numpy() % 5 == 0
+        pq.write_table(t.filter(pa.array(mask)), os.path.join(out, "b_redelivered.parquet"))
+        # maxFilesPerTrigger=1 → the redelivered file is its own batch.
+        deduped = dedup_replay(spark, out, max_files_per_trigger=1)
+        assert deduped.count() == t.num_rows
+        assert deduped.select("event_id").distinct().count() == t.num_rows
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stream_stream_join_state_bounded_by_range_condition(spark, sf_dir):
+    """The interval join's physical plan must carry watermarks on both
+    sides (evictable state), and its output must equal the batch
+    self-join pair-for-pair."""
+    from weather_analysis_bigdata__spark.sources.files import load_table
+    from weather_analysis_bigdata__spark.streaming.joins import interval_join_replay
+
+    pairs = interval_join_replay(spark, os.path.join(sf_dir, "events.parquet"))
+    got = {(r.click_id, r.purchase_id) for r in pairs.collect()}
+
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    batch = a.join(
+        b,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 2 HOURS"
+        ),
+    )
+    want = {(r.click_id, r.purchase_id) for r in batch.collect()}
+    assert got == want

@@ -123,3 +123,79 @@ def streaming_static_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda ev: stream_static_join_agg(ev, dim),
         schema,
     )
+
+
+@register(
+    "streaming_interval_join_replay",
+    oracle="""
+    SELECT a.user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(b.ts) AS TIMESTAMP) AS first_purchase_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '2 hours'
+    GROUP BY a.user_id
+    """,
+    doc="Stream-stream inner join with an event-time range condition "
+    "(click ⋈ purchase per user within 2 h), executed by the Structured "
+    "Streaming engine — both sides watermarked, availableNow replay into "
+    "an append-mode memory sink, pairs aggregated batch-side — checked "
+    "against the batch self-join SQL. The bounded range condition is "
+    "what makes join state evictable (streaming/joins.py); an unbounded "
+    "stream-stream join would pin both sides' state forever.",
+)
+def streaming_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from weather_analysis_bigdata__spark.streaming.joins import interval_join_replay
+
+    pairs = interval_join_replay(spark, os.path.join(sf_dir, "events.parquet"))
+    return pairs.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("p_ts").alias("first_purchase_ts"),
+    )
+
+
+@register(
+    "streaming_dedup_replay",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Streaming exactly-once repair of an at-least-once input: the "
+    "events table plus a re-delivered 10% slice (event_id % 10 = 0, "
+    "written as a second parquet file) streams through "
+    "dropDuplicatesWithinWatermark(event_id), so the duplicates vanish "
+    "and the per-type totals equal plain batch aggregation over the "
+    "ORIGINAL table — the oracle never sees the duplicates. Dedup state "
+    "is one entry per key within the watermark horizon "
+    "(streaming/joins.py; cross-micro-batch suppression pinned in "
+    "tests/test_streaming.py).",
+)
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from weather_analysis_bigdata__spark.functions.deterministic import dec
+    from weather_analysis_bigdata__spark.streaming.joins import dedup_replay
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tmp = f"/tmp/spark_graft_atleastonce_{abs(hash(src)) % 10**8}"
+    if not os.path.isdir(tmp):
+        os.makedirs(tmp, exist_ok=True)
+        t = pq.read_table(src)
+        pq.write_table(t, os.path.join(tmp, "part0_full.parquet"))
+        import pyarrow as pa
+
+        mask = t["event_id"].to_numpy() % 10 == 0
+        dup = t.filter(pa.array(mask))
+        pq.write_table(dup, os.path.join(tmp, "part1_redelivered.parquet"))
+    deduped = dedup_replay(spark, tmp)
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    )
