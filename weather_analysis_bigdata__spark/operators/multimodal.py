@@ -91,3 +91,62 @@ def extract_binary_metadata(
     return df.select(id_col, payload_col).mapInPandas(
         lambda it: _metadata_batches(it, id_col, payload_col), METADATA_SCHEMA
     )
+
+
+#: Output schema of :func:`sample_frames_stub` — one row per sampled frame.
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame_sha256", T.StringType()),
+    ]
+)
+
+
+def _frame_batches(
+    batches: Iterator[pd.DataFrame], id_col: str, payload_col: str, every_n: int
+) -> Iterator[pd.DataFrame]:
+    """1→N row expansion inside an Arrow stage: each payload yields one
+    row per sampled frame. The frame 'decode' is a deterministic fake
+    (digest of payload + frame index) standing in for the codec; the
+    cardinality-changing batch contract is the real thing being tested."""
+    for pdf in batches:
+        ids: list[int] = []
+        idxs: list[int] = []
+        shas: list[str] = []
+        for did, p in zip(pdf[id_col], pdf[payload_col]):
+            raw = bytes(p)
+            h = hashlib.sha256(raw).hexdigest()
+            n_frames = 1 + int(h[4:6], 16) % 8
+            for i in range(0, n_frames, every_n):
+                ids.append(int(did))
+                idxs.append(i)
+                shas.append(hashlib.sha256(raw + str(i).encode()).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "ts_ms": pd.Series([i * 33 for i in idxs], dtype="int64"),
+                "frame_sha256": shas,
+            }
+        )
+
+
+def sample_frames_stub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n: int = 2,
+) -> DataFrame:
+    """Video frame sampling as a cardinality-EXPANDING mapInPandas stage.
+
+    Real frame sampling (av/cv2) plugs into `_frame_batches` without
+    touching the plan: still one shuffle-free Arrow stage whose output
+    rows outnumber its input rows — the shape that matters for sizing
+    downstream partitions (a 1 h video at every-30th-frame is ~3600
+    rows from one input row; `repartition` AFTER this stage, not before).
+    """
+    return df.select(id_col, payload_col).mapInPandas(
+        lambda it: _frame_batches(it, id_col, payload_col, every_n), FRAME_SCHEMA
+    )

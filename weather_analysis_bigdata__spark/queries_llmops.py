@@ -855,6 +855,101 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_binary_metadata(d, id_col="doc_id", payload_col="payload")
 
 
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH meta AS (
+        SELECT doc_id, text,
+               1 + ({sql_hexval("substr(sha256(text), 5, 1)")} * 16
+                    + {sql_hexval("substr(sha256(text), 6, 1)")}) % 8 AS n_frames
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(f.i AS BIGINT) AS frame_idx,
+           CAST(f.i * 33 AS BIGINT) AS ts_ms,
+           sha256(text || CAST(f.i AS VARCHAR)) AS frame_sha256
+    FROM meta, unnest(generate_series(0, n_frames - 1, 2)) AS f(i)
+    """,
+    doc="Video frame sampling as a cardinality-EXPANDING Arrow stage: "
+    "each binary payload emits one row per sampled frame (every 2nd of "
+    "its fake frame count) from a single shuffle-free mapInPandas pass "
+    "— operators/multimodal.py::sample_frames_stub. The codec is a "
+    "deterministic digest fake; the 1\u2192N batch contract, frame-row "
+    "schema, and partition-sizing implications are the real surface. "
+    "Oracle mirrors the expansion with generate_series + unnest.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.operators.multimodal import (
+        sample_frames_stub,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return sample_frames_stub(d, id_col="doc_id", payload_col="payload")
+
+
+@register(
+    "multimodal_decode_plan",
+    oracle=f"""
+    WITH meta AS (
+        SELECT doc_id,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+               16 + ({sql_hexval("substr(sha256(text), 1, 1)")} * 16
+                     + {sql_hexval("substr(sha256(text), 2, 1)")}) % 240 AS w,
+               16 + ({sql_hexval("substr(sha256(text), 3, 1)")} * 16
+                     + {sql_hexval("substr(sha256(text), 4, 1)")}) % 240 AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS fake_width,
+           CAST(h AS BIGINT) AS fake_height,
+           CAST((w * 224) // greatest(w, h) AS BIGINT) AS resize_w,
+           CAST((h * 224) // greatest(w, h) AS BIGINT) AS resize_h,
+           CAST(n_bytes // 2 AS BIGINT) AS n_samples,
+           CAST(CASE WHEN n_bytes // 2 >= 400
+                     THEN (n_bytes // 2 - 400) // 160 + 1
+                     ELSE 0 END AS BIGINT) AS n_audio_windows
+    FROM meta
+    """,
+    doc="Decode-plan math chained AFTER the Arrow metadata stage: "
+    "aspect-preserving resize targets (fit the fake WxH into a 224 box "
+    "— pure integer floor arithmetic, no float rounding ambiguity) and "
+    "STFT-style audio window counts (16-bit PCM sample count, "
+    "win=400 / hop=160). Shows the composed pipeline shape: mapInPandas "
+    "decode stub \u2192 JVM-side whole-stage-codegen arithmetic, still "
+    "shuffle-free end to end. The stubbed resize kernel itself is "
+    "operators/multimodal.py::decode_image (NotImplementedError).",
+)
+def multimodal_decode_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.operators.multimodal import (
+        extract_binary_metadata,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    m = extract_binary_metadata(d, id_col="doc_id", payload_col="payload")
+    return m.select(
+        "doc_id",
+        "fake_width",
+        "fake_height",
+        F.expr("(fake_width * 224) div greatest(fake_width, fake_height)").alias(
+            "resize_w"
+        ),
+        F.expr("(fake_height * 224) div greatest(fake_width, fake_height)").alias(
+            "resize_h"
+        ),
+        F.expr("n_bytes div 2").alias("n_samples"),
+        F.expr(
+            "CAST(CASE WHEN n_bytes div 2 >= 400"
+            " THEN (n_bytes div 2 - 400) div 160 + 1"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("n_audio_windows"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF building blocks: exact centroids + nearest-centroid assignment
 # ---------------------------------------------------------------------------
