@@ -41,6 +41,12 @@ HEADLINE = [
     "q13_custdist",
     "grouping_sets_agg",
     "recursive_cte_ancestors",
+    "q1_pricing_summary",
+    "q21_waiting_supplier",
+    "bm25_search_topk",
+    "repetition_topgram_filter",
+    "heavy_hitters_tokens",
+    "streaming_dedup_replay",
 ]
 
 

@@ -809,32 +809,35 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
         ).alias("is_late"),
     )
-    # Per (order, supplier): did this supplier ship late, and per order:
-    # how many suppliers / how many late suppliers.
+    # One explicit repartition on l_orderkey serves the whole derived
+    # pipeline: the (orderkey, suppkey) aggregate runs on it via the
+    # subset-clustering rule, the per-order window reuses it as-is —
+    # ONE lineitem-sized shuffle total (the naive agg→window→semi-join
+    # form costs three, plus a second evaluation of the join subtree).
+    lines = lines.repartition("l_orderkey")
+    # Per (order, supplier): late flag AND the late-line count — carrying
+    # the count here is what makes the numwait rejoin unnecessary.
     per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(F.col("is_late").cast("int")).alias("supp_late")
+        F.max(F.col("is_late").cast("int")).alias("supp_late"),
+        F.sum(F.col("is_late").cast("int")).alias("n_late_lines"),
     )
     w = Window.partitionBy("l_orderkey")
     flagged = per_supp.withColumn(
         "n_suppliers", F.count(F.lit(1)).over(w)
     ).withColumn("n_late_suppliers", F.sum("supp_late").over(w))
     # The culprit: late itself, order multi-supplier, nobody else late.
+    # numwait counts LATE LINES (not orders) — n_late_lines carries the
+    # multiplicity the EXISTS-form oracle sees.
     culprits = flagged.filter(
         (F.col("supp_late") == 1)
         & (F.col("n_suppliers") > 1)
         & (F.col("n_late_suppliers") == 1)
     )
-    # numwait counts LATE LINES (not orders): rejoin the culprit pairs to
-    # their late lines so multiplicity matches the EXISTS-form oracle.
-    late_lines = lines.filter(F.col("is_late")).select("l_orderkey", "l_suppkey")
-    waits = late_lines.join(
-        culprits.select("l_orderkey", "l_suppkey"), ["l_orderkey", "l_suppkey"], "left_semi"
-    )
     return (
-        waits.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        culprits.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_lines").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(20)
     )
