@@ -514,3 +514,136 @@ def pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_scaled",
         (F.col("rank_scaled").cast("double") / F.lit(1e10)).alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test (A/B experiment readout)
+# ---------------------------------------------------------------------------
+@register(
+    "ab_test_welch",
+    oracle="""
+    WITH s AS (
+      SELECT
+        CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS DOUBLE) AS na,
+        CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE) AS nb,
+        CAST(SUM(CASE WHEN event_type = 'click'
+                      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sxa,
+        CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sxb,
+        CAST(SUM(CASE WHEN event_type = 'click'
+                      THEN CAST(value AS DECIMAL(18,2))
+                           * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sxxa,
+        CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(18,2))
+                           * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sxxb
+      FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           sxa / na AS mean_a, sxb / nb AS mean_b,
+           ((sxa / na) - (sxb / nb))
+             / sqrt((((sxxa - sxa * sxa / na) / (na - 1.0)) / na)
+                    + (((sxxb - sxb * sxb / nb) / (nb - 1.0)) / nb)) AS t_stat,
+           ((((sxxa - sxa * sxa / na) / (na - 1.0)) / na)
+            + (((sxxb - sxb * sxb / nb) / (nb - 1.0)) / nb))
+           * ((((sxxa - sxa * sxa / na) / (na - 1.0)) / na)
+              + (((sxxb - sxb * sxb / nb) / (nb - 1.0)) / nb))
+             / (((((sxxa - sxa * sxa / na) / (na - 1.0)) / na)
+                 * (((sxxa - sxa * sxa / na) / (na - 1.0)) / na)) / (na - 1.0)
+                + ((((sxxb - sxb * sxb / nb) / (nb - 1.0)) / nb)
+                   * (((sxxb - sxb * sxb / nb) / (nb - 1.0)) / nb)) / (nb - 1.0))
+             AS welch_dof
+    FROM s
+    """,
+    doc="Welch's unequal-variance t-test between two event cohorts "
+    "(click vs purchase values) — the A/B experiment readout, in ONE "
+    "conditional-aggregate pass (no self-join, no two subqueries: "
+    "count/Σx/Σx² per arm via CASE). Moments are exact decimal sums; "
+    "the t statistic and Welch–Satterthwaite dof are then pure IEEE "
+    "arithmetic (+,×,/,sqrt are all correctly rounded) over mirrored "
+    "expression trees → bit-identical across engines, same discipline "
+    "as dispersion_stats/a8_pearson_corr.",
+)
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.deterministic import dec
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    v = dec("value")
+    is_a = F.col("event_type") == "click"
+    is_b = F.col("event_type") == "purchase"
+    s = e.agg(
+        F.count(F.when(is_a, 1)).cast("double").alias("na"),
+        F.count(F.when(is_b, 1)).cast("double").alias("nb"),
+        F.sum(F.when(is_a, v)).cast("double").alias("sxa"),
+        F.sum(F.when(is_b, v)).cast("double").alias("sxb"),
+        F.sum(F.when(is_a, v * v)).cast("double").alias("sxxa"),
+        F.sum(F.when(is_b, v * v)).cast("double").alias("sxxb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    sxa, sxb, sxxa, sxxb = (F.col(c) for c in ("sxa", "sxb", "sxxa", "sxxb"))
+    se_a = ((sxxa - sxa * sxa / na) / (na - F.lit(1.0))) / na
+    se_b = ((sxxb - sxb * sxb / nb) / (nb - F.lit(1.0))) / nb
+    t = ((sxa / na) - (sxb / nb)) / F.sqrt(se_a + se_b)
+    dof = (se_a + se_b) * (se_a + se_b) / (
+        (se_a * se_a) / (na - F.lit(1.0)) + (se_b * se_b) / (nb - F.lit(1.0))
+    )
+    return s.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        (sxa / na).alias("mean_a"),
+        (sxb / nb).alias("mean_b"),
+        t.alias("t_stat"),
+        dof.alias("welch_dof"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native session windows
+# ---------------------------------------------------------------------------
+@register(
+    "session_window_native",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL '30 minutes' AS TIMESTAMP) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM islands GROUP BY user_id, session_id
+    """,
+    doc="Spark's NATIVE session_window aggregation (dynamic-gap session "
+    "windows merged by the engine, usable identically in batch and "
+    "Structured Streaming) — complementing the two hand-built forms "
+    "already covered (gaps-and-islands SQL in events_sessionize_30m, "
+    "custom state in streaming/sessionize.py). Session end = last "
+    "event + gap, per session_window semantics. Oracle reconstructs "
+    "the same sessions via the lag→flag→running-sum islands idiom. "
+    "One user_id shuffle; session state in streaming mode is bounded "
+    "by the watermark.",
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
