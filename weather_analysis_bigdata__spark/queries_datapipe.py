@@ -647,3 +647,106 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured analytics (Spark 4)
+# ---------------------------------------------------------------------------
+@register(
+    "variant_json_ops",
+    oracle="""
+    WITH aug AS (
+      SELECT event_type,
+             CASE WHEN event_id % 13 = 0 THEN '{bad json' ELSE props END AS props2
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN NOT json_valid(props2) THEN 1 END) AS BIGINT)
+             AS n_malformed,
+           CAST(sum(CASE WHEN json_valid(props2)
+                         THEN CAST(json_extract(props2, '$.k') AS BIGINT) END)
+                AS BIGINT) AS sum_k,
+           CAST(max(CASE WHEN json_valid(props2)
+                         THEN CAST(json_extract(props2, '$.k') AS BIGINT) END)
+                AS BIGINT) AS max_k
+    FROM aug GROUP BY event_type
+    """,
+    doc="Semi-structured analytics through Spark 4's VARIANT type: "
+    "try_parse_json → binary variant encoding → try_variant_get path "
+    "extraction, with malformed rows injected (event_id % 13) to pin "
+    "the null-safe parse path — try_parse_json yields NULL instead of "
+    "failing the query under ANSI mode. VARIANT keeps the parsed tree "
+    "in a compact binary form, so repeated path extraction avoids "
+    "re-parsing the JSON text per access (the from_json_typed_agg "
+    "query covers the fixed-schema alternative; VARIANT is the "
+    "schema-flexible path). Oracle mirrors with json_valid + "
+    "json_extract.",
+)
+def variant_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "props2",
+        F.when(F.col("event_id") % 13 == 0, F.lit("{bad json")).otherwise(
+            F.col("props")
+        ),
+    )
+    v = e.withColumn("v", F.expr("try_parse_json(props2)")).withColumn(
+        "k", F.expr("try_variant_get(v, '$.k', 'bigint')")
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("v").isNull(), 1)).alias("n_malformed"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource scan (Spark 4 connector API)
+# ---------------------------------------------------------------------------
+@register(
+    "python_datasource_scan",
+    oracle="""
+    WITH gen AS (
+      SELECT 'STATION_' || CAST(s.i AS VARCHAR) AS station,
+             CAST(d.j AS INT) AS day,
+             ((s.i * 37 + d.j * 13) % 400 - 100) / 10.0 AS tmax_c,
+             ((s.i * 7 + d.j * 3) % 250) / 10.0 AS prcp_mm
+      FROM generate_series(0, 4) AS s(i), generate_series(0, 364) AS d(j)
+    )
+    SELECT station,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(SUM(CAST(tmax_c AS DECIMAL(18,1))) AS DOUBLE) / count(*)
+             AS mean_tmax_c,
+           CAST(SUM(CAST(prcp_mm AS DECIMAL(18,1))) AS DOUBLE) AS total_prcp_mm
+    FROM gen GROUP BY station
+    """,
+    doc="A pluggable connector via Spark 4's Python DataSource API "
+    "(sources/pyds.py): named format registration, options, declared "
+    "schema, one InputPartition per station with read() executed ON "
+    "EXECUTORS — the packaged form of the reference's driver-side REST "
+    "pagination loop (Weather_API.py:50-113), horizontally scalable "
+    "like any scan. The generator is integer-derived so the oracle "
+    "regenerates identical rows with generate_series; aggregation uses "
+    "the repo's exact-decimal sums.",
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.deterministic import dec
+    from weather_analysis_bigdata__spark.sources.pyds import (
+        register_synthetic_weather,
+    )
+
+    register_synthetic_weather(spark)
+    w = (
+        spark.read.format("synthetic_weather")
+        .option("stations", 5)
+        .option("days", 365)
+        .load()
+    )
+    return w.groupBy("station").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.sum(dec("tmax_c", 1)).cast("double") / F.count(F.lit(1))).alias(
+            "mean_tmax_c"
+        ),
+        F.sum(dec("prcp_mm", 1)).cast("double").alias("total_prcp_mm"),
+    )
