@@ -279,3 +279,31 @@ def test_stream_stream_join_state_bounded_by_range_condition(spark, sf_dir):
     )
     want = {(r.click_id, r.purchase_id) for r in batch.collect()}
     assert got == want
+
+
+def test_transform_with_state_running_totals(spark, sf_dir):
+    """Spark 4 StatefulProcessor: final change-log state equals batch
+    GROUP BY (exact integer state folding). Skipped where the
+    transformWithState protobuf protocol is unavailable."""
+    pytest.importorskip("google.protobuf")
+    from weather_analysis_bigdata__spark.functions.deterministic import dec
+    from weather_analysis_bigdata__spark.sources.files import load_table
+    from weather_analysis_bigdata__spark.streaming.twstate import (
+        final_totals,
+        running_totals_replay,
+    )
+
+    log = running_totals_replay(spark, os.path.join(sf_dir, "events.parquet"))
+    got = {
+        (r.user_id, r.n_events, r.sum_v_int) for r in final_totals(log).collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((dec("value") * 100).cast("long")).alias("sum_v_int"),
+        )
+    )
+    want = {(r.user_id, r.n_events, r.sum_v_int) for r in batch.collect()}
+    assert got == want

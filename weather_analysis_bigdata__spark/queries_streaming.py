@@ -199,3 +199,53 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(dec("value")).cast("double").alias("sum_value"),
     )
+
+
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas speaks protobuf to its state server;
+    the operator (streaming/twstate.py) is real but can only REGISTER
+    where google.protobuf exists (environment-gated per the repo's
+    no-new-installs rule)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+if _has_protobuf():
+    _register_stateful = register
+else:  # pragma: no cover - environment without protobuf
+    def _register_stateful(*a, **k):
+        def wrap(fn):
+            return fn
+
+        return wrap
+
+
+@_register_stateful(
+    "streaming_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_v_int
+    FROM events GROUP BY user_id
+    """,
+    doc="Per-user running totals via Spark 4's transformWithStateInPandas "
+    "(StatefulProcessor + ValueState on RocksDB — the successor API to "
+    "applyInPandasWithState): each micro-batch folds new rows into "
+    "(count, exact scaled-integer sum) state and emits the cumulative "
+    "totals; the final change-log entry per user must equal the batch "
+    "GROUP BY — integer state folding makes that equality exact "
+    "regardless of how replay batches split (streaming/twstate.py).",
+)
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.streaming.twstate import (
+        final_totals,
+        running_totals_replay,
+    )
+
+    log = running_totals_replay(spark, os.path.join(sf_dir, "events.parquet"))
+    return final_totals(log)

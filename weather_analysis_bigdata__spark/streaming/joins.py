@@ -27,7 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from weather_analysis_bigdata__spark.streaming.windows import stream_events
+from weather_analysis_bigdata__spark.streaming.windows import as_stream_dir, stream_events
 
 
 def _sink(joined: DataFrame, name: str) -> DataFrame:
@@ -54,15 +54,7 @@ def interval_join_replay(
     callers aggregate batch-side.
     """
     name = f"ssj_{abs(hash((events_dir, horizon))) % 10**8}"
-    if os.path.isfile(events_dir):
-        # A two-branch self-join instantiates the file source twice; the
-        # shared basePath must then be a directory — wrap the single file.
-        wrap = f"/tmp/spark_graft_ssjdir_{abs(hash(events_dir)) % 10**8}"
-        os.makedirs(wrap, exist_ok=True)
-        link = os.path.join(wrap, os.path.basename(events_dir))
-        if not os.path.exists(link):
-            os.symlink(events_dir, link)
-        events_dir = wrap
+    events_dir = as_stream_dir(events_dir)
     base = stream_events(spark, events_dir)
     clicks = (
         base.filter(F.col("event_type") == "click")

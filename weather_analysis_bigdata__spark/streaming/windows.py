@@ -41,6 +41,21 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
+def as_stream_dir(path: str) -> str:
+    """Wrap a single parquet FILE in a directory (symlink) — required
+    whenever a plan instantiates the file source more than once (self
+    joins, stateful operators): the shared basePath must be a
+    directory. Idempotent; returns directories unchanged."""
+    if not os.path.isfile(path):
+        return path
+    wrap = f"/tmp/spark_graft_streamdir_{abs(hash(path)) % 10**8}"
+    os.makedirs(wrap, exist_ok=True)
+    link = os.path.join(wrap, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return wrap
+
+
 def stream_events(spark: SparkSession, events_dir: str, max_files_per_trigger: int = 4) -> DataFrame:
     """Open a parquet-directory stream of events with event-time ``ts``."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
