@@ -150,3 +150,53 @@ def sample_frames_stub(
     return df.select(id_col, payload_col).mapInPandas(
         lambda it: _frame_batches(it, id_col, payload_col, every_n), FRAME_SCHEMA
     )
+
+
+#: Output schema of :func:`arrow_byte_stats`.
+BYTESTATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("first_byte", T.LongType()),
+        T.StructField("byte_sum", T.LongType()),
+    ]
+)
+
+
+def arrow_byte_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Byte-level payload stats via ``mapInArrow`` — the zero-pandas
+    Arrow path.
+
+    mapInPandas converts every batch through pandas (object boxing for
+    binary columns); ``mapInArrow`` hands the raw RecordBatch to Python,
+    so byte-level kernels (codec sniffing, magic-number checks, frame
+    header parsing) can run on buffers directly — here via
+    ``np.frombuffer`` per payload, no per-byte Python loop. Same
+    shuffle-free single-stage plan as the pandas variants.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            payloads = batch.column(1).to_pylist()
+            n = [len(p) for p in payloads]
+            fb = [p[0] if len(p) > 0 else None for p in payloads]
+            bs = [
+                int(np.frombuffer(p, dtype=np.uint8).sum()) if len(p) else 0
+                for p in payloads
+            ]
+            yield pa.record_batch(
+                [
+                    ids,
+                    pa.array(n, pa.int64()),
+                    pa.array(fb, pa.int64()),
+                    pa.array(bs, pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "first_byte", "byte_sum"],
+            )
+
+    return df.select(id_col, payload_col).mapInArrow(kernel, BYTESTATS_SCHEMA)

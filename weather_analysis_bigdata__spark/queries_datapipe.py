@@ -750,3 +750,36 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(dec("prcp_mm", 1)).cast("double").alias("total_prcp_mm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow byte-level stats
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_arrow_byte_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+           CAST(list_sum(list_transform(generate_series(1, length(text)),
+                                        i -> ascii(substr(text, i, 1))))
+                AS BIGINT) AS byte_sum
+    FROM documents
+    """,
+    doc="Byte-level payload statistics through mapInArrow (raw Arrow "
+    "RecordBatches, no pandas conversion — the right Python stage for "
+    "codec sniffing / magic-number checks over binary columns; "
+    "operators/multimodal.py::arrow_byte_stats, numpy frombuffer on "
+    "the payload buffers). byte_sum doubles as a content checksum the "
+    "oracle recomputes char-wise (ASCII corpus ⇒ codepoint = byte). "
+    "Shuffle-free, same plan shape as the mapInPandas stages.",
+)
+def multimodal_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.operators.multimodal import (
+        arrow_byte_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return arrow_byte_stats(d, id_col="doc_id", payload_col="payload")
