@@ -41,3 +41,49 @@ def test_partitioned_write_prunes_year_filter(spark, sf_dir):
         assert filtered.count() == expected
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    """Many tiny files → few near-target files, rows intact, and with
+    sort_cols the per-file key ranges are disjoint (stats prune again)."""
+    from weather_analysis_bigdata__spark.sources.files import (
+        compact_parquet,
+        load_table,
+    )
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    n_rows = ev.count()
+    ev.repartition(64).write.parquet(src)  # simulate a fragmented sink
+    import os as _os
+
+    n_src = sum(
+        1 for _, _, fs in _os.walk(src) for f in fs if f.endswith(".parquet")
+    )
+    assert n_src >= 32
+
+    target = max(1, sum(
+        _os.path.getsize(_os.path.join(r, f))
+        for r, _, fs in _os.walk(src) for f in fs if f.endswith(".parquet")
+    ) // 4)
+    n_out = compact_parquet(
+        spark, src, dst, target_file_bytes=target, sort_cols=["event_id"]
+    )
+    assert n_out < n_src
+    out = spark.read.parquet(dst)
+    assert out.count() == n_rows
+    # Disjoint per-file event_id ranges: clustered writes restore pruning.
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for r, _, fs in _os.walk(dst):
+        for f in fs:
+            if f.endswith(".parquet"):
+                t = pq.read_table(_os.path.join(r, f), columns=["event_id"])
+                if t.num_rows:
+                    col = t["event_id"].to_numpy()
+                    ranges.append((int(col.min()), int(col.max())))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2

@@ -783,3 +783,47 @@ def multimodal_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return arrow_byte_stats(d, id_col="doc_id", payload_col="payload")
+
+
+# ---------------------------------------------------------------------------
+# Empty-input aggregate semantics
+# ---------------------------------------------------------------------------
+@register(
+    "empty_input_aggregates",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(l_quantity) AS BIGINT) AS n_nonnull,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+           CAST(avg(l_quantity) AS DOUBLE) AS avg_qty,
+           coalesce(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+             AS sum_qty_defaulted,
+           CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags
+    FROM lineitem WHERE l_quantity < -1
+    """,
+    doc="Global aggregates over a provably EMPTY input (l_quantity is "
+    "never negative): COUNT returns 0, every other aggregate returns "
+    "NULL — the SQL edge case that silently breaks dashboards and "
+    "downstream NOT NULL sinks when a partition filter matches nothing "
+    "(e.g. a backfill of a day with no data). Pins that Spark's ANSI "
+    "mode and DuckDB agree row-for-row, including the COALESCE "
+    "defaulting idiom. One degenerate plan: the filter folds to an "
+    "empty scan, the aggregate still emits its single global row.",
+)
+def empty_input_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.deterministic import dec
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < -1)
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_quantity").alias("n_nonnull"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+        F.avg("l_quantity").cast("double").alias("avg_qty"),
+        F.coalesce(F.sum(dec("l_quantity")).cast("double"), F.lit(0.0)).alias(
+            "sum_qty_defaulted"
+        ),
+        F.count_distinct(F.col("l_returnflag")).alias("n_flags"),
+    )

@@ -88,3 +88,48 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files
+    sized near ``target_file_bytes``, optionally range-clustered.
+
+    The 100 TB maintenance op streaming sinks and partition-overwrite
+    backfills make necessary: thousands of KB-sized files turn scans
+    into task-scheduling storms and wreck min/max skipping. Output file
+    count is computed from the SOURCE's physical bytes (driver-side
+    file listing — metadata only, no data pass); with ``sort_cols`` the
+    rewrite is a ``repartitionByRange`` + ``sortWithinPartitions``, so
+    every output file covers a tight key range and parquet stats prune
+    again. Returns the number of files written.
+    """
+    import math
+    import os as _os
+
+    total = sum(
+        _os.path.getsize(_os.path.join(root, f))
+        for root, _, fs in _os.walk(src_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_dir)
+    if sort_cols:
+        df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        df = df.coalesce(n_files)
+    df.write.mode("overwrite").parquet(dst_dir)
+    return sum(
+        1
+        for _, _, fs in _os.walk(dst_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
