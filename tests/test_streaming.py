@@ -116,11 +116,18 @@ def test_watermark_drops_late_rows(spark):
     PREVIOUS batch, so three single-file micro-batches: batch 0 advances
     event time to T0+3h11m, batch 1 commits that watermark (T0+2h11m),
     batch 2 delivers two T0 events (too late) and one fresh event."""
+    from pyspark.sql import types as T
+
     from weather_analysis_bigdata__spark.streaming.windows import (
-        EVENTS_RAW_SCHEMA,
+        _events_raw_schema,
         stream_events,
         tumbling_agg,
     )
+
+    # Build the fixture in the nanos-as-long encoding; stream_events must
+    # detect it from the footer and normalize (the other encoding is
+    # exercised by every replay test over the driver's events.parquet).
+    events_long_schema = _events_raw_schema(T.LongType())
 
     t0_s = 1_700_000_000 - (1_700_000_000 % 3600)  # hour-aligned
     ns = lambda off_s: (t0_s + off_s) * 1_000_000_000  # noqa: E731
@@ -128,7 +135,7 @@ def test_watermark_drops_late_rows(spark):
     def mk(rows):
         return spark.createDataFrame(
             [(i, ns(off), 1, "click", 1.0, "{}") for i, off in enumerate(rows)],
-            EVENTS_RAW_SCHEMA,
+            events_long_schema,
         )
 
     batches = [

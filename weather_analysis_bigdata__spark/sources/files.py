@@ -38,16 +38,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects. Read nanos as long (legacy conf) and convert to a
-    microsecond timestamp — the same truncation ANSI engines apply."""
+    """Normalize `events.ts` to a session-timezone TimestampType.
+
+    The driver has shipped events.parquet with two physical encodings of
+    ``ts``: parquet TIMESTAMP(NANOS) (which Spark's vectorized reader only
+    exposes as a long via the legacy conf — truncate nanos→micros, the
+    same rule ANSI engines apply) and plain TIMESTAMP(MICROS) (read as
+    TIMESTAMP_NTZ — cast to TimestampType; session tz is pinned UTC so
+    wall-clock and epoch values are identical). Adapting on the footer
+    type keeps every downstream query engine-stable across data drops.
+    """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif not isinstance(ts_type, T.TimestampType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

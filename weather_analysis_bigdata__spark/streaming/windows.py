@@ -27,18 +27,20 @@ from pyspark.sql import types as T
 
 from weather_analysis_bigdata__spark.functions.deterministic import dec
 
-#: events.parquet physical schema (ts is TIMESTAMP(NANOS) read as long —
-#: see sources.files._load_events for the same batch-side handling).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    """events.parquet physical schema; ``ts`` has shipped as either
+    TIMESTAMP(NANOS)-as-long or TIMESTAMP(MICROS) — see
+    sources.files._load_events for the same batch-side handling."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def as_stream_dir(path: str) -> str:
@@ -59,12 +61,19 @@ def as_stream_dir(path: str) -> str:
 def stream_events(spark: SparkSession, events_dir: str, max_files_per_trigger: int = 4) -> DataFrame:
     """Open a parquet-directory stream of events with event-time ``ts``."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Probe the footer type with a metadata-only batch read so the stream
+    # schema matches whichever physical encoding this data drop uses.
+    physical_ts = spark.read.parquet(events_dir).schema["ts"].dataType
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(physical_ts))
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(physical_ts, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if not isinstance(physical_ts, T.TimestampType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_agg(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
