@@ -1,0 +1,66 @@
+"""Invariant tests for queries_ops.py (oracle covers cross-engine value
+equality; these pin the semantics the hash can't articulate)."""
+
+from __future__ import annotations
+
+
+def test_dst_day_lengths(spark, sf_dir):
+    """Spring-forward day has 23 local hours (hour 2 missing); fall-back
+    day has 25 (hour 1 twice); neighbors have exactly 24."""
+    from weather_analysis_bigdata__spark.queries_ops import (
+        dst_local_time_battery,
+    )
+
+    rows = {
+        r.local_day.strftime("%Y-%m-%d"): r.n_local_hours
+        for r in dst_local_time_battery(spark, sf_dir).collect()
+    }
+    assert rows["2024-03-10"] == 23
+    assert rows["2024-11-03"] == 25
+    for normal in ("2024-03-09", "2024-03-11", "2024-11-02", "2024-11-04"):
+        assert rows[normal] == 24
+
+
+def test_key_skew_profile_invariants(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_ops import key_skew_profile
+
+    r = key_skew_profile(spark, sf_dir).collect()[0]
+    assert r.n_keys > 0 and r.total_rows >= r.n_keys
+    assert r.p99_count <= r.max_count
+    assert 0 < r.top1_share <= 1
+    assert r.skew_ratio >= 1.0  # max >= avg always
+    # top_key really is a max-count key
+    from weather_analysis_bigdata__spark.sources.files import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    top_cnt = (
+        li.filter(F.col("l_partkey") == r.top_key).count()
+    )
+    assert top_cnt == r.max_count
+
+
+def test_shared_ngram_spans_detects_injected_copy(spark, sf_dir):
+    """Two docs sharing an 8-gram must both be flagged; a doc with
+    globally unique text must not be."""
+    from pyspark.sql import functions as F
+
+    from weather_analysis_bigdata__spark.queries_ops import (
+        dedup_shared_ngram_spans,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    flagged = dedup_shared_ngram_spans(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    # Every doc flagged has_exact_dup_span must share ≥1 8-gram with
+    # another doc — spot-check consistency: shared_fraction>0 iff flag.
+    rows = flagged.collect()
+    for r in rows:
+        if r.n_grams == 0:
+            assert not r.has_exact_dup_span and r.shared_fraction is None
+        else:
+            assert (r.shared_fraction > 0) == r.has_exact_dup_span
+        assert r.n_shared_grams <= r.n_grams
+    # The corpus has injected near-identical docs (used by the dedup
+    # family) — at least one exact shared span must exist somewhere.
+    assert any(r.has_exact_dup_span for r in rows)

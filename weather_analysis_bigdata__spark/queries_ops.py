@@ -1,0 +1,345 @@
+"""Operational semantics batteries: exact span-level dedup, skew
+profiling, timezone/DST correctness, ORC interchange, Arrow-native UDFs.
+
+Five shapes that round out the engine's production surface:
+
+- **Exact duplicated-span detection** — the substring-level companion to
+  the document-level dedup family: find word n-grams shared across
+  documents via an inverted index (Lee et al. 2022, "Deduplicating
+  Training Data Makes Language Models Better", find exact duplicated
+  spans before near-dedup).
+- **Key-skew profiler** — the diagnostic that decides salting factors
+  and AQE skew thresholds before a big join (top-key share, p99 key
+  count, skew ratio), computed over the O(n_keys) count table, never the
+  raw rows twice.
+- **DST local-time battery** — timezone conversion pinned across both
+  2024 US DST transitions (23-hour and 25-hour local days must fall out
+  exactly); session-timezone-independent on both engines.
+- **ORC round-trip** — interchange format #3 after CSV/JSONL
+  (queries_pipeline); ORC ships in Spark's classpath.
+- **Arrow-optimized Python UDF** — Spark 4's `udf(useArrow=True)` path:
+  row semantics, Arrow-batched transfer; complements the vectorized
+  @pandas_udf (pandas_udf_tokenize) and mapInArrow
+  (multimodal_arrow_byte_stats) escape hatches.
+
+Reference parity note: the reference has no dedup beyond full-row
+drop_duplicates (Weather_API.py:119), no skew handling, and naive
+timestamps only — these are charter-extension breadth (SURVEY.md §7.2
+M4/M5) plus the D-family date/time semantics hardened for real zones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weather_analysis_bigdata__spark.functions.deterministic import dsum, sql_dsum
+from weather_analysis_bigdata__spark.functions.textops import (
+    SQL_TOKENS,
+    sql_word_ngrams,
+    tokens,
+    word_ngrams,
+)
+from weather_analysis_bigdata__spark.registry import register
+from weather_analysis_bigdata__spark.sources.files import load_table
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span detection (inverted index over word 8-grams)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_shared_ngram_spans",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct({sql_word_ngrams(SQL_TOKENS.format(c='text'), 8)}) AS grams
+      FROM documents
+    ),
+    e AS (SELECT doc_id, unnest(grams) AS gram FROM t),
+    g AS (
+      SELECT gram, COUNT(DISTINCT doc_id) AS n_docs
+      FROM e GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    s AS (
+      SELECT e.doc_id, COUNT(*) AS n_shared
+      FROM e JOIN g USING (gram)
+      GROUP BY e.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.grams) AS BIGINT) AS n_grams,
+           CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared_grams,
+           CAST(coalesce(s.n_shared, 0) AS DOUBLE)
+             / NULLIF(len(t.grams), 0) AS shared_fraction,
+           (coalesce(s.n_shared, 0) > 0) AS has_exact_dup_span
+    FROM t LEFT JOIN s USING (doc_id)
+    """,
+    doc="Exact duplicated-span detection: a word 8-gram appearing in ≥2 "
+    "distinct documents marks an exactly-copied span (Lee et al. 2022 "
+    "run this substring-level pass before fuzzy dedup). Inverted index: "
+    "per-doc DISTINCT grams (row-local O(n) shingle builder), explode to "
+    "(gram, doc) postings, keep grams with document frequency ≥ 2, join "
+    "back and count per doc. Never materializes doc×doc pairs — state "
+    "is O(postings), the same asymptotics that hold at 100 TB (there: "
+    "hash grams to 64-bit ints for the shuffle key and DF-cap stopword "
+    "grams exactly as dedup_jaccard_dfcapped does). Docs shorter than "
+    "8 tokens yield zero grams and survive via the left join.",
+)
+def dedup_shared_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.array_distinct(word_ngrams(tokens("text"), 8)).alias("grams")
+    )
+    e = t.select("doc_id", F.explode("grams").alias("gram"))
+    g = (
+        e.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gram")
+    )
+    s = e.join(g, "gram").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared"))
+    return t.join(s, "doc_id", "left").select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_grams"),
+        F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared_grams"),
+        (
+            F.coalesce("n_shared", F.lit(0)).cast("double")
+            / F.nullif(F.size("grams").cast("long"), F.lit(0))
+        ).alias("shared_fraction"),
+        (F.coalesce("n_shared", F.lit(0)) > 0).alias("has_exact_dup_span"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profiler (the pre-join diagnostic)
+# ---------------------------------------------------------------------------
+@register(
+    "key_skew_profile",
+    oracle="""
+    WITH c AS (
+      SELECT l_partkey AS key, COUNT(*) AS c FROM lineitem GROUP BY l_partkey
+    ),
+    r AS (
+      SELECT key, c,
+             row_number() OVER (ORDER BY c, key DESC) AS rn,
+             COUNT(*) OVER () AS n_keys
+      FROM c
+    )
+    SELECT CAST(MAX(n_keys) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS total_rows,
+           CAST(MAX(c) AS BIGINT) AS max_count,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.99 * n_keys) AS BIGINT)
+                         THEN c END) AS BIGINT) AS p99_count,
+           CAST(MAX(CASE WHEN rn = n_keys THEN key END) AS BIGINT) AS top_key,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) AS top1_share,
+           CAST(MAX(c) * MAX(n_keys) AS DOUBLE) / SUM(c) AS skew_ratio
+    FROM r
+    """,
+    doc="Key-distribution profiler for join planning: per-key counts of "
+    "lineitem.l_partkey reduced to n_keys, max/p99 key count, the "
+    "hottest key (min key among ties — deterministic), top-1 share and "
+    "skew ratio (max/avg). This is the report that sizes salting "
+    "factors (salted_join_demo) and validates AQE skew-join thresholds "
+    "BEFORE a 100 TB shuffle. Cost model: one map-combinable count "
+    "aggregate over rows, then all statistics over the O(n_keys) count "
+    "table — the global rank window sorts keys, not rows. p99 is an "
+    "exact tie-broken rank; ratios are single IEEE divisions over exact "
+    "integers.",
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # Rank ties of equal count by key DESC so the LAST rank (the top key)
+    # is the smallest key among max-count ties — deterministic.
+    w = Window.orderBy("c", F.col("key").desc())
+    r = c.select(
+        "key",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_keys"),
+    )
+    return r.agg(
+        F.max("n_keys").alias("n_keys"),
+        F.sum("c").alias("total_rows"),
+        F.max("c").alias("max_count"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.99 * F.col("n_keys")), F.col("c"))
+        ).alias("p99_count"),
+        F.max(F.when(F.col("rn") == F.col("n_keys"), F.col("key"))).alias(
+            "top_key"
+        ),
+        (F.max("c").cast("double") / F.sum("c")).alias("top1_share"),
+        ((F.max("c") * F.max("n_keys")).cast("double") / F.sum("c")).alias(
+            "skew_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DST-boundary local-time battery
+# ---------------------------------------------------------------------------
+@register(
+    "dst_local_time_battery",
+    oracle="""
+    WITH hours AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-03-08 00:00:00',
+                                    TIMESTAMP '2024-03-12 23:00:00',
+                                    INTERVAL 1 HOUR)) AS ts_utc
+      UNION ALL
+      SELECT unnest(generate_series(TIMESTAMP '2024-11-01 00:00:00',
+                                    TIMESTAMP '2024-11-05 23:00:00',
+                                    INTERVAL 1 HOUR)) AS ts_utc
+    ),
+    local AS (
+      SELECT ts_utc,
+             timezone('America/New_York', timezone('UTC', ts_utc)) AS ts_local
+      FROM hours
+    )
+    SELECT CAST(date_trunc('day', ts_local) AS TIMESTAMP) AS local_day,
+           CAST(COUNT(*) AS BIGINT) AS n_local_hours,
+           CAST(MIN(hour(ts_local)) AS INT) AS first_hour,
+           CAST(MAX(hour(ts_local)) AS INT) AS last_hour
+    FROM local
+    WHERE ts_local >= TIMESTAMP '2024-03-09 00:00:00'
+      AND ts_local <  TIMESTAMP '2024-03-12 00:00:00'
+       OR ts_local >= TIMESTAMP '2024-11-02 00:00:00'
+      AND ts_local <  TIMESTAMP '2024-11-05 00:00:00'
+    GROUP BY 1
+    """,
+    doc="Timezone semantics pinned across both 2024 US DST transitions: "
+    "hourly UTC instants converted to America/New_York wall time and "
+    "grouped by local day — 2024-03-10 must come out as a 23-hour day "
+    "(02:00 never exists) and 2024-11-03 as a 25-hour day (01:00 "
+    "happens twice), with ordinary 24-hour days on both sides. Both "
+    "sides are session-timezone-independent: Spark's from_utc_timestamp "
+    "names the zone explicitly, and the oracle's double timezone() call "
+    "anchors the naive literal to UTC before converting. The generator "
+    "is in-engine (sequence/explode) — zero input tables, pure "
+    "semantics. At 100 TB the same expression shape localizes event "
+    "streams per user zone before daily rollups.",
+)
+def dst_local_time_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def hourly(start: str, stop: str):
+        return F.explode(
+            F.sequence(
+                F.to_timestamp(F.lit(start)),
+                F.to_timestamp(F.lit(stop)),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("ts_utc")
+
+    one = spark.range(1)
+    hours = one.select(
+        hourly("2024-03-08 00:00:00", "2024-03-12 23:00:00")
+    ).unionAll(one.select(hourly("2024-11-01 00:00:00", "2024-11-05 23:00:00")))
+    local = hours.select(
+        F.from_utc_timestamp("ts_utc", "America/New_York").alias("ts_local")
+    )
+    kept = local.filter(
+        (
+            (F.col("ts_local") >= F.lit("2024-03-09 00:00:00").cast("timestamp"))
+            & (F.col("ts_local") < F.lit("2024-03-12 00:00:00").cast("timestamp"))
+        )
+        | (
+            (F.col("ts_local") >= F.lit("2024-11-02 00:00:00").cast("timestamp"))
+            & (F.col("ts_local") < F.lit("2024-11-05 00:00:00").cast("timestamp"))
+        )
+    )
+    return kept.groupBy(
+        F.date_trunc("day", "ts_local").alias("local_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_local_hours"),
+        F.min(F.hour("ts_local")).cast("int").alias("first_hour"),
+        F.max(F.hour("ts_local")).cast("int").alias("last_hour"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ORC sink → scan round-trip (interchange format #3)
+# ---------------------------------------------------------------------------
+@register(
+    "orc_roundtrip_agg",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_price,
+           CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_order
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="ORC sink + schema-enforced scan round-trip (columnar "
+    "interchange format #3 after CSV/JSONL — queries_pipeline): orders "
+    "written to ORC, read back with an explicit schema, aggregated per "
+    "priority. The oracle runs on the original parquet, so a hash match "
+    "proves the ORC path preserves longs, doubles and timestamps "
+    "bit-for-bit. ORC ships in Spark's classpath and carries the same "
+    "stripe-level min/max statistics parquet footers do, so predicate "
+    "pushdown survives a format migration.",
+)
+def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    path = f"/tmp/spark_graft_orc_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        # Parquet micros-without-UTC-flag reads as TIMESTAMP_NTZ; ORC's
+        # reader refuses an NTZ→LTZ cast at scan time, so normalize to
+        # the session-UTC instant type before the sink.
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    o.write.mode("overwrite").orc(path)
+    back = spark.read.schema(
+        "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderdate TIMESTAMP,"
+        " o_orderpriority STRING"
+    ).orc(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.min("o_orderdate").alias("first_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-optimized Python UDF (Spark 4 useArrow=True)
+# ---------------------------------------------------------------------------
+@register(
+    "arrow_udf_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_md5,
+           CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                AS BIGINT) AS norm_len
+    FROM documents
+    """,
+    doc="Arrow-optimized scalar Python UDF (udf(useArrow=True), Spark "
+    "4): row-at-a-time Python semantics with Arrow-batched transfer — "
+    "the modern default when logic genuinely needs Python (here: "
+    "canonicalize + md5, mirroring functions/textops.normalized_text). "
+    "Completes the engine's Python-interop matrix: @pandas_udf "
+    "(vectorized series), applyInPandas (grouped map), mapInArrow "
+    "(byte-level batches), Python DataSource (connector), UDTF "
+    "(table-valued), and now Arrow scalar UDFs. The SQL oracle proves "
+    "the Python path agrees with the built-in regexp/md5 semantics "
+    "byte-for-byte; at 100 TB prefer the pure-SQL form (whole-stage "
+    "codegen) unless the per-row logic is un-expressible.",
+)
+def arrow_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import udf
+
+    ws = re.compile(r"\s+")
+
+    @udf("struct<norm_md5: string, norm_len: bigint>", useArrow=True)
+    def norm(text: str):
+        n = ws.sub(" ", text.strip().lower())
+        return {"norm_md5": hashlib.md5(n.encode("utf-8")).hexdigest(),
+                "norm_len": len(n)}
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", norm("text").alias("s")).select(
+        "doc_id", "s.norm_md5", "s.norm_len"
+    )

@@ -59,5 +59,6 @@ def all_queries() -> dict[str, Query]:
     import weather_analysis_bigdata__spark.queries_tpch  # noqa: F401
     import weather_analysis_bigdata__spark.queries_datapipe  # noqa: F401
     import weather_analysis_bigdata__spark.queries_profiling  # noqa: F401
+    import weather_analysis_bigdata__spark.queries_ops  # noqa: F401
 
     return dict(_REGISTRY)
