@@ -47,6 +47,11 @@ HEADLINE = [
     "repetition_topgram_filter",
     "heavy_hitters_tokens",
     "streaming_dedup_replay",
+    "hll_sketch_partition_merge",
+    "dedup_shared_ngram_spans",
+    "winsorized_robust_stats",
+    "partial_reagg_monthly",
+    "table_fingerprint",
 ]
 
 
