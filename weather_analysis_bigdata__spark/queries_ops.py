@@ -575,3 +575,160 @@ def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("dof"),
         F.max("n").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture sampling (data mixing with per-source rates)
+# ---------------------------------------------------------------------------
+#: Per-source mixture weights (sums to 1.0 over the 4 weight classes —
+#: sources are striped into classes by their numeric suffix mod 4).
+_MIX_NUM = {0: 4, 1: 3, 2: 2, 3: 1}  # numerator of rate k/10
+_MIX_SQL_RATE = (
+    "CASE (CAST(substr(source, 4) AS BIGINT) % 4)"
+    " WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 1 END"
+)
+
+
+@register(
+    "source_mixture_sample",
+    oracle=f"""
+    WITH rated AS (
+      SELECT source,
+             {_MIX_SQL_RATE} AS rate10,
+             {{h}} % 10 AS slot
+      FROM documents
+    )
+    SELECT source,
+           CAST(MAX(rate10) AS BIGINT) AS rate10,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN slot < rate10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN slot < rate10 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS achieved_rate
+    FROM rated
+    GROUP BY source
+    """.replace(
+        "{h}",
+        "("
+        + "CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT)"
+        + " * 16 + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT)"
+        + ")",
+    ),
+    doc="Data-mixing downsampler: each source class gets a target keep "
+    "rate k/10 (the Pile/Dolma-style mixture weighting), enforced by a "
+    "DETERMINISTIC hash gate — keep iff md5(doc_id)'s first byte mod 10 "
+    "< k. Reproducible across engines, runs and repartitioning (a "
+    "df.sample mixture would drift with partition layout, poisoning "
+    "ablations); rows are filtered at scan stage, so at 100 TB the "
+    "discarded mass never reaches a shuffle. Output reports target vs "
+    "achieved rate per source; the hash residue is uniform enough that "
+    "achieved→target as n grows (visible in the result).",
+)
+def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.textops import hexval, md5s
+
+    d = load_table(spark, sf_dir, "documents")
+    digest = md5s(F.col("doc_id").cast("string"))
+    h2 = hexval(F.substring(digest, 1, 1)) * 16 + hexval(
+        F.substring(digest, 2, 1)
+    )
+    rate10 = (
+        F.when(F.expr("CAST(substr(source, 4) AS BIGINT)") % 4 == 0, 4)
+        .when(F.expr("CAST(substr(source, 4) AS BIGINT)") % 4 == 1, 3)
+        .when(F.expr("CAST(substr(source, 4) AS BIGINT)") % 4 == 2, 2)
+        .otherwise(1)
+    )
+    rated = d.select(
+        "source",
+        rate10.alias("rate10"),
+        (h2.cast("long") % 10).alias("slot"),
+    )
+    kept = F.sum(F.when(F.col("slot") < F.col("rate10"), 1).otherwise(0))
+    return rated.groupBy("source").agg(
+        F.max("rate10").cast("long").alias("rate10"),
+        F.count(F.lit(1)).alias("n_total"),
+        kept.cast("long").alias("n_kept"),
+        (kept.cast("double") / F.count(F.lit(1))).alias("achieved_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train ∩ test n-gram overlap)
+# ---------------------------------------------------------------------------
+@register(
+    "decontaminate_train_test",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT doc_id, (doc_id % 97 = 0) AS is_eval,
+             list_distinct({sql_word_ngrams(SQL_TOKENS.format(c='text'), 8)}) AS grams
+      FROM documents
+    ),
+    eval_grams AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM labeled WHERE is_eval
+    ),
+    train AS (SELECT doc_id, unnest(grams) AS gram FROM labeled WHERE NOT is_eval),
+    hits AS (
+      SELECT train.doc_id, COUNT(*) AS n_contaminated
+      FROM train JOIN eval_grams USING (gram)
+      GROUP BY train.doc_id
+    )
+    SELECT l.doc_id,
+           CAST(len(l.grams) AS BIGINT) AS n_grams,
+           CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           (coalesce(h.n_contaminated, 0) > 0) AS is_contaminated
+    FROM labeled l LEFT JOIN hits h USING (doc_id)
+    WHERE NOT l.is_eval
+    """,
+    doc="Benchmark decontamination: flag training documents sharing any "
+    "word 8-gram with the held-out eval split (doc_id % 97 — a "
+    "deterministic stand-in for a real benchmark suite), the GPT-3/PaLM "
+    "appendix-style n-gram collision scan run before every training "
+    "run. Asymmetric inverted-index semi-join: the eval gram set is "
+    "tiny (≪ train), so at 100 TB it broadcasts and the train side "
+    "never shuffles — unlike the symmetric all-pairs shape "
+    "(dedup_shared_ngram_spans), contamination checking is "
+    "embarrassingly scan-parallel. Spark side hashes grams to 60-bit "
+    "ints (4× smaller broadcast; collisions would only over-flag, "
+    "checked exact by the string-keyed oracle).",
+)
+def decontaminate_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.textops import (
+        hex15_to_long,
+        md5s,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    labeled = d.select(
+        "doc_id",
+        (F.col("doc_id") % 97 == 0).alias("is_eval"),
+        F.array_distinct(word_ngrams(tokens("text"), 8)).alias("grams"),
+    )
+    def ghashed(df):
+        return df.select(
+            "doc_id", F.explode("grams").alias("gram")
+        ).select("doc_id", hex15_to_long(md5s(F.col("gram"))).alias("gh"))
+
+    eval_grams = (
+        ghashed(labeled.filter("is_eval")).select("gh").distinct()
+    )
+    train = ghashed(labeled.filter("NOT is_eval"))
+    hits = (
+        train.join(F.broadcast(eval_grams), "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        labeled.filter("NOT is_eval")
+        .select("doc_id", F.size("grams").cast("long").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias(
+                "n_contaminated"
+            ),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).alias(
+                "is_contaminated"
+            ),
+        )
+    )
