@@ -25,6 +25,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SKIP_PREFIXES = ("streaming_", "csv_", "json_roundtrip", "merge_")
 
+#: Reviewed flags: plans whose red-flag pattern is the *correct* design,
+#: with the reason. Printed as `ok(reviewed)` instead of `!!` so a new
+#: regression stands out from an accepted trade-off.
+KNOWN_EXCEPTIONS = {
+    "full_outer_join": "fact⋈fact full outer — SMJ is the right strategy "
+    "(no side is broadcastable and hash full-outer spills worse)",
+    "funnel_steps": "3 sequential event-order stages + 2 bounded "
+    "BNLJ steps over per-user minima — exchanges carry per-user rows "
+    "(≪ events), each required by a different key",
+    "dedup_ngram_jaccard": "shingle→posting→pair pipeline: exchanges are "
+    "over postings/pairs that shrink stage-over-stage; single-key "
+    "alternatives would recompute the shingle subtree",
+    "ivf_probe_topk": "train/assign/probe phases each need their own "
+    "key (centroid id, probe id, query id); data volume per exchange "
+    "is O(vectors·k), not O(n²)",
+    "dedup_jaccard_dfcapped": "adds the DF-cap semi-join ahead of the "
+    "jaccard pipeline — two extra small exchanges over the capped "
+    "posting list buy the quadratic-hot-key bound",
+    "dedup_containment": "same posting pipeline with asymmetric "
+    "normalization; exchanges over shrinking candidate pairs",
+    "collation_ci_group": "grouping on a UTF8_LCASE-collated key — "
+    "Spark 4.1 plans SortAggregate for non-binary-equality collations "
+    "(no hash support for collation keys yet); the row count per group "
+    "is small and the op exists to exercise collation semantics",
+}
+
 
 def main() -> None:
     sf_dir = "/root/testdata/sf0.01"
@@ -72,9 +98,12 @@ def main() -> None:
             flags.append("SORTAGG")
         if stats["xchg"] > 4:
             flags.append(f"XCHG={stats['xchg']}")
-        mark = " !! " + ",".join(flags) if flags else ""
-        if flags:
-            flagged += 1
+        if flags and name in KNOWN_EXCEPTIONS:
+            mark = f" ok(reviewed: {','.join(flags)})"
+        else:
+            mark = " !! " + ",".join(flags) if flags else ""
+            if flags:
+                flagged += 1
         rows.append(
             (
                 name,

@@ -563,18 +563,25 @@ def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("r") * F.col("c") * F.col("n"))
         ).alias("term"),
     )
-    return terms.agg(
+    # Mixing DISTINCT aggregates with collect_list in one Aggregate
+    # forces an Expand + SortAggregate; two separate tiny aggregates
+    # over the O(cells) table stay on the hash/object-hash path and
+    # cross-join their 1-row results.
+    chi = terms.agg(
         F.aggregate(
             F.array_sort(F.collect_list("term")),
             F.lit(0.0),
             lambda acc, t: acc + t,
         ).alias("chi2"),
+        F.max("n").alias("n"),
+    )
+    dof = terms.agg(
         (
             (F.countDistinct("event_type") - 1)
             * (F.countDistinct("bucket") - 1)
-        ).cast("long").alias("dof"),
-        F.max("n").alias("n"),
+        ).cast("long").alias("dof")
     )
+    return chi.crossJoin(dof).select("chi2", "dof", "n")
 
 
 # ---------------------------------------------------------------------------

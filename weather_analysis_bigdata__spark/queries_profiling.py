@@ -348,16 +348,23 @@ _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_returnflag")
     "mode; swap to HLL sketches for the approximate mode), then "
     "explodes a 4-struct array to long format. Numeric min/max are "
     "stringified via decimal(18,3) so both engines print identical "
-    "fixed-scale text; the oracle is 4 UNION ALL scans proving the "
-    "single-pass form.",
+    "fixed-scale text; the string flag's min/max runs on its ASCII "
+    "codepoint (string agg buffers force SortAggregate — PERF.md); the "
+    "oracle is 4 UNION ALL scans proving the single-pass form.",
 )
 def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     aggs = []
     for c in _PROFILE_COLS:
-        mn, mx = F.min(c), F.max(c)
-        if c != "l_returnflag":
-            mn, mx = dec(mn, 3), dec(mx, 3)
+        if c == "l_returnflag":
+            # MIN/MAX over a string buffer falls off the HashAggregate
+            # fast path (SortAggregate — the PERF.md string-agg cliff).
+            # The flag is one character, so min/max its codepoint and
+            # decode after the aggregate: integer buffers stay hashed.
+            mn = F.char(F.min(F.ascii(c)))
+            mx = F.char(F.max(F.ascii(c)))
+        else:
+            mn, mx = dec(F.min(c), 3), dec(F.max(c), 3)
         aggs += [
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
             F.countDistinct(c).alias(f"{c}__distinct"),
@@ -409,8 +416,10 @@ def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "normalization expression on the grouping path — the collation-aware "
     "hash/compare does it, which at 100 TB also lets collated parquet "
     "stats and join keys skip the derived-column materialization. "
-    "Output canonicalizes with min(lower(key)) (identical within a "
-    "collation group by definition); oracle = classic GROUP BY lower().",
+    "Output canonicalizes with lower(key) carried as a SECOND grouping "
+    "key (functionally dependent on the collated key, so groups are "
+    "unchanged — and no string MIN aggregate is needed, which would "
+    "fall to SortAggregate); oracle = classic GROUP BY lower().",
 )
 def collation_ci_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -426,9 +435,11 @@ def collation_ci_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         d.select(key.alias("key"), "n_chars")
-        .groupBy(F.collate("key", "UTF8_LCASE").alias("key_ci"))
+        .groupBy(
+            F.collate("key", "UTF8_LCASE").alias("key_ci"),
+            F.lower("key").alias("source_ci"),
+        )
         .agg(
-            F.min(F.lower("key")).alias("source_ci"),
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
         )
