@@ -33,7 +33,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from weather_analysis_bigdata__spark.functions.deterministic import dsum, sql_dsum
+from weather_analysis_bigdata__spark.functions.deterministic import (
+    dsum,
+    sql_dec,
+    sql_dsum,
+)
 from weather_analysis_bigdata__spark.functions.textops import (
     SQL_TOKENS,
     sql_hex15_to_long,
@@ -738,4 +742,69 @@ def decontaminate_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "is_contaminated"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map higher-order functions (transform_keys/values, map_zip_with)
+# ---------------------------------------------------------------------------
+@register(
+    "map_hof_battery",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS DOUBLE) AS qty_out,
+           CAST({sql_dec('l_extendedprice * (1 - l_discount)', 4)} AS DOUBLE)
+             AS net_out,
+           CAST(round({sql_dec('l_extendedprice * (1 - l_discount)', 4)}
+                      * {sql_dec('l_tax', 4)}, 6) AS DOUBLE) AS tax_amount,
+           (l_quantity > 30) AS bulky
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+    doc="Map-typed higher-order functions exercised end-to-end: build a "
+    "measures map with map_from_arrays, rescale with transform_values, "
+    "rename keys with transform_keys, combine two maps entry-wise with "
+    "map_zip_with (net × tax rate), filter with map_filter, and read "
+    "results back out with element_at — all row-local, codegen-capable, "
+    "zero shuffle. The oracle computes the same scalars with plain "
+    "arithmetic, proving the map algebra preserves exact decimal "
+    "values (map entries hold DECIMAL, not DOUBLE, until extraction). "
+    "Maps are the schema-flexible column pattern (sparse features, "
+    "per-currency totals) that avoids 1000-column tables at 100 TB.",
+)
+def map_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.deterministic import dec
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    )
+    measures = F.map_from_arrays(
+        F.array(F.lit("qty"), F.lit("net")),
+        F.array(
+            dec("l_quantity", 4),
+            dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4),
+        ),
+    )
+    rates = F.map_from_arrays(
+        F.array(F.lit("qty"), F.lit("net")),
+        F.array(F.lit(0.0), dec("l_tax", 4)),
+    )
+    # transform_keys: prefix; map_zip_with: value × rate; map_filter:
+    # keep positive tax entries only.
+    taxed = F.map_zip_with(
+        measures, rates, lambda k, v, r: F.round(v * r, 6)
+    )
+    renamed = F.transform_keys(taxed, lambda k, v: F.concat(F.lit("m_"), k))
+    kept = F.map_filter(renamed, lambda k, v: v > 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(measures, "qty").cast("double").alias("qty_out"),
+        F.element_at(measures, "net").cast("double").alias("net_out"),
+        F.element_at(renamed, "m_net").cast("double").alias("tax_amount"),
+        (
+            F.element_at(
+                F.transform_values(measures, lambda k, v: v > 30), "qty"
+            )
+        ).alias("bulky"),
     )

@@ -494,3 +494,47 @@ def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.count("o_orderpriority")).alias("null_priority"),
         dsum("o_totalprice").alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct at scale: bucketed-bitmap merge (the HLL complement)
+# ---------------------------------------------------------------------------
+@register(
+    "bitmap_exact_distinct_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(DISTINCT user_id % 4 * 1000000 + user_id) AS BIGINT)
+             AS exact_users_check
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="EXACT mergeable distinct counting via bucketed bitmaps "
+    "(bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg "
+    "/ bitmap_or_agg — Spark 3.5+): ids are bucketed into 32k-bit "
+    "ranges, each (group, bucket, shard) builds a bitmap, shards merge "
+    "with bitmap OR (commutative/idempotent — re-aggregation and "
+    "at-least-once replays are safe), and the distinct count is the sum "
+    "of per-bucket popcounts. This is the exact complement to "
+    "hll_sketch_partition_merge: same build-per-partition/merge shape, "
+    "zero error, state O(id-range/8) bytes per group. The shard key is "
+    "event_id-derived (independent of user_id) so the OR-merge is "
+    "genuinely exercised. Oracle pins the count twice (plain + a "
+    "residue-tagged variant ≡ same value since the tag is injective).",
+)
+def bitmap_exact_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_shard = ev.groupBy(
+        "event_type",
+        F.bitmap_bucket_number("user_id").alias("bucket"),
+        (F.col("event_id") % 4).alias("shard"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
+    )
+    merged = per_shard.groupBy("event_type", "bucket").agg(
+        F.bitmap_or_agg("bm").alias("bm")
+    )
+    return merged.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("exact_users"),
+        F.sum(F.bitmap_count("bm")).alias("exact_users_check"),
+    )
