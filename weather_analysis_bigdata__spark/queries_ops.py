@@ -1,7 +1,10 @@
 """Operational semantics batteries: exact span-level dedup, skew
-profiling, timezone/DST correctness, ORC interchange, Arrow-native UDFs.
+profiling, timezone/DST correctness, ORC interchange, Arrow-native UDFs,
+table fingerprinting, sequence packing, mixture sampling,
+decontamination, map HOFs, pandas-on-Spark, and XML ingestion.
 
-Five shapes that round out the engine's production surface:
+The founding shapes that round out the engine's production surface
+(later batches appended below):
 
 - **Exact duplicated-span detection** — the substring-level companion to
   the document-level dedup family: find word n-grams shared across
@@ -807,4 +810,111 @@ def map_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform_values(measures, lambda k, v: v > 30), "qty"
             )
         ).alias("bulky"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pandas-on-Spark API (third API surface: SQL, DataFrame, pandas)
+# ---------------------------------------------------------------------------
+@register(
+    "pandas_api_groupby",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM documents
+    GROUP BY source
+    """,
+    doc="pandas-on-Spark API surface (pyspark.pandas): the same grouped "
+    "aggregation expressed with pandas idioms (.groupby().agg() on a "
+    "pandas_api() frame), converted back with to_spark() — proving the "
+    "engine's THIRD query API (SQL strings, DataFrame, pandas API) "
+    "plans into identical Catalyst aggregates, not a driver-side pandas "
+    "fallback. Aggregates chosen integer-exact (count / int64 sum / "
+    "min) so the pandas path has no float-reduction nondeterminism. "
+    "At 100 TB this API matters for porting pandas-literate pipelines "
+    "without rewriting them.",
+)
+def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    psdf = d.pandas_api()
+    out = (
+        psdf.groupby("source")
+        .agg(
+            n_docs=("doc_id", "count"),
+            total_chars=("n_chars", "sum"),
+            first_doc=("doc_id", "min"),
+        )
+        .reset_index()
+    )
+    sdf = out.to_spark()
+    return sdf.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.col("first_doc").cast("long").alias("first_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 XML: from_xml over synthesized payloads
+# ---------------------------------------------------------------------------
+@register(
+    "xml_extract_agg",
+    oracle=f"""
+    WITH x AS (
+      SELECT concat('<order><key>', CAST(o_orderkey AS VARCHAR),
+                    '</key><status>', o_orderstatus,
+                    '</status><total>',
+                    CAST({sql_dec('o_totalprice')} AS VARCHAR),
+                    '</total></order>') AS payload
+      FROM orders
+    ),
+    parsed AS (
+      SELECT CAST(regexp_extract(payload, '<key>([0-9]+)</key>', 1) AS BIGINT)
+               AS k,
+             regexp_extract(payload, '<status>(.*?)</status>', 1) AS status,
+             CAST(regexp_extract(payload, '<total>(.*?)</total>', 1)
+                  AS DECIMAL(18,2)) AS total
+      FROM x
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(total) AS DOUBLE) AS sum_total,
+           CAST(MAX(k) AS BIGINT) AS max_key
+    FROM parsed
+    GROUP BY status
+    """,
+    doc="XML ingestion via Spark 4's native from_xml: order rows are "
+    "serialized to XML payloads in-engine (the shape a message-bus XML "
+    "feed arrives in), parsed back with an explicit struct schema, and "
+    "aggregated — proving schema-directed XML parsing agrees with the "
+    "oracle's regexp extraction byte-for-byte, including the decimal "
+    "round-trip through text. The parse is row-local (scan-stage, no "
+    "shuffle); at 100 TB the same expression ingests XML event feeds "
+    "without a staging format conversion.",
+)
+def xml_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.deterministic import dec
+
+    o = load_table(spark, sf_dir, "orders")
+    payload = F.concat(
+        F.lit("<order><key>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</key><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status><total>"),
+        dec("o_totalprice").cast("string"),
+        F.lit("</total></order>"),
+    )
+    parsed = o.select(
+        F.from_xml(
+            payload, "struct<key: bigint, status: string, total: decimal(18,2)>"
+        ).alias("x")
+    )
+    return parsed.groupBy(F.col("x.status").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("x.total").cast("double").alias("sum_total"),
+        F.max("x.key").alias("max_key"),
     )
