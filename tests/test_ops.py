@@ -107,3 +107,35 @@ def test_chisq_nonnegative_and_dof(spark, sf_dir):
     assert r.chi2 >= 0.0
     assert r.dof == (5 - 1) * (5 - 1)  # 5 event types × 5 value buckets
     assert r.n > 0
+
+
+def test_linear_interpolation_bounds(spark, sf_dir):
+    """Interior gap fills lie between their bracketing observations;
+    observed days echo their own value; edge gaps stay NULL."""
+    from weather_analysis_bigdata__spark.queries_ops import (
+        gapfill_linear_interpolate,
+    )
+
+    rows = gapfill_linear_interpolate(spark, sf_dir).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    saw_gap_fill = False
+    for series in by_user.values():
+        series.sort(key=lambda r: r.day)
+        obs = [(i, r.filled_value) for i, r in enumerate(series) if not r.is_gap]
+        for i, r in enumerate(series):
+            if not r.is_gap:
+                assert r.filled_value is not None
+                continue
+            before = [v for j, v in obs if j < i]
+            after = [v for j, v in obs if j > i]
+            if before and after:
+                lo, hi = sorted((before[-1], after[0]))
+                assert r.filled_value is not None
+                assert lo - 1e-9 <= r.filled_value <= hi + 1e-9
+                saw_gap_fill = True
+            else:
+                assert r.filled_value is None
+    assert saw_gap_fill  # the data actually exercises interpolation

@@ -918,3 +918,111 @@ def xml_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x.total").cast("double").alias("sum_total"),
         F.max("x.key").alias("max_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation gap fill (exact integer lerp)
+# ---------------------------------------------------------------------------
+@register(
+    "gapfill_linear_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+      FROM events WHERE user_id <= 5 GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(MIN(day), MAX(day),
+                                             INTERVAL 1 DAY)) AS day
+      FROM daily GROUP BY user_id
+    ),
+    j AS (
+      SELECT s.user_id, s.day, d.v,
+             last_value(d.v IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN d.v IS NOT NULL THEN s.day END IGNORE NULLS)
+               OVER wb AS pd,
+             first_value(d.v IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN d.v IS NOT NULL THEN s.day END IGNORE NULLS)
+               OVER wf AS nd
+      FROM spine s LEFT JOIN daily d
+        ON s.user_id = d.user_id AND s.day = d.day
+      WINDOW wb AS (PARTITION BY s.user_id ORDER BY s.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY s.user_id ORDER BY s.day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day,
+           (v IS NULL) AS is_gap,
+           CASE
+             WHEN v IS NOT NULL THEN CAST(v AS DOUBLE) / 100
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               CAST(pv * date_diff('day', day, nd)
+                    + nv * date_diff('day', pd, day) AS DOUBLE)
+                 / (date_diff('day', pd, nd) * 100)
+             ELSE NULL
+           END AS filled_value
+    FROM j
+    """,
+    doc="Linear-interpolation gap fill: per-user daily totals on a dense "
+    "date spine; interior gaps are filled with the exact lerp "
+    "(pv·(nd−t) + nv·(t−pd)) / (nd−pd), computed ENTIRELY in integers "
+    "(values in cents, distances in whole days) with ONE final double "
+    "division — so the interpolated series is bit-identical across "
+    "engines, unlike a naive float lerp. Edge gaps (no bracketing "
+    "observation) stay NULL rather than being extrapolated. Neighbor "
+    "lookup is native IGNORE NULLS last/first_value on the same total "
+    "order both engines share; both frames and the join reuse ONE "
+    "user_id partitioning. Complements gapfill_forward_fill (step "
+    "interpolation) for resampling sensor/price series at 100 TB.",
+)
+def gapfill_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.deterministic import dec
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 5)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg((F.sum(dec("value")) * 100).cast("long").alias("v"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias(
+                "day"
+            ),
+        )
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    day_if_obs = F.when(F.col("v").isNotNull(), F.col("day"))
+    marked = j.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(day_if_obs, ignorenulls=True).over(wb).alias("pd"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(day_if_obs, ignorenulls=True).over(wf).alias("nd"),
+    )
+    lerp = (
+        F.col("pv") * F.datediff("nd", "day")
+        + F.col("nv") * F.datediff("day", "pd")
+    ).cast("double") / (F.datediff("nd", "pd") * 100)
+    return marked.select(
+        "user_id",
+        "day",
+        F.col("v").isNull().alias("is_gap"),
+        F.when(F.col("v").isNotNull(), F.col("v").cast("double") / 100)
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), lerp)
+        .otherwise(F.lit(None).cast("double"))
+        .alias("filled_value"),
+    )
