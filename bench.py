@@ -52,6 +52,8 @@ HEADLINE = [
     "winsorized_robust_stats",
     "partial_reagg_monthly",
     "table_fingerprint",
+    "corpus_prep_end_to_end",
+    "table_snapshot_diff",
 ]
 
 

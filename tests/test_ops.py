@@ -139,3 +139,20 @@ def test_linear_interpolation_bounds(spark, sf_dir):
             else:
                 assert r.filled_value is None
     assert saw_gap_fill  # the data actually exercises interpolation
+
+
+def test_corpus_prep_funnel_monotone(spark, sf_dir):
+    """Each funnel stage can only shrink the corpus, and token budget is
+    bounded by surviving docs × max token count."""
+    from weather_analysis_bigdata__spark.queries_ops import (
+        corpus_prep_end_to_end,
+    )
+
+    rows = corpus_prep_end_to_end(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_raw >= r.n_quality >= r.n_unique >= r.n_final >= 0
+        if r.n_final == 0:
+            assert r.tokens_final == 0
+        else:
+            assert r.tokens_final >= 5 * r.n_final  # quality floor

@@ -1026,3 +1026,186 @@ def gapfill_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("double"))
         .alias("filled_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Table snapshot diff (the locate step after fingerprints disagree)
+# ---------------------------------------------------------------------------
+@register(
+    "table_snapshot_diff",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws('|', o_orderstatus,
+                           CAST({sql_dec('o_totalprice')} AS VARCHAR))) AS h
+      FROM orders WHERE o_orderkey % 1000 <> 0
+    ),
+    v2 AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws('|', o_orderstatus,
+                           CAST({sql_dec('''CASE WHEN o_orderkey % 777 = 0
+                                  THEN round(o_totalprice * 1.1, 2)
+                                  ELSE o_totalprice END''')} AS VARCHAR))) AS h
+      FROM orders WHERE o_orderkey % 997 <> 0
+    ),
+    d AS (
+      SELECT coalesce(v1.k, v2.k) AS k,
+             CASE WHEN v1.k IS NULL THEN 'added'
+                  WHEN v2.k IS NULL THEN 'removed'
+                  WHEN v1.h <> v2.h THEN 'modified'
+                  ELSE 'unchanged' END AS change
+      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    )
+    SELECT change, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(k) AS BIGINT) AS example_key
+    FROM d GROUP BY change
+    """,
+    doc="Snapshot diff — the locate step run when table_fingerprint "
+    "says two replicas/versions diverged: full outer join on the "
+    "primary key comparing canonical row hashes, classifying every key "
+    "as added / removed / modified / unchanged (v2 perturbs prices on "
+    "the %777 stripe and drops the %997 stripe; v1 drops %1000). The "
+    "join shuffles only (key, 32-byte hash) — never full rows — so a "
+    "100 TB diff moves ~40 bytes/row; example_key gives the auditor a "
+    "deterministic entry point per class. This is CDC-less change "
+    "detection between snapshots that share no log.",
+)
+def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.deterministic import dec
+    from weather_analysis_bigdata__spark.functions.textops import md5s
+
+    o = load_table(spark, sf_dir, "orders")
+
+    def hashed(price_col):
+        return md5s(
+            F.concat_ws(
+                "|", F.col("o_orderstatus"), dec(price_col).cast("string")
+            )
+        )
+
+    v1 = o.filter(F.col("o_orderkey") % 1000 != 0).select(
+        F.col("o_orderkey").alias("k"), hashed(F.col("o_totalprice")).alias("h1")
+    )
+    perturbed = F.when(
+        F.col("o_orderkey") % 777 == 0,
+        F.round(F.col("o_totalprice") * 1.1, 2),
+    ).otherwise(F.col("o_totalprice"))
+    v2 = o.filter(F.col("o_orderkey") % 997 != 0).select(
+        F.col("o_orderkey").alias("k"), hashed(perturbed).alias("h2")
+    )
+    d = v1.join(v2, "k", "full_outer").select(
+        "k",
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "modified")
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+    return d.groupBy("change").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("k").alias("example_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-prep capstone: quality → exact dedup → mixture, one composed plan
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_prep_end_to_end",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             len({SQL_TOKENS.format(c='text')}) AS n_tokens,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             {_MIX_SQL_RATE} AS rate10,
+             ({{h2}}) % 10 AS slot
+      FROM documents
+    ),
+    flagged AS (
+      SELECT *,
+             (n_tokens BETWEEN 5 AND 5000) AS quality_ok,
+             (doc_id = MIN(doc_id) OVER (PARTITION BY fp)) AS dedup_keep,
+             (slot < rate10) AS mix_keep
+      FROM base
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(SUM(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality,
+           CAST(SUM(CASE WHEN quality_ok AND dedup_keep THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN quality_ok AND dedup_keep AND mix_keep
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+           CAST(SUM(CASE WHEN quality_ok AND dedup_keep AND mix_keep
+                         THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_final
+    FROM flagged
+    GROUP BY source
+    """.replace(
+        "{h2}",
+        "("
+        + "CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT)"
+        + " * 16 + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT)"
+        + ")",
+    ),
+    doc="The composed training-corpus preparation funnel in ONE plan: "
+    "token-count quality gate → exact dedup on the normalized-text "
+    "fingerprint (keep min doc_id per fp — deterministic canonical "
+    "representative) → per-source mixture downsampling (the "
+    "source_mixture_sample hash gate), reported as a per-source funnel "
+    "(raw → quality → unique → final, plus surviving token budget). "
+    "All three gates are computed as FLAGS in one pass and combined in "
+    "conditional aggregation — no per-stage materialization, no "
+    "re-scan; the only shuffles are the fingerprint window and the "
+    "final group-by. This is the shape a 100 TB corpus build runs "
+    "nightly; each stage's standalone op exists separately "
+    "(text_quality_filter, dedup_fingerprint_normalized, "
+    "source_mixture_sample) — this query proves they compose.",
+)
+def corpus_prep_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.textops import (
+        hexval,
+        md5s,
+        normalized_text,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    digest = md5s(F.col("doc_id").cast("string"))
+    h2 = hexval(F.substring(digest, 1, 1)) * 16 + hexval(
+        F.substring(digest, 2, 1)
+    )
+    rate10 = (
+        F.when(F.expr("CAST(substr(source, 4) AS BIGINT)") % 4 == 0, 4)
+        .when(F.expr("CAST(substr(source, 4) AS BIGINT)") % 4 == 1, 3)
+        .when(F.expr("CAST(substr(source, 4) AS BIGINT)") % 4 == 2, 2)
+        .otherwise(1)
+    )
+    base = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).alias("n_tokens"),
+        md5s(normalized_text("text")).alias("fp"),
+        rate10.alias("rate10"),
+        (h2.cast("long") % 10).alias("slot"),
+    )
+    flagged = base.select(
+        "*",
+        F.col("n_tokens").between(5, 5000).alias("quality_ok"),
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("fp"))
+        ).alias("dedup_keep"),
+        (F.col("slot") < F.col("rate10")).alias("mix_keep"),
+    )
+    n_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    keep_all = (
+        F.col("quality_ok") & F.col("dedup_keep") & F.col("mix_keep")
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        n_if(F.col("quality_ok")).alias("n_quality"),
+        n_if(F.col("quality_ok") & F.col("dedup_keep")).alias("n_unique"),
+        n_if(keep_all).alias("n_final"),
+        F.sum(F.when(keep_all, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("tokens_final"),
+    )
