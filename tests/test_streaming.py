@@ -314,3 +314,31 @@ def test_transform_with_state_running_totals(spark, sf_dir):
     )
     want = {(r.user_id, r.n_events, r.sum_v_int) for r in batch.collect()}
     assert got == want
+
+
+def test_interval_left_join_emits_unmatched(spark, sf_dir):
+    """The left-outer stream-stream join must emit null-matched clicks
+    (watermark-flushed via the sentinel batches), and every click must
+    appear exactly once OR once-per-match."""
+    import os
+
+    from weather_analysis_bigdata__spark.streaming.joins import (
+        interval_left_join_replay,
+    )
+
+    rows = interval_left_join_replay(
+        spark, os.path.join(sf_dir, "events.parquet")
+    ).collect()
+    assert rows
+    matched = [r for r in rows if r.purchase_id is not None]
+    unmatched = [r for r in rows if r.purchase_id is None]
+    assert matched and unmatched  # both paths exercised
+    # A click is either unmatched exactly once, or matched ≥1 times —
+    # never both.
+    from collections import defaultdict
+
+    seen = defaultdict(lambda: [0, 0])
+    for r in rows:
+        seen[r.click_id][0 if r.purchase_id is not None else 1] += 1
+    for cid, (m, u) in seen.items():
+        assert (u == 0 and m >= 1) or (u == 1 and m == 0), (cid, m, u)

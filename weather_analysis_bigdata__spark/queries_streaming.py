@@ -288,3 +288,65 @@ def streaming_file_sink_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_event_id"),
         F.max("event_id").alias("max_event_id"),
     )
+
+
+@register(
+    "streaming_interval_left_join_replay",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT c.user_id, c.click_id, p.purchase_id
+      FROM clicks c LEFT JOIN purchases p
+        ON c.user_id = p.user_id
+       AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 2 HOUR
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN purchase_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched,
+           CAST(COUNT(DISTINCT CASE WHEN purchase_id IS NULL
+                                    THEN click_id END) AS BIGINT)
+             AS n_unmatched_clicks
+    FROM j
+    GROUP BY user_id
+    """,
+    doc="Stream-stream LEFT OUTER interval join run by the streaming "
+    "engine: matched click→purchase pairs emit eagerly; unmatched "
+    "clicks emit with nulls only once the watermark PROVES the horizon "
+    "closed — the hardest stream-stream semantic (state must hold the "
+    "outer side until expiry, then emit exactly once). The replay "
+    "harness appends far-future sentinel batches as an end-of-stream "
+    "marker so the final watermark flushes every pending null emission "
+    "(see streaming/joins.py::interval_left_join_replay); equality "
+    "with the batch LEFT JOIN proves both the match results and the "
+    "expiry bookkeeping. State is bounded by watermark + horizon on "
+    "both sides at any scale.",
+)
+def streaming_interval_left_join_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from weather_analysis_bigdata__spark.streaming.joins import (
+        interval_left_join_replay,
+    )
+
+    rows = interval_left_join_replay(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+    return rows.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("purchase_id").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_matched"),
+        F.countDistinct(
+            F.when(F.col("purchase_id").isNull(), F.col("click_id"))
+        ).alias("n_unmatched_clicks"),
+    )

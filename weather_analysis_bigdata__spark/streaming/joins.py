@@ -102,3 +102,96 @@ def dedup_replay(
         ["event_id"]
     )
     return _sink(deduped, name)
+
+
+def interval_left_join_replay(
+    spark: SparkSession,
+    events_parquet: str,
+    horizon: str = "2 hours",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, matched to
+    purchases within ``horizon``, or emitted with nulls once the
+    watermark PROVES no match can arrive.
+
+    The outer side only emits when the watermark passes click_ts +
+    horizon — so a plain availableNow replay would swallow the
+    unmatched clicks near the end of the data (the watermark dies with
+    the input). The harness therefore stages two far-future SENTINEL
+    rows (user_id −1, +30d click then +60d purchase) as separate
+    micro-batch files: they push the final watermark beyond every real
+    click's horizon, flushing all pending null-emissions before
+    termination — the streaming analogue of an end-of-stream marker.
+    Sentinels are filtered from the returned rows.
+    """
+    import datetime
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    run_id = uuid.uuid4().hex[:10]
+    src_dir = tempfile.mkdtemp(prefix=f"ssloj_{run_id}_")
+    name = f"ssloj_{run_id}"
+    dst0 = os.path.join(src_dir, "000.parquet")
+    shutil.copy(events_parquet, dst0)
+    os.utime(dst0, (1_700_000_000, 1_700_000_000))
+
+    physical = spark.read.parquet(events_parquet)
+    ts_type = physical.schema["ts"].dataType
+    mx = physical.agg(F.max("ts").alias("m")).collect()[0].m
+    sent_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    for i, (etype, days) in enumerate([("click", 30), ("purchase", 60)], 1):
+        sent_ts = mx + datetime.timedelta(days=days)
+        sent = spark.createDataFrame(
+            [(10**12 + i, sent_ts, -1, etype, 0.0, "{}")], schema=sent_schema
+        )
+        stage = os.path.join(src_dir, f"stage{i}")
+        sent.coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(src_dir, f"{i:03d}.parquet")
+        shutil.copy(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        shutil.rmtree(stage, ignore_errors=True)
+
+    base = stream_events(spark, src_dir, max_files_per_trigger=1)
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL {horizon}"
+        ),
+        "leftOuter",
+    )
+    out = _sink(joined, name)
+    try:
+        return out.filter(F.col("c_user") >= 0).localCheckpoint()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
