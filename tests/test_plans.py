@@ -137,3 +137,40 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     plan = plan_of(j)
     assert "dynamicpruning" in plan.lower()
     j.collect()  # plan actually executes
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """With runtime bloom filters on and broadcast disabled (the
+    big⋈big case), a selective creation side must inject a bloom
+    filter onto the fact scan side — at 100 TB this prunes shuffle
+    input for joins where DPP can't (non-partition keys)."""
+    from pyspark.sql import functions as F
+
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower()
+        j.collect()  # executes with the runtime filter
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1737,3 +1737,96 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
     return d.select("doc_id", "source", split.alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): per-subspace codebooks, codes, distortion
+# ---------------------------------------------------------------------------
+@register(
+    "pq_encode_vectors",
+    oracle=f"""
+    WITH {_SQL_VPOS.strip()},
+    sub AS (
+      SELECT vec_id, label, (pos - 1) // 8 AS sub, pos, v_int FROM vpos
+    ),
+    codebook AS (
+      SELECT sub, pos, label AS code,
+             CAST({_SQL_FLOORDIV.format(s='SUM(v_int)', n='COUNT(*)')} AS BIGINT)
+               AS c_int
+      FROM sub GROUP BY sub, pos, label
+    ),
+    dists AS (
+      SELECT s.vec_id, s.sub, cb.code,
+             CAST(SUM((s.v_int - cb.c_int) * (s.v_int - cb.c_int)) AS BIGINT)
+               AS d
+      FROM sub s JOIN codebook cb ON s.sub = cb.sub AND s.pos = cb.pos
+      GROUP BY s.vec_id, s.sub, cb.code
+    ),
+    best AS (
+      SELECT vec_id, sub, code, d,
+             row_number() OVER (PARTITION BY vec_id, sub
+                                ORDER BY d, code) AS rn
+      FROM dists
+    )
+    SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), '-' ORDER BY sub) AS pq_code,
+           CAST(SUM(d) AS BIGINT) AS distortion_scaled,
+           CAST(COUNT(*) AS BIGINT) AS n_subspaces
+    FROM best WHERE rn = 1
+    GROUP BY vec_id
+    """,
+    doc="Product quantization encode (Jégou et al. 2011): the 64-dim "
+    "embedding splits into 8 subspaces of 8 dims; each subspace has a "
+    "10-entry codebook (per-label sub-vector means — the deterministic "
+    "stand-in for per-subspace k-means, same mean arithmetic as "
+    "embedding_centroids); every vector stores the argmin code per "
+    "subspace (tie-broken by code id) plus its total quantization "
+    "distortion. All arithmetic is scaled-integer (means via the "
+    "portable floor-div, distances as exact Σ(v−c)²) — bit-identical "
+    "across engines. PQ is the memory side of 100 TB vector search: "
+    "8 bytes/vector instead of 256, with IVF (ivf_probe_topk) "
+    "providing the routing side; distortion is the re-rank signal. "
+    "Cost: codebook is a tiny broadcast; encode is one pass over the "
+    "position-exploded vectors.",
+)
+def pq_encode_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vpos = _vpos(spark, sf_dir)
+    sub = vpos.select(
+        "vec_id",
+        "label",
+        F.floor((F.col("pos") - 1) / 8).alias("sub"),
+        "pos",
+        "v_int",
+    )
+    s, n = F.sum("v_int"), F.count(F.lit(1))
+    floordiv = (s - (((s % n) + n) % n)) / n
+    codebook = (
+        sub.groupBy("sub", "pos", F.col("label").alias("code"))
+        .agg(floordiv.cast("long").alias("c_int"))
+    )
+    dists = (
+        sub.drop("label")
+        .join(F.broadcast(codebook), ["sub", "pos"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(
+            F.sum(
+                (F.col("v_int") - F.col("c_int"))
+                * (F.col("v_int") - F.col("c_int"))
+            ).alias("d")
+        )
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("d", "code")
+    best = dists.select(
+        "vec_id", "sub", "code", "d", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") == 1)
+    return best.groupBy("vec_id").agg(
+        F.concat_ws(
+            "-",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda x: x.code.cast("string"),
+            ),
+        ).alias("pq_code"),
+        F.sum("d").alias("distortion_scaled"),
+        F.count(F.lit(1)).alias("n_subspaces"),
+    )
