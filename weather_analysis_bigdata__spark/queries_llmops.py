@@ -1830,3 +1830,119 @@ def pq_encode_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d").alias("distortion_scaled"),
         F.count(F.lit(1)).alias("n_subspaces"),
     )
+
+
+@register(
+    "pq_adc_search_topk",
+    oracle=f"""
+    WITH {_SQL_VPOS.strip()},
+    sub AS (
+      SELECT vec_id, label, (pos - 1) // 8 AS sub, pos, v_int FROM vpos
+    ),
+    codebook AS (
+      SELECT sub, pos, label AS code,
+             CAST({_SQL_FLOORDIV.format(s='SUM(v_int)', n='COUNT(*)')} AS BIGINT)
+               AS c_int
+      FROM sub GROUP BY sub, pos, label
+    ),
+    cand_dists AS (
+      SELECT s.vec_id, s.sub, cb.code,
+             CAST(SUM((s.v_int - cb.c_int) * (s.v_int - cb.c_int)) AS BIGINT)
+               AS d
+      FROM sub s JOIN codebook cb ON s.sub = cb.sub AND s.pos = cb.pos
+      GROUP BY s.vec_id, s.sub, cb.code
+    ),
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d, code) AS rn
+        FROM cand_dists)
+      WHERE rn = 1
+    ),
+    lut AS (
+      SELECT s.vec_id AS query_id, s.sub, cb.code,
+             CAST(SUM((s.v_int - cb.c_int) * (s.v_int - cb.c_int)) AS BIGINT)
+               AS part
+      FROM sub s JOIN codebook cb ON s.sub = cb.sub AND s.pos = cb.pos
+      WHERE s.vec_id < 10
+      GROUP BY s.vec_id, s.sub, cb.code
+    ),
+    adc AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(l.part) AS BIGINT) AS adc_dist
+      FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY l.query_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rn
+      FROM adc)
+    WHERE rn <= 5
+    """,
+    doc="PQ asymmetric-distance search (ADC, Jégou et al. 2011): each "
+    "query precomputes an 8×10 lookup table of exact partial distances "
+    "to every codebook entry, then every candidate's distance is just "
+    "Σ LUT[sub][code] over its stored 8-byte code — no access to the "
+    "original candidate vectors at query time, which is the entire "
+    "point at 100 TB (the fleet holds codes in RAM; raw vectors stay "
+    "cold for re-ranking). Top-5 per query, fully tie-broken. Every "
+    "distance is an exact scaled-integer, so LUT-sum ≡ direct "
+    "quantized distance bit-for-bit on both engines. The LUT join is "
+    "a broadcast (80 rows/query); candidates never shuffle their "
+    "vectors, only (sub, code) pairs.",
+)
+def pq_adc_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vpos = _vpos(spark, sf_dir)
+    sub = vpos.select(
+        "vec_id",
+        F.floor((F.col("pos") - 1) / 8).alias("sub"),
+        "pos",
+        "v_int",
+    )
+    s, n = F.sum("v_int"), F.count(F.lit(1))
+    floordiv = (s - (((s % n) + n) % n)) / n
+    codebook = (
+        vpos.select(
+            "vec_id", "label",
+            F.floor((F.col("pos") - 1) / 8).alias("sub"),
+            "pos", "v_int",
+        )
+        .groupBy("sub", "pos", F.col("label").alias("code"))
+        .agg(floordiv.cast("long").alias("c_int"))
+    )
+    sq = lambda c: c * c  # noqa: E731
+    dists = (
+        sub.join(F.broadcast(codebook), ["sub", "pos"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(F.sum(sq(F.col("v_int") - F.col("c_int"))).alias("d"))
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("d", "code")
+    codes = (
+        dists.select("vec_id", "sub", "code", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    lut = (
+        dists.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"), "sub", "code",
+            F.col("d").alias("part"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("part").alias("adc_dist"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.select(
+            "query_id", "neighbor_id", "adc_dist",
+            F.row_number().over(wq).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
