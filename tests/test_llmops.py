@@ -231,3 +231,57 @@ def test_dedup_components_cluster_via_propagation(spark, sf_dir, registry):
     assert any(len(m) >= 2 for m in by_comp.values())
     # planted copies live in SOME cluster keyed by a smaller doc id
     assert any(did >= 3000000 and comp < did for did, comp in comp_of.items())
+
+
+def test_bpe_matches_reference_implementation(spark, sf_dir):
+    """The Spark BPE trainer must produce EXACTLY the merges an
+    independent pure-Python BPE computes on the same corpus (same
+    lowercase/whitespace normalization, same count-desc → pair-asc
+    tie-break)."""
+    import re
+    from collections import Counter
+
+    from weather_analysis_bigdata__spark.operators.bpe import train_bpe_merges
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = train_bpe_merges(docs, n_merges=10)
+
+    # Independent reference implementation (pure Python).
+    word_freq = Counter()
+    for r in docs.select("text").collect():
+        for w in re.split(r"\s+", r.text.strip().lower()):
+            if w:
+                word_freq[w] += 1
+    states = {w: tuple(w) for w in word_freq}
+    expected = []
+    for rank in range(1, 11):
+        pairs = Counter()
+        for w, syms in states.items():
+            f = word_freq[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (left, right), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        expected.append((rank, left, right, n))
+        merged = left + right
+        new_states = {}
+        for w, syms in states.items():
+            out, pending = [], None
+            for s in syms:
+                if pending == left and s == right:
+                    out.append(merged)
+                    pending = None
+                elif pending is None:
+                    pending = s
+                else:
+                    out.append(pending)
+                    pending = s
+            if pending is not None:
+                out.append(pending)
+            new_states[w] = tuple(out)
+        states = new_states
+    assert got == expected

@@ -1946,3 +1946,28 @@ def pq_adc_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 5)
     )
+
+
+@register(
+    "bpe_train_merges",
+    oracle=None,
+    doc="BPE tokenizer training (Sennrich et al. 2016): learn the first "
+    "10 merges over the documents corpus — iteratively arg-max the "
+    "frequency-weighted adjacent symbol pair and fold the merge back "
+    "into every word (operators/bpe.py). The corpus collapses to a "
+    "distinct-word frequency table first, so every iteration runs over "
+    "unique words only — the production-scale trick at 100 TB. No SQL "
+    "oracle: the iteration applies a data-dependent rewrite per step "
+    "that a single SQL statement cannot express; instead "
+    "tests/test_llmops.py recomputes the merges with an independent "
+    "pure-Python BPE over the same corpus and requires EXACT equality "
+    "(merge order, pair spelling, and counts).",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.operators.bpe import train_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, n_merges=10)
+    return spark.createDataFrame(
+        merges, "merge_rank INT, left STRING, right STRING, pair_freq BIGINT"
+    ).orderBy("merge_rank")
