@@ -1209,3 +1209,54 @@ def corpus_prep_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tokens_final"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ISO week-date calendar battery (year-boundary semantics)
+# ---------------------------------------------------------------------------
+@register(
+    "iso_week_battery",
+    oracle="""
+    WITH days AS (
+      SELECT unnest(generate_series(DATE '2024-12-01', DATE '2026-01-31',
+                                    INTERVAL 1 DAY))::DATE AS d
+    )
+    SELECT CAST(isoyear(d) AS INT) AS iso_year,
+           CAST(week(d) AS INT) AS iso_week,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MIN(isodow(d)) AS INT) AS first_dow,
+           CAST(MAX(isodow(d)) AS INT) AS last_dow,
+           CAST(MIN(d) AS TIMESTAMP) AS week_start_seen
+    FROM days
+    GROUP BY 1, 2
+    """,
+    doc="ISO-8601 week-date semantics pinned across two year boundaries "
+    "— the classic cross-engine calendar trap: 2024-12-30 belongs to "
+    "2025-W01 (isoyear ≠ year), and week 1 is the week containing the "
+    "first Thursday. Daily dates are generated in-engine "
+    "(2024-12-01 → 2026-01-31), grouped by (yearofweek, weekofyear); "
+    "interior weeks must have exactly 7 days Monday(1)→Sunday(7). "
+    "Spark's weekofyear/extract(YEAROFWEEK)/weekday(+1) are asserted "
+    "≡ DuckDB's week/isoyear/isodow. Weekly rollups at 100 TB "
+    "(retention, cohorts) silently shift a day at year ends if an "
+    "engine disagrees here — this query makes that impossible to miss.",
+)
+def iso_week_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-12-01").cast("date"),
+                F.lit("2026-01-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    return days.groupBy(
+        F.expr("extract(YEAROFWEEK FROM d)").cast("int").alias("iso_year"),
+        F.weekofyear("d").cast("int").alias("iso_week"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.min(F.weekday("d") + 1).cast("int").alias("first_dow"),
+        F.max(F.weekday("d") + 1).cast("int").alias("last_dow"),
+        F.min("d").cast("timestamp").alias("week_start_seen"),
+    )
