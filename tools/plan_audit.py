@@ -49,6 +49,16 @@ KNOWN_EXCEPTIONS = {
     "Spark 4.1 plans SortAggregate for non-binary-equality collations "
     "(no hash support for collation keys yet); the row count per group "
     "is small and the op exists to exercise collation semantics",
+    "pq_adc_search_topk": "codebook/encode/LUT/ADC phases each key "
+    "differently; every exchange carries O(vectors·subspaces) code "
+    "rows, never raw vectors or pairs — the point of PQ",
+    "bitmap_exact_distinct_merge": "bitmap_construct/or_agg buffers are "
+    "BinaryType — not UnsafeRow-mutable, so Spark plans SortAggregate "
+    "by construction for these functions; state is one small bitmap "
+    "per (group, bucket) and the merge levels sort tiny intermediates",
+    "table_snapshot_diff": "fact⋈fact FULL OUTER on the primary key — "
+    "SMJ is the correct strategy (neither side broadcastable; rows "
+    "are pre-projected to key+hash, so the sorted shuffle is ~40 B/row)",
 }
 
 
