@@ -1742,6 +1742,55 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Product quantization (PQ): per-subspace codebooks, codes, distortion
 # ---------------------------------------------------------------------------
+def _pq_best(spark: SparkSession, sf_dir: str, dims_per_sub: int) -> DataFrame:
+    """Per (vec, subspace): the argmin codebook code and its distance —
+    shared by the encode / ADC / collision-dedup queries."""
+    vpos = _vpos(spark, sf_dir)
+    sub = vpos.select(
+        "vec_id",
+        "label",
+        F.floor((F.col("pos") - 1) / dims_per_sub).alias("sub"),
+        "pos",
+        "v_int",
+    )
+    s, n = F.sum("v_int"), F.count(F.lit(1))
+    floordiv = (s - (((s % n) + n) % n)) / n
+    codebook = (
+        sub.groupBy("sub", "pos", F.col("label").alias("code"))
+        .agg(floordiv.cast("long").alias("c_int"))
+    )
+    dists = (
+        sub.drop("label")
+        .join(F.broadcast(codebook), ["sub", "pos"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(
+            F.sum(
+                (F.col("v_int") - F.col("c_int"))
+                * (F.col("v_int") - F.col("c_int"))
+            ).alias("d")
+        )
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("d", "code")
+    return dists.select(
+        "vec_id", "sub", "code", "d", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") == 1)
+
+
+def _pq_codes(
+    spark: SparkSession, sf_dir: str, dims_per_sub: int
+) -> DataFrame:
+    """(vec_id, pq_code) at the given subspace width."""
+    return _pq_best(spark, sf_dir, dims_per_sub).groupBy("vec_id").agg(
+        F.concat_ws(
+            "-",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda x: x.code.cast("string"),
+            ),
+        ).alias("pq_code")
+    )
+
+
 @register(
     "pq_encode_vectors",
     oracle=f"""
@@ -1790,35 +1839,7 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "position-exploded vectors.",
 )
 def pq_encode_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vpos = _vpos(spark, sf_dir)
-    sub = vpos.select(
-        "vec_id",
-        "label",
-        F.floor((F.col("pos") - 1) / 8).alias("sub"),
-        "pos",
-        "v_int",
-    )
-    s, n = F.sum("v_int"), F.count(F.lit(1))
-    floordiv = (s - (((s % n) + n) % n)) / n
-    codebook = (
-        sub.groupBy("sub", "pos", F.col("label").alias("code"))
-        .agg(floordiv.cast("long").alias("c_int"))
-    )
-    dists = (
-        sub.drop("label")
-        .join(F.broadcast(codebook), ["sub", "pos"])
-        .groupBy("vec_id", "sub", "code")
-        .agg(
-            F.sum(
-                (F.col("v_int") - F.col("c_int"))
-                * (F.col("v_int") - F.col("c_int"))
-            ).alias("d")
-        )
-    )
-    w = Window.partitionBy("vec_id", "sub").orderBy("d", "code")
-    best = dists.select(
-        "vec_id", "sub", "code", "d", F.row_number().over(w).alias("rn")
-    ).filter(F.col("rn") == 1)
+    best = _pq_best(spark, sf_dir, dims_per_sub=8)
     return best.groupBy("vec_id").agg(
         F.concat_ws(
             "-",
@@ -1971,3 +1992,65 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank INT, left STRING, right STRING, pair_freq BIGINT"
     ).orderBy("merge_rank")
+
+
+@register(
+    "dedup_pq_code_collisions",
+    oracle=f"""
+    WITH {_SQL_VPOS.strip()},
+    sub AS (
+      SELECT vec_id, label, (pos - 1) // 32 AS sub, pos, v_int FROM vpos
+    ),
+    codebook AS (
+      SELECT sub, pos, label AS code,
+             CAST({_SQL_FLOORDIV.format(s='SUM(v_int)', n='COUNT(*)')} AS BIGINT)
+               AS c_int
+      FROM sub GROUP BY sub, pos, label
+    ),
+    dists AS (
+      SELECT s.vec_id, s.sub, cb.code,
+             CAST(SUM((s.v_int - cb.c_int) * (s.v_int - cb.c_int)) AS BIGINT)
+               AS d
+      FROM sub s JOIN codebook cb ON s.sub = cb.sub AND s.pos = cb.pos
+      GROUP BY s.vec_id, s.sub, cb.code
+    ),
+    codes AS (
+      SELECT vec_id,
+             string_agg(CAST(code AS VARCHAR), '-' ORDER BY sub) AS pq_code
+      FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d, code) AS rn
+        FROM dists)
+      WHERE rn = 1
+      GROUP BY vec_id
+    )
+    SELECT pq_code,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MIN(vec_id) AS BIGINT) AS keep_vec_id,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM codes
+    GROUP BY pq_code
+    HAVING COUNT(*) >= 2
+    """,
+    doc="Embedding near-dedup via PQ-code collision: vectors whose COARSE "
+    "2-subspace (32-dim) quantization codes coincide are near-duplicates at the "
+    "codebook's resolution — a groupBy over 8-byte codes, which at "
+    "100 TB is the CHEAPEST vector dedup available (no pair join, no "
+    "LSH banding; the quantization already clustered the space). Keep "
+    "min vec_id per collision group (deterministic canonical), report "
+    "group sizes. Complements embedding_cosine_pairs (exact, O(N²)) "
+    "and sim_search_lsh (hyperplane buckets): three rungs of the "
+    "precision/cost ladder.",
+)
+def dedup_pq_code_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes = _pq_codes(spark, sf_dir, dims_per_sub=32)
+    return (
+        codes.groupBy("pq_code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("keep_vec_id"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        )
+        .filter(F.col("n_vectors") >= 2)
+    )
