@@ -285,3 +285,47 @@ def test_bpe_matches_reference_implementation(spark, sf_dir):
             new_states[w] = tuple(out)
         states = new_states
     assert got == expected
+
+
+def test_bpe_apply_matches_reference(spark, sf_dir):
+    """Applying the learned merges in Spark must yield exactly the
+    per-document BPE token counts an independent Python tokenizer
+    produces with the same merge list."""
+    import re
+
+    from weather_analysis_bigdata__spark.operators.bpe import (
+        apply_bpe,
+        train_bpe_merges,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, n_merges=10)
+
+    def py_tokenize(word):
+        syms = list(word)
+        for _, left, right, _ in merges:
+            out, pending = [], None
+            for s in syms:
+                if pending == left and s == right:
+                    out.append(left + right)
+                    pending = None
+                elif pending is None:
+                    pending = s
+                else:
+                    out.append(pending)
+                    pending = s
+            if pending is not None:
+                out.append(pending)
+            syms = out
+        return syms
+
+    got = {
+        r.doc_id: (r.n_chars_sym, r.n_bpe_tokens)
+        for r in apply_bpe(docs.select("doc_id", "text"), merges).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        words = [w for w in re.split(r"\s+", r.text.strip().lower()) if w]
+        before = sum(len(w) for w in words)
+        after = sum(len(py_tokenize(w)) for w in words)
+        assert got[r.doc_id] == (before, after), r.doc_id

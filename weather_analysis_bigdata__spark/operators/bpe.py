@@ -130,3 +130,40 @@ def train_bpe_merges(
             "freq",
         ).localCheckpoint(eager=True)
     return merges
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge list to every document (row-local).
+
+    Each word splits to characters and the merges fold over it in
+    training order — the exact inference-side of train_bpe_merges.
+    Returns (doc columns…, n_chars_sym, n_bpe_tokens): symbol counts
+    before/after merging, summed over the document's words.
+    """
+    def tokenize_word(word_syms: F.Column) -> F.Column:
+        out = word_syms
+        for _, left, right, _ in merges:
+            out = _apply_merge(out, left, right)
+        return out
+
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda w: w != "",
+    )
+    per_word_before = F.transform(words, lambda w: F.size(F.split(w, "")))
+    per_word_after = F.transform(
+        words, lambda w: F.size(tokenize_word(F.split(w, "")))
+    )
+    total = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return docs.withColumns(
+        {
+            "n_chars_sym": total(per_word_before),
+            "n_bpe_tokens": total(per_word_after),
+        }
+    )

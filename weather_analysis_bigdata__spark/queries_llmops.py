@@ -2054,3 +2054,37 @@ def dedup_pq_code_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_vectors") >= 2)
     )
+
+
+@register(
+    "bpe_apply_tokenize",
+    oracle=None,
+    doc="BPE tokenizer APPLICATION — the inference side of "
+    "bpe_train_merges: the 10 learned merges fold over every word of "
+    "every document (row-local, shuffle-free except the final "
+    "per-source aggregate), reporting per source the symbol count "
+    "before/after and the achieved compression. Train→apply round "
+    "trips through the same fold, so "
+    "tests/test_llmops.py::test_bpe_apply_matches_reference gates the "
+    "token counts EXACTLY against an independent Python tokenizer "
+    "using the same merge list. No SQL oracle for the same reason as "
+    "training (data-dependent sequential rewrite).",
+)
+def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.operators.bpe import (
+        apply_bpe,
+        train_bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, n_merges=10)
+    tokenized = apply_bpe(docs.select("doc_id", "source", "text"), merges)
+    return tokenized.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars_sym").alias("symbols_before"),
+        F.sum("n_bpe_tokens").alias("symbols_after"),
+        (
+            F.sum("n_bpe_tokens").cast("double")
+            / F.sum("n_chars_sym")
+        ).alias("compression"),
+    )
