@@ -1260,3 +1260,141 @@ def iso_week_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.weekday("d") + 1).cast("int").alias("last_dow"),
         F.min("d").cast("timestamp").alias("week_start_seen"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation over an interval window (exact-sums closed form)
+# ---------------------------------------------------------------------------
+_RC_FRAME = (
+    "PARTITION BY l_suppkey ORDER BY CAST(l_shipdate AS TIMESTAMP) "
+    "RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW"
+)
+
+
+@register(
+    "rolling_corr_30d",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_suppkey, CAST(l_shipdate AS TIMESTAMP) AS ship_ts,
+             l_orderkey, l_linenumber,
+             CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+             CAST(SUM({sql_dec('l_quantity')}) OVER w AS DOUBLE) AS sx,
+             CAST(SUM({sql_dec('l_extendedprice')}) OVER w AS DOUBLE) AS sy,
+             CAST(SUM({sql_dec('l_quantity')} * {sql_dec('l_quantity')}) OVER w
+                  AS DOUBLE) AS sxx,
+             CAST(SUM({sql_dec('l_extendedprice')} * {sql_dec('l_extendedprice')})
+                  OVER w AS DOUBLE) AS syy,
+             CAST(SUM({sql_dec('l_quantity')} * {sql_dec('l_extendedprice')})
+                  OVER w AS DOUBLE) AS sxy
+      FROM lineitem
+      WHERE l_suppkey <= 40
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY CAST(l_shipdate AS TIMESTAMP)
+                   RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+    )
+    SELECT l_suppkey, ship_ts, l_orderkey, l_linenumber,
+           CAST(n AS BIGINT) AS n_window,
+           (n * sxy - sx * sy)
+             / NULLIF(sqrt(GREATEST(n * sxx - sx * sx, 0.0))
+                      * sqrt(GREATEST(n * syy - sy * sy, 0.0)), 0.0)
+             AS rolling_corr
+    FROM s
+    """,
+    doc="Rolling Pearson correlation (quantity ↔ price per supplier over "
+    "a trailing 30-day interval window): six exact-decimal window sums "
+    "feed the closed form per row, with IEEE sqrt — which is CORRECTLY "
+    "ROUNDED by the standard, so even the irrational step is "
+    "bit-identical across engines (the repo's determinism rules extend "
+    "to sqrt, unlike log/exp). RANGE frames make tie handling "
+    "deterministic (peers always co-included), so no ordering tiebreak "
+    "is needed despite duplicate ship dates. One shuffle; six sums "
+    "share one frame. The moving-relationship diagnostic for drift "
+    "monitoring at 100 TB.",
+)
+def rolling_corr_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 40)
+    dq = "CAST(l_quantity AS DECIMAL(18,2))"
+    dp = "CAST(l_extendedprice AS DECIMAL(18,2))"
+    s = li.select(
+        "l_suppkey",
+        F.col("l_shipdate").cast("timestamp").alias("ship_ts"),
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(f"CAST(COUNT(*) OVER ({_RC_FRAME}) AS DOUBLE)").alias("n"),
+        F.expr(f"CAST(SUM({dq}) OVER ({_RC_FRAME}) AS DOUBLE)").alias("sx"),
+        F.expr(f"CAST(SUM({dp}) OVER ({_RC_FRAME}) AS DOUBLE)").alias("sy"),
+        F.expr(f"CAST(SUM({dq} * {dq}) OVER ({_RC_FRAME}) AS DOUBLE)").alias("sxx"),
+        F.expr(f"CAST(SUM({dp} * {dp}) OVER ({_RC_FRAME}) AS DOUBLE)").alias("syy"),
+        F.expr(f"CAST(SUM({dq} * {dp}) OVER ({_RC_FRAME}) AS DOUBLE)").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    # Clamp tiny negative epsilons (1-row windows: sxx and sx·sx differ
+    # in the last ulp) — identically on both engines, so still bit-exact.
+    denom = F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0))) * F.sqrt(
+        F.greatest(n * syy - sy * sy, F.lit(0.0))
+    )
+    return s.select(
+        "l_suppkey",
+        "ship_ts",
+        "l_orderkey",
+        "l_linenumber",
+        n.cast("long").alias("n_window"),
+        ((n * sxy - sx * sy) / F.nullif(denom, F.lit(0.0))).alias(
+            "rolling_corr"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Observation API: audit metrics riding a real pass (zero extra scans)
+# ---------------------------------------------------------------------------
+@register(
+    "observed_scan_metrics",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT) AS null_flags,
+           {sql_dsum('l_extendedprice')} AS total_price,
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high_discount
+    FROM lineitem
+    """,
+    doc="df.observe() + Observation: data-quality metrics (row/null "
+    "counts, exact-decimal total, rule violations) accumulated WHILE a "
+    "real job runs — at 100 TB the audit rides the ETL pass for free "
+    "instead of costing a second full scan (the accumulator-based "
+    "sibling of the one-scan profiler, table_profile_stats). The "
+    "driving action here is a noop-equivalent count over the observed "
+    "frame; the observed values themselves are returned and must "
+    "hash-match plain batch SQL — proving observe's accumulation is "
+    "exact, not sampled.",
+)
+def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    from weather_analysis_bigdata__spark.functions.deterministic import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("l_returnflag")).alias("null_flags"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("total_price"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+        .cast("long")
+        .alias("n_high_discount"),
+    )
+    observed.count()  # the "real job" the metrics ride on
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["null_flags"],
+                float(m["total_price"]),
+                m["n_high_discount"],
+            )
+        ],
+        "n_rows BIGINT, null_flags BIGINT, total_price DOUBLE,"
+        " n_high_discount BIGINT",
+    )
