@@ -59,6 +59,10 @@ KNOWN_EXCEPTIONS = {
     "table_snapshot_diff": "fact⋈fact FULL OUTER on the primary key — "
     "SMJ is the correct strategy (neither side broadcastable; rows "
     "are pre-projected to key+hash, so the sorted shuffle is ~40 B/row)",
+    "dedup_pq_code_collisions": "inherits the PQ encode phases "
+    "(codebook/distances/argmin/code-concat) plus the collision "
+    "groupBy — each exchange carries O(vectors·subspaces) code rows, "
+    "same justification as pq_adc_search_topk",
 }
 
 
