@@ -9,9 +9,10 @@ def test_sketch_aggs_error_bounds(spark, sf_dir):
     rows = all_queries()["sketch_approx_aggs"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert abs(r.approx_parts - r.exact_parts) <= 0.05 * r.exact_parts + 2
-        # t-digest p50 within 2% of the exact median (relative to median)
-        assert abs(r.approx_p50 - r.exact_p50) <= 0.02 * abs(r.exact_p50)
+        # The query's own bound booleans must hold (the oracle pins TRUE)
+        assert r.acd_within_5pct
+        assert r.p50_within_rank_1pct
+        assert r.exact_parts > 0 and r.n_rows >= r.exact_parts
 
 
 def test_gapfill_spine_dense_and_fill_total(spark, sf_dir):

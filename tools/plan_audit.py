@@ -27,7 +27,10 @@ SKIP_PREFIXES = ("streaming_", "csv_", "json_roundtrip", "merge_")
 
 #: Reviewed flags: plans whose red-flag pattern is the *correct* design,
 #: with the reason. Printed as `ok(reviewed)` instead of `!!` so a new
-#: regression stands out from an accepted trade-off.
+#: regression stands out from an accepted trade-off. Each entry lists
+#: the REVIEWED flag KINDS in REVIEWED_FLAGS; any flag of a kind outside
+#: that set still prints !! (an accepted SORTAGG must not silence a
+#: future XCHG regression on the same query).
 KNOWN_EXCEPTIONS = {
     "full_outer_join": "fact⋈fact full outer — SMJ is the right strategy "
     "(no side is broadcastable and hash full-outer spills worse)",
@@ -63,6 +66,22 @@ KNOWN_EXCEPTIONS = {
     "(codebook/distances/argmin/code-concat) plus the collision "
     "groupBy — each exchange carries O(vectors·subspaces) code rows, "
     "same justification as pq_adc_search_topk",
+}
+
+#: Flag KINDS covered by each review above (kind = flag text before any
+#: `=`). A flag whose kind is absent here still prints !!.
+REVIEWED_FLAGS = {
+    "full_outer_join": {"SORTMERGE"},
+    "funnel_steps": {"XCHG"},
+    "dedup_ngram_jaccard": {"XCHG"},
+    "ivf_probe_topk": {"XCHG"},
+    "dedup_jaccard_dfcapped": {"XCHG"},
+    "dedup_containment": {"XCHG"},
+    "collation_ci_group": {"SORTAGG"},
+    "pq_adc_search_topk": {"XCHG"},
+    "bitmap_exact_distinct_merge": {"SORTAGG"},
+    "table_snapshot_diff": {"SORTMERGE"},
+    "dedup_pq_code_collisions": {"XCHG"},
 }
 
 
@@ -112,12 +131,15 @@ def main() -> None:
             flags.append("SORTAGG")
         if stats["xchg"] > 4:
             flags.append(f"XCHG={stats['xchg']}")
-        if flags and name in KNOWN_EXCEPTIONS:
-            mark = f" ok(reviewed: {','.join(flags)})"
-        else:
-            mark = " !! " + ",".join(flags) if flags else ""
-            if flags:
-                flagged += 1
+        reviewed_kinds = REVIEWED_FLAGS.get(name, set()) if name in KNOWN_EXCEPTIONS else set()
+        reviewed = [f for f in flags if f.split("=")[0] in reviewed_kinds]
+        unreviewed = [f for f in flags if f.split("=")[0] not in reviewed_kinds]
+        mark = ""
+        if reviewed:
+            mark += f" ok(reviewed: {','.join(reviewed)})"
+        if unreviewed:
+            mark += " !! " + ",".join(unreviewed)
+            flagged += 1
         rows.append(
             (
                 name,

@@ -216,45 +216,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dedup
 # ---------------------------------------------------------------------------
+#: Default signature/banding dials. The (k, bands) pair is the LSH
+#: recall/candidate-count trade: collision probability for a pair with
+#: Jaccard j is 1 - (1 - j^r)^bands with r = k/bands rows per band.
+#: Defaults (8, 4): r=2 → catches j≳0.5 reliably. The 100 TB setting for
+#: aggressive near-dedup is more like k=128, bands=16, r=8 (j≈0.8 knee)
+#: — pass them through `_dedup_minhash_lsh_impl`; the signature table
+#: stays k×8 bytes/doc regardless of document size.
 _MINHASH_K = 8  # signature length
 _LSH_BANDS = 4  # bands of 2 rows each
 
 
-def _sql_minhash_cols() -> str:
+def _sql_minhash_cols(k: int = _MINHASH_K) -> str:
     # Integer min-hashes: 60-bit value from the first 15 hex chars of the
     # salted md5. MIN over BIGINT keeps the engine in a hash aggregate
     # (MIN over strings falls back to a sort aggregate — measured).
     from weather_analysis_bigdata__spark.functions.textops import sql_hex15_to_long
 
     cols = []
-    for j in range(_MINHASH_K):
+    for j in range(k):
         digest = f"md5('{j}:' || gram)"
         cols.append(f"MIN({sql_hex15_to_long(digest)}) AS mh{j}")
     return ", ".join(cols)
 
 
-def _sql_band_keys() -> list[str]:
-    r = _MINHASH_K // _LSH_BANDS
+def _sql_band_keys(k: int = _MINHASH_K, bands: int = _LSH_BANDS) -> list[str]:
+    r = k // bands
     return [
         "md5("
         + " || ':' || ".join(f"CAST(mh{b * r + i} AS VARCHAR)" for i in range(r))
         + ")"
-        for b in range(_LSH_BANDS)
+        for b in range(bands)
     ]
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
+def _sql_minhash_lsh(k: int, bands: int, min_shared_bands: int = 1) -> str:
+    """Full DuckDB oracle for the parameterized MinHash-LSH dedup."""
+    return f"""
     WITH {SQL_DOCS_DUP.strip()},
     {SQL_SHINGLES.strip()},
     sig AS (
-      SELECT doc_id, {_sql_minhash_cols()} FROM sh GROUP BY doc_id
+      SELECT doc_id, {_sql_minhash_cols(k)} FROM sh GROUP BY doc_id
     ),
     bands AS (
       {" UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig"
-        for b, key in enumerate(_sql_band_keys())
+        for b, key in enumerate(_sql_band_keys(k, bands))
       )}
     ),
     cand AS (
@@ -268,25 +275,30 @@ def _sql_band_keys() -> list[str]:
     SELECT doc_id_1, doc_id_2, n_shared_bands,
            ({" + ".join(
                f"CASE WHEN s1.mh{j} = s2.mh{j} THEN 1 ELSE 0 END"
-               for j in range(_MINHASH_K)
-           )}) / {float(_MINHASH_K)} AS est_jaccard
+               for j in range(k)
+           )}) / {float(k)} AS est_jaccard
     FROM cand
     JOIN sig s1 ON doc_id_1 = s1.doc_id
     JOIN sig s2 ON doc_id_2 = s2.doc_id
-    """,
-    doc=f"MinHash({_MINHASH_K}) + LSH({_LSH_BANDS} bands × "
-    f"{_MINHASH_K // _LSH_BANDS}) near-dedup: per-doc signature = K "
-    "min-hashes of the shingle set (K salted md5s aggregated as MIN — "
-    "lexicographic min of hex is a valid uniform min-hash); docs collide "
-    "if any band of the signature matches; candidate pairs then get an "
-    "estimated Jaccard = fraction of matching signature rows. The only "
-    "shuffles are the signature groupBy and the narrow band-key self-join "
-    "on (band_id, 16-byte key) — never a document cross join, and the "
-    "signature table is K×16 bytes/doc regardless of document size, so "
-    "the candidate-generation cost at 100 TB is independent of text "
-    "volume.",
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    WHERE n_shared_bands >= {min_shared_bands}
+    """
+
+
+def _dedup_minhash_lsh_impl(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _MINHASH_K,
+    bands: int = _LSH_BANDS,
+    min_shared_bands: int = 1,
+) -> DataFrame:
+    """Parameterized MinHash(k) + LSH(bands) near-dedup (see the
+    registered queries for the oracle-checked instantiations).
+
+    ``min_shared_bands`` > 1 is band-AND-ing: requiring ≥m colliding
+    bands sharpens the collision curve (fewer false candidates at the
+    same k), the knob to turn when a 100 TB corpus makes even the
+    banded candidate set too large.
+    """
     from weather_analysis_bigdata__spark.functions.textops import hex15_to_long
 
     sh = _shingles(_docs_with_dups(spark, sf_dir))
@@ -297,10 +309,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(
                 hex15_to_long(md5s(F.concat(F.lit(f"{j}:"), F.col("gram"))))
             ).alias(f"mh{j}")
-            for j in range(_MINHASH_K)
+            for j in range(k)
         ]
     )
-    r = _MINHASH_K // _LSH_BANDS
+    r = k // bands
     band_structs = F.array(
         *[
             F.struct(
@@ -315,25 +327,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("band_key"),
             )
-            for b in range(_LSH_BANDS)
+            for b in range(bands)
         ]
     )
-    # ONE pass over sig: explode the band array (the 4-way union form
+    # ONE pass over sig: explode the band array (the union form
     # recomputes the whole signature subtree per branch); mh columns ride
     # along so candidate pairs never join back to sig.
-    bands = sig.select("doc_id", *[f"mh{j}" for j in range(_MINHASH_K)],
-                       F.explode(band_structs).alias("band")).select(
+    bands_df = sig.select(
         "doc_id",
-        *[f"mh{j}" for j in range(_MINHASH_K)],
+        *[f"mh{j}" for j in range(k)],
+        F.explode(band_structs).alias("band"),
+    ).select(
+        "doc_id",
+        *[f"mh{j}" for j in range(k)],
         F.col("band.band_id").alias("band_id"),
         F.col("band.band_key").alias("band_key"),
     )
-    a = bands.alias("a")
-    b_ = bands.alias("b")
+    a = bands_df.alias("a")
+    b_ = bands_df.alias("b")
     est = sum(
         F.when(F.col(f"a.mh{j}") == F.col(f"b.mh{j}"), 1).otherwise(0)
-        for j in range(_MINHASH_K)
-    ) / float(_MINHASH_K)
+        for j in range(k)
+    ) / float(k)
     return (
         a.join(
             b_,
@@ -342,13 +357,50 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2")
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_shared_bands"),
             F.max(est).alias("est_jaccard"),
         )
+        .filter(F.col("n_shared_bands") >= min_shared_bands)
     )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_sql_minhash_lsh(_MINHASH_K, _LSH_BANDS),
+    doc=f"MinHash({_MINHASH_K}) + LSH({_LSH_BANDS} bands × "
+    f"{_MINHASH_K // _LSH_BANDS}) near-dedup: per-doc signature = K "
+    "min-hashes of the shingle set (K salted md5s aggregated as MIN — "
+    "lexicographic min of hex is a valid uniform min-hash); docs collide "
+    "if any band of the signature matches; candidate pairs then get an "
+    "estimated Jaccard = fraction of matching signature rows. The only "
+    "shuffles are the signature groupBy and the narrow band-key self-join "
+    "on (band_id, 16-byte key) — never a document cross join, and the "
+    "signature table is K×16 bytes/doc regardless of document size, so "
+    "the candidate-generation cost at 100 TB is independent of text "
+    "volume. k/bands are parameters of _dedup_minhash_lsh_impl; see "
+    "dedup_minhash_lsh_banded for a different point on the dial.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup_minhash_lsh_impl(spark, sf_dir, _MINHASH_K, _LSH_BANDS)
+
+
+@register(
+    "dedup_minhash_lsh_banded",
+    oracle=_sql_minhash_lsh(16, 8, min_shared_bands=2),
+    doc="The same parameterized MinHash-LSH at a second point on the "
+    "recall/candidate dial: k=16, 8 bands × 2 rows, AND-ed to require "
+    "≥2 colliding bands. Doubling k halves the estimator variance; the "
+    "≥2-band AND cuts false candidates at the same per-band collision "
+    "curve — the shape of the 100 TB setting (k=128, b=16, r=8). Both "
+    "instantiations share one implementation and one SQL generator, so "
+    "the dial is proven oracle-exact at two settings, not hard-coded.",
+)
+def dedup_minhash_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup_minhash_lsh_impl(spark, sf_dir, 16, 8, min_shared_bands=2)
 
 
 # ---------------------------------------------------------------------------
@@ -522,16 +574,20 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Default hyperplane count → 2^planes buckets. The 100 TB dial: more
+#: planes shrink buckets (candidates/bucket ≈ N/2^planes) at a recall
+#: cost that multi-probe (Hamming-adjacent buckets) buys back — see
+#: sim_search_lsh_multiprobe for the parameterized form at planes=10.
 _LSH_PLANES = 8
 _EMB_DIM = 64
 
 
-def _hyperplanes() -> list[list[int]]:
+def _hyperplanes(n_planes: int = _LSH_PLANES) -> list[list[int]]:
     """Deterministic pseudo-random hyperplanes: odd integer weights in
     [-15, 15] derived from md5(plane:dim). Computed at plan-build time and
     embedded as literals — identical constants on both engines."""
     planes = []
-    for p in range(_LSH_PLANES):
+    for p in range(n_planes):
         row = []
         for d in range(_EMB_DIM):
             h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
@@ -543,16 +599,17 @@ def _hyperplanes() -> list[list[int]]:
 _PLANES = _hyperplanes()
 
 
-def _sql_bucket() -> str:
+def _sql_bucket(n_planes: int = _LSH_PLANES) -> str:
     # Projection in pure integer arithmetic over the 10^9-scaled elements:
     # sign(Σ w_i·x_i) is exact, so bucket assignment is deterministic.
+    planes = _hyperplanes(n_planes)
     ielem = (
         "CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,8)) "
         "* 100000000 AS BIGINT)"
     )
     terms = []
-    for p in range(_LSH_PLANES):
-        wlist = "[" + ", ".join(str(w) for w in _PLANES[p]) + "]"
+    for p in range(n_planes):
+        wlist = "[" + ", ".join(str(w) for w in planes[p]) + "]"
         proj = (
             f"list_sum(list_transform(generate_series(1, {_EMB_DIM}), "
             f"i -> ({wlist})[i] * {ielem}))"
@@ -636,6 +693,97 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+_MP_PLANES = 10  # 1024 buckets; multi-probe widens each query to 11 probes
+
+
+@register(
+    "sim_search_lsh_multiprobe",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm FROM embeddings
+    ),
+    bucketed AS (
+      SELECT vec_id, embedding, nrm, ({_sql_bucket(_MP_PLANES)}) AS bucket FROM n
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm,
+             unnest([bucket{"".join(f", xor(bucket, {1 << i})" for i in range(_MP_PLANES))}])
+               AS probe_bucket
+      FROM bucketed
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rn FROM (
+      SELECT p.query_id, b.vec_id AS neighbor_id,
+             {sql_dot('p.q_emb', 'b.embedding')} / (p.q_nrm * b.nrm) AS cosine_sim,
+             CAST(row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY {sql_dot('p.q_emb', 'b.embedding')} / (p.q_nrm * b.nrm) DESC,
+                        b.vec_id) AS BIGINT) AS rn
+      FROM probes p JOIN bucketed b
+        ON p.probe_bucket = b.bucket AND p.query_id <> b.vec_id)
+    WHERE rn <= 3
+    """,
+    doc=f"Multi-probe hyperplane LSH at the second point on the "
+    f"planes dial: {_MP_PLANES} planes → {1 << _MP_PLANES} buckets "
+    "(4× smaller than sim_search_lsh's 256), recall bought back by "
+    "probing each query's own bucket PLUS every Hamming-distance-1 "
+    "bucket (flip one sign bit — the nearest-boundary buckets, "
+    "Lv et al.'s multi-probe idea). Candidates per query ≈ "
+    "(planes+1)·N/2^planes: MORE buckets cut the per-bucket quadratic "
+    "term while multi-probe keeps recall, the trade a 100 TB ANN index "
+    "tunes. Buckets are computed once per side (integer-exact sign "
+    "hashes); each (query, neighbor) pair arises from exactly one probe "
+    "(a neighbor lives in one bucket), so no candidate dedup pass is "
+    "needed before the exact cosine top-3.",
+)
+def sim_search_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    planes = _hyperplanes(_MP_PLANES)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(scaled_vec("embedding")).alias("nrm")
+    )
+    from weather_analysis_bigdata__spark.functions.vectorops import lsh_bucket
+
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        lsh_bucket(F.col("embedding"), planes).alias("bucket"),
+    ).hint("shuffle_hash")
+    probe_arr = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(_MP_PLANES)],
+    )
+    probes = bucketed.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.explode(probe_arr).alias("probe_bucket"),
+    )
+    sim = cosine(
+        scaled_vec(F.col("q_emb")),
+        scaled_vec(F.col("embedding")),
+        F.col("q_nrm"),
+        F.col("nrm"),
+    )
+    scored = probes.join(
+        bucketed,
+        (F.col("probe_bucket") == F.col("bucket"))
+        & (F.col("query_id") != F.col("vec_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        sim.alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), "neighbor_id"
+    )
+    return scored.select(
+        "query_id",
+        "neighbor_id",
+        "cosine_sim",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    ).filter(F.col("rn") <= 3)
 
 
 # ---------------------------------------------------------------------------

@@ -312,8 +312,14 @@ def dst_local_time_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import uuid
 
-    path = f"/tmp/spark_graft_orc_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+    # uuid suffix: two concurrent harness runs at the same sf must not
+    # race on overwrite-vs-read of a shared directory.
+    path = (
+        f"/tmp/spark_graft_orc_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    )
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_totalprice",
@@ -559,14 +565,17 @@ def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o").over(Window.partitionBy("bucket")).alias("c"),
         F.sum("o").over(Window.partitionBy()).alias("n"),
     )
+    # Square via integer self-multiply (exact in int64 while
+    # |O·N − R·C| < 2³¹·⁵; the oracle squares in BIGINT the same way),
+    # NOT `** 2` — pow() rounds through double and can differ in the
+    # last ulp once the numerator exceeds 2⁵³.
+    num = F.col("o") * F.col("n") - F.col("r") * F.col("c")
     terms = m.select(
         "event_type",
         "bucket",
         "n",
         (
-            ((F.col("o") * F.col("n") - F.col("r") * F.col("c")) ** 2).cast(
-                "double"
-            )
+            (num * num).cast("double")
             / (F.col("r") * F.col("c") * F.col("n"))
         ).alias("term"),
     )

@@ -57,7 +57,7 @@ from weather_analysis_bigdata__spark.sources.files import load_table
     oracle="""
     SELECT event_type,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-           CAST(8 AS BIGINT) AS n_shards,
+           CAST(COUNT(DISTINCT user_id % 8) AS BIGINT) AS n_shards,
            TRUE AS est_within_5pct
     FROM events
     GROUP BY event_type

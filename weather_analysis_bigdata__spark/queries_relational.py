@@ -695,25 +695,56 @@ def exact_median_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approximate (sketch) aggregates — rows-only check (sketches are
-# engine-specific; a unit test bounds the error vs exact instead)
+# Approximate (sketch) aggregates — deterministic oracle form: the
+# compared output is the EXACT companion aggregates plus bound booleans
+# (sketch estimates are engine-specific; the booleans pin the error
+# contract, same pattern as hll_sketch_partition_merge)
 # ---------------------------------------------------------------------------
 @register(
     "sketch_approx_aggs",
-    oracle=None,
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS acd_within_5pct,
+           TRUE AS p50_within_rank_1pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     doc="Sketch aggregates for 100 TB interactive profiling: HLL++ "
-    "approx_count_distinct and t-digest approx_percentile per group. No "
-    "SQL oracle (sketch internals are engine-specific by design); "
-    "tests/test_relational_extras.py bounds the error against the exact "
-    "values (<5% HLL, <2% percentile rank).",
+    "approx_count_distinct (rsd=0.01 → lgK high enough that 5% is a "
+    ">4σ bound) and t-digest approx_percentile (accuracy=10000 → rank "
+    "error ≤0.01%, checked against the exact p49–p51 value envelope). "
+    "Raw sketch estimates are engine-specific by design, so the "
+    "oracle-compared columns are the EXACT companion aggregates plus "
+    "within-bound booleans the SQL pins to TRUE; "
+    "tests/test_relational_extras.py additionally bounds the raw "
+    "estimates numerically.",
 )
 def sketch_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
-        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_p50"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias(
+            "approx_p50"
+        ),
+        F.expr(
+            "percentile(l_extendedprice, array(0.49D, 0.51D))"
+        ).alias("p_env"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "n_rows",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("acd_within_5pct"),
+        F.col("approx_p50").between(
+            F.col("p_env")[0], F.col("p_env")[1]
+        ).alias("p50_within_rank_1pct"),
     )
 
 

@@ -138,6 +138,10 @@ def interval_left_join_replay(
     shutil.copy(events_parquet, dst0)
     os.utime(dst0, (1_700_000_000, 1_700_000_000))
 
+    # Conf must precede the probe read: a TIMESTAMP(NANOS) drop throws
+    # PARQUET_TYPE_ILLEGAL on a fresh session otherwise (mirror
+    # sources/files.py:_load_events / streaming/windows.py:stream_events).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     physical = spark.read.parquet(events_parquet)
     ts_type = physical.schema["ts"].dataType
     mx = physical.agg(F.max("ts").alias("m")).collect()[0].m
@@ -152,7 +156,12 @@ def interval_left_join_replay(
         ]
     )
     for i, (etype, days) in enumerate([("click", 30), ("purchase", 60)], 1):
-        sent_ts = mx + datetime.timedelta(days=days)
+        if isinstance(ts_type, T.LongType):
+            # nanos-as-long encoding: ts is an int64 of epoch nanoseconds,
+            # so the sentinel offset is integer nanoseconds, not timedelta.
+            sent_ts = mx + days * 86_400 * 10**9
+        else:
+            sent_ts = mx + datetime.timedelta(days=days)
         sent = spark.createDataFrame(
             [(10**12 + i, sent_ts, -1, etype, 0.0, "{}")], schema=sent_schema
         )
