@@ -1,0 +1,97 @@
+"""Smoke tests: every reference figure renders as well-formed SVG from
+the gold aggregates of the NOAA-shaped fixture."""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+import pytest
+
+from tests.fixtures import STATIONS, noaa_long_rows, station_dim_rows
+
+SVG_NS = "{http://www.w3.org/2000/svg}"
+
+
+@pytest.fixture(scope="module")
+def silver(spark):
+    from weather_analysis_bigdata__spark.pipeline.bronze import build_bronze
+    from weather_analysis_bigdata__spark.pipeline.schemas import (
+        NOAA_LONG_SCHEMA,
+        STATION_SCHEMA,
+    )
+    from weather_analysis_bigdata__spark.pipeline.silver import build_silver
+
+    long_df = spark.createDataFrame(noaa_long_rows(), NOAA_LONG_SCHEMA)
+    dim = spark.createDataFrame(station_dim_rows(), STATION_SCHEMA)
+    return build_silver(build_bronze(long_df), dim).cache()
+
+
+@pytest.fixture(scope="module")
+def gallery(silver, spark, tmp_path_factory):
+    from weather_analysis_bigdata__spark.pipeline.schemas import STATION_SCHEMA
+    from weather_analysis_bigdata__spark.viz import render_gallery
+
+    dim = spark.createDataFrame(station_dim_rows(), STATION_SCHEMA)
+    out = tmp_path_factory.mktemp("gallery")
+    return render_gallery(silver, dim, str(out))
+
+
+def test_gallery_renders_all_reference_figures(gallery):
+    names = {p.rsplit("/", 1)[-1] for p in gallery}
+    assert names == {
+        "time_series.svg",
+        "trend.svg",
+        "heatmap_temperature.svg",
+        "heatmap_precipitation.svg",
+        "geo_map.svg",
+    }
+
+
+def test_every_figure_is_wellformed_svg(gallery):
+    for p in gallery:
+        root = ET.parse(p).getroot()
+        assert root.tag == f"{SVG_NS}svg", p
+
+
+def test_time_series_has_three_polylines(gallery):
+    p = next(x for x in gallery if x.endswith("time_series.svg"))
+    root = ET.parse(p).getroot()
+    lines = root.findall(f".//{SVG_NS}polyline")
+    assert len(lines) == 3
+    for pl in lines:
+        assert len(pl.get("points").split()) > 10  # a real series, not a dot
+
+
+def test_trend_has_fit_line_and_points(gallery):
+    p = next(x for x in gallery if x.endswith("trend.svg"))
+    root = ET.parse(p).getroot()
+    assert root.findall(f".//{SVG_NS}circle")  # yearly means
+    # axis lines + the red fit line
+    strokes = {ln.get("stroke") for ln in root.findall(f".//{SVG_NS}line")}
+    assert "#d62728" in strokes
+
+
+def test_heatmap_has_one_rect_per_cell(silver, gallery):
+    from pyspark.sql import functions as F
+
+    p = next(x for x in gallery if x.endswith("heatmap_temperature.svg"))
+    root = ET.parse(p).getroot()
+    rects = [
+        r for r in root.findall(f".//{SVG_NS}rect") if r.get("stroke") == "white"
+    ]
+    n_stations = silver.select("station").distinct().count()
+    n_months = silver.select(F.month("Date_1")).distinct().count()
+    assert len(rects) == n_stations * n_months
+
+
+def test_geo_map_is_animated_with_one_marker_per_station(gallery):
+    p = next(x for x in gallery if x.endswith("geo_map.svg"))
+    root = ET.parse(p).getroot()
+    circles = root.findall(f".//{SVG_NS}circle")
+    assert len(circles) == len(STATIONS)
+    for c in circles:
+        anims = c.findall(f"{SVG_NS}animate")
+        names = {a.get("attributeName") for a in anims}
+        assert {"r", "fill"} <= names  # SMIL animation on radius + color
+        # every frame contributes a value
+        assert len(anims[0].get("values").split(";")) > 1

@@ -8,19 +8,24 @@ changing this API). All processing runs as **Arrow-batched
 pandas function, nothing ever touches the driver, and batch size is
 governed by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
 
-The actual codec work (image decode / resize, audio feature extraction,
-video frame sampling) needs libraries not present in this container
-(PIL/cv2/librosa/av), so the decode kernels are STUBS behind
-``NotImplementedError`` — but the Spark-side plumbing (schemas, UDF
-signatures, batch iteration, partition parallelism) is real and tested
-via the deterministic metadata extractor.
+Codec status: **PPM (P6) image decode and WAV (PCM16) audio decode are
+real, pure-Python/numpy implementations** (no external codec library
+needed — PPM is an ASCII header + raw RGB bytes; WAV parses via the
+stdlib ``wave`` module). Compressed formats (JPEG/PNG/MP4/…) still need
+libraries not present in this container (PIL/cv2/librosa/av), so
+:func:`decode_image` / :func:`extract_audio_features` dispatch on the
+magic number: supported container formats decode for real, everything
+else raises ``NotImplementedError``. Video frame decode remains a stub.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -38,13 +43,92 @@ METADATA_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Decode an image payload to HxWxC uint8. STUB: PIL/cv2 are not
-    available in this container."""
-    raise NotImplementedError(
-        "image decode requires PIL or cv2 (not installed); "
-        "use extract_binary_metadata for the tested plumbing path"
-    )
+# ---------------------------------------------------------------------------
+# Real codecs: PPM (P6) images, WAV (PCM16) audio — pure Python/numpy
+# ---------------------------------------------------------------------------
+def encode_ppm(width: int, height: int, pixels: np.ndarray) -> bytes:
+    """Encode an RGB image as binary PPM (P6): ASCII header
+    ``P6\\n<w> <h>\\n255\\n`` followed by ``3·w·h`` raw bytes in
+    row-major R,G,B order."""
+    px = np.asarray(pixels, dtype=np.uint8).reshape(-1)
+    if px.size != 3 * width * height:
+        raise ValueError(f"expected {3 * width * height} bytes, got {px.size}")
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + px.tobytes()
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a binary PPM (P6) payload to ``(width, height, HxWx3 uint8)``.
+
+    Full header grammar: magic ``P6``, then three whitespace-separated
+    ASCII integers (width, height, maxval ≤ 255), ``#`` comments allowed
+    between tokens, exactly ONE whitespace byte after maxval, then raw
+    sample data. Real parser, not a stub — no image library required
+    because P6 stores uncompressed bytes.
+    """
+    if payload[:2] != b"P6":
+        raise NotImplementedError(
+            "only PPM (P6) images decode without PIL/cv2; got magic "
+            f"{payload[:2]!r}"
+        )
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        # skip whitespace and comments
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError(f"bad PPM header near byte {pos}")
+        vals.append(int(payload[start:pos]))
+    w, h, maxval = vals
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    pos += 1  # exactly one whitespace byte after maxval
+    data = np.frombuffer(payload, dtype=np.uint8, count=3 * w * h, offset=pos)
+    return w, h, data.reshape(h, w, 3)
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode mono int16 samples as a canonical 44-byte-header WAV."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(sample_rate)
+        wv.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a WAV payload to ``(sample_rate, int16 samples)`` via the
+    stdlib ``wave`` parser (RIFF chunk walk — handles any chunk layout,
+    not just the canonical 44-byte header)."""
+    if payload[:4] != b"RIFF":
+        raise NotImplementedError(
+            "only WAV (RIFF) audio decodes without librosa; got magic "
+            f"{payload[:4]!r}"
+        )
+    with wave.open(io.BytesIO(payload), "rb") as wv:
+        if wv.getnchannels() != 1 or wv.getsampwidth() != 2:
+            raise ValueError("only mono PCM16 supported")
+        sr = wv.getframerate()
+        n = wv.getnframes()
+        data = np.frombuffer(wv.readframes(n), dtype="<i2")
+    return sr, data
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to HxWx3 uint8. PPM (P6) decodes for real
+    (pure numpy); compressed formats (JPEG/PNG) would need PIL/cv2 and
+    raise ``NotImplementedError``."""
+    _, _, arr = decode_ppm(payload)  # raises NotImplementedError on non-P6
+    return arr
 
 
 def sample_video_frames(payload: bytes, every_n: int = 30) -> "list[object]":
@@ -52,9 +136,21 @@ def sample_video_frames(payload: bytes, every_n: int = 30) -> "list[object]":
     raise NotImplementedError("video decode requires av or cv2 (not installed)")
 
 
-def extract_audio_features(payload: bytes, sr: int = 16000) -> "object":
-    """MFCC-style features from an audio payload. STUB: librosa missing."""
-    raise NotImplementedError("audio decode requires librosa (not installed)")
+def extract_audio_features(payload: bytes, sr: int = 16000) -> dict:
+    """Deterministic audio features from a WAV payload: sample count,
+    rate, min/max/sum and energy (sum of squares, exact in int64).
+    Spectral features (MFCC) would need librosa; WAV framing + PCM
+    decode + time-domain features are real."""
+    rate, samples = decode_wav_pcm16(payload)  # raises on non-RIFF
+    s = samples.astype(np.int64)
+    return {
+        "sample_rate": rate,
+        "n_samples": int(s.size),
+        "s_min": int(s.min()) if s.size else None,
+        "s_max": int(s.max()) if s.size else None,
+        "s_sum": int(s.sum()),
+        "s_sumsq": int((s * s).sum()),
+    }
 
 
 def _metadata_batches(
@@ -200,3 +296,164 @@ def arrow_byte_stats(
             )
 
     return df.select(id_col, payload_col).mapInArrow(kernel, BYTESTATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic media generation + REAL decode stats (PPM / WAV)
+# ---------------------------------------------------------------------------
+#: Output schema of :func:`ppm_decode_stats`.
+PPM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("px_min", T.LongType()),
+        T.StructField("px_max", T.LongType()),
+        T.StructField("r_sum", T.LongType()),
+    ]
+)
+
+#: Output schema of :func:`wav_decode_stats`.
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("s_min", T.LongType()),
+        T.StructField("s_max", T.LongType()),
+        T.StructField("s_sum", T.LongType()),
+        T.StructField("s_sumsq", T.LongType()),
+    ]
+)
+
+PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def synth_ppm_payload(doc_id: int) -> bytes:
+    """Deterministic synthetic image: ``w = 4 + id%5``, ``h = 3 + id%4``,
+    byte ``i`` of the raster = ``(id + i) % 256`` — closed form both
+    engines can recompute, so decode output is oracle-checkable."""
+    w, h = 4 + doc_id % 5, 3 + doc_id % 4
+    px = (doc_id + np.arange(3 * w * h, dtype=np.int64)) % 256
+    return encode_ppm(w, h, px)
+
+
+def synth_wav_payload(doc_id: int) -> bytes:
+    """Deterministic synthetic audio: ``n = 50 + id%50`` samples at
+    8 kHz, sample ``k`` = ``(id·7 + k·13) % 2001 − 1000`` (int16)."""
+    n = 50 + doc_id % 50
+    k = np.arange(n, dtype=np.int64)
+    samples = (doc_id * 7 + k * 13) % 2001 - 1000
+    return encode_wav_pcm16(samples, 8000)
+
+
+def synth_media(df: DataFrame, kind: str, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas stage: id → (id, encoded media payload). The payload
+    crosses an Arrow boundary as a true ``binary`` column, so the decode
+    stage downstream exercises the same path real media bytes take."""
+    fn = {"ppm": synth_ppm_payload, "wav": synth_wav_payload}[kind]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": [fn(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, PAYLOAD_SCHEMA)
+
+
+def ppm_decode_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL image decode in an Arrow-batched stage: parse each PPM
+    header (ASCII grammar incl. comments), reinterpret the raster with
+    numpy, emit per-image pixel statistics. Shuffle-free, partition
+    parallel — the 100 TB decode template with an actual codec in it."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(p)
+                w, h, arr = decode_ppm(raw)
+                flat = arr.reshape(-1).astype(np.int64)
+                rows.append(
+                    (
+                        int(did),
+                        w,
+                        h,
+                        len(raw),
+                        int(flat.sum()),
+                        int(flat.min()),
+                        int(flat.max()),
+                        int(arr[:, :, 0].astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "n_bytes",
+                    "pixel_sum",
+                    "px_min",
+                    "px_max",
+                    "r_sum",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, PPM_STATS_SCHEMA)
+
+
+def wav_decode_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio decode in an Arrow-batched stage: stdlib ``wave`` RIFF
+    parse + PCM16 numpy reinterpret per payload, emitting time-domain
+    statistics (energy as exact int64 sum of squares)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(p)
+                feats = extract_audio_features(raw)
+                rows.append(
+                    (
+                        int(did),
+                        feats["sample_rate"],
+                        feats["n_samples"],
+                        len(raw),
+                        feats["s_min"],
+                        feats["s_max"],
+                        feats["s_sum"],
+                        feats["s_sumsq"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "n_samples",
+                    "n_bytes",
+                    "s_min",
+                    "s_max",
+                    "s_sum",
+                    "s_sumsq",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, WAV_STATS_SCHEMA)

@@ -97,9 +97,9 @@ PRIORITY = [
     "heavy_hitters_tokens",
     "pack_sequences_fixed_budget",
     "decontaminate_train_test",
-    "source_mixture_sample",
+    "multimodal_ppm_decode_stats",
+    "multimodal_wav_decode_stats",
     "doc_winnowing_fingerprints",
-    "repetition_topgram_filter",
     "corpus_prep_end_to_end",
     # Heavy relational / streaming flagships
     "q1_pricing_summary",
