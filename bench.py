@@ -54,6 +54,7 @@ HEADLINE = [
     "table_fingerprint",
     "corpus_prep_end_to_end",
     "table_snapshot_diff",
+    "weather_rehearsal_e2e",
 ]
 
 

@@ -333,3 +333,127 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weather-shaped 100k-row scale rehearsal (the reference's INTENDED run)
+# ---------------------------------------------------------------------------
+def _sql_rehearsal_gen() -> str:
+    """DuckDB mirror of pipeline.rehearsal.generate_noaa_long (100k rows)."""
+    from weather_analysis_bigdata__spark.functions.textops import sql_hex15_to_long
+    from weather_analysis_bigdata__spark.pipeline.rehearsal import (
+        DATATYPES,
+        DAY_STRIDE,
+        EXPECTED_ROWS,
+        REHEARSAL_STATIONS,
+        WIND_TYPES,
+    )
+
+    station_list = ", ".join(f"'{s[0]}'" for s in REHEARSAL_STATIONS)
+    dt_list = ", ".join(f"'{d}'" for d in DATATYPES)
+    wind_list = ", ".join(f"'{w}'" for w in WIND_TYPES)
+    h = sql_hex15_to_long(
+        "md5(station || ':' || CAST(day AS VARCHAR) || ':' || datatype)"
+    )
+    return f"""
+    ids AS (SELECT CAST(t.i AS BIGINT) AS id
+            FROM generate_series(0, {EXPECTED_ROWS - 1}) t(i)),
+    base AS (
+      SELECT id,
+             CAST(id % 5 AS INT) AS st_idx,
+             [{station_list}][CAST(id % 5 AS INT) + 1] AS station,
+             [{dt_list}][CAST((id // 5) % 10 AS INT) + 1] AS datatype,
+             (id // 50) * {DAY_STRIDE} AS day
+      FROM ids
+    ),
+    hashed AS (
+      SELECT *, {h} AS h,
+             strftime(DATE '1950-01-01' + CAST(day AS INT),
+                      '%Y-%m-%dT%H:%M:%S') AS date
+      FROM base
+    ),
+    valued AS (
+      SELECT *,
+             CASE WHEN datatype = 'WDF2' THEN CAST(h % 360 AS DOUBLE)
+                  WHEN datatype = 'WT01' THEN 1.0
+                  WHEN datatype IN ('TMAX', 'TMIN', 'TAVG')
+                    THEN CAST(h % 400 AS DOUBLE) / 10.0 - 10.0
+                  ELSE CAST(h % 600 AS DOUBLE) / 10.0 END AS value
+      FROM hashed
+    ),
+    present AS (
+      SELECT * FROM valued
+      WHERE h % 7 <> 0
+        AND NOT (datatype = 'TAVG' AND h % 3 = 0)
+        AND NOT (st_idx = 0 AND datatype IN ({wind_list}))
+    ),
+    long AS (
+      SELECT date, station, datatype, value, id AS seq FROM present
+      UNION ALL
+      SELECT date, station, datatype, value + 10.0,
+             id + {EXPECTED_ROWS}
+      FROM present WHERE h % 11 = 0
+    )
+    """
+
+
+@register(
+    "weather_rehearsal_e2e",
+    oracle=f"""
+    WITH {_sql_rehearsal_gen().strip()},
+    wide AS (
+      SELECT date, station,
+             arg_max(value, seq) FILTER (WHERE datatype = 'TMAX') AS tmax,
+             arg_max(value, seq) FILTER (WHERE datatype = 'TMIN') AS tmin,
+             arg_max(value, seq) FILTER (WHERE datatype = 'TAVG') AS tavg,
+             arg_max(value, seq) FILTER (WHERE datatype = 'PRCP') AS prcp
+      FROM long
+      GROUP BY date, station
+    ),
+    repaired AS (
+      SELECT CAST(year(CAST(date AS TIMESTAMP)) AS INT) AS year,
+             round(CASE WHEN tavg IS NOT NULL THEN tavg
+                        WHEN tmin IS NOT NULL AND tmax IS NOT NULL
+                          THEN (tmin + tmax) / 2
+                        ELSE 0.0 END, 2) AS avg_t,
+             prcp
+      FROM wide
+    )
+    SELECT year,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           {sql_dsum('avg_t')} / COUNT(*) AS avg_temp,
+           {sql_dsum('prcp')} AS total_prcp
+    FROM repaired
+    GROUP BY year
+    """,
+    doc="The reference's INTENDED dataset at EXPECTED_ROWS=100000 "
+    "(Weather_API.py:24: 5 stations × 10 datatypes × 2000 days over "
+    "1950–2021), generated DISTRIBUTED (spark.range, no driver rows) "
+    "and pushed through the real pipeline modules — bronze pivot with "
+    "last-write-wins re-deliveries, full-row dedup, broadcast dim join, "
+    "window wind imputation, (min+max)/2 repair, fills, date parse, "
+    "round — then aggregated per year with exact decimal sums. The "
+    "oracle re-generates the identical 100k rows in SQL (same md5→int60 "
+    "value function) and replays the output-affecting transforms, so a "
+    "hash match certifies the COMPOSED pipeline at the scale the "
+    "notebook intended but never ran. pipeline/rehearsal.py also writes "
+    "Silver partitioned by year (partition-pruning layout at 100 TB); "
+    "tests/test_rehearsal.py pins that layout.",
+)
+def weather_rehearsal_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.pipeline.bronze import build_bronze
+    from weather_analysis_bigdata__spark.pipeline.rehearsal import (
+        generate_noaa_long,
+        station_dim_df,
+    )
+    from weather_analysis_bigdata__spark.pipeline.silver import build_silver
+
+    silver = build_silver(
+        build_bronze(generate_noaa_long(spark)), station_dim_df(spark)
+    )
+    n = F.count(F.lit(1))
+    return silver.groupBy("year").agg(
+        n.alias("n_days"),
+        (dsum("avg_temperature_rounded") / n).alias("avg_temp"),
+        dsum("precipitation").alias("total_prcp"),
+    )

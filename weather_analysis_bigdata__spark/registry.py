@@ -104,7 +104,7 @@ PRIORITY = [
     # Heavy relational / streaming flagships
     "q1_pricing_summary",
     "streaming_dedup_replay",
-    "hll_sketch_partition_merge",
+    "weather_rehearsal_e2e",
     "sketch_approx_aggs",
 ]
 
