@@ -66,6 +66,13 @@ KNOWN_EXCEPTIONS = {
     "(codebook/distances/argmin/code-concat) plus the collision "
     "groupBy — each exchange carries O(vectors·subspaces) code rows, "
     "same justification as pq_adc_search_topk",
+    "ivf_pq_search_topk": "composes the reviewed IVF routing AND PQ "
+    "encode phases in one plan — exchange count is the sum of its two "
+    "reviewed parents; every exchange carries centroid/code/id rows, "
+    "never raw vectors or pairs",
+    "triangle_count": "wedge-close self-joins are fact⋈fact by nature "
+    "(no side broadcastable at scale) — hash-join hinted, exchanges "
+    "carry distinct edge pairs plus three 1-row stat collects",
 }
 
 #: Flag KINDS covered by each review above (kind = flag text before any
@@ -82,6 +89,8 @@ REVIEWED_FLAGS = {
     "bitmap_exact_distinct_merge": {"SORTAGG"},
     "table_snapshot_diff": {"SORTMERGE"},
     "dedup_pq_code_collisions": {"XCHG"},
+    "ivf_pq_search_topk": {"XCHG"},
+    "triangle_count": {"XCHG"},
 }
 
 

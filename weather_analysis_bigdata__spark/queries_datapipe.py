@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from weather_analysis_bigdata__spark.functions.textops import (
     SQL_TOKENS,
     md5s,
+    sql_hex15_to_long,
     sql_word_ngrams,
     tokens,
     word_ngrams,
@@ -826,4 +827,236 @@ def empty_input_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty_defaulted"
         ),
         F.count_distinct(F.col("l_returnflag")).alias("n_flags"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph: triangle counting (supplier co-occurrence)
+# ---------------------------------------------------------------------------
+@register(
+    "triangle_count",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+                      greatest(a.l_suppkey, b.l_suppkey) AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles FROM e e1
+      JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT s) FROM (
+             SELECT u AS s FROM e UNION SELECT v FROM e)) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM tri
+    """,
+    doc="Triangle counting over the supplier co-occurrence graph (edge = "
+    "two suppliers fulfilled the same order): the canonical wedge-close "
+    "join — edges oriented u<v, wedges (e1,e2) sharing the low endpoint "
+    "closed by probing the third edge. Per-order pair generation is "
+    "bounded (O(items²) per order, items ≤ 7), so edge building never "
+    "blows up. At 100 TB orient edges by (degree, id) instead of raw id "
+    "— every wedge is then generated at its LOWEST-degree vertex, "
+    "bounding per-key fanout by O(sqrt(|E|)) (the arboricity bound) and "
+    "with it the worst shuffle partition; the join structure is "
+    "unchanged. Output: node/edge/triangle counts — the graph-health "
+    "triple used to monitor clustering in entity-resolution graphs.",
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.least("a.l_suppkey", "b.l_suppkey").alias("u"),
+            F.greatest("a.l_suppkey", "b.l_suppkey").alias("v"),
+        )
+        .distinct()
+        # graph joins need no sorted output — hash join beats sort-merge
+        .hint("shuffle_hash")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e2.u") == F.col("e1.u")) & (F.col("e2.v") > F.col("e1.v")),
+        )
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = (
+        e.select(F.col("u").alias("s"))
+        .union(e.select("v"))
+        .agg(F.countDistinct("s").alias("n_nodes"))
+    )
+    edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return nodes.crossJoin(edges).crossJoin(tri)
+
+
+# ---------------------------------------------------------------------------
+# Privacy: k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    WITH q AS (
+      SELECT c_nationkey,
+             c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS balance_band,
+             c_custkey
+      FROM customer
+    )
+    SELECT c_nationkey, c_mktsegment, balance_band,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           COUNT(*) < 5 AS reidentification_risk
+    FROM q
+    GROUP BY c_nationkey, c_mktsegment, balance_band
+    """,
+    doc="k-anonymity audit — the privacy gate a training-data release "
+    "runs before shipping user-derived records: group by the "
+    "quasi-identifier tuple (nation, market segment, coarse balance "
+    "band) and measure every equivalence class's size k; classes with "
+    "k < 5 are re-identification risks that must be suppressed or "
+    "generalized. One hash aggregate on the QI tuple — at 100 TB this "
+    "is a single shuffle, and the suppression pass reuses the same "
+    "grouping (semi-join the risk classes back). Generalization ladders "
+    "(widen the band, drop a QI) just re-run the audit with a coarser "
+    "tuple.",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias(
+                "balance_band"
+            ),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "balance_band")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .select(
+            "*", (F.col("k") < 5).alias("reidentification_risk")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Web-corpus prep: URL parsing battery (Spark parse_url vs known shape)
+# ---------------------------------------------------------------------------
+@register(
+    "url_parse_battery",
+    oracle="""
+    SELECT doc_id,
+           'www.' || source || '.example.com' AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+           'lang=' || lang || '&ref=' || CAST(doc_id % 7 AS VARCHAR) AS query,
+           lang AS lang_param,
+           source AS registrable_org
+    FROM documents
+    """,
+    doc="URL decomposition battery for web-corpus pipelines (source "
+    "filtering, per-domain dedup keys, UTM stripping): documents get a "
+    "synthetic but fully-formed URL, and Spark's native parse_url "
+    "extracts HOST / PATH / QUERY / a single query parameter, plus the "
+    "registrable organization from the host split. The oracle "
+    "reconstructs each component from the known format, so a hash match "
+    "proves parse_url's decomposition exactly. Row-local, codegen'd, "
+    "shuffle-free — and the per-domain keys it emits are what the "
+    "dedup/bucketing stages group on at 100 TB.",
+)
+def url_parse_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&ref="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    with_url = d.select("doc_id", url.alias("url"))
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    return with_url.select(
+        "doc_id",
+        host.alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias(
+            "lang_param"
+        ),
+        F.split_part(host, F.lit("."), F.lit(2)).alias("registrable_org"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+@register(
+    "weighted_sample_topk",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT source, doc_id,
+             1 + doc_id % 5 AS weight,
+             ln((CAST({sql_hex15_to_long(
+                 "md5('ws:' || CAST(doc_id AS VARCHAR))")} AS DOUBLE)
+                 + 0.5) / 1152921504606846976.0)
+             / (1 + doc_id % 5) AS es_key
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(weight AS BIGINT) AS weight,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY source ORDER BY es_key DESC, doc_id) AS rn
+      FROM keyed)
+    WHERE rn <= 5
+    """,
+    doc="Weighted sampling WITHOUT replacement (Efraimidis–Spirakis "
+    "A-ES): each record draws u~Uniform(0,1] from a deterministic "
+    "60-bit hash (so distinct records never share u, and no two u's sit "
+    "in an exact power relation that could make ln(u)/w "
+    "mathematically-equal-but-differently-computed across engines) and "
+    "keeps key = ln(u)/w; the top-k keys per stratum ARE a weighted "
+    "sample without replacement. One pass + a per-group top-k "
+    "(TakeOrdered shape) — the distributed replacement for sequential "
+    "reservoir sampling, and the standard way a 100 TB corpus draws "
+    "quality-weighted training subsets per source. The sampled ids are "
+    "compared exactly; the transcendental key is ordering-only (never "
+    "emitted), keeping the oracle hash-stable.",
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    weight = 1 + F.col("doc_id") % 5
+    digest = F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
+    # 60-bit uniform → double (rounded identically on both engines)
+    h60 = F.conv(F.substring(digest, 1, 15), 16, 10).cast("double")
+    es_key = F.log((h60 + 0.5) / float(1 << 60)) / weight
+    keyed = d.select(
+        "source",
+        "doc_id",
+        weight.cast("long").alias("weight"),
+        es_key.alias("es_key"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        keyed.select(
+            "source", "doc_id", "weight",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
     )

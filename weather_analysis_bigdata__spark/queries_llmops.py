@@ -2208,6 +2208,200 @@ def pq_adc_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_pq_search_topk",
+    oracle=f"""
+    WITH {_SQL_VPOS.strip()},
+    cent AS (
+      SELECT label AS c_label, pos,
+             CAST({_SQL_FLOORDIV.format(s='SUM(v_int)', n='COUNT(*)')} AS BIGINT)
+               AS c_int
+      FROM vpos GROUP BY label, pos
+    ),
+    cent_arr AS (
+      SELECT c_label, list(c_int ORDER BY pos) AS c_arr
+      FROM cent GROUP BY c_label
+    ),
+    sv AS (SELECT vec_id, {_SQL_SVA} AS sva FROM embeddings),
+    scored AS (
+      SELECT s.vec_id, c.c_label,
+             {_sql_sqdist('s.sva', 'c.c_arr')} AS dist
+      FROM sv s CROSS JOIN cent_arr c
+    ),
+    assign AS (
+      SELECT vec_id AS cand_id, c_label AS part_label FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, c_label AS probe_label FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+        FROM scored WHERE vec_id < {_IVF_QUERIES}) WHERE rn <= {_IVF_PROBES}
+    ),
+    cands AS (
+      SELECT p.query_id, a.cand_id
+      FROM probes p JOIN assign a ON p.probe_label = a.part_label
+      WHERE a.cand_id <> p.query_id
+    ),
+    sub AS (
+      SELECT vec_id, label, (pos - 1) // 8 AS sub, pos, v_int FROM vpos
+    ),
+    codebook AS (
+      SELECT sub, pos, label AS code,
+             CAST({_SQL_FLOORDIV.format(s='SUM(v_int)', n='COUNT(*)')} AS BIGINT)
+               AS c_int
+      FROM sub GROUP BY sub, pos, label
+    ),
+    cand_dists AS (
+      SELECT s.vec_id, s.sub, cb.code,
+             CAST(SUM((s.v_int - cb.c_int) * (s.v_int - cb.c_int)) AS BIGINT)
+               AS d
+      FROM sub s JOIN codebook cb ON s.sub = cb.sub AND s.pos = cb.pos
+      GROUP BY s.vec_id, s.sub, cb.code
+    ),
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d, code) AS rn
+        FROM cand_dists)
+      WHERE rn = 1
+    ),
+    lut AS (
+      SELECT vec_id AS query_id, sub, code, d AS part
+      FROM cand_dists WHERE vec_id < {_IVF_QUERIES}
+    ),
+    adc AS (
+      SELECT cd.query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(l.part) AS BIGINT) AS adc_dist
+      FROM cands cd
+      JOIN codes c ON c.vec_id = cd.cand_id
+      JOIN lut l ON l.query_id = cd.query_id
+                AND l.sub = c.sub AND l.code = c.code
+      GROUP BY cd.query_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rn
+      FROM adc)
+    WHERE rn <= {_IVF_TOPK}
+    """,
+    doc="The COMPOSED production ANN shape — IVF routing × PQ "
+    "compression in one query path (the FAISS IVFPQ index, Jégou et "
+    "al. 2011): queries probe their nearest "
+    f"{_IVF_PROBES} centroid lists (routing bounds candidates to "
+    "~nprobe/k of the corpus), and the surviving candidates are scored "
+    "by PQ asymmetric distance — Σ LUT[sub][code] over each stored "
+    "8-byte code — WITHOUT touching any raw candidate vector. At "
+    "100 TB these compose multiplicatively: partition pruning on the "
+    "inverted lists cuts I/O by k/nprobe, PQ codes cut the bytes "
+    "scanned per surviving row by 32×, so the scan cost per query is "
+    "|list|×8 bytes. All arithmetic scaled-integer exact (same "
+    "centroid/codebook subtrees as ivf_probe_topk / pq_adc_search_topk "
+    "— proven bit-stable individually, here proven composed). "
+    "Candidate generation and ADC each shuffle only id/code pairs.",
+)
+def ivf_pq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vpos = _vpos(spark, sf_dir)
+    s, n = F.sum("v_int"), F.count(F.lit(1))
+    floordiv = (s - (((s % n) + n) % n)) / n
+    # --- IVF routing (centroids over full vectors) ---
+    cent = vpos.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        floordiv.cast("long").alias("c_int")
+    )
+    cent_arr = cent.groupBy("c_label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c_int"))),
+            lambda st: st["c_int"],
+        ).alias("c_arr")
+    )
+
+    def sqdist(a, b):
+        d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+        return F.aggregate(d, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    sv = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", scaled_vec("embedding").alias("sva")
+    )
+    scored = sv.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id", "c_label", sqdist("sva", "c_arr").alias("dist")
+    )
+    w_vec = Window.partitionBy("vec_id").orderBy("dist", "c_label")
+    ranked = scored.select("*", F.row_number().over(w_vec).alias("rn"))
+    assign = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("cand_id"), F.col("c_label").alias("part_label")
+    )
+    probes = (
+        scored.filter(F.col("vec_id") < _IVF_QUERIES)
+        .select("*", F.row_number().over(w_vec).alias("rn"))
+        .filter(F.col("rn") <= _IVF_PROBES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("c_label").alias("probe_label"),
+        )
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(assign, F.col("probe_label") == F.col("part_label"))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+    )
+    # --- PQ side (8 subspaces × 8 dims, shared subtree with pq_* ops) ---
+    sub = vpos.select(
+        "vec_id",
+        "label",
+        F.floor((F.col("pos") - 1) / 8).alias("sub"),
+        "pos",
+        "v_int",
+    )
+    codebook = sub.groupBy("sub", "pos", F.col("label").alias("code")).agg(
+        floordiv.cast("long").alias("c_int")
+    )
+    dists = (
+        sub.drop("label")
+        .join(F.broadcast(codebook), ["sub", "pos"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(
+            F.sum(
+                (F.col("v_int") - F.col("c_int"))
+                * (F.col("v_int") - F.col("c_int"))
+            ).alias("d")
+        )
+    )
+    w_sub = Window.partitionBy("vec_id", "sub").orderBy("d", "code")
+    codes = (
+        dists.select(
+            "vec_id", "sub", "code", F.row_number().over(w_sub).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    lut = dists.filter(F.col("vec_id") < _IVF_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "sub", "code",
+        F.col("d").alias("part"),
+    )
+    # --- ADC over ROUTED candidates only ---
+    # candidate list is O(queries × probed-list size) — broadcast it so
+    # the codes table joins without a sort-merge shuffle
+    adc = (
+        F.broadcast(cands).join(codes, F.col("cand_id") == F.col("vec_id"))
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("part").alias("adc_dist"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.select(
+            "query_id", "neighbor_id", "adc_dist",
+            F.row_number().over(wq).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= _IVF_TOPK)
+    )
+
+
+@register(
     "bpe_train_merges",
     oracle=None,
     doc="BPE tokenizer training (Sennrich et al. 2016): learn the first "

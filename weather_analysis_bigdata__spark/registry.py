@@ -88,7 +88,7 @@ PRIORITY = [
     "sim_search_lsh",
     "sim_search_lsh_multiprobe",
     "ivf_probe_topk",
-    "pq_encode_vectors",
+    "ivf_pq_search_topk",
     "pq_adc_search_topk",
     "bm25_search_topk",
     "text_token_stats",
