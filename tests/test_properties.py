@@ -103,3 +103,61 @@ def test_silver_imputation_total_and_correct(spark, tmin, tmax, tavg, wind):
         assert out.avg_wind_speed == pytest.approx(wind)
     else:
         assert out.avg_wind_speed == 0.0  # whole group null → 0
+
+
+# ---------------------------------------------------------------------------
+# Media codec round-trips (no Spark needed — pure codec invariants)
+# ---------------------------------------------------------------------------
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_ppm_roundtrip_any_raster(w, h, data):
+    """encode_ppm → decode_ppm is the identity for every raster."""
+    import numpy as np
+
+    from weather_analysis_bigdata__spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    px = np.array(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=3 * w * h,
+                max_size=3 * w * h,
+            )
+        ),
+        dtype=np.uint8,
+    )
+    w2, h2, arr = decode_ppm(encode_ppm(w, h, px))
+    assert (w2, h2) == (w, h)
+    assert np.array_equal(arr.reshape(-1), px)
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=200
+    ),
+    sr=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_any_samples(samples, sr):
+    """encode_wav_pcm16 → decode_wav_pcm16 is the identity, incl. the
+    empty stream and full int16 range; container length is canonical."""
+    import numpy as np
+
+    from weather_analysis_bigdata__spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    arr = np.array(samples, dtype=np.int16)
+    payload = encode_wav_pcm16(arr, sr)
+    assert len(payload) == 44 + 2 * len(samples)
+    sr2, back = decode_wav_pcm16(payload)
+    assert sr2 == sr
+    assert np.array_equal(back, arr)
