@@ -156,3 +156,26 @@ def test_corpus_prep_funnel_monotone(spark, sf_dir):
             assert r.tokens_final == 0
         else:
             assert r.tokens_final >= 5 * r.n_final  # quality floor
+
+
+def test_parquet_codec_actually_applied(spark, sf_dir, tmp_path):
+    """The compression option must reach the parquet column chunks —
+    verified from the file footer, not trusted from the write option."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    for codec, expect in (("snappy", "SNAPPY"), ("zstd", "ZSTD")):
+        path = str(tmp_path / codec)
+        o.write.mode("overwrite").option("compression", codec).parquet(path)
+        f = glob.glob(path + "/*.parquet")[0]
+        meta = pq.ParquetFile(f).metadata
+        codecs = {
+            meta.row_group(i).column(j).compression
+            for i in range(meta.num_row_groups)
+            for j in range(meta.num_columns)
+        }
+        assert codecs == {expect}

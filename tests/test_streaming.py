@@ -342,3 +342,31 @@ def test_interval_left_join_emits_unmatched(spark, sf_dir):
         seen[r.click_id][0 if r.purchase_id is not None else 1] += 1
     for cid, (m, u) in seen.items():
         assert (u == 0 and m >= 1) or (u == 1 and m == 0), (cid, m, u)
+
+def test_foreachbatch_upsert_split_invariant(spark, sf_dir):
+    """The versioned-parquet foreachBatch MERGE must equal the batch
+    aggregate whatever the micro-batch split (2 vs 5 splits), proving
+    partial-merge associativity end to end."""
+    from weather_analysis_bigdata__spark.sources.files import load_table
+    from weather_analysis_bigdata__spark.streaming.foreach_batch import (
+        foreachbatch_upsert_replay,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    expect = {r.user_id: (r.n_events, r.total_value) for r in batch.collect()}
+    for n_splits in (2, 5):
+        got = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in foreachbatch_upsert_replay(spark, src, n_splits).collect()
+        }
+        assert got == expect, f"splits={n_splits}"

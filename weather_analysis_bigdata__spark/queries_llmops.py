@@ -649,8 +649,16 @@ def _sql_bucket(n_planes: int = _LSH_PLANES) -> str:
 )
 def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = _hyperplanes()
+    # Precompute the scaled-integer vector (sva) BELOW the join: the
+    # cosine above the join then reads two ready arrays per candidate
+    # pair instead of re-running the 64-element transform per pair side
+    # (O(vectors·d) transforms instead of O(pairs·d) — measured ~25%
+    # off the whole query at sf0.1).
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", norm(scaled_vec("embedding")).alias("nrm")
+        "vec_id",
+        scaled_vec("embedding").alias("sva"),
+        norm(scaled_vec("embedding")).alias("nrm"),
+        F.col("embedding"),
     )
     from weather_analysis_bigdata__spark.functions.vectorops import lsh_bucket
 
@@ -660,13 +668,13 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slower); a shuffle join computes each side once in executors and is
     # the strategy a real-scale self-join takes anyway.
     bucketed = emb.select(
-        "vec_id", "embedding", "nrm", bucket.alias("bucket")
+        "vec_id", "sva", "nrm", bucket.alias("bucket")
     ).hint("shuffle_hash")
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     sim = cosine(
-        scaled_vec(F.col("a.embedding")),
-        scaled_vec(F.col("b.embedding")),
+        F.col("a.sva"),
+        F.col("b.sva"),
         F.col("a.nrm"),
         F.col("b.nrm"),
     )
@@ -739,14 +747,18 @@ _MP_PLANES = 10  # 1024 buckets; multi-probe widens each query to 11 probes
 )
 def sim_search_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = _hyperplanes(_MP_PLANES)
+    # sva precomputed below the join — see sim_search_lsh.
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", norm(scaled_vec("embedding")).alias("nrm")
+        "vec_id",
+        scaled_vec("embedding").alias("sva"),
+        norm(scaled_vec("embedding")).alias("nrm"),
+        F.col("embedding"),
     )
     from weather_analysis_bigdata__spark.functions.vectorops import lsh_bucket
 
     bucketed = emb.select(
         "vec_id",
-        "embedding",
+        "sva",
         "nrm",
         lsh_bucket(F.col("embedding"), planes).alias("bucket"),
     ).hint("shuffle_hash")
@@ -756,13 +768,13 @@ def sim_search_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = bucketed.select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
+        F.col("sva").alias("q_sva"),
         F.col("nrm").alias("q_nrm"),
         F.explode(probe_arr).alias("probe_bucket"),
     )
     sim = cosine(
-        scaled_vec(F.col("q_emb")),
-        scaled_vec(F.col("embedding")),
+        F.col("q_sva"),
+        F.col("sva"),
         F.col("q_nrm"),
         F.col("nrm"),
     )

@@ -1407,3 +1407,49 @@ def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows BIGINT, null_flags BIGINT, total_price DOUBLE,"
         " n_high_discount BIGINT",
     )
+
+
+# ---------------------------------------------------------------------------
+# Parquet compression-codec round-trip (zstd vs snappy layout parity)
+# ---------------------------------------------------------------------------
+@register(
+    "parquet_codec_roundtrip",
+    oracle=f"""
+    SELECT 'snappy' AS codec,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    UNION ALL
+    SELECT 'zstd',
+           CAST(COUNT(*) AS BIGINT),
+           {sql_dsum('o_totalprice')}
+    FROM orders
+    """,
+    doc="Compression-codec round-trip: the same table written as "
+    "snappy AND zstd parquet, both read back and aggregated — a hash "
+    "match against the source proves codec choice never alters values. "
+    "The codec is THE storage/scan-throughput lever at 100 TB (zstd "
+    "≈30-50% smaller than snappy at similar decode speed for tabular "
+    "data, cutting both storage and scan I/O); tests/test_ops.py "
+    "additionally asserts via the parquet footer that each file really "
+    "carries its requested codec, so the knob is proven applied, not "
+    "silently defaulted.",
+)
+def parquet_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    base = f"/tmp/spark_graft_codec_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    outs = []
+    for codec in ("snappy", "zstd"):
+        path = f"{base}_{codec}"
+        o.write.mode("overwrite").option("compression", codec).parquet(path)
+        back = spark.read.parquet(path)
+        outs.append(
+            back.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum("o_totalprice").alias("sum_price"),
+            ).select(F.lit(codec).alias("codec"), "n_rows", "sum_price")
+        )
+    return outs[0].unionByName(outs[1])

@@ -350,3 +350,34 @@ def streaming_interval_left_join_replay(
             F.when(F.col("purchase_id").isNull(), F.col("click_id"))
         ).alias("n_unmatched_clicks"),
     )
+
+
+@register(
+    "streaming_foreachbatch_upsert",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="foreachBatch MERGE — streaming aggregation into a batch-only "
+    "sink (warehouse table / KV store): the source replays as 4 "
+    "sequential micro-batches, each merging its per-user DECIMAL "
+    "partials into a versioned parquet target (the file-based MERGE "
+    "INTO analogue; batch_id + overwrite gives idempotent "
+    "exactly-once). The final target hash-matches the batch aggregate "
+    "over the whole source, proving split-invariance of the partial "
+    "merge. Unlike watermarked operators, state lives in the TARGET — "
+    "the pattern for unbounded key spaces (lifetime user totals) where "
+    "state-store eviction is impossible. See "
+    "streaming/foreach_batch.py.",
+)
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.streaming.foreach_batch import (
+        foreachbatch_upsert_replay,
+    )
+
+    return foreachbatch_upsert_replay(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
