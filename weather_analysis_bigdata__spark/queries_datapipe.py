@@ -1060,3 +1060,85 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM fluency score (CCNet-style quality signal, rational form)
+# ---------------------------------------------------------------------------
+@register(
+    "lm_bigram_quality",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {SQL_TOKENS.format(c='text')} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, unnest({sql_word_ngrams('toks', 2)}) AS bigram FROM tok
+    ),
+    c12 AS (SELECT bigram, COUNT(*) AS n12 FROM bg GROUP BY bigram),
+    c1 AS (
+      SELECT split_part(bigram, ' ', 1) AS w1, COUNT(*) AS n1
+      FROM bg GROUP BY 1
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(c12.n12 AS DOUBLE) / c1.n1 AS cond_p
+      FROM bg b
+      JOIN c12 ON b.bigram = c12.bigram
+      JOIN c1 ON split_part(b.bigram, ' ', 1) = c1.w1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           list_reduce(list_sort(list(cond_p)), (a, b) -> a + b) / COUNT(*)
+             AS mean_cond_prob
+    FROM scored
+    GROUP BY doc_id
+    """,
+    doc="Corpus-LM fluency score (the CCNet/Wikipedia-LM quality signal "
+    "reduced to its distributable core): a bigram model is 'trained' as "
+    "corpus counts — c(w1,w2) and c(w1·) — and each document scores the "
+    "mean conditional probability c(w1,w2)/c(w1·) of its own bigrams. "
+    "Fluent in-distribution text scores high; boilerplate/garbage "
+    "scores low — rank-threshold downstream for filtering. "
+    "Determinism: every ratio is ONE exact-integer IEEE division, and "
+    "the per-doc mean folds the SORTED ratio list (identical addition "
+    "order on both engines ⇒ bit-exact, the chisq/BM25 pattern — no "
+    "transcendental perplexity needed for a monotone quality rank). "
+    "Cost shape at 100 TB: two count aggregates over exploded bigrams, "
+    "then an inverted join of doc-bigrams to the count tables — the "
+    "same bounded posting-join shape as the Jaccard dedup; the count "
+    "tables are Zipf-small relative to the corpus and broadcastable "
+    "after a frequency floor.",
+)
+def lm_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.select(
+        "doc_id",
+        F.explode(word_ngrams(tokens("text"), 2)).alias("bigram"),
+    )
+    c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = (
+        bg.select(F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("n1"))
+    )
+    scored = (
+        bg.join(c12, "bigram")
+        .join(
+            c1,
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("w1"),
+        )
+        .select(
+            "doc_id", (F.col("n12").cast("double") / F.col("n1")).alias("cond_p")
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list("cond_p")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_cond_prob"),
+    )

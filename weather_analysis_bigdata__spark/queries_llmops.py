@@ -2413,6 +2413,110 @@ def ivf_pq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_TAU = 0.3  # similarity threshold (this corpus's near-dup knee)
+
+
+@register(
+    "dedup_semantic_clustered",
+    oracle=f"""
+    WITH {_SQL_VPOS.strip()},
+    cent AS (
+      SELECT label AS c_label, pos,
+             CAST({_SQL_FLOORDIV.format(s='SUM(v_int)', n='COUNT(*)')} AS BIGINT)
+               AS c_int
+      FROM vpos GROUP BY label, pos
+    ),
+    cent_arr AS (
+      SELECT c_label, list(c_int ORDER BY pos) AS c_arr
+      FROM cent GROUP BY c_label
+    ),
+    sv AS (SELECT vec_id, embedding, {_SQL_SVA} AS sva,
+                  {sql_norm('embedding')} AS nrm
+           FROM embeddings),
+    assign AS (
+      SELECT vec_id, embedding, nrm, c_label AS cluster FROM (
+        SELECT s.vec_id, s.embedding, s.nrm, c.c_label,
+               row_number() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY {_sql_sqdist('s.sva', 'c.c_arr')}, c.c_label) AS rn
+        FROM sv s CROSS JOIN cent_arr c) WHERE rn = 1
+    )
+    SELECT a.cluster,
+           a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+           {sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+             AS cosine_sim
+    FROM assign a JOIN assign b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE {sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+          >= {_SEMDEDUP_TAU}
+    """,
+    doc=f"SemDeDup (Abbas et al. 2023): semantic near-dup pairs found "
+    "by CLUSTERING first — every vector is assigned to its nearest "
+    "centroid (same exact-integer routing as ivf_probe_topk), and "
+    "exact cosine runs only WITHIN clusters, never across — so the "
+    "pair candidate count is Σ|cluster|² instead of N², the property "
+    f"that makes semantic dedup feasible at 100 TB. Pairs with cosine "
+    f"≥ τ={_SEMDEDUP_TAU} (this corpus's knee) are the dedup "
+    "candidates; production keeps one representative per group "
+    "(dedup_connected_components composes downstream for transitive "
+    "groups). Scaled-integer dot products + once-per-vector norms; "
+    "cluster is the shuffle key.",
+)
+def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vpos = _vpos(spark, sf_dir)
+    s, n = F.sum("v_int"), F.count(F.lit(1))
+    floordiv = (s - (((s % n) + n) % n)) / n
+    cent = vpos.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        floordiv.cast("long").alias("c_int")
+    )
+    cent_arr = cent.groupBy("c_label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c_int"))),
+            lambda st: st["c_int"],
+        ).alias("c_arr")
+    )
+
+    def sqdist(a, b):
+        d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+        return F.aggregate(d, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    sv = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        scaled_vec("embedding").alias("sva"),
+        norm(scaled_vec("embedding")).alias("nrm"),
+    )
+    w_vec = Window.partitionBy("vec_id").orderBy("dist", "c_label")
+    assign = (
+        sv.crossJoin(F.broadcast(cent_arr))
+        .select(
+            "vec_id", "sva", "nrm",
+            F.col("c_label"), sqdist("sva", "c_arr").alias("dist"),
+        )
+        .select("*", F.row_number().over(w_vec).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sva", "nrm", F.col("c_label").alias("cluster"))
+        .hint("shuffle_hash")
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    sim = cosine(
+        F.col("a.sva"), F.col("b.sva"), F.col("a.nrm"), F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cluster").alias("cluster"),
+            F.col("a.vec_id").alias("vec_id_1"),
+            F.col("b.vec_id").alias("vec_id_2"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= _SEMDEDUP_TAU)
+    )
+
+
 @register(
     "bpe_train_merges",
     oracle=None,
