@@ -1453,3 +1453,152 @@ def parquet_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(F.lit(codec).alias("codec"), "n_rows", "sum_price")
         )
     return outs[0].unionByName(outs[1])
+
+
+# ---------------------------------------------------------------------------
+# Robust trend: Mann-Kendall S + Theil-Sen slope (complement to a9 OLS)
+# ---------------------------------------------------------------------------
+@register(
+    "theil_sen_trend",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT (year(l_shipdate) * 12 + month(l_shipdate)) AS t,
+             {sql_dsum('l_extendedprice')} / COUNT(*) AS v
+      FROM lineitem
+      GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.t AS t1, b.t AS t2,
+             (b.v - a.v) / (b.t - a.t) AS slope,
+             CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn
+      FROM monthly a JOIN monthly b ON a.t < b.t
+    ),
+    ranked AS (
+      SELECT slope,
+             row_number() OVER (ORDER BY slope, t1, t2) AS rn,
+             COUNT(*) OVER () AS cnt
+      FROM pairs
+    )
+    SELECT CAST((SELECT COUNT(*) FROM monthly) AS BIGINT) AS n_months,
+           CAST((SELECT SUM(sgn) FROM pairs) AS BIGINT) AS mk_s,
+           CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_pairs,
+           (SELECT AVG(slope) FROM ranked
+            WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)) AS theil_sen_slope
+    """,
+    doc="Robust trend pair for a9's OLS: the Mann-Kendall S statistic "
+    "(Σ sign(v_j − v_i) over ordered time pairs — a pure INTEGER, "
+    "outlier-immune monotone-trend test) and the Theil-Sen slope "
+    "(median of all pairwise slopes — 29% breakdown point vs OLS's "
+    "0%). Monthly means are exact decimal sums ÷ counts (identical "
+    "doubles both engines); each pairwise slope is one IEEE division; "
+    "the median is an ORDER STATISTIC (no summation → no reduction-"
+    "order hazard), tie-broken by the time pair. O(m²) pairs over "
+    "m=84 monthly aggregates is trivial; at 100 TB the raw scan "
+    "reduces to the m-row monthly table first, so the quadratic term "
+    "never touches raw data.",
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("t")
+    ).agg(
+        (dsum("l_extendedprice") / F.count(F.lit(1))).alias("v")
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    pairs = a.join(b, F.col("a.t") < F.col("b.t")).select(
+        F.col("a.t").alias("t1"),
+        F.col("b.t").alias("t2"),
+        (
+            (F.col("b.v") - F.col("a.v")) / (F.col("b.t") - F.col("a.t"))
+        ).alias("slope"),
+        F.when(F.col("b.v") > F.col("a.v"), 1)
+        .when(F.col("b.v") < F.col("a.v"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    w = Window.orderBy("slope", "t1", "t2")
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("cnt"),
+    )
+    median = ranked.filter(
+        (F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("cnt") + 2) / 2))
+    ).agg(F.avg("slope").alias("theil_sen_slope"))
+    stats = pairs.agg(
+        F.sum("sgn").cast("long").alias("mk_s"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    n_months = monthly.agg(F.count(F.lit(1)).alias("n_months"))
+    return n_months.crossJoin(stats).crossJoin(median).select(
+        "n_months", "mk_s", "n_pairs", "theil_sen_slope"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: total-variation distance, integer-exact
+# ---------------------------------------------------------------------------
+@register(
+    "drift_tvd_histogram",
+    oracle="""
+    WITH bucketed AS (
+      SELECT least(CAST(floor(value / 10.0) AS BIGINT), 4) AS bucket,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'before'
+                  ELSE 'after' END AS period
+      FROM events
+    ),
+    counts AS (
+      SELECT bucket,
+             SUM(CASE WHEN period = 'before' THEN 1 ELSE 0 END) AS c,
+             SUM(CASE WHEN period = 'after' THEN 1 ELSE 0 END) AS d
+      FROM bucketed GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(c) AS n, SUM(d) AS m FROM counts)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_before,
+           CAST(MAX(m) AS BIGINT) AS n_after,
+           CAST(SUM(abs(c * m - d * n)) AS BIGINT) AS tvd_numer,
+           CAST(SUM(abs(c * m - d * n)) AS DOUBLE) / (2.0 * MAX(n) * MAX(m)) AS tvd
+    FROM counts, tot
+    """,
+    doc="Training-data drift monitor: total-variation distance between "
+    "the value histograms of two time periods. TVD = ½ Σ|p_i − q_i| is "
+    "computed as the INTEGER numerator Σ|c_i·M − d_i·N| over the exact "
+    "denominator 2·N·M — drift is integer-exact with ONE final IEEE "
+    "division (the PSI/KL alternative needs ln; TVD is the "
+    "transcendental-free drift metric with an actual metric-space "
+    "guarantee). Shape at 100 TB: one aggregate to O(bins) counts, "
+    "then O(bins) arithmetic — append-only monitoring cost is the "
+    "histogram scan, and per-partition histograms merge additively "
+    "(same mergeable-agg family as partial_reagg_monthly). Guard "
+    "c·M < 2⁶³ by bucketing counts per shard first (the same overflow "
+    "note as chisq_independence).",
+)
+def drift_tvd_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucketed = ev.select(
+        F.least(F.floor(F.col("value") / 10.0).cast("long"), F.lit(4)).alias(
+            "bucket"
+        ),
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "before")
+        .otherwise("after")
+        .alias("period"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("period") == "before", 1).otherwise(0)).alias("c"),
+        F.sum(F.when(F.col("period") == "after", 1).otherwise(0)).alias("d"),
+    )
+    tot = counts.agg(
+        F.sum("c").alias("n"), F.sum("d").alias("m")
+    )
+    joined = counts.crossJoin(F.broadcast(tot))
+    numer = F.abs(F.col("c") * F.col("m") - F.col("d") * F.col("n"))
+    return joined.agg(
+        F.max("n").cast("long").alias("n_before"),
+        F.max("m").cast("long").alias("n_after"),
+        F.sum(numer).cast("long").alias("tvd_numer"),
+        (
+            F.sum(numer).cast("double")
+            / (2.0 * F.max("n") * F.max("m"))
+        ).alias("tvd"),
+    )
