@@ -81,3 +81,69 @@ def test_synth_payloads_match_closed_form():
     n = 50 + 123 % 50
     k = np.arange(n)
     assert sr == 8000 and np.array_equal(s, ((123 * 7 + k * 13) % 2001 - 1000))
+
+
+def test_y4m_roundtrip_exact():
+    import numpy as np
+
+    from weather_analysis_bigdata__spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = [
+        rng.integers(0, 256, size=6 * 4 * 3 // 2, dtype=np.uint8)
+        for _ in range(3)
+    ]
+    payload = encode_y4m(6, 4, frames, fps=(30, 1))
+    w, h, fps, back = decode_y4m(payload)
+    assert (w, h, fps) == (6, 4, (30, 1))
+    assert len(back) == 3
+    for a, b in zip(frames, back):
+        assert np.array_equal(a, b)
+
+
+def test_y4m_frame_params_tolerated():
+    """FRAME lines may carry parameters (e.g. interlacing hints) — the
+    parser must skip to the newline, not assume a bare marker."""
+    import numpy as np
+
+    from weather_analysis_bigdata__spark.operators.multimodal import decode_y4m
+
+    frame = bytes(range(4 * 4 * 3 // 2)) * 1
+    payload = (
+        b"YUV4MPEG2 W4 H4 F25:1 Ip A0:0 C420jpeg\n"
+        + b"FRAME Xcustom=1\n"
+        + frame
+    )
+    w, h, _fps, frames = decode_y4m(payload)
+    assert (w, h) == (4, 4) and len(frames) == 1
+    assert np.array_equal(frames[0], np.frombuffer(frame, dtype=np.uint8))
+
+
+def test_video_sampler_rejects_compressed():
+    import pytest as _pytest
+
+    from weather_analysis_bigdata__spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        sample_video_frames(b"\x00\x00\x00 ftypisom....")  # MP4 magic
+
+
+def test_sample_video_frames_every_n():
+    import numpy as np
+
+    from weather_analysis_bigdata__spark.operators.multimodal import (
+        sample_video_frames,
+        synth_y4m_payload,
+    )
+
+    payload = synth_y4m_payload(7)  # nf = 2 + 7%4 = 5 frames
+    sampled = sample_video_frames(payload, every_n=2)
+    assert len(sampled) == 3  # frames 0, 2, 4
+    w, h = 4 + 2 * (7 % 3), 4 + 2 * (7 % 2)
+    j = np.arange(w * h * 3 // 2)
+    assert np.array_equal(sampled[1], (7 + 7 * 2 + j) % 256)
