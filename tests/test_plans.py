@@ -210,3 +210,39 @@ def test_parquet_aggregate_pushdown(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_semantic_dedup_never_cartesian_and_broadcasts_centroids(
+    spark, sf_dir, registry
+):
+    """SemDeDup's scale property: centroid table broadcasts (tiny), the
+    pair join keys on cluster (hash), and NO CartesianProduct over the
+    vectors appears anywhere — the cluster bound is what makes semantic
+    dedup feasible at 100 TB."""
+    plan = plan_of(registry["dedup_semantic_clustered"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # centroid cross join broadcasts the 10-row centroid side (BNLJ over
+    # a broadcast relation, same family the range-band join pins)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert n_sortmerge_joins(plan) == 0  # pair join is hash, not sort
+
+
+def test_ivf_pq_broadcasts_lut_and_candidates(spark, sf_dir, registry):
+    """The composed ANN path must broadcast the per-query LUT and the
+    routed candidate list — candidates and codes shuffle id/code pairs
+    only; any SortMergeJoin here would mean a full vector shuffle."""
+    plan = plan_of(registry["ivf_pq_search_topk"].fn(spark, sf_dir))
+    assert n_sortmerge_joins(plan) == 0
+    assert n_broadcast_joins(plan) >= 3  # centroids, candidates, LUT
+
+
+def test_codec_decode_stages_shuffle_free(spark, sf_dir, registry):
+    """All three real-codec decode queries are mapInPandas-only plans:
+    zero exchanges — embarrassingly parallel at any scale."""
+    for name in (
+        "multimodal_ppm_decode_stats",
+        "multimodal_wav_decode_stats",
+        "multimodal_y4m_frame_stats",
+    ):
+        plan = plan_of(registry[name].fn(spark, sf_dir))
+        assert n_shuffles(plan) == 0, name
