@@ -81,3 +81,29 @@ def test_station0_wind_imputed_to_zero(rehearsal, spark):
     ny = back.filter(F.col("station") == "GHCND:USW00094728")
     assert ny.filter(F.col("avg_wind_speed").isNull()).count() == 0
     assert ny.filter(F.col("avg_wind_speed") != 0.0).count() == 0
+
+
+def test_rehearsal_gallery_renders_reference_figures(rehearsal, spark, tmp_path):
+    """The viz gallery must render from the 100k-row rehearsal silver —
+    the actual 5-station / 72-year deliverable set the notebook plots,
+    including the SMIL-animated geo map over the real coordinates."""
+    import xml.etree.ElementTree as ET
+
+    from weather_analysis_bigdata__spark.pipeline.rehearsal import (
+        REHEARSAL_STATIONS,
+        station_dim_df,
+    )
+    from weather_analysis_bigdata__spark.viz import render_gallery
+
+    _, out = rehearsal
+    silver = spark.read.parquet(out)
+    files = render_gallery(silver, station_dim_df(spark), str(tmp_path / "g"))
+    assert len(files) == 5
+    svgns = "{http://www.w3.org/2000/svg}"
+    geo = next(p for p in files if p.endswith("geo_map.svg"))
+    root = ET.parse(geo).getroot()
+    circles = root.findall(f".//{svgns}circle")
+    assert len(circles) == len(REHEARSAL_STATIONS)
+    # every station animates through all ~72*12 month-year frames
+    anim = circles[0].find(f"{svgns}animate")
+    assert len(anim.get("values").split(";")) > 500

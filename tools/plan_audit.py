@@ -73,6 +73,10 @@ KNOWN_EXCEPTIONS = {
     "triangle_count": "wedge-close self-joins are fact⋈fact by nature "
     "(no side broadcastable at scale) — hash-join hinted, exchanges "
     "carry distinct edge pairs plus three 1-row stat collects",
+    "ann_ladder_candidate_audit": "four independent rung estimates in "
+    "one plan (bucket counts ×2, probe join, centroid assignment) — "
+    "each exchange carries bucket/cluster COUNT rows or id/bucket "
+    "pairs; the audit exists to price the rungs, it never builds them",
 }
 
 #: Flag KINDS covered by each review above (kind = flag text before any
@@ -91,6 +95,7 @@ REVIEWED_FLAGS = {
     "dedup_pq_code_collisions": {"XCHG"},
     "ivf_pq_search_topk": {"XCHG"},
     "triangle_count": {"XCHG"},
+    "ann_ladder_candidate_audit": {"XCHG"},
 }
 
 

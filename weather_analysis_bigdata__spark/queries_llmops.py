@@ -2464,6 +2464,148 @@ def multimodal_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return y4m_frame_sample_stats(synth_media(d, "y4m"))
 
 
+@register(
+    "ann_ladder_candidate_audit",
+    oracle=f"""
+    WITH {_SQL_VPOS.strip()},
+    nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    b8 AS (SELECT ({_sql_bucket(8)}) AS bucket FROM embeddings),
+    lsh AS (
+      SELECT SUM(c * (c - 1) // 2) AS p FROM (
+        SELECT COUNT(*) AS c FROM b8 GROUP BY bucket)
+    ),
+    b10 AS (
+      SELECT vec_id, ({_sql_bucket(10)}) AS bucket FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id,
+             unnest([bucket{"".join(f", xor(bucket, {1 << i})" for i in range(10))}])
+               AS pb
+      FROM b10
+    ),
+    mp AS (
+      SELECT COUNT(*) AS p FROM probes p JOIN b10 t
+        ON p.pb = t.bucket AND p.vec_id <> t.vec_id
+    ),
+    cent AS (
+      SELECT label AS c_label, pos,
+             CAST({_SQL_FLOORDIV.format(s='SUM(v_int)', n='COUNT(*)')} AS BIGINT)
+               AS c_int
+      FROM vpos GROUP BY label, pos
+    ),
+    cent_arr AS (
+      SELECT c_label, list(c_int ORDER BY pos) AS c_arr
+      FROM cent GROUP BY c_label
+    ),
+    sv AS (SELECT vec_id, {_SQL_SVA} AS sva FROM embeddings),
+    assign AS (
+      SELECT vec_id, c_label AS cluster FROM (
+        SELECT s.vec_id, c.c_label,
+               row_number() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY {_sql_sqdist('s.sva', 'c.c_arr')}, c.c_label) AS rn
+        FROM sv s CROSS JOIN cent_arr c) WHERE rn = 1
+    ),
+    sem AS (
+      SELECT SUM(c * (c - 1) // 2) AS p FROM (
+        SELECT COUNT(*) AS c FROM assign GROUP BY cluster)
+    )
+    SELECT CAST(nn.n AS BIGINT) AS n_vectors,
+           CAST(nn.n * (nn.n - 1) // 2 AS BIGINT) AS brute_pairs,
+           CAST(lsh.p AS BIGINT) AS lsh256_pairs,
+           CAST(mp.p AS BIGINT) AS multiprobe_cands,
+           CAST(sem.p AS BIGINT) AS cluster_pairs
+    FROM nn, lsh, mp, sem
+    """,
+    doc="The ANN ladder's candidate economics MEASURED, not asserted: "
+    "exact candidate-pair counts each rung examines on this corpus — "
+    "brute force N(N−1)/2, 8-plane LSH Σ_b c_b(c_b−1)/2, 10-plane "
+    "multi-probe Σ probe-hits, and nearest-centroid cluster pairs "
+    "(= both SemDeDup's pair bound AND the IVF inverted-list "
+    "economics, same assignment). One row of integers the oracle "
+    "recomputes independently — the audit that proves the 'never "
+    "all-pairs' claims with numbers and catches any silent candidate "
+    "blowup when the dials change. At 100 TB this query IS the "
+    "pre-flight cost estimator run before launching a dedup/ANN job.",
+)
+def ann_ladder_candidate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.vectorops import lsh_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nn = emb.agg(F.count(F.lit(1)).alias("n"))
+
+    b8 = emb.select(lsh_bucket(F.col("embedding"), _hyperplanes(8)).alias("bucket"))
+    lsh = (
+        b8.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) div 2")).alias("p"))
+    )
+
+    b10 = emb.select(
+        "vec_id", lsh_bucket(F.col("embedding"), _hyperplanes(10)).alias("bucket")
+    )
+    probe_arr = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(10)],
+    )
+    probes = b10.select(
+        F.col("vec_id").alias("q_id"), F.explode(probe_arr).alias("pb")
+    )
+    mp = (
+        probes.join(
+            b10.hint("shuffle_hash"),
+            (F.col("pb") == F.col("bucket")) & (F.col("q_id") != F.col("vec_id")),
+        )
+        .agg(F.count(F.lit(1)).alias("p"))
+    )
+
+    vpos = _vpos(spark, sf_dir)
+    s, n = F.sum("v_int"), F.count(F.lit(1))
+    floordiv = (s - (((s % n) + n) % n)) / n
+    cent_arr = (
+        vpos.groupBy(F.col("label").alias("c_label"), "pos")
+        .agg(floordiv.cast("long").alias("c_int"))
+        .groupBy("c_label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c_int"))),
+                lambda st: st["c_int"],
+            ).alias("c_arr")
+        )
+    )
+
+    def sqdist(a, b):
+        d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+        return F.aggregate(d, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    sv = emb.select("vec_id", scaled_vec("embedding").alias("sva"))
+    w_vec = Window.partitionBy("vec_id").orderBy("dist", "c_label")
+    assign = (
+        sv.crossJoin(F.broadcast(cent_arr))
+        .select("vec_id", "c_label", sqdist("sva", "c_arr").alias("dist"))
+        .select("*", F.row_number().over(w_vec).alias("rn"))
+        .filter(F.col("rn") == 1)
+    )
+    sem = (
+        assign.groupBy("c_label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) div 2")).alias("p"))
+    )
+
+    return (
+        nn.crossJoin(lsh.withColumnRenamed("p", "lsh_p"))
+        .crossJoin(mp.withColumnRenamed("p", "mp_p"))
+        .crossJoin(sem.withColumnRenamed("p", "sem_p"))
+        .select(
+            F.col("n").cast("long").alias("n_vectors"),
+            F.expr("n * (n - 1) div 2").cast("long").alias("brute_pairs"),
+            F.col("lsh_p").cast("long").alias("lsh256_pairs"),
+            F.col("mp_p").cast("long").alias("multiprobe_cands"),
+            F.col("sem_p").cast("long").alias("cluster_pairs"),
+        )
+    )
+
+
 _SEMDEDUP_TAU = 0.3  # similarity threshold (this corpus's near-dup knee)
 
 
