@@ -55,6 +55,8 @@ HEADLINE = [
     "corpus_prep_end_to_end",
     "table_snapshot_diff",
     "weather_rehearsal_e2e",
+    "dedup_semantic_clustered",
+    "ivf_pq_search_topk",
 ]
 
 
