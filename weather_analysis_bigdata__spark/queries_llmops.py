@@ -2679,6 +2679,14 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm(scaled_vec("embedding")).alias("nrm"),
     )
     w_vec = Window.partitionBy("vec_id").orderBy("dist", "c_label")
+    # NOTE on the double-planned assignment subtree: the self-join's two
+    # sides each inline this subtree (the vec_id-keyed argmin window
+    # defeats exchange-reuse canonicalization; an explicit
+    # repartition("cluster") was measured — no ReusedExchange, and it
+    # demotes the pair join to sort-merge). The recompute is ~3% of the
+    # query (assignment is O(N·k·d); the pair-cosine stage is
+    # O(Σc²·d)); at real scale the assignment would be a persisted
+    # index table, as with IVF (see ivf_probe_topk docstring).
     assign = (
         sv.crossJoin(F.broadcast(cent_arr))
         .select(
