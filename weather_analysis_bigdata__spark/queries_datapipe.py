@@ -1142,3 +1142,109 @@ def lm_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean_cond_prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode script profile (corpus-prep language/garbage triage)
+# ---------------------------------------------------------------------------
+@register(
+    "text_script_profile",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+               AS n_alpha,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+               AS n_digit,
+             CAST(length(regexp_replace(text, '[^ \\t\\n]', '', 'g')) AS BIGINT)
+               AS n_space
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_alpha, n_digit, n_space,
+           CAST(n_chars - n_alpha - n_digit - n_space AS BIGINT) AS n_other,
+           CAST(n_alpha AS DOUBLE) / n_chars AS alpha_ratio,
+           (CAST(n_alpha AS DOUBLE) / n_chars >= 0.6) AS looks_textual
+    FROM m
+    """,
+    doc="Unicode script profile — the first-pass triage a web corpus "
+    "runs before language ID: per-document counts of alphabetic, "
+    "digit, whitespace and other characters (counted by deleting the "
+    "complement class — one regexp_replace per class, identical "
+    "semantics on both regex engines), with the C4-style "
+    "alphabetic-ratio gate. Entirely row-local and codegen'd: zero "
+    "shuffles, embarrassingly parallel at 100 TB, and the cheap "
+    "upstream filter that keeps the expensive quality/dedup stages "
+    "from ever seeing binary spew.",
+)
+def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("bigint")
+    n_alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("bigint")
+    n_digit = F.length(F.regexp_replace("text", "[^0-9]", "")).cast("bigint")
+    n_space = F.length(F.regexp_replace("text", "[^ \\t\\n]", "")).cast("bigint")
+    alpha_ratio = n_alpha.cast("double") / n_chars
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_alpha.alias("n_alpha"),
+        n_digit.alias("n_digit"),
+        n_space.alias("n_space"),
+        (n_chars - n_alpha - n_digit - n_space).cast("bigint").alias("n_other"),
+        alpha_ratio.alias("alpha_ratio"),
+        (alpha_ratio >= 0.6).alias("looks_textual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 boilerplate filter (stop-phrases + code heuristic)
+# ---------------------------------------------------------------------------
+@register(
+    "c4_boilerplate_filter",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             (lower(text) LIKE '%lorem ipsum%') AS has_lorem,
+             (lower(text) LIKE '%javascript%'
+              OR lower(text) LIKE '%cookie policy%'
+              OR lower(text) LIKE '%terms of use%') AS has_web_boilerplate,
+             CAST(length(regexp_replace(text, '[^{}]', '', 'g')) AS BIGINT)
+               AS n_braces,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, has_lorem, has_web_boilerplate, n_braces,
+           CAST(n_braces AS DOUBLE) / n_chars AS brace_ratio,
+           (NOT has_lorem AND NOT has_web_boilerplate
+            AND CAST(n_braces AS DOUBLE) / n_chars < 0.01) AS keep
+    FROM m
+    """,
+    doc="C4's documented boilerplate rules (Raffel et al. 2020, §2.2) "
+    "as one row-local pass: drop documents containing 'lorem ipsum', "
+    "the web-policy stop phrases ('javascript'/'cookie policy'/'terms "
+    "of use'), or a curly-brace density that marks leaked source code. "
+    "All predicates are substring/character-class tests — identical "
+    "across engines, shuffle-free, and cheap enough to run before "
+    "every other corpus stage at 100 TB. Emits per-rule booleans "
+    "rather than just the verdict so filter attrition is auditable "
+    "per rule (the no-silent-caps principle).",
+)
+def c4_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    has_lorem = low.contains("lorem ipsum")
+    has_web = (
+        low.contains("javascript")
+        | low.contains("cookie policy")
+        | low.contains("terms of use")
+    )
+    n_braces = F.length(F.regexp_replace("text", "[^{}]", "")).cast("bigint")
+    brace_ratio = n_braces.cast("double") / F.length("text")
+    return d.select(
+        "doc_id",
+        has_lorem.alias("has_lorem"),
+        has_web.alias("has_web_boilerplate"),
+        n_braces.alias("n_braces"),
+        brace_ratio.alias("brace_ratio"),
+        (~has_lorem & ~has_web & (brace_ratio < 0.01)).alias("keep"),
+    )
