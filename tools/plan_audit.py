@@ -77,6 +77,10 @@ KNOWN_EXCEPTIONS = {
     "one plan (bucket counts ×2, probe join, centroid assignment) — "
     "each exchange carries bucket/cluster COUNT rows or id/bucket "
     "pairs; the audit exists to price the rungs, it never builds them",
+    "theil_sen_trend": "raw lineitem reduces to the ~84-row monthly "
+    "table in the FIRST exchange; every later exchange and all four "
+    "BNLJ steps carry that 84-row table, its 84×84/2 slope pairs, or "
+    "1-row scalar stats — the quadratic term never touches raw data",
 }
 
 #: Flag KINDS covered by each review above (kind = flag text before any
@@ -96,6 +100,7 @@ REVIEWED_FLAGS = {
     "ivf_pq_search_topk": {"XCHG"},
     "triangle_count": {"XCHG"},
     "ann_ladder_candidate_audit": {"XCHG"},
+    "theil_sen_trend": {"XCHG"},
 }
 
 

@@ -1568,10 +1568,10 @@ _CC_SUF1 = " ".join(f"qq{i}" for i in range(25))
 _CC_SUF2 = " ".join(f"qq{i}" for i in range(25, 50))
 
 
-@register(
-    "dedup_connected_components",
-    oracle=f"""
-    WITH RECURSIVE docs AS (
+#: Oracle CTE chain: chained-copy corpus → jaccard edges → recursive
+#: reachability → (doc_id, component_id). Shared by the components
+#: query and the cluster-representative query (queries_round2.py).
+SQL_CC_COMP = f"""docs AS (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 3000000, text || ' {_CC_SUF1}'
@@ -1599,7 +1599,55 @@ _CC_SUF2 = " ".join(f"qq{i}" for i in range(25, 50))
       SELECT r.src, s.v FROM reach r JOIN sym s ON r.dst = s.u
     ),
     comp AS (SELECT src AS doc_id, MIN(dst) AS component_id
-             FROM reach GROUP BY src)
+             FROM reach GROUP BY src)"""
+
+
+def cc_chained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ chained copies B = A+25 filler tokens, C = A+50."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 50 == 0)
+    b = planted.select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat("text", F.lit(" " + _CC_SUF1)).alias("text"),
+    )
+    c = planted.select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.concat("text", F.lit(" " + _CC_SUF1 + " " + _CC_SUF2)).alias("text"),
+    )
+    return d.unionByName(b).unionByName(c)
+
+
+def cc_jaccard_edges(docs: DataFrame) -> DataFrame:
+    """Near-dup pair edges: word-3-gram Jaccard ≥ _CC_TAU (u < v)."""
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("s1.n") + F.col("s2.n") - F.col("n_common")
+    )
+    return (
+        common.join(sizes.alias("s1"), F.col("u") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("v") == F.col("s2.doc_id"))
+        .filter(jac >= _CC_TAU)
+        .select("u", "v")
+    )
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {SQL_CC_COMP}
     SELECT doc_id, component_id,
            CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT)
              AS cluster_size,
@@ -1625,41 +1673,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = d.filter(F.col("doc_id") % 50 == 0)
-    b = planted.select(
-        (F.col("doc_id") + 3000000).alias("doc_id"),
-        F.concat("text", F.lit(" " + _CC_SUF1)).alias("text"),
-    )
-    c = planted.select(
-        (F.col("doc_id") + 4000000).alias("doc_id"),
-        F.concat("text", F.lit(" " + _CC_SUF1 + " " + _CC_SUF2)).alias("text"),
-    )
-    docs = d.unionByName(b).unionByName(c)
-
-    sh = _shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    common = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    jac = F.col("n_common").cast("double") / (
-        F.col("s1.n") + F.col("s2.n") - F.col("n_common")
-    )
-    edges = (
-        common.join(sizes.alias("s1"), F.col("u") == F.col("s1.doc_id"))
-        .join(sizes.alias("s2"), F.col("v") == F.col("s2.doc_id"))
-        .filter(jac >= _CC_TAU)
-        .select("u", "v")
-    )
+    edges = cc_jaccard_edges(cc_chained_docs(spark, sf_dir))
     comp = connected_components(edges)
     w = Window.partitionBy("comp")
     return comp.select(

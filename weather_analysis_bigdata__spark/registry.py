@@ -123,6 +123,7 @@ def all_queries() -> dict[str, Query]:
     import weather_analysis_bigdata__spark.queries_datapipe  # noqa: F401
     import weather_analysis_bigdata__spark.queries_profiling  # noqa: F401
     import weather_analysis_bigdata__spark.queries_ops  # noqa: F401
+    import weather_analysis_bigdata__spark.queries_round2  # noqa: F401
 
     ordered: dict[str, Query] = {}
     for name in PRIORITY:
