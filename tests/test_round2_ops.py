@@ -98,11 +98,12 @@ def test_cluster_representative_is_argmax_quality(spark, sf_dir):
     # component label a naive dedup would keep.
     winners = [r for r in rows if r.rep_doc_id >= 4_000_000]
     assert winners, "some planted C copy should win its cluster"
-    for r in winners:
-        assert r.rep_doc_id != r.component_id
     # Full A–B–C chains (component = the original doc id): all three
-    # members linked through B, C wins on token count.
+    # members linked through B, and the C copy wins on token count even
+    # though A holds the min id — quality, not min-id, picks the keeper.
     chains = [r for r in winners if r.component_id < 1_000_000]
+    assert chains, "at least one full chain should resolve to its C copy"
     for r in chains:
         assert r.cluster_size >= 3
+        assert r.rep_doc_id != r.component_id
         assert r.rep_doc_id == r.component_id + 4_000_000
