@@ -107,3 +107,80 @@ def test_cluster_representative_is_argmax_quality(spark, sf_dir):
         assert r.cluster_size >= 3
         assert r.rep_doc_id != r.component_id
         assert r.rep_doc_id == r.component_id + 4_000_000
+
+
+def test_cdc_apply_semantics(spark, sf_dir):
+    """Deleted keys absent, updated keys carry v2 price, untouched keys
+    keep their insert price."""
+    from weather_analysis_bigdata__spark.queries_round2 import cdc_apply_changes
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    out = cdc_apply_changes(spark, sf_dir)
+    src = {
+        r.o_orderkey: r.o_totalprice
+        for r in load_table(spark, sf_dir, "orders").collect()
+    }
+    rows = {r.o_orderkey: r for r in out.collect()}
+    assert rows
+    for k, price in src.items():
+        if k % 7 == 0:
+            assert k not in rows  # deleted
+        elif k % 3 == 0:
+            assert rows[k].last_version == 2
+            assert abs(rows[k].final_price - (price + 1000.0)) < 1e-6
+        else:
+            assert rows[k].last_version == 1
+            assert abs(rows[k].final_price - price) < 1e-6
+
+
+def test_attribution_click_precedes_purchase(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        attribution_last_touch,
+    )
+
+    rows = attribution_last_touch(spark, sf_dir).collect()
+    assert rows
+    attributed = [r for r in rows if r.attributed_click_id is not None]
+    organic = [r for r in rows if r.attributed_click_id is None]
+    assert attributed, "some purchases should have a prior click"
+    for r in attributed:
+        assert r.gap_us > 0 or (
+            r.gap_us == 0 and r.attributed_click_id < r.purchase_id
+        )
+    for r in organic:
+        assert r.gap_us is None
+
+
+def test_histogram_partitions_of_unity(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        _HIST_K,
+        histogram_equi_width,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    rows = histogram_equi_width(spark, sf_dir).collect()
+    assert rows
+    by_prio: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r.bucket < _HIST_K
+        by_prio.setdefault(r.o_orderpriority, []).append(r)
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n for r in rows) == n_orders
+    for prio, rs in by_prio.items():
+        assert abs(sum(r.share for r in rs) - 1.0) < 1e-9
+
+
+def test_bloom_no_false_negatives_and_real_fps(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        bloom_filter_membership,
+    )
+
+    r = bloom_filter_membership(spark, sf_dir).collect()[0]
+    assert r.no_false_negatives  # the Bloom guarantee
+    assert r.n_member_keys <= r.n_maybe_keys <= r.n_probe_keys
+    assert r.n_maybe_keys == r.n_member_keys + r.n_false_positives
+    # m is sized so the fp path is exercised once the filter carries
+    # sf0.01-scale load (~300 build keys → ~20% fill → ~1% fp); at
+    # sf0.001 the filter is too sparse for expected fps (~1e-5).
+    if r.n_member_keys >= 100:
+        assert r.n_false_positives > 0

@@ -17,7 +17,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from weather_analysis_bigdata__spark.functions.textops import SQL_TOKENS, tokens
+from weather_analysis_bigdata__spark.functions.deterministic import dec, sql_dec
+from weather_analysis_bigdata__spark.functions.textops import (
+    SQL_TOKENS,
+    hex15_to_long,
+    md5s,
+    sql_hex15_to_long,
+    tokens,
+)
 from weather_analysis_bigdata__spark.registry import register
 from weather_analysis_bigdata__spark.sources.files import load_table
 
@@ -305,4 +312,355 @@ def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rep_n_tokens"),
         (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC ordered-upsert apply (change log → current-state snapshot)
+# ---------------------------------------------------------------------------
+@register(
+    "cdc_apply_changes",
+    oracle=f"""
+    WITH log AS (
+      SELECT o_orderkey, 1 AS version, 'I' AS op,
+             {sql_dec('o_totalprice')} AS price
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', {sql_dec('o_totalprice')} + 1000.00
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', {sql_dec('o_totalprice')}
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    latest AS (
+      SELECT o_orderkey, version, op, price,
+             row_number() OVER (PARTITION BY o_orderkey
+                                ORDER BY version DESC) AS rn
+      FROM log
+    )
+    SELECT o_orderkey,
+           CAST(version AS BIGINT) AS last_version,
+           op AS last_op,
+           CAST(price AS DOUBLE) AS final_price
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="CDC apply: an ordered change log (INSERT for every key, "
+    "UPDATE for keys ≡0 mod 3, DELETE for keys ≡0 mod 7 — synthesized "
+    "deterministically and mirrored in the oracle) resolved to the "
+    "current-state snapshot: latest version per key wins, deletes drop "
+    "the row. This is the MERGE-INTO/Debezium-materialization kernel of "
+    "every lakehouse ingest path, expressed as ONE row_number window "
+    "over the key — a single shuffle on the merge key regardless of how "
+    "many change versions pile up, and the same plan shape Delta/Iceberg "
+    "use for snapshot reconstruction. Price arithmetic stays in "
+    "DECIMAL(18,2) end-to-end; doubles appear only in the final cast.",
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", dec("o_totalprice").alias("p")
+    )
+    k = F.col("o_orderkey")
+    v1 = o.select(
+        k, F.lit(1).alias("version"), F.lit("I").alias("op"), F.col("p").alias("price")
+    )
+    v2 = o.filter(k % 3 == 0).select(
+        k,
+        F.lit(2).alias("version"),
+        F.lit("U").alias("op"),
+        (F.col("p") + F.lit("1000.00").cast("decimal(18,2)")).alias("price"),
+    )
+    v3 = o.filter(k % 7 == 0).select(
+        k, F.lit(3).alias("version"), F.lit("D").alias("op"), F.col("p").alias("price")
+    )
+    log = v1.unionByName(v2).unionByName(v3)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "o_orderkey",
+            F.col("version").cast("long").alias("last_version"),
+            F.col("op").alias("last_op"),
+            F.col("price").cast("double").alias("final_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution (purchase → most recent prior click, per user)
+# ---------------------------------------------------------------------------
+@register(
+    "attribution_last_touch",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, ts, user_id, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS attributed_click_id,
+             last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS click_us
+      FROM events
+    )
+    SELECT event_id AS purchase_id, user_id, attributed_click_id,
+           epoch_us(ts) - click_us AS gap_us
+    FROM w WHERE event_type = 'purchase'
+    """,
+    doc="Marketing last-touch attribution: each purchase is credited to "
+    "the user's most recent PRIOR click (strictly earlier — the "
+    "1-PRECEDING frame bound excludes same-row self-attribution), "
+    "purchases with no prior click stay NULL (organic). One IGNORE "
+    "NULLS last_value window over (user, time) — the native windowed "
+    "form of an as-of join against the same stream, one shuffle on "
+    "user_id, no self-join. Ordering is fully tie-broken (ts, "
+    "event_id); gaps are exact integer epoch-microsecond differences. "
+    "At 100 TB this is the canonical sessionless attribution pass: "
+    "state per user is one row, and the window never materializes the "
+    "pair matrix an event⋈event join would.",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_click = F.col("event_type") == "click"
+    enriched = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("attributed_click_id"),
+        F.last(F.when(is_click, F.unix_micros("ts")), ignorenulls=True)
+        .over(w)
+        .alias("click_us"),
+    )
+    return enriched.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "attributed_click_id",
+        (F.unix_micros("ts") - F.col("click_us")).alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-pass equi-width histogram (data-driven bounds, integer cents)
+# ---------------------------------------------------------------------------
+_HIST_K = 10
+
+
+@register(
+    "histogram_equi_width",
+    oracle=f"""
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST({sql_dec('o_totalprice')} * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    bounds AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM c),
+    b AS (
+      SELECT o_orderpriority,
+             least((cents - lo) * {_HIST_K} // (hi - lo + 1), {_HIST_K} - 1)
+               AS bucket,
+             lo, hi
+      FROM c, bounds
+    )
+    SELECT o_orderpriority,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(MIN(lo + (bucket * (hi - lo + 1)) // {_HIST_K}) AS BIGINT)
+             AS bucket_lo_cents,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY o_orderpriority) AS share
+    FROM b
+    GROUP BY o_orderpriority, bucket
+    """,
+    doc="Two-pass equi-width histogram with DATA-DRIVEN bounds — the "
+    "profiling shape fixed-bound bucketing (drift_tvd_histogram) can't "
+    "give you: pass 1 reduces to global min/max, pass 2 buckets every "
+    "row by exact integer-cents arithmetic ((c-lo)·K DIV (hi-lo+1), "
+    "capped). No width_bucket dependency, no float bin edges — bucket "
+    "assignment and bucket lower bounds are pure BIGINT ops, identical "
+    "on any engine; the only double is the final share ratio (one exact "
+    "integer÷integer IEEE division). The bounds aggregate broadcasts "
+    "(1 row), so the histogram costs one scan + one groupBy on "
+    "(priority, bucket) — mergeable across partitions/days like every "
+    "counting profile here.",
+)
+def histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = _HIST_K
+    c = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    bounds = c.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    b = c.crossJoin(F.broadcast(bounds)).select(
+        "o_orderpriority",
+        F.least(
+            F.expr(f"(cents - lo) * {K} DIV (hi - lo + 1)"), F.lit(K - 1)
+        ).alias("bucket"),
+        "lo",
+        "hi",
+    )
+    return (
+        b.groupBy("o_orderpriority", "bucket")
+        .agg(
+            F.min(F.expr(f"lo + (bucket * (hi - lo + 1)) DIV {K}")).alias(
+                "bucket_lo_cents"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn(
+            "share",
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("o_orderpriority")).cast("double"),
+        )
+        .select("o_orderpriority", "bucket", "bucket_lo_cents", "n", "share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership as data (position set, exact cross-engine)
+# ---------------------------------------------------------------------------
+_BLOOM_M = 4096  # bit-space size
+_BLOOM_HASHES = 3
+
+
+def _bloom_pos_spark(key: F.Column, i: int) -> F.Column:
+    return hex15_to_long(md5s(F.concat(F.lit(f"{i}:"), key.cast("string")))) % _BLOOM_M
+
+
+def _bloom_pos_sql(key_expr: str, i: int) -> str:
+    h = sql_hex15_to_long(f"md5('{i}:' || CAST({key_expr} AS VARCHAR))")
+    return f"({h} % {_BLOOM_M})"
+
+
+@register(
+    "bloom_filter_membership",
+    oracle=f"""
+    WITH build AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+        {' UNION ALL '.join(f"SELECT {_bloom_pos_sql('c_custkey', i)} AS pos FROM build" for i in range(_BLOOM_HASHES))}
+      )
+    ),
+    probe AS (SELECT DISTINCT o_custkey FROM orders),
+    ppos AS (
+      {' UNION ALL '.join(f"SELECT o_custkey, {i} AS hid, {_bloom_pos_sql('o_custkey', i)} AS pos FROM probe" for i in range(_BLOOM_HASHES))}
+    ),
+    maybe AS (
+      SELECT o_custkey FROM ppos JOIN bits USING (pos)
+      GROUP BY o_custkey HAVING COUNT(DISTINCT hid) = {_BLOOM_HASHES}
+    ),
+    flags AS (
+      SELECT p.o_custkey,
+             p.o_custkey IN (SELECT c_custkey FROM build) AS is_member,
+             p.o_custkey IN (SELECT o_custkey FROM maybe) AS is_maybe
+      FROM probe p
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_keys,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_member_keys,
+           CAST(SUM(CASE WHEN is_maybe THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_maybe_keys,
+           CAST(SUM(CASE WHEN is_maybe AND NOT is_member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positives,
+           SUM(CASE WHEN is_member AND NOT is_maybe THEN 1 ELSE 0 END) = 0
+             AS no_false_negatives
+    FROM flags
+    """,
+    doc="Bloom-filter membership with the filter represented AS DATA: "
+    f"each build key sets {_BLOOM_HASHES} md5-derived positions in a "
+    f"{_BLOOM_M}-slot bit space (distinct position table = the bitmap), "
+    "and a probe key is 'maybe present' iff ALL its positions are set. "
+    "Because the bit positions are deterministic md5 arithmetic, the "
+    "DuckDB oracle reproduces the ENTIRE filter — including the exact "
+    "false-positive count — not just bounds: approximate data "
+    "structures stay hash-checkable when their randomness is a "
+    "deterministic hash. The m is sized small on purpose so false "
+    "positives actually occur and are counted (no vacuous fp=0 pass); "
+    "no_false_negatives = TRUE is the Bloom guarantee itself. Scale "
+    "shape: position sets OR-merge per partition (mergeable agg), the "
+    "built filter broadcasts to probe scans — the manual form of the "
+    "runtime bloom-join pruning already plan-pinned in "
+    "tests/test_plans.py.",
+)
+def bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    build = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    bits = (
+        build.select(
+            F.explode(
+                F.array(
+                    *[
+                        _bloom_pos_spark(F.col("c_custkey"), i)
+                        for i in range(_BLOOM_HASHES)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probe = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    ppos = probe.select(
+        "o_custkey",
+        F.posexplode(
+            F.array(
+                *[
+                    _bloom_pos_spark(F.col("o_custkey"), i)
+                    for i in range(_BLOOM_HASHES)
+                ]
+            )
+        ).alias("hid", "pos"),
+    )
+    maybe = (
+        ppos.join(F.broadcast(bits), "pos")
+        .groupBy("o_custkey")
+        .agg(F.countDistinct("hid").alias("nh"))
+        .filter(F.col("nh") == _BLOOM_HASHES)
+        .select("o_custkey", F.lit(True).alias("is_maybe"))
+    )
+    member = build.select(
+        F.col("c_custkey").alias("o_custkey"), F.lit(True).alias("is_member")
+    ).distinct()
+    flags = (
+        probe.join(F.broadcast(maybe), "o_custkey", "left")
+        .join(F.broadcast(member), "o_custkey", "left")
+        .select(
+            "o_custkey",
+            F.coalesce("is_maybe", F.lit(False)).alias("is_maybe"),
+            F.coalesce("is_member", F.lit(False)).alias("is_member"),
+        )
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_probe_keys"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_member_keys"),
+        F.sum(F.when(F.col("is_maybe"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_maybe_keys"),
+        F.sum(F.when(F.col("is_maybe") & ~F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_positives"),
+        (
+            F.sum(
+                F.when(F.col("is_member") & ~F.col("is_maybe"), 1).otherwise(0)
+            )
+            == 0
+        ).alias("no_false_negatives"),
     )
