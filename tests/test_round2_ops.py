@@ -238,3 +238,101 @@ def test_geo_nearest_is_true_argmin(spark, sf_dir):
         assert r.d2_udeg2 == best
         # tie-break: the lowest station key among the minima
         assert r.station_key == int(sk[d2 == best].min())
+
+
+def test_pareto_frontier_dominance(spark, sf_dir):
+    """No frontier point dominates another; every non-frontier price
+    is dominated by some frontier point."""
+    from weather_analysis_bigdata__spark.queries_round2 import pareto_frontier_2d
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    front = sorted(
+        (r.price_cents, r.size)
+        for r in pareto_frontier_2d(spark, sf_dir).collect()
+    )
+    assert front
+    # strictly increasing size as price increases along the frontier
+    sizes = [s for _, s in front]
+    assert sizes == sorted(sizes)
+    assert len(set(sizes)) == len(sizes)
+    # every raw part is dominated-or-equal by some frontier point
+    parts = load_table(spark, sf_dir, "part").select(
+        (F.round(F.col("p_retailprice") * 100)).cast("long").alias("pc"),
+        "p_size",
+    ).collect()
+    for p in parts:
+        assert any(
+            fp <= p.pc and fs >= p.p_size for fp, fs in front
+        ), f"part ({p.pc}, {p.p_size}) escapes the frontier"
+
+
+def test_exact_quota_sample_counts(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        _QUOTA_PER_SOURCE,
+        exact_quota_sample,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    out = exact_quota_sample(spark, sf_dir)
+    per_src = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    avail = {
+        r.source: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(per_src) == set(avail)
+    for src, n in per_src.items():
+        assert n == min(_QUOTA_PER_SOURCE, avail[src])
+
+
+def test_exact_quota_sample_repartition_invariant(spark, sf_dir):
+    """Same sampled ids regardless of input partitioning."""
+    from weather_analysis_bigdata__spark.queries_round2 import exact_quota_sample
+
+    a = {(r.doc_id, r.rn) for r in exact_quota_sample(spark, sf_dir).collect()}
+    sp2 = spark.newSession()
+    sp2.conf.set("spark.sql.shuffle.partitions", "3")
+    b = {(r.doc_id, r.rn) for r in exact_quota_sample(sp2, sf_dir).collect()}
+    assert a == b
+
+
+def test_minhash_merge_always_exact(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        minhash_signature_merge,
+    )
+
+    rows = minhash_signature_merge(spark, sf_dir).collect()
+    assert rows
+    assert all(r.merge_exact for r in rows)
+    assert all(r.merged_min == r.direct_min for r in rows)
+
+
+def test_l_diversity_vs_k_anonymity(spark, sf_dir):
+    """l ≤ k always; homogeneity risk is exactly l < 3."""
+    from weather_analysis_bigdata__spark.queries_round2 import l_diversity_audit
+
+    rows = l_diversity_audit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.l <= r.k
+        assert r.homogeneity_risk == (r.l < 3)
+
+
+def test_domain_policy_funnel(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        _POLICY_BLOCKED,
+        crawl_domain_policy_filter,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    rows = crawl_domain_policy_filter(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.blocked == (r.domain in _POLICY_BLOCKED)
+        assert r.n_kept == (0 if r.blocked else r.n_docs)

@@ -832,3 +832,339 @@ def geo_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.station_key").alias("station_key"),
         F.col("m.d2").alias("d2_udeg2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D Pareto frontier (skyline) via one sweep window
+# ---------------------------------------------------------------------------
+@register(
+    "pareto_frontier_2d",
+    oracle=f"""
+    WITH pp AS (
+      SELECT CAST({sql_dec('p_retailprice')} * 100 AS BIGINT) AS price_cents,
+             MAX(p_size) AS size,
+             CAST(COUNT(*) AS BIGINT) AS n_parts,
+             MIN(p_partkey) AS example_partkey
+      FROM part
+      GROUP BY 1
+    ),
+    sweep AS (
+      SELECT price_cents, size, n_parts, example_partkey,
+             MAX(size) OVER (ORDER BY price_cents
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS best_cheaper
+      FROM pp
+    )
+    SELECT price_cents, CAST(size AS BIGINT) AS size, n_parts,
+           example_partkey
+    FROM sweep
+    WHERE best_cheaper IS NULL OR size > best_cheaper
+    """,
+    doc="Pareto frontier / skyline query (minimize price, maximize "
+    "size): the classic O(n²) dominance anti-join collapses to ONE "
+    "sorted sweep — reduce to per-price max size (prices exact integer "
+    "cents), then a point survives iff its size beats the running max "
+    "over all strictly cheaper points (a 1-PRECEDING frame, so "
+    "equal-price ties resolve to the size maximum taken in the "
+    "groupBy). Shape at 100 TB: the per-price reduction is one "
+    "mergeable aggregate; the global sweep runs over the REDUCED "
+    "domain (distinct prices), and because per-partition frontiers "
+    "are supersets of the global frontier, a local-frontier pass can "
+    "pre-filter before the final single-partition sweep — the "
+    "standard distributed-skyline recipe.",
+)
+def pareto_frontier_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pp = (
+        load_table(spark, sf_dir, "part")
+        .groupBy((dec("p_retailprice") * 100).cast("long").alias("price_cents"))
+        .agg(
+            F.max("p_size").alias("size"),
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_partkey").alias("example_partkey"),
+        )
+    )
+    w = (
+        Window.orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pp.withColumn("best_cheaper", F.max("size").over(w))
+        .filter(F.col("best_cheaper").isNull() | (F.col("size") > F.col("best_cheaper")))
+        .select(
+            "price_cents",
+            F.col("size").cast("long").alias("size"),
+            "n_parts",
+            "example_partkey",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-quota stratified sampling (complement to rate-based hash gates)
+# ---------------------------------------------------------------------------
+_QUOTA_PER_SOURCE = 10
+
+
+@register(
+    "exact_quota_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {sql_hex15_to_long("md5('eq:' || CAST(doc_id AS VARCHAR))")} ASC,
+                        doc_id ASC) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {_QUOTA_PER_SOURCE}
+    """,
+    doc=f"Exact-quota stratified sampling: exactly min(n, "
+    f"{_QUOTA_PER_SOURCE}) docs per source, chosen by ranking on a "
+    "salted md5 of the key — the complement to source_mixture_sample's "
+    "RATE-based hash gate for when the data mixture spec says '10k "
+    "docs from source X', not '3% of source X'. The hash ranking makes "
+    "the sample simultaneously deterministic, repartition-invariant, "
+    "and uniformly random over each stratum (md5 order is independent "
+    "of insertion/storage order — no head-of-file bias). One window "
+    "per stratum = one shuffle on source; at 100 TB with hot strata, "
+    "rank-then-limit can pre-filter with a per-partition top-Q "
+    "(TakeOrdered shape) before the global window, bounding memory.",
+)
+def exact_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    key = hex15_to_long(
+        md5s(F.concat(F.lit("eq:"), F.col("doc_id").cast("string")))
+    )
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _QUOTA_PER_SOURCE)
+        .select("doc_id", "source", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable MinHash: sharded signature merge ≡ direct signature
+# ---------------------------------------------------------------------------
+_MHM_K = 8
+_MHM_SHARDS = 4
+
+
+def _mhm_sql() -> str:
+    from weather_analysis_bigdata__spark.functions.textops import (
+        sql_hex15_to_long,
+        sql_word_ngrams,
+    )
+
+    hv = [
+        sql_hex15_to_long(f"md5('{j}:' || gram)") for j in range(_MHM_K)
+    ]
+    mins = ", ".join(f"MIN({hv[j]}) AS m{j}" for j in range(_MHM_K))
+    toks = SQL_TOKENS.format(c="text")
+    unpivot = " UNION ALL ".join(
+        f"SELECT source, {j} AS hash_id, s.m{j} AS merged_min, "
+        f"d.m{j} AS direct_min, s.m{j} = d.m{j} AS merge_exact "
+        "FROM sharded_merged s JOIN direct d USING (source)"
+        for j in range(_MHM_K)
+    )
+    return f"""
+    WITH g AS (
+      SELECT source, doc_id, gram FROM (
+        SELECT source, doc_id,
+               unnest({sql_word_ngrams('toks')}) AS gram
+        FROM (SELECT source, doc_id, {toks} AS toks FROM documents)
+      )
+    ),
+    shard_sig AS (
+      SELECT source, doc_id % {_MHM_SHARDS} AS shard, {mins}
+      FROM g GROUP BY 1, 2
+    ),
+    sharded_merged AS (
+      SELECT source, {", ".join(f"MIN(m{j}) AS m{j}" for j in range(_MHM_K))}
+      FROM shard_sig GROUP BY source
+    ),
+    direct AS (
+      SELECT source, {mins} FROM g GROUP BY source
+    )
+    SELECT source, CAST(hash_id AS BIGINT) AS hash_id,
+           merged_min, direct_min, merge_exact
+    FROM ({unpivot})
+    """
+
+
+@register(
+    "minhash_signature_merge",
+    oracle=_mhm_sql(),
+    doc="MinHash's mergeability made explicit — the property that makes "
+    "it a 100 TB operator: the per-source signature computed from "
+    f"{_MHM_SHARDS} independent shards (elementwise MIN of shard "
+    "signatures — what per-partition partial aggregation, per-day "
+    "incremental corpus builds, and map-side combine all do) is "
+    "BIT-IDENTICAL to the signature computed over the raw gram stream "
+    "in one pass. merge_exact is pinned TRUE per (source, hash) by "
+    "both engines independently; hashes are the repo's 60-bit integer "
+    "minhashes (hash-aggregate-friendly BIGINT MIN, never string MIN). "
+    "Consequence at scale: signatures are 64 bytes/stratum of "
+    "mergeable state — dedup indexes update incrementally, no "
+    "recompute over history.",
+)
+def minhash_signature_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.textops import word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(
+        "source",
+        "doc_id",
+        F.explode(word_ngrams(tokens("text"), 3)).alias("gram"),
+    )
+    hv = [
+        hex15_to_long(md5s(F.concat(F.lit(f"{j}:"), F.col("gram"))))
+        for j in range(_MHM_K)
+    ]
+    shard_sig = g.groupBy(
+        "source", (F.col("doc_id") % _MHM_SHARDS).alias("shard")
+    ).agg(*[F.min(hv[j]).alias(f"m{j}") for j in range(_MHM_K)])
+    merged = shard_sig.groupBy("source").agg(
+        *[F.min(f"m{j}").alias(f"mm{j}") for j in range(_MHM_K)]
+    )
+    direct = g.groupBy("source").agg(
+        *[F.min(hv[j]).alias(f"dm{j}") for j in range(_MHM_K)]
+    )
+    stack_args = ", ".join(
+        f"{j}, mm{j}, dm{j}" for j in range(_MHM_K)
+    )
+    return (
+        merged.join(direct, "source")
+        .select(
+            "source",
+            F.expr(
+                f"stack({_MHM_K}, {stack_args}) AS (hash_id, merged_min, direct_min)"
+            ),
+        )
+        .select(
+            "source",
+            F.col("hash_id").cast("long").alias("hash_id"),
+            "merged_min",
+            "direct_min",
+            (F.col("merged_min") == F.col("direct_min")).alias("merge_exact"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (sensitive-attribute diversity per QI class)
+# ---------------------------------------------------------------------------
+@register(
+    "l_diversity_audit",
+    oracle="""
+    WITH q AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS balance_band,
+             c_mktsegment
+      FROM customer
+    )
+    SELECT c_nationkey, balance_band,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l,
+           COUNT(DISTINCT c_mktsegment) < 3 AS homogeneity_risk
+    FROM q
+    GROUP BY c_nationkey, balance_band
+    """,
+    doc="l-diversity audit — k-anonymity's necessary complement "
+    "(k_anonymity_audit covers class SIZE; this covers class "
+    "CONTENT): a QI equivalence class can have k ≥ 5 members yet leak "
+    "the sensitive attribute outright if all members share one value "
+    "(the homogeneity attack). Per (nation, balance band) class this "
+    "measures l = distinct sensitive values (market segment) and "
+    "flags l < 3. One aggregate with a distinct-count — Spark plans "
+    "the standard two-phase expand/merge, still a single logical "
+    "shuffle on the QI tuple; at 100 TB swap the exact distinct for "
+    "the HLL sketch family already in queries_profiling when l only "
+    "gates a threshold.",
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("balance_band"),
+            "c_mktsegment",
+        )
+        .groupBy("c_nationkey", "balance_band")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.countDistinct("c_mktsegment").alias("l"),
+        )
+        .select("*", (F.col("l") < 3).alias("homogeneity_risk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-governance: domain opt-out blocklist filter with funnel report
+# ---------------------------------------------------------------------------
+_POLICY_DOMAINS = (
+    "news.example.com",
+    "blog.example.net",
+    "wiki.example.org",
+    "optout.example.org",
+    "tracker.example.net",
+)
+_POLICY_BLOCKED = ("optout.example.org", "tracker.example.net")
+
+
+@register(
+    "crawl_domain_policy_filter",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               {" ".join(f"WHEN {i} THEN '{d}'" for i, d in enumerate(_POLICY_DOMAINS))}
+             END AS domain
+      FROM documents
+    )
+    SELECT domain,
+           domain IN {tuple(_POLICY_BLOCKED)!r} AS blocked,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN domain IN {tuple(_POLICY_BLOCKED)!r}
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+    FROM tagged
+    GROUP BY domain
+    """,
+    doc="Crawl-governance gate: every web-scale training corpus must "
+    "honor domain-level opt-outs (robots exclusions, DMCA lists, "
+    "data-broker removals) BEFORE any content processing spends "
+    "compute. Documents get a deterministic synthetic domain (the test "
+    "corpus has no URLs — same injection trick as pii_extract_redact), "
+    "the blocklist joins as a broadcast dimension, and the output is "
+    "the per-domain compliance funnel (total vs kept). The blocked "
+    "side is dropped by a broadcast hash lookup at SCAN time — zero "
+    "shuffle, and with domain as a partition column the excluded "
+    "domains prune to zero I/O (the dynamic-partition-pruning contract "
+    "in tests/test_plans.py). Governance filters run first precisely "
+    "because they are the cheapest: O(domains) state against O(docs) "
+    "flow.",
+)
+def crawl_domain_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    domain = F.element_at(
+        F.array(*[F.lit(x) for x in _POLICY_DOMAINS]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    block = spark.createDataFrame(
+        [(x,) for x in _POLICY_BLOCKED], "domain string"
+    ).withColumn("blocked_flag", F.lit(True))
+    tagged = d.select("doc_id", domain.alias("domain"))
+    return (
+        tagged.join(F.broadcast(block), "domain", "left")
+        .select(
+            "doc_id", "domain", F.coalesce("blocked_flag", F.lit(False)).alias("blocked")
+        )
+        .groupBy("domain", "blocked")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("blocked"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
