@@ -336,3 +336,96 @@ def test_domain_policy_funnel(spark, sf_dir):
     for r in rows:
         assert r.blocked == (r.domain in _POLICY_BLOCKED)
         assert r.n_kept == (0 if r.blocked else r.n_docs)
+
+
+def test_cusum_finds_max_deviation(spark, sf_dir):
+    """The reported max scaled deviation really is the max over a
+    brute-force recomputation of the daily series."""
+    from weather_analysis_bigdata__spark.queries_round2 import cusum_changepoint
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    r = cusum_changepoint(spark, sf_dir).collect()[0]
+    daily = sorted(
+        (row.day, row.x)
+        for row in load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    total = sum(x for _, x in daily)
+    n = len(daily)
+    assert r.n_days == n and r.total_events == total
+    cx = 0
+    best = -1
+    best_day = None
+    for t, (day, x) in enumerate(daily, start=1):
+        cx += x
+        d = abs(n * cx - t * total)
+        if d > best:
+            best, best_day = d, day
+    assert r.max_dev_scaled == best
+    assert r.changepoint_day == best_day.strftime("%Y-%m-%d")
+    assert abs(r.max_cusum - best / n) < 1e-9
+
+
+def test_seasonal_offsets_sum_to_zero(spark, sf_dir):
+    """Month-of-year offsets weighted by month counts cancel (additive
+    decomposition identity), and deseasonalized = revenue - offset."""
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        seasonal_profile_monthly,
+    )
+
+    rows = seasonal_profile_monthly(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.deseasonalized - (r.revenue - r.seasonal_offset)) < 1e-6
+    # Σ_m count(m)·offset(m) = Σ v - n·grand_mean = 0
+    weighted = sum(r.seasonal_offset for r in rows)
+    scale = sum(abs(r.revenue) for r in rows)
+    assert abs(weighted) < 1e-9 * max(scale, 1.0)
+
+
+def test_fuzzy_join_complete_and_sound(spark, sf_dir):
+    """Blocking loses nothing: results equal the brute-force
+    edit-distance<=1 join; every corrupted query matches its origin."""
+    import itertools
+
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        _FUZZY_QID_SHIFT,
+        fuzzy_join_deletion_neighborhood,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    got = {
+        (r.query_id, r.s_suppkey, r.edit_dist)
+        for r in fuzzy_join_deletion_neighborhood(spark, sf_dir).collect()
+    }
+    sup = {
+        r.s_suppkey: r.s_name
+        for r in load_table(spark, sf_dir, "supplier").collect()
+    }
+    queries = {}
+    for k, name in sup.items():
+        if k % 3 == 0:
+            cut = k % len(name)
+            queries[k + _FUZZY_QID_SHIFT] = name[:cut] + name[cut + 1 :]
+    expect = {
+        (qid, sk, lev(qn, sn))
+        for (qid, qn), (sk, sn) in itertools.product(queries.items(), sup.items())
+        if lev(qn, sn) <= 1
+    }
+    assert got == expect
+    for qid in queries:
+        origin = qid - _FUZZY_QID_SHIFT
+        assert (qid, origin, 1) in got

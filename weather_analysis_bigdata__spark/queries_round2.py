@@ -1168,3 +1168,238 @@ def crawl_domain_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (integer-exact mean-shift statistic)
+# ---------------------------------------------------------------------------
+@register(
+    "cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT SUM(x) AS total, COUNT(*) AS n_days FROM daily),
+    cum AS (
+      SELECT day, x,
+             SUM(x) OVER (ORDER BY day) AS cx,
+             row_number() OVER (ORDER BY day) AS t
+      FROM daily
+    ),
+    dev AS (
+      SELECT day, t, x,
+             n_days * cx - t * total AS dev_scaled
+      FROM cum, tot
+    )
+    SELECT CAST((SELECT n_days FROM tot) AS BIGINT) AS n_days,
+           CAST((SELECT total FROM tot) AS BIGINT) AS total_events,
+           (SELECT strftime(day, '%Y-%m-%d') FROM dev
+            ORDER BY abs(dev_scaled) DESC, day ASC LIMIT 1) AS changepoint_day,
+           CAST((SELECT MAX(abs(dev_scaled)) FROM dev) AS BIGINT)
+             AS max_dev_scaled,
+           CAST((SELECT MAX(abs(dev_scaled)) FROM dev) AS DOUBLE)
+             / (SELECT CAST(n_days AS DOUBLE) FROM tot) AS max_cusum
+    """,
+    doc="CUSUM changepoint detection on the daily event-count series: "
+    "the classic mean-shift statistic max_t |Σ_{i≤t}(x_i − x̄)| "
+    "computed WITHOUT any floating intermediate — multiplying through "
+    "by n_days turns the deviation into the integer n·Σx_i − t·T, so "
+    "the arg-max day and the statistic are exact (ties to the "
+    "earliest day); the conventional normalized value appears only as "
+    "one final division. Shape at 100 TB: raw events reduce to the "
+    "O(days) daily table in one aggregate; the cumulative window runs "
+    "over that reduced series — changepoint monitoring costs one "
+    "mergeable histogram pass, same family as drift_tvd_histogram "
+    "(which compares two FIXED periods; CUSUM finds WHERE the shift "
+    "happened).",
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    tot = daily.agg(
+        F.sum("x").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        "x",
+        F.sum("x").over(wcum).alias("cx"),
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+    )
+    dev = cum.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n_days",
+        "total",
+        (F.col("n_days") * F.col("cx") - F.col("t") * F.col("total")).alias(
+            "dev_scaled"
+        ),
+    )
+    best = (
+        dev.orderBy(F.abs(F.col("dev_scaled")).desc(), F.col("day").asc())
+        .limit(1)
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("total").cast("long").alias("total_events"),
+            F.date_format("day", "yyyy-MM-dd").alias("changepoint_day"),
+            F.abs(F.col("dev_scaled")).cast("long").alias("max_dev_scaled"),
+            (
+                F.abs(F.col("dev_scaled")).cast("double")
+                / F.col("n_days").cast("double")
+            ).alias("max_cusum"),
+        )
+    )
+    return best
+
+
+# ---------------------------------------------------------------------------
+# Seasonal profile: additive month-of-year decomposition, decimal-exact
+# ---------------------------------------------------------------------------
+@register(
+    "seasonal_profile_monthly",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT year(l_shipdate) AS yr, month(l_shipdate) AS moy,
+             SUM({sql_dec('l_extendedprice')}) AS v
+      FROM lineitem
+      GROUP BY 1, 2
+    ),
+    grand AS (
+      SELECT CAST(SUM(v) AS DOUBLE) / COUNT(*) AS gmean FROM monthly
+    ),
+    seasonal AS (
+      SELECT moy, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mmean
+      FROM monthly GROUP BY moy
+    )
+    SELECT m.yr, m.moy,
+           CAST(m.v AS DOUBLE) AS revenue,
+           s.mmean - g.gmean AS seasonal_offset,
+           CAST(m.v AS DOUBLE) - (s.mmean - g.gmean) AS deseasonalized
+    FROM monthly m JOIN seasonal s ON m.moy = s.moy CROSS JOIN grand g
+    """,
+    doc="Additive seasonal decomposition of monthly revenue: the "
+    "month-of-year seasonal offset (month mean − grand mean) and the "
+    "deseasonalized series, every mean built from exact DECIMAL sums "
+    "so the only doubles are three identically-shaped final "
+    "divisions/subtractions — no order-dependent float accumulation "
+    "anywhere (the reason this avoids fitting trend on float "
+    "residuals). This is the profile behind 'is December actually "
+    "bigger or is that the trend?' questions on training-data intake "
+    "volumes; at 100 TB it is two mergeable aggregates over the "
+    "O(months) reduction of the raw scan, composable with "
+    "theil_sen_trend (robust trend on the deseasonalized output).",
+)
+def seasonal_profile_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.year("l_shipdate").alias("yr"), F.month("l_shipdate").alias("moy")
+    ).agg(F.sum(dec("l_extendedprice")).alias("v"))
+    grand = monthly.agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("gmean")
+    )
+    seasonal = monthly.groupBy("moy").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mmean")
+    )
+    return (
+        monthly.join(F.broadcast(seasonal), "moy")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "yr",
+            "moy",
+            F.col("v").cast("double").alias("revenue"),
+            (F.col("mmean") - F.col("gmean")).alias("seasonal_offset"),
+            (
+                F.col("v").cast("double") - (F.col("mmean") - F.col("gmean"))
+            ).alias("deseasonalized"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy join via deletion-neighborhood blocking (SymSpell-style)
+# ---------------------------------------------------------------------------
+_FUZZY_QID_SHIFT = 500_000
+
+
+@register(
+    "fuzzy_join_deletion_neighborhood",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT s_suppkey, s_name AS name FROM supplier
+    ),
+    queries AS (
+      -- corrupted copies: drop one character at a key-derived position
+      SELECT s_suppkey + {_FUZZY_QID_SHIFT} AS query_id,
+             substr(s_name, 1, (s_suppkey % length(s_name)))
+               || substr(s_name, (s_suppkey % length(s_name)) + 2) AS qname
+      FROM supplier WHERE s_suppkey % 3 = 0
+    ),
+    cvar AS (
+      SELECT s_suppkey, name,
+             CASE WHEN i = 0 THEN name
+                  ELSE substr(name, 1, i - 1) || substr(name, i + 1)
+             END AS variant
+      FROM corpus, unnest(generate_series(0, length(name))) AS t(i)
+    ),
+    qvar AS (
+      SELECT query_id, qname,
+             CASE WHEN i = 0 THEN qname
+                  ELSE substr(qname, 1, i - 1) || substr(qname, i + 1)
+             END AS variant
+      FROM queries, unnest(generate_series(0, length(qname))) AS t(i)
+    )
+    SELECT DISTINCT query_id, s_suppkey,
+           CAST(levenshtein(qname, name) AS BIGINT) AS edit_dist
+    FROM qvar JOIN cvar USING (variant)
+    WHERE levenshtein(qname, name) <= 1
+    """,
+    doc="Fuzzy (edit-distance ≤1) join WITHOUT the O(n·m) pair matrix — "
+    "SymSpell-style deletion-neighborhood blocking: every string emits "
+    "itself plus its length single-deletion variants; two strings "
+    "within one edit (sub/ins/del) provably share a variant, so the "
+    "equality join on variants generates a complete candidate set and "
+    "exact levenshtein verifies each candidate once. Query side = "
+    "deterministically corrupted supplier names (one char dropped at a "
+    "key-derived position, mirrored in the oracle); matches include "
+    "both the corrupted→origin pairs AND the natural distance-1 "
+    "sibling names — the blocking provably loses neither. Scale "
+    "shape: candidate volume is Σ|s| postings joined on a hashable "
+    "key — the same inverted-index discipline as dedup_ngram_jaccard; "
+    "the quadratic verify runs only on blocked candidates. The "
+    "distance-2 extension is the same plan with two-deletion "
+    "variants.",
+)
+def fuzzy_join_deletion_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    corpus = sup.select("s_suppkey", F.col("s_name").alias("name"))
+    cut = F.col("s_suppkey") % F.length("s_name")
+    queries = sup.filter(F.col("s_suppkey") % 3 == 0).select(
+        (F.col("s_suppkey") + _FUZZY_QID_SHIFT).alias("query_id"),
+        F.concat(
+            F.expr("substr(s_name, 1, s_suppkey % length(s_name))"),
+            F.expr("substr(s_name, (s_suppkey % length(s_name)) + 2)"),
+        ).alias("qname"),
+    )
+
+    def variants(df: DataFrame, name_col: str) -> DataFrame:
+        i = F.explode(F.sequence(F.lit(0), F.length(name_col))).alias("i")
+        out = df.select("*", i)
+        var = F.when(F.col("i") == 0, F.col(name_col)).otherwise(
+            F.concat(
+                F.expr(f"substr({name_col}, 1, i - 1)"),
+                F.expr(f"substr({name_col}, i + 1)"),
+            )
+        )
+        return out.select(*df.columns, var.alias("variant"))
+
+    cvar = variants(corpus, "name")
+    qvar = variants(queries, "qname")
+    lev = F.levenshtein("qname", "name")
+    return (
+        qvar.join(cvar, "variant")
+        .filter(lev <= 1)
+        .select("query_id", "s_suppkey", lev.cast("long").alias("edit_dist"))
+        .distinct()
+    )
