@@ -429,3 +429,50 @@ def test_fuzzy_join_complete_and_sound(spark, sf_dir):
     for qid in queries:
         origin = qid - _FUZZY_QID_SHIFT
         assert (qid, origin, 1) in got
+
+
+def test_ivm_merge_is_exact_everywhere(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import ivm_delta_agg
+
+    rows = ivm_delta_agg(spark, sf_dir).collect()
+    assert rows
+    assert all(r.ivm_exact for r in rows)
+
+
+def test_equi_depth_bins_balanced(spark, sf_dir):
+    """Bin sizes differ by at most 1, boundaries are monotone, and the
+    bins partition all orders."""
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        _DEPTH_K,
+        equi_depth_bins,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    rows = sorted(equi_depth_bins(spark, sf_dir).collect(), key=lambda r: r.bin)
+    assert [r.bin for r in rows] == list(range(1, _DEPTH_K + 1))
+    sizes = [r.n for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert sizes == sorted(sizes, reverse=True)  # SQL ntile: earlier bins bigger
+    assert sum(sizes) == load_table(spark, sf_dir, "orders").count()
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi_cents <= b.lo_cents
+
+
+def test_ewma_matches_python_exactly(spark, sf_dir):
+    """Dyadic weights + integer counts → the double result is exact, so
+    Python recomputation matches BIT-FOR-BIT (==, no tolerance)."""
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        _EWMA_LAGS,
+        ewma_dyadic_smoothing,
+    )
+
+    rows = sorted(
+        ewma_dyadic_smoothing(spark, sf_dir).collect(), key=lambda r: r.day
+    )
+    xs = [r.x for r in rows]
+    for t, r in enumerate(rows):
+        expect = 0.0
+        for k in range(_EWMA_LAGS):
+            if t - k >= 0:
+                expect += xs[t - k] * 2.0 ** -(k + 1)
+        assert r.ewma == expect

@@ -1403,3 +1403,224 @@ def fuzzy_join_deletion_neighborhood(spark: SparkSession, sf_dir: str) -> DataFr
         .select("query_id", "s_suppkey", lev.cast("long").alias("edit_dist"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: partial + delta merge ≡ full recompute
+# ---------------------------------------------------------------------------
+_IVM_CUTOFF = "2024-06-01"
+
+
+@register(
+    "ivm_delta_agg",
+    oracle=f"""
+    WITH base AS (
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             SUM({sql_dec('l_extendedprice')}) AS s
+      FROM lineitem WHERE l_shipdate < TIMESTAMP '{_IVM_CUTOFF}'
+      GROUP BY 1, 2
+    ),
+    delta AS (
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             SUM({sql_dec('l_extendedprice')}) AS s
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '{_IVM_CUTOFF}'
+      GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT COALESCE(b.l_returnflag, d.l_returnflag) AS l_returnflag,
+             COALESCE(b.l_linestatus, d.l_linestatus) AS l_linestatus,
+             COALESCE(b.n, 0) + COALESCE(d.n, 0) AS n,
+             COALESCE(b.s, 0) + COALESCE(d.s, 0) AS s
+      FROM base b FULL OUTER JOIN delta d
+        ON b.l_returnflag = d.l_returnflag
+       AND b.l_linestatus = d.l_linestatus
+    ),
+    direct AS (
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             SUM({sql_dec('l_extendedprice')}) AS s
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT m.l_returnflag, m.l_linestatus,
+           CAST(m.n AS BIGINT) AS n_merged,
+           CAST(m.s AS DOUBLE) AS sum_merged,
+           m.n = d.n AND CAST(m.s AS DOUBLE) = CAST(d.s AS DOUBLE)
+             AS ivm_exact
+    FROM merged m
+    JOIN direct d ON m.l_returnflag = d.l_returnflag
+                 AND m.l_linestatus = d.l_linestatus
+    """,
+    doc="Incremental view maintenance for algebraic aggregates: the "
+    "materialized view state (count + exact DECIMAL sum per group) "
+    "updated by MERGING a new-data delta partial is proven equal — "
+    "count-exact and value-bit-exact — to a full recompute, in both "
+    "engines independently (ivm_exact pinned TRUE per group). This is "
+    "THE operational pattern at 100 TB: a daily delta costs "
+    "O(day's data) + O(groups) instead of re-scanning history, and it "
+    "works precisely because every aggregate this repo emits is "
+    "algebraic/mergeable (decimal sums, counts, min/max) rather than "
+    "order-sensitive float sums — same family as partial_reagg_monthly "
+    "(time-rollup) and minhash_signature_merge (sketch state), here "
+    "stated as the view-maintenance contract.",
+)
+def ivm_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit(_IVM_CUTOFF).cast("timestamp")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("l_extendedprice")).alias("s"),
+        )
+
+    base = agg(li.filter(F.col("l_shipdate") < cutoff))
+    delta = agg(li.filter(F.col("l_shipdate") >= cutoff))
+    merged = (
+        base.alias("b")
+        .join(
+            delta.alias("d"),
+            ["l_returnflag", "l_linestatus"],
+            "full_outer",
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            (
+                F.coalesce(F.col("b.n"), F.lit(0))
+                + F.coalesce(F.col("d.n"), F.lit(0))
+            ).alias("n"),
+            (
+                F.coalesce(F.col("b.s"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("d.s"), F.lit(0).cast("decimal(18,2)"))
+            ).alias("s"),
+        )
+    )
+    direct = agg(li)
+    return (
+        merged.alias("m")
+        .join(direct.alias("dd"), ["l_returnflag", "l_linestatus"])
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("m.n").cast("long").alias("n_merged"),
+            F.col("m.s").cast("double").alias("sum_merged"),
+            (
+                (F.col("m.n") == F.col("dd.n"))
+                & (F.col("m.s").cast("double") == F.col("dd.s").cast("double"))
+            ).alias("ivm_exact"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth binning (ntile) — the quantile complement to equi-width
+# ---------------------------------------------------------------------------
+_DEPTH_K = 10
+
+
+@register(
+    "equi_depth_bins",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST({sql_dec('o_totalprice')} * 100 AS BIGINT) AS cents,
+             o_orderkey,
+             ntile({_DEPTH_K}) OVER (ORDER BY {sql_dec('o_totalprice')} ASC,
+                                     o_orderkey ASC) AS bin
+      FROM orders
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents
+    FROM t GROUP BY bin
+    """,
+    doc="Equi-DEPTH binning via ntile — the quantile-bucket complement "
+    "to histogram_equi_width (equal POPULATION per bin instead of "
+    "equal width; this is feature-binning for ML pipelines and the "
+    "boundary source for range-partitioned writes). Ordering is fully "
+    "tie-broken (price, orderkey) so the SQL-standard ntile split "
+    "(earlier bins larger by at most one row) is deterministic and "
+    "engine-identical; bin edges come out as exact integer cents. "
+    "Scale note: a global ntile is a total sort — at 100 TB the same "
+    "boundaries come from approx_percentile or a sampled "
+    "RangePartitioner (Spark's own range-write path), then bin "
+    "assignment is a broadcast binary search; the exact form here is "
+    "the correctness yardstick for that approximation.",
+)
+def equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        (dec("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+        dec("o_totalprice").alias("p"),
+    )
+    w = Window.orderBy(F.col("p").asc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("bin", F.ntile(_DEPTH_K).over(w))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .select(F.col("bin").cast("long").alias("bin"), "n", "lo_cents", "hi_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA with dyadic weights (exact in IEEE doubles, order-free)
+# ---------------------------------------------------------------------------
+_EWMA_LAGS = 10
+
+
+@register(
+    "ewma_dyadic_smoothing",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT day, x,
+             {", ".join(f"lag(x, {k}) OVER (ORDER BY day) AS x{k}" for k in range(_EWMA_LAGS))}
+      FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, CAST(x AS BIGINT) AS x,
+           {" + ".join(f"COALESCE(CAST(x{k} AS DOUBLE), 0.0) * {2.0 ** -(k + 1)!r}" for k in range(_EWMA_LAGS))}
+             AS ewma
+    FROM lagged
+    """,
+    doc=f"EWMA smoothing with α=1/2 over a {_EWMA_LAGS}-step horizon — "
+    "the trailing-load signal behind rate limiting and anomaly "
+    "baselines — made EXACT in floating point by construction: dyadic "
+    "weights 2^-(k+1) and integer counts mean every term and every "
+    "partial sum is exactly representable, so the result is "
+    "bit-identical regardless of engine or summation order (the only "
+    "transcendental-free exponential decay). Implemented as an "
+    "explicit lag chain over the O(days) reduction: one window sort, "
+    "no recursion — and because the horizon is finite, the state for "
+    "streaming maintenance is the last "
+    f"{_EWMA_LAGS} daily counts, not unbounded history (truncation "
+    "bias < 2^-{_EWMA_LAGS} of the oldest mass, zero here by "
+    "construction rather than approximately).",
+)
+def ewma_dyadic_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "x",
+        *[F.lag("x", k).over(w).alias(f"x{k}") for k in range(_EWMA_LAGS)],
+    )
+    ewma = None
+    for k in range(_EWMA_LAGS):
+        term = F.coalesce(F.col(f"x{k}").cast("double"), F.lit(0.0)) * F.lit(
+            2.0 ** -(k + 1)
+        )
+        ewma = term if ewma is None else ewma + term
+    return lagged.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("x").cast("long").alias("x"),
+        ewma.alias("ewma"),
+    )
