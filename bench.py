@@ -57,6 +57,10 @@ HEADLINE = [
     "weather_rehearsal_e2e",
     "dedup_semantic_clustered",
     "ivf_pq_search_topk",
+    "tfidf_cosine_topk",
+    "sq8_quantize_search",
+    "cdc_apply_changes",
+    "chunk_documents_overlap",
 ]
 
 
