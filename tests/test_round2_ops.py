@@ -227,15 +227,15 @@ def test_geo_nearest_is_true_argmin(spark, sf_dir):
 
     rows = geo_nearest_station(spark, sf_dir).collect()
     sk = pq.read_table(f"{sf_dir}/supplier.parquet").to_pandas()["s_suppkey"].to_numpy()
-    s_lat = (sk * 48271) % 180000001 - 90000000
-    s_lon = (sk * 69621) % 360000001 - 180000000
+    s_lat = (sk * 48271) % 180001 - 90000
+    s_lon = (sk * 69621) % 360001 - 180000
     assert rows
     for r in rows[:50]:
-        c_lat = (r.c_custkey * 48271) % 180000001 - 90000000
-        c_lon = (r.c_custkey * 69621) % 360000001 - 180000000
+        c_lat = (r.c_custkey * 48271) % 180001 - 90000
+        c_lon = (r.c_custkey * 69621) % 360001 - 180000
         d2 = (c_lat - s_lat) ** 2 + (c_lon - s_lon) ** 2
         best = d2.min()
-        assert r.d2_udeg2 == best
+        assert r.d2_mdeg2 == best
         # tie-break: the lowest station key among the minima
         assert r.station_key == int(sk[d2 == best].min())
 
@@ -476,3 +476,71 @@ def test_ewma_matches_python_exactly(spark, sf_dir):
             if t - k >= 0:
                 expect += xs[t - k] * 2.0 ** -(k + 1)
         assert r.ewma == expect
+
+
+def test_cms_never_underestimates_and_absent_term_zero(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        count_min_sketch_relational,
+    )
+
+    rows = {r.term: r for r in count_min_sketch_relational(spark, sf_dir).collect()}
+    assert rows
+    for r in rows.values():
+        assert r.never_underestimates
+        assert r.overestimate >= 0
+        assert r.cms_estimate == r.true_count + r.overestimate
+    # the planted absent probe: true count 0, and any nonzero estimate
+    # is pure collision error
+    assert rows["zzznever"].true_count == 0
+
+
+def test_scd2_pit_join_preserves_orders(spark, sf_dir):
+    """Non-overlapping validity intervals → exactly one dim version per
+    order: total joined count equals the orders count, and UPGRADED
+    only absorbs post-change orders of %4 customers."""
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        _SCD2_CHANGE,
+        scd2_point_in_time_join,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    rows = scd2_point_in_time_join(spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    assert sum(r.n_orders for r in rows) == o.count()
+    upgraded = {r.segment_at_order_time: r.n_orders for r in rows}.get(
+        "UPGRADED", 0
+    )
+    expect = o.filter(
+        (F.col("o_custkey") % 4 == 0)
+        & (F.col("o_orderdate") >= F.lit(_SCD2_CHANGE).cast("timestamp"))
+    ).count()
+    assert upgraded == expect
+
+
+def test_pipe_syntax_equals_dataframe_form(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import sql_pipe_syntax_agg
+    from weather_analysis_bigdata__spark.functions.deterministic import dec
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    got = {
+        r.l_returnflag: (r.n_items, r.gross, r.net)
+        for r in sql_pipe_syntax_agg(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < 25)
+    expect = {
+        r.l_returnflag: (r.n_items, r.gross, r.net)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("gross"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("net"),
+        )
+        .collect()
+    }
+    assert got == expect

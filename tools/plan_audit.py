@@ -81,6 +81,25 @@ KNOWN_EXCEPTIONS = {
     "table in the FIRST exchange; every later exchange and all four "
     "BNLJ steps carry that 84-row table, its 84×84/2 slope pairs, or "
     "1-row scalar stats — the quadratic term never touches raw data",
+    "tfidf_cosine_topk": "the weighted-postings subtree feeds three "
+    "consumers (norms + both self-join sides), so Spark plans it 3× — "
+    "the ivf_probe pattern: at 100 TB the postings table is "
+    "materialized once as the inverted index; every exchange carries "
+    "df-capped posting rows or pair aggregates, never raw text",
+    "seasonal_profile_monthly": "the O(months) monthly aggregate "
+    "feeds grand-mean, seasonal-mean, and the output join — the "
+    "replans all operate on the ≤84-row reduction; the raw scan is "
+    "exchanged once per consumer but reduces immediately",
+    "bloom_filter_membership": "exchanges carry DISTINCT custkeys "
+    "(O(keys)) and md5 position sets (O(build·k) ≈ 900 rows), all "
+    "joined via broadcast; the only fact-scale work is the two "
+    "distinct-key reductions",
+    "dedup_semantic_clustered": "the centroid-assignment subtree "
+    "feeds both the per-cluster pair counts and the output join, so "
+    "Spark plans it twice (see PERF.md 'SemDeDup double-planning' "
+    "note) — at 100 TB the assignment table persists once like the "
+    "IVF index; every exchange carries id/cluster rows or O(k) "
+    "centroid stats, never raw vectors pairwise",
 }
 
 #: Flag KINDS covered by each review above (kind = flag text before any
@@ -101,6 +120,10 @@ REVIEWED_FLAGS = {
     "triangle_count": {"XCHG"},
     "ann_ladder_candidate_audit": {"XCHG"},
     "theil_sen_trend": {"XCHG"},
+    "tfidf_cosine_topk": {"XCHG"},
+    "seasonal_profile_monthly": {"XCHG"},
+    "bloom_filter_membership": {"XCHG"},
+    "dedup_semantic_clustered": {"XCHG"},
 }
 
 

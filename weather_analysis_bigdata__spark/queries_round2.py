@@ -745,12 +745,15 @@ def sq8_quantize_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Geo nearest-neighbor assignment (broadcast KNN, integer microdegrees)
 # ---------------------------------------------------------------------------
+_GEO_PACK = 1 << 20  # station-key space inside the packed arg-min long
+
+
 def _geo_lat_sql(key: str) -> str:
-    return f"(({key} * 48271) % 180000001) - 90000000"
+    return f"(({key} * 48271) % 180001) - 90000"
 
 
 def _geo_lon_sql(key: str) -> str:
-    return f"(({key} * 69621) % 360000001) - 180000000"
+    return f"(({key} * 69621) % 360001) - 180000"
 
 
 @register(
@@ -758,53 +761,53 @@ def _geo_lon_sql(key: str) -> str:
     oracle=f"""
     WITH stations AS (
       SELECT s_suppkey AS station_key,
-             {_geo_lat_sql('s_suppkey')} AS lat_u,
-             {_geo_lon_sql('s_suppkey')} AS lon_u
+             {_geo_lat_sql('s_suppkey')} AS lat_m,
+             {_geo_lon_sql('s_suppkey')} AS lon_m
       FROM supplier
     ),
     custs AS (
       SELECT c_custkey,
-             {_geo_lat_sql('c_custkey')} AS lat_u,
-             {_geo_lon_sql('c_custkey')} AS lon_u
+             {_geo_lat_sql('c_custkey')} AS lat_m,
+             {_geo_lon_sql('c_custkey')} AS lon_m
       FROM customer
     ),
-    pairs AS (
-      SELECT c.c_custkey, s.station_key,
-             (c.lat_u - s.lat_u) * (c.lat_u - s.lat_u)
-               + (c.lon_u - s.lon_u) * (c.lon_u - s.lon_u) AS d2,
-             row_number() OVER (
-               PARTITION BY c.c_custkey
-               ORDER BY (c.lat_u - s.lat_u) * (c.lat_u - s.lat_u)
-                          + (c.lon_u - s.lon_u) * (c.lon_u - s.lon_u) ASC,
-                        s.station_key ASC) AS rn
+    best AS (
+      SELECT c.c_custkey,
+             MIN(((c.lat_m - s.lat_m) * (c.lat_m - s.lat_m)
+                   + (c.lon_m - s.lon_m) * (c.lon_m - s.lon_m))
+                 * {_GEO_PACK} + s.station_key) AS packed
       FROM custs c CROSS JOIN stations s
+      GROUP BY c.c_custkey
     )
-    SELECT c_custkey, station_key,
-           CAST(d2 AS BIGINT) AS d2_udeg2
-    FROM pairs WHERE rn = 1
+    SELECT c_custkey,
+           CAST(packed % {_GEO_PACK} AS BIGINT) AS station_key,
+           CAST(packed // {_GEO_PACK} AS BIGINT) AS d2_mdeg2
+    FROM best
     """,
     doc="Geo nearest-neighbor assignment — the reference's station-"
     "locality semantics (each observation belongs to its nearest "
     "station; API-station_data.csv carries lat/lon, Weather_API.py:"
     "856-875 maps them) as a broadcast KNN join: the small station "
     "dimension broadcasts to every customer partition and an arg-min "
-    "over (distance, key) picks the assignment — zero shuffle of the "
-    "big side beyond its scan, the exact shape a 100 TB point-to-"
-    "site assignment (sensor→station, user→POI) wants; a 1000-row "
-    "dim × billions of rows stays map-side. Coordinates are "
-    "synthesized as deterministic integer microdegrees from the keys "
-    "(the test tables carry no geography) identically in both "
-    "engines, and distance is exact integer squared-euclid — the "
-    "haversine refinement changes the metric, not the plan shape. "
-    "Ties broken by station key; Spark side uses min(struct(d2, "
-    "key)) so the arg-min is ONE aggregate, not a window sort.",
+    "picks the assignment — zero shuffle of the big side beyond its "
+    "scan, the exact shape a 100 TB point-to-site assignment "
+    "(sensor→station, user→POI) wants; a 1000-row dim × billions of "
+    "rows stays map-side. Coordinates are synthesized as "
+    "deterministic integer millidegrees from the keys (the test "
+    "tables carry no geography) identically in both engines; distance "
+    "is exact integer squared-euclid — the haversine refinement "
+    "changes the metric, not the plan shape. The arg-min with its "
+    "station-key tiebreak is ONE hash-aggregable MIN over the packed "
+    "long d2·2^20+key (a struct-valued MIN would force SortAggregate "
+    "— measured; d2 ≤ 1.7e11 keeps the pack well inside int64), "
+    "decoded after the aggregate.",
 )
 def geo_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
     def lat(key: F.Column) -> F.Column:
-        return (key * 48271) % 180000001 - 90000000
+        return (key * 48271) % 180001 - 90000
 
     def lon(key: F.Column) -> F.Column:
-        return (key * 69621) % 360000001 - 180000000
+        return (key * 69621) % 360001 - 180000
 
     st = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("station_key"),
@@ -822,15 +825,16 @@ def geo_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = (
         cu.crossJoin(F.broadcast(st))
         .select(
-            "c_custkey", F.struct(d2.alias("d2"), F.col("station_key")).alias("cand")
+            "c_custkey",
+            (d2 * _GEO_PACK + F.col("station_key")).alias("packed"),
         )
         .groupBy("c_custkey")
-        .agg(F.min("cand").alias("m"))
+        .agg(F.min("packed").alias("packed"))
     )
     return best.select(
         "c_custkey",
-        F.col("m.station_key").alias("station_key"),
-        F.col("m.d2").alias("d2_udeg2"),
+        (F.col("packed") % _GEO_PACK).cast("long").alias("station_key"),
+        F.expr(f"CAST(packed DIV {_GEO_PACK} AS BIGINT)").alias("d2_mdeg2"),
     )
 
 
@@ -1427,13 +1431,9 @@ _IVM_CUTOFF = "2024-06-01"
       GROUP BY 1, 2
     ),
     merged AS (
-      SELECT COALESCE(b.l_returnflag, d.l_returnflag) AS l_returnflag,
-             COALESCE(b.l_linestatus, d.l_linestatus) AS l_linestatus,
-             COALESCE(b.n, 0) + COALESCE(d.n, 0) AS n,
-             COALESCE(b.s, 0) + COALESCE(d.s, 0) AS s
-      FROM base b FULL OUTER JOIN delta d
-        ON b.l_returnflag = d.l_returnflag
-       AND b.l_linestatus = d.l_linestatus
+      SELECT l_returnflag, l_linestatus, SUM(n) AS n, SUM(s) AS s
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+      GROUP BY 1, 2
     ),
     direct AS (
       SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
@@ -1474,25 +1474,14 @@ def ivm_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = agg(li.filter(F.col("l_shipdate") < cutoff))
     delta = agg(li.filter(F.col("l_shipdate") >= cutoff))
+    # Partial-state merge is a UNION + re-aggregate — the natural
+    # mergeable-agg shape (hash aggregate, handles groups present on
+    # only one side for free; a full-outer join of partials would force
+    # a sort-merge join for the same result).
     merged = (
-        base.alias("b")
-        .join(
-            delta.alias("d"),
-            ["l_returnflag", "l_linestatus"],
-            "full_outer",
-        )
-        .select(
-            "l_returnflag",
-            "l_linestatus",
-            (
-                F.coalesce(F.col("b.n"), F.lit(0))
-                + F.coalesce(F.col("d.n"), F.lit(0))
-            ).alias("n"),
-            (
-                F.coalesce(F.col("b.s"), F.lit(0).cast("decimal(18,2)"))
-                + F.coalesce(F.col("d.s"), F.lit(0).cast("decimal(18,2)"))
-            ).alias("s"),
-        )
+        base.unionByName(delta)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
     )
     direct = agg(li)
     return (
@@ -1623,4 +1612,244 @@ def ewma_dyadic_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.col("x").cast("long").alias("x"),
         ewma.alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch as data (exact cross-engine, including overestimates)
+# ---------------------------------------------------------------------------
+_CMS_D = 4
+_CMS_W = 256
+_CMS_PROBES = ("join", "hash", "scan", "window", "zzznever")
+
+
+def _cms_pos_sql(term_expr: str, d: int) -> str:
+    return f"({sql_hex15_to_long(f'''md5('{d}:' || {term_expr})''')} % {_CMS_W})"
+
+
+@register(
+    "count_min_sketch_relational",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({SQL_TOKENS.format(c='text')}) AS term FROM documents
+    ),
+    cms AS (
+      SELECT d, pos, COUNT(*) AS c FROM (
+        {" UNION ALL ".join(f"SELECT {d} AS d, {_cms_pos_sql('term', d)} AS pos FROM tok" for d in range(_CMS_D))}
+      ) GROUP BY d, pos
+    ),
+    probes AS (
+      {" UNION ALL ".join(f"SELECT '{t}' AS term" for t in _CMS_PROBES)}
+    ),
+    est AS (
+      SELECT p.term,
+             MIN(COALESCE(c, 0)) AS cms_estimate
+      FROM probes p
+      CROSS JOIN (SELECT DISTINCT d FROM cms) dd
+      LEFT JOIN cms ON cms.d = dd.d AND cms.pos = CASE dd.d
+        {" ".join(f"WHEN {d} THEN {_cms_pos_sql('p.term', d)}" for d in range(_CMS_D))}
+        END
+      GROUP BY p.term
+    ),
+    truth AS (
+      SELECT p.term,
+             (SELECT COUNT(*) FROM tok WHERE tok.term = p.term) AS true_count
+      FROM probes p
+    )
+    SELECT e.term,
+           CAST(t.true_count AS BIGINT) AS true_count,
+           CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(e.cms_estimate - t.true_count AS BIGINT) AS overestimate,
+           e.cms_estimate >= t.true_count AS never_underestimates
+    FROM est e JOIN truth t ON e.term = t.term
+    """,
+    doc="Count-Min sketch represented AS DATA — the frequency-query "
+    "member of the deterministic-sketch family (bloom_filter_membership "
+    f"= membership, this = point frequency): a {_CMS_D}×{_CMS_W} "
+    "counter grid where each token occurrence increments one md5-"
+    "derived cell per row, and a point query reads the MIN across "
+    "rows. Because the hashes are deterministic arithmetic, the DuckDB "
+    "oracle reproduces the exact counter grid — so the compared output "
+    "includes the exact OVERESTIMATE per probe (collision error, "
+    "classically bounded by ε=e/w of the stream mass), the "
+    "never-underestimates guarantee, and a zero-count probe for a "
+    "term absent from the corpus. Counters merge additively across "
+    "partitions/days (same mergeable-agg family as ivm_delta_agg), "
+    "which is why CMS is the standard distributed heavy-hitter "
+    "prefilter: O(d·w) state vs the exact two-pass Misra-Gries "
+    "already in operators/heavyhitters.py.",
+)
+def count_min_sketch_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("term"))
+
+    def pos(term: F.Column, di: int) -> F.Column:
+        return hex15_to_long(md5s(F.concat(F.lit(f"{di}:"), term))) % _CMS_W
+
+    # One scan: every occurrence emits its D cells via posexplode —
+    # a 4-way UNION would re-read and re-hash the token stream 4×.
+    cms = (
+        tok.select(
+            F.posexplode(
+                F.array(*[pos(F.col("term"), di) for di in range(_CMS_D)])
+            ).alias("d", "pos")
+        )
+        .groupBy("d", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], "term string")
+    ppos = probes.select(
+        "term",
+        F.posexplode(
+            F.array(*[pos(F.col("term"), di) for di in range(_CMS_D)])
+        ).alias("d", "pos"),
+    )
+    est = (
+        ppos.join(F.broadcast(cms), ["d", "pos"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("cms_estimate"))
+    )
+    truth = (
+        probes.join(
+            tok.groupBy("term").agg(F.count(F.lit(1)).alias("tc")), "term", "left"
+        )
+        .select("term", F.coalesce("tc", F.lit(0)).alias("true_count"))
+    )
+    return (
+        est.join(F.broadcast(truth), "term")
+        .select(
+            "term",
+            F.col("true_count").cast("long").alias("true_count"),
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+            (F.col("cms_estimate") - F.col("true_count"))
+            .cast("long")
+            .alias("overestimate"),
+            (F.col("cms_estimate") >= F.col("true_count")).alias(
+                "never_underestimates"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time (temporal) join
+# ---------------------------------------------------------------------------
+_SCD2_CHANGE = "2024-04-01"
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle=f"""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             TIMESTAMP '1990-01-01' AS valid_from,
+             CASE WHEN c_custkey % 4 = 0
+                  THEN TIMESTAMP '{_SCD2_CHANGE}'
+                  ELSE TIMESTAMP '9999-12-31' END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'UPGRADED',
+             TIMESTAMP '{_SCD2_CHANGE}', TIMESTAMP '9999-12-31'
+      FROM customer WHERE c_custkey % 4 = 0
+    )
+    SELECT d.segment AS segment_at_order_time,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({sql_dec('o.o_totalprice')}) AS DOUBLE) AS sum_price
+    FROM orders o
+    JOIN dim d ON o.o_custkey = d.c_custkey
+              AND o.o_orderdate >= d.valid_from
+              AND o.o_orderdate < d.valid_to
+    GROUP BY 1
+    """,
+    doc="SCD2 point-in-time (temporal) join — the consumption side of "
+    "slowly-changing dimensions (scd2_intervals builds the validity "
+    "intervals; this query JOINS through them): every order is "
+    "enriched with the dimension version valid AT ITS ORDER DATE "
+    "(equi-join on the key plus a half-open interval predicate "
+    "[valid_from, valid_to)), so customers 'upgraded' mid-history "
+    "contribute to different segments before and after the change. "
+    "Non-overlapping intervals per key guarantee exactly one match "
+    "per order — row count is provably preserved (tested). Plan "
+    "shape: broadcast hash join on the key with the interval "
+    "predicate as a cheap post-join filter — at 100 TB the dim "
+    "(keys × versions) broadcasts, and the fact side never shuffles; "
+    "the general fact-sized-dim case becomes the repo's as-of "
+    "union-merge pattern (asof_join_event_order).",
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    change = F.lit(_SCD2_CHANGE).cast("timestamp")
+    far = F.lit("9999-12-31").cast("timestamp")
+    v1 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1990-01-01").cast("timestamp").alias("valid_from"),
+        F.when(F.col("c_custkey") % 4 == 0, change).otherwise(far).alias("valid_to"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey",
+        F.lit("UPGRADED").alias("segment"),
+        change.alias("valid_from"),
+        far.alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(
+            F.broadcast(dim),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderdate") >= F.col("valid_from"))
+            & (F.col("o_orderdate") < F.col("valid_to")),
+        )
+        .groupBy(F.col("segment").alias("segment_at_order_time"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL pipe syntax (|>) — fourth query-authoring surface
+# ---------------------------------------------------------------------------
+@register(
+    "sql_pipe_syntax_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM({sql_dec('l_extendedprice')}) AS DOUBLE) AS gross,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS net
+    FROM lineitem
+    WHERE l_quantity < 25
+    GROUP BY l_returnflag
+    """,
+    doc="Spark 4 SQL PIPE syntax (FROM … |> WHERE … |> AGGREGATE … "
+    "GROUP BY …) — the fourth query-authoring surface this engine "
+    "proves equivalent (DataFrame API, classic SQL strings, "
+    "pyspark.pandas, and now pipes), all compiling to the same "
+    "Catalyst plan: the oracle is the classic-SQL form and the hash "
+    "match certifies the pipe parser changes nothing semantically. "
+    "Pipes matter operationally because transformation order reads "
+    "top-down like the DataFrame chain (linear pipelines stay "
+    "reviewable in pure SQL tooling). Aggregates follow the repo "
+    "determinism rule (exact DECIMAL sums cast to double).",
+)
+def sql_pipe_syntax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_pipe_v"
+    )
+    return spark.sql(
+        """
+        FROM lineitem_pipe_v
+        |> WHERE l_quantity < 25
+        |> AGGREGATE COUNT(*) AS n_items,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                          AS DOUBLE) AS gross,
+                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))) AS DOUBLE) AS net
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, n_items, gross, net
+        """
     )
