@@ -544,3 +544,47 @@ def test_pipe_syntax_equals_dataframe_form(spark, sf_dir):
         .collect()
     }
     assert got == expect
+
+
+def test_lsh_audit_confusion_consistent(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import lsh_recall_audit
+
+    r = lsh_recall_audit(spark, sf_dir).collect()[0]
+    assert r.tp + r.fn == r.n_truth
+    assert r.tp + r.fp == r.n_candidates
+    assert 0.0 <= r.recall <= 1.0 and 0.0 <= r.precision <= 1.0
+    # planted exact dups have jaccard 1.0 → every band collides → LSH
+    # must recover a healthy share of the truth at k=8/b=4
+    assert r.n_truth > 0 and r.recall >= 0.5
+
+
+def test_ctfidf_ranks_and_weights(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        _CTFIDF_TOPN,
+        ctfidf_top_terms_per_source,
+    )
+
+    rows = ctfidf_top_terms_per_source(spark, sf_dir).collect()
+    assert rows
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _CTFIDF_TOPN
+        ws = [r.w for r in rs]
+        assert ws == sorted(ws, reverse=True)
+
+
+def test_url_canonicalization_collapses_variants(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        url_canonicalize_dedup_key,
+    )
+
+    rows = url_canonicalize_dedup_key(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_variants == 3
+        assert r.n_distinct_raw == 3  # genuinely different spellings
+        assert r.n_canonical == 1  # one resource, one key

@@ -1853,3 +1853,274 @@ def sql_pipe_syntax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT l_returnflag, n_items, gross, net
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall/precision audit vs exact Jaccard ground truth
+# ---------------------------------------------------------------------------
+def _lsh_audit_oracle() -> str:
+    from weather_analysis_bigdata__spark.registry import _REGISTRY
+
+    truth_sql = _REGISTRY["dedup_ngram_jaccard"].oracle
+    cand_sql = _REGISTRY["dedup_minhash_lsh"].oracle
+    return f"""
+    WITH truth AS (SELECT doc_id_1, doc_id_2 FROM ({truth_sql})),
+    cand AS (SELECT doc_id_1, doc_id_2 FROM ({cand_sql})),
+    u AS (
+      SELECT t.doc_id_1 IS NOT NULL AS in_truth,
+             c.doc_id_1 IS NOT NULL AS in_cand
+      FROM truth t FULL OUTER JOIN cand c
+        ON t.doc_id_1 = c.doc_id_1 AND t.doc_id_2 = c.doc_id_2
+    )
+    SELECT CAST(SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truth,
+           CAST(SUM(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_candidates,
+           CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN in_cand AND NOT in_truth THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN in_truth AND NOT in_cand THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END)
+                AS DOUBLE)
+             / SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS recall,
+           CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END)
+                AS DOUBLE)
+             / SUM(CASE WHEN in_cand THEN 1 ELSE 0 END) AS precision
+    FROM u
+    """
+
+
+@register(
+    "lsh_recall_audit",
+    oracle=_lsh_audit_oracle(),
+    doc="LSH quality audit — the measurement that justifies replacing "
+    "the exact O(N²) Jaccard join with MinHash-LSH at scale: the "
+    "band-collision candidate set (k=8, 4 bands — dedup_minhash_lsh's "
+    "exact pipeline) is scored against the exact word-3-gram Jaccard "
+    "≥0.5 ground truth (dedup_ngram_jaccard's pipeline) over the same "
+    "dup-injected corpus, producing the tp/fp/fn confusion and exact "
+    "recall/precision ratios. Both pipelines and their SQL oracles "
+    "are REUSED verbatim (the oracle literally embeds the two "
+    "registered oracles as subqueries), so this audit can never "
+    "silently diverge from the operators it measures. The "
+    "ann_ladder_candidate_audit prices candidate VOLUME; this one "
+    "prices candidate QUALITY — together they are the evidence "
+    "needed before committing a 100 TB dedup to a parameter choice.",
+)
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.queries_llmops import (
+        _dedup_minhash_lsh_impl,
+        dedup_ngram_jaccard,
+    )
+
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    cand = _dedup_minhash_lsh_impl(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    u = (
+        truth.withColumn("in_truth", F.lit(True))
+        .join(
+            cand.withColumn("in_cand", F.lit(True)),
+            ["doc_id_1", "doc_id_2"],
+            "full_outer",
+        )
+        .select(
+            F.coalesce("in_truth", F.lit(False)).alias("in_truth"),
+            F.coalesce("in_cand", F.lit(False)).alias("in_cand"),
+        )
+    )
+    t = F.sum(F.when(F.col("in_truth"), 1).otherwise(0))
+    c = F.sum(F.when(F.col("in_cand"), 1).otherwise(0))
+    tp = F.sum(F.when(F.col("in_truth") & F.col("in_cand"), 1).otherwise(0))
+    fp = F.sum(F.when(F.col("in_cand") & ~F.col("in_truth"), 1).otherwise(0))
+    fn = F.sum(F.when(F.col("in_truth") & ~F.col("in_cand"), 1).otherwise(0))
+    return u.agg(
+        t.cast("long").alias("n_truth"),
+        c.cast("long").alias("n_candidates"),
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        (tp.cast("double") / t).alias("recall"),
+        (tp.cast("double") / c).alias("precision"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# c-TF-IDF: characteristic terms per source (class-based TF-IDF)
+# ---------------------------------------------------------------------------
+_CTFIDF_TOPN = 5
+_CTFIDF_SCALE = 1_000_000
+
+
+@register(
+    "ctfidf_top_terms_per_source",
+    oracle=f"""
+    WITH tf AS (
+      SELECT source, term, COUNT(*) AS tf
+      FROM (
+        SELECT source, unnest({SQL_TOKENS.format(c='text')}) AS term
+        FROM documents
+      )
+      GROUP BY source, term
+    ),
+    ns AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents),
+    sdf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    w AS (
+      SELECT tf.source, tf.term,
+             tf.tf * (((SELECT n_sources FROM ns) + 1) * {_CTFIDF_SCALE}
+                      // (sdf.df + 1)) AS w
+      FROM tf JOIN sdf USING (term)
+    ),
+    ranked AS (
+      SELECT source, term, w,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY w DESC, term ASC) AS rank
+      FROM w
+    )
+    SELECT source, CAST(rank AS BIGINT) AS rank, term, CAST(w AS BIGINT) AS w
+    FROM ranked WHERE rank <= {_CTFIDF_TOPN}
+    """,
+    doc="c-TF-IDF (class-based TF-IDF, the BERTopic keyword extractor): "
+    "terms are weighted per SOURCE by their in-source frequency times "
+    "a cross-source rarity factor (scaled-integer rational idf over "
+    "the count of sources containing the term), and the top-"
+    f"{_CTFIDF_TOPN} per source — fully tie-broken — characterize "
+    "what makes each slice of the corpus distinct. This is the "
+    "corpus-triage view a 100 TB mixture decision starts from "
+    "('what IS in this source?'), and it shares the "
+    "tfidf_cosine_topk machinery at a different granularity: "
+    "class-level df makes the idf table O(vocab) with NO df cap "
+    "needed because the per-class aggregation already collapsed "
+    "the posting lists. All integer arithmetic; one shuffle on "
+    "(source, term), one window per source.",
+)
+def ctfidf_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ns = d.agg(F.countDistinct("source").alias("n_sources"))
+    sdf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(sdf, "term")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            "term",
+            F.expr(
+                f"tf * ((n_sources + 1) * {_CTFIDF_SCALE} DIV (df + 1))"
+            ).alias("w"),
+        )
+    )
+    wr = Window.partitionBy("source").orderBy(F.col("w").desc(), F.col("term").asc())
+    return (
+        w.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _CTFIDF_TOPN)
+        .select("source", F.col("rank").cast("long").alias("rank"), "term", "w")
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization → dedup key (case, www, utm, param order, fragment)
+# ---------------------------------------------------------------------------
+@register(
+    "url_canonicalize_dedup_key",
+    oracle=f"""
+    WITH variants AS (
+      SELECT doc_id, v,
+        CASE v
+          WHEN 1 THEN 'HTTPS://WWW.' || source || '.Example.COM/Docs/'
+                      || CAST(doc_id AS VARCHAR) || '?b=2&a=1'
+          WHEN 2 THEN 'https://' || source || '.example.com/docs/'
+                      || CAST(doc_id AS VARCHAR)
+                      || '?a=1&utm_source=feed&b=2&utm_campaign=x'
+          ELSE 'https://www.' || source || '.example.com/docs/'
+               || CAST(doc_id AS VARCHAR) || '?a=1&b=2#section-2'
+        END AS url
+      FROM documents, unnest(generate_series(1, 3)) AS t(v)
+    ),
+    canon AS (
+      SELECT doc_id, v, url,
+        CASE WHEN q = '' THEN base ELSE base || '?' || q END AS canonical
+      FROM (
+        SELECT doc_id, v, url,
+          replace(
+            regexp_replace(split_part(lower(regexp_replace(url, '#.*$', '')),
+                                      '?', 1),
+                           '/$', ''),
+            '://www.', '://') AS base,
+          array_to_string(
+            list_sort(list_filter(
+              string_split(split_part(lower(regexp_replace(url, '#.*$', '')),
+                                      '?', 2), '&'),
+              p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS q
+        FROM variants
+      )
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_raw,
+           CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_canonical,
+           MIN(md5(canonical)) AS canonical_md5
+    FROM canon
+    GROUP BY doc_id
+    """,
+    doc="URL canonicalization — the dedup KEY step every web corpus "
+    "needs before url-level dedup: lowercase, strip the fragment, "
+    "strip www., drop tracking params (utm_*), SORT the surviving "
+    "query params, and trim the trailing slash. Each document gets "
+    "three deterministically different raw spellings of the same "
+    "resource (case/param-order/utm/fragment variations, mirrored in "
+    "the oracle); the proof is in the output: 3 distinct raw URLs "
+    "per doc collapse to exactly 1 canonical key (n_canonical pinned "
+    "=1 per doc by both engines, plus the md5 of the canonical "
+    "form). Pure string/array built-ins — row-local, shuffle-free, "
+    "codegen'd; at 100 TB this runs inside the scan stage and its "
+    "md5 output IS the dedup_exact_hash input.",
+)
+def url_canonicalize_dedup_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sid = F.col("doc_id").cast("string")
+    v1 = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.COM/Docs/"),
+        sid, F.lit("?b=2&a=1"),
+    )
+    v2 = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        sid, F.lit("?a=1&utm_source=feed&b=2&utm_campaign=x"),
+    )
+    v3 = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".example.com/docs/"),
+        sid, F.lit("?a=1&b=2#section-2"),
+    )
+    variants = d.select(
+        "doc_id", F.posexplode(F.array(v1, v2, v3)).alias("v", "url")
+    )
+    nofrag = F.lower(F.regexp_replace("url", r"#.*$", ""))
+    base = F.replace(
+        F.regexp_replace(F.split_part(nofrag, F.lit("?"), F.lit(1)), r"/$", ""),
+        F.lit("://www."),
+        F.lit("://"),
+    )
+    q = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.split_part(nofrag, F.lit("?"), F.lit(2)), "&"),
+                lambda p: (p != "") & ~p.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    canonical = F.when(q == "", base).otherwise(F.concat(base, F.lit("?"), q))
+    return (
+        variants.select("doc_id", "url", canonical.alias("canonical"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.countDistinct("url").alias("n_distinct_raw"),
+            F.countDistinct("canonical").alias("n_canonical"),
+            F.min(F.md5(F.col("canonical").cast("binary"))).alias("canonical_md5"),
+        )
+    )
