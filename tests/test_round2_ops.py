@@ -588,3 +588,57 @@ def test_url_canonicalization_collapses_variants(spark, sf_dir):
         assert r.n_variants == 3
         assert r.n_distinct_raw == 3  # genuinely different spellings
         assert r.n_canonical == 1  # one resource, one key
+
+
+def test_global_ordinals_contiguous_and_order_isomorphic(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import global_row_ordinals
+
+    rows = global_row_ordinals(spark, sf_dir).collect()
+    n = len(rows)
+    ords = sorted(r.ordinal for r in rows)
+    assert ords == list(range(n))
+    by_ord = sorted(rows, key=lambda r: r.ordinal)
+    keys = [r.o_orderkey for r in by_ord]
+    assert keys == sorted(keys)
+
+
+def test_global_ordinals_partitioning_invariant(spark, sf_dir):
+    """Same ordinals regardless of shuffle-partition configuration —
+    range-boundary placement must not leak into the output."""
+    from weather_analysis_bigdata__spark.queries_round2 import global_row_ordinals
+
+    a = {(r.o_orderkey, r.ordinal) for r in global_row_ordinals(spark, sf_dir).collect()}
+    sp2 = spark.newSession()
+    sp2.conf.set("spark.sql.shuffle.partitions", "5")
+    b = {(r.o_orderkey, r.ordinal) for r in global_row_ordinals(sp2, sf_dir).collect()}
+    assert a == b
+
+
+def test_robust_scale_stats_order(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import robust_scale_stats
+
+    rows = robust_scale_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.q1_cents <= r.median_cents <= r.q3_cents
+        assert r.iqr_cents == r.q3_cents - r.q1_cents
+        assert r.iqr_cents >= 0 and r.n > 0
+
+
+def test_feature_hashing_covers_all_rows(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        _FH_BUCKETS,
+        feature_hashing_encode,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    rows = feature_hashing_encode(spark, sf_dir).collect()
+    c = load_table(spark, sf_dir, "customer")
+    assert sum(r.n_rows for r in rows) == c.count()
+    n_features = (
+        c.select("c_nationkey", "c_mktsegment").distinct().count()
+    )
+    assert sum(r.n_features for r in rows) == n_features
+    for r in rows:
+        assert 0 <= r.bucket < _FH_BUCKETS
+        assert r.has_collision == (r.n_features > 1)

@@ -2124,3 +2124,208 @@ def url_canonicalize_dedup_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.md5(F.col("canonical").cast("binary"))).alias("canonical_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Global row ordinals WITHOUT a single-partition sort (two-pass offsets)
+# ---------------------------------------------------------------------------
+_ORD_PARTS = 16
+
+
+@register(
+    "global_row_ordinals",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+             AS ordinal
+    FROM orders
+    """,
+    doc="Contiguous global ordinals 0..N-1 in key order — the "
+    "classic distributed total-order problem solved WITHOUT the naive "
+    "single-partition window (which serializes the whole fact through "
+    "one task): range-partition by key, count rows per partition, "
+    "prefix-sum the O(parts) counts into offsets (broadcast), then "
+    "ordinal = partition offset + local rank. Output is provably "
+    "independent of where the sampled range boundaries land, because "
+    "offset(p) + local_rank is always the count of keys strictly "
+    "before the row globally. The oracle IS the naive global window — "
+    "the hash match proves the distributed two-pass form computes the "
+    "identical function. This is zipWithIndex/row-ordinal assignment "
+    "for training-shard ids at 100 TB: two scans + an O(parts) "
+    "driver-free prefix sum instead of one impossible sort.",
+)
+def global_row_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .repartitionByRange(_ORD_PARTS, F.col("o_orderkey"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    counts = o.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("n").over(woff), F.lit(0)).alias("offset")
+    )
+    wloc = Window.partitionBy("pid").orderBy("o_orderkey")
+    return (
+        o.join(F.broadcast(offsets), "pid")
+        .select(
+            "o_orderkey",
+            (F.col("offset") + F.row_number().over(wloc) - 1)
+            .cast("long")
+            .alias("ordinal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust scaling stats (median/IQR, exact tie-broken ranks)
+# ---------------------------------------------------------------------------
+@register(
+    "robust_scale_stats",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS rk,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM customer
+    ),
+    stats AS (
+      SELECT c_mktsegment,
+             MAX(n) AS n,
+             AVG(CASE WHEN rk IN ((n + 1) // 2, (n + 2) // 2)
+                      THEN CAST(cents AS DOUBLE) END) AS median_cents,
+             MAX(CASE WHEN rk = (n + 3) // 4 THEN cents END) AS q1_cents,
+             MAX(CASE WHEN rk = (3 * n + 3) // 4 THEN cents END) AS q3_cents
+      FROM c GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment,
+           CAST(n AS BIGINT) AS n,
+           median_cents,
+           CAST(q1_cents AS BIGINT) AS q1_cents,
+           CAST(q3_cents AS BIGINT) AS q3_cents,
+           CAST(q3_cents - q1_cents AS BIGINT) AS iqr_cents
+    FROM stats
+    """,
+    doc="Robust (median/IQR) scaling statistics per segment — the "
+    "outlier-immune complement to zscore_standardize (mean/std have a "
+    "0% breakdown point; median/IQR survive 25% corruption): exact "
+    "integer-cents order statistics from fully tie-broken ranks "
+    "(rank formulas (n+1)//2 / (n+2)//2 for the lower/upper median, "
+    "(n+3)//4 and (3n+3)//4 for the hinges — integer arithmetic "
+    "identical on both engines), median averaged across the two "
+    "middles as the only double. One window per segment = one "
+    "shuffle; at 100 TB the same statistics come from "
+    "approx_percentile sketches with this exact form as the "
+    "correctness yardstick (the equi_depth_bins argument, applied to "
+    "feature scaling).",
+)
+def robust_scale_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        (dec("c_acctbal") * 100).cast("long").alias("cents"),
+        "c_custkey",
+        F.col("c_acctbal").alias("bal"),
+    )
+    wr = Window.partitionBy("c_mktsegment").orderBy("bal", "c_custkey")
+    wn = Window.partitionBy("c_mktsegment")
+    ranked = c.select(
+        "c_mktsegment",
+        "cents",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    lo_mid = F.expr("(n + 1) DIV 2")
+    hi_mid = F.expr("(n + 2) DIV 2")
+    q1r = F.expr("(n + 3) DIV 4")
+    q3r = F.expr("(3 * n + 3) DIV 4")
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.avg(
+                F.when(
+                    (F.col("rk") == lo_mid) | (F.col("rk") == hi_mid),
+                    F.col("cents").cast("double"),
+                )
+            ).alias("median_cents"),
+            F.max(F.when(F.col("rk") == q1r, F.col("cents"))).alias("q1_cents"),
+            F.max(F.when(F.col("rk") == q3r, F.col("cents"))).alias("q3_cents"),
+        )
+        .select(
+            "c_mktsegment",
+            "n",
+            "median_cents",
+            "q1_cents",
+            "q3_cents",
+            (F.col("q3_cents") - F.col("q1_cents")).alias("iqr_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick) with exact collision accounting
+# ---------------------------------------------------------------------------
+_FH_BUCKETS = 64
+
+
+@register(
+    "feature_hashing_encode",
+    oracle=f"""
+    WITH feat AS (
+      SELECT c_custkey,
+             CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment AS feature
+      FROM customer
+    ),
+    hashed AS (
+      SELECT c_custkey, feature,
+             {sql_hex15_to_long("md5('fh:' || feature)")} % {_FH_BUCKETS}
+               AS bucket
+      FROM feat
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT feature) AS BIGINT) AS n_features,
+           COUNT(DISTINCT feature) > 1 AS has_collision
+    FROM hashed
+    GROUP BY bucket
+    """,
+    doc="Feature hashing (the hashing trick, Weinberger et al. 2009): "
+    "the cross feature nation×segment is mapped into a fixed "
+    f"{_FH_BUCKETS}-bucket space by deterministic md5 arithmetic — "
+    "unbounded categorical vocabularies become fixed-width model "
+    "inputs with NO vocabulary table to build, ship, or keep "
+    "consistent across training runs (the property that matters at "
+    "100 TB: encoding is stateless and embarrassingly parallel). "
+    "Because the hash is deterministic, the oracle reproduces the "
+    "exact bucket assignment INCLUDING which buckets take collisions "
+    "— the accuracy cost of the trick is measured, not assumed "
+    "(same philosophy as bloom_filter_membership's exact fp count). "
+    "Row-local + one bucket aggregate.",
+)
+def feature_hashing_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    feature = F.concat(
+        F.col("c_nationkey").cast("string"), F.lit("|"), F.col("c_mktsegment")
+    )
+    hashed = c.select(
+        feature.alias("feature"),
+        (hex15_to_long(md5s(F.concat(F.lit("fh:"), feature))) % _FH_BUCKETS).alias(
+            "bucket"
+        ),
+    )
+    return (
+        hashed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("feature").alias("n_features"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_rows",
+            "n_features",
+            (F.col("n_features") > 1).alias("has_collision"),
+        )
+    )
