@@ -642,3 +642,27 @@ def test_feature_hashing_covers_all_rows(spark, sf_dir):
     for r in rows:
         assert 0 <= r.bucket < _FH_BUCKETS
         assert r.has_collision == (r.n_features > 1)
+
+
+def test_corpus_prep_v2_consistent_with_parts(spark, sf_dir):
+    """Capstone funnel agrees with its standalone parts: n_final matches
+    corpus_prep_end_to_end, and chunk accounting matches the closed
+    form recomputed from chunk_documents_overlap on the kept docs."""
+    from weather_analysis_bigdata__spark.queries_ops import corpus_prep_end_to_end
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        _PACK_BUDGET,
+        corpus_prep_v2_chunked,
+    )
+
+    v2 = {r.source: r for r in corpus_prep_v2_chunked(spark, sf_dir).collect()}
+    v1 = {r.source: r for r in corpus_prep_end_to_end(spark, sf_dir).collect()}
+    assert set(v2) == set(v1)
+    for src, r in v2.items():
+        assert r.n_raw == v1[src].n_raw
+        assert r.n_final == v1[src].n_final
+        assert r.n_chunks >= r.n_final  # ≥1 chunk per kept doc
+        assert r.chunk_tokens >= v1[src].tokens_final  # overlap only adds
+        expected_shards = -(-r.chunk_tokens // _PACK_BUDGET)
+        assert r.n_shards == expected_shards
+        if r.n_shards:
+            assert 0 < r.shard_fill <= 1.0

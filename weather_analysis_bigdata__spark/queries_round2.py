@@ -2329,3 +2329,156 @@ def feature_hashing_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_features") > 1).alias("has_collision"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Capstone v2: corpus prep funnel + chunk/shard accounting in one plan
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 512
+
+
+@register(
+    "corpus_prep_v2_chunked",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             len({SQL_TOKENS.format(c='text')}) AS n_tokens,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             CASE (CAST(substr(source, 4) AS BIGINT) % 4)
+               WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 1 END AS rate10,
+             ((CAST(strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                    AS BIGINT) * 16
+               + CAST(strpos('0123456789abcdef',
+                             substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+                      AS BIGINT)) % 10) AS slot
+      FROM documents
+    ),
+    flagged AS (
+      SELECT *,
+             (n_tokens BETWEEN 5 AND 5000) AS quality_ok,
+             (doc_id = MIN(doc_id) OVER (PARTITION BY fp)) AS dedup_keep,
+             (slot < rate10) AS mix_keep
+      FROM base
+    ),
+    kept AS (
+      SELECT source, n_tokens,
+             CASE WHEN n_tokens <= {_CHUNK_W} THEN 1
+                  ELSE ((n_tokens - {_CHUNK_W} + {_CHUNK_S} - 1)
+                        // {_CHUNK_S}) + 1 END AS n_chunks
+      FROM flagged WHERE quality_ok AND dedup_keep AND mix_keep
+    ),
+    agg AS (
+      SELECT source,
+             COUNT(*) AS n_final,
+             SUM(n_chunks) AS n_chunks,
+             SUM(n_tokens + ({_CHUNK_W} - {_CHUNK_S}) * (n_chunks - 1))
+               AS chunk_tokens
+      FROM kept GROUP BY source
+    ),
+    raw AS (SELECT source, COUNT(*) AS n_raw FROM base GROUP BY source)
+    SELECT r.source,
+           CAST(r.n_raw AS BIGINT) AS n_raw,
+           CAST(COALESCE(a.n_final, 0) AS BIGINT) AS n_final,
+           CAST(COALESCE(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(COALESCE(a.chunk_tokens, 0) AS BIGINT) AS chunk_tokens,
+           CAST(COALESCE((a.chunk_tokens + {_PACK_BUDGET} - 1)
+                         // {_PACK_BUDGET}, 0) AS BIGINT) AS n_shards,
+           CASE WHEN a.chunk_tokens IS NULL THEN 0.0
+                ELSE CAST(a.chunk_tokens AS DOUBLE)
+                     / ({_PACK_BUDGET}.0 * ((a.chunk_tokens
+                        + {_PACK_BUDGET} - 1) // {_PACK_BUDGET}))
+           END AS shard_fill
+    FROM raw r LEFT JOIN agg a ON r.source = a.source
+    """,
+    doc="Capstone v2 — the corpus_prep_end_to_end funnel (quality gate "
+    "→ fingerprint exact-dedup → mixture downsample, all as flags in "
+    "one pass) EXTENDED through the RAG/training prep the round-2 "
+    "batches added: surviving docs are chunked into overlapping "
+    f"{_CHUNK_W}-token windows (chunk counts and total chunk tokens "
+    "in CLOSED FORM — n + (W−S)·(chunks−1) — so the accounting adds "
+    "zero explode cost to the plan) and packed into "
+    f"{_PACK_BUDGET}-token training shards (sequential-concat model, "
+    "matching pack_sequences_fixed_budget), reported per source with "
+    "shard-fill efficiency. One scan, two small shuffles (fingerprint "
+    "window, source rollup) — the nightly 100 TB corpus-build shape "
+    "with its capacity-planning report (how many shards will this "
+    "mixture produce?) fused into the same plan.",
+)
+def corpus_prep_v2_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.textops import (
+        hexval,
+        normalized_text,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    digest = md5s(F.col("doc_id").cast("string"))
+    h2 = hexval(F.substring(digest, 1, 1)) * 16 + hexval(F.substring(digest, 2, 1))
+    rate10 = (
+        F.when(F.expr("CAST(substr(source, 4) AS BIGINT)") % 4 == 0, 4)
+        .when(F.expr("CAST(substr(source, 4) AS BIGINT)") % 4 == 1, 3)
+        .when(F.expr("CAST(substr(source, 4) AS BIGINT)") % 4 == 2, 2)
+        .otherwise(1)
+    )
+    base = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).alias("n_tokens"),
+        md5s(normalized_text("text")).alias("fp"),
+        rate10.alias("rate10"),
+        (h2.cast("long") % 10).alias("slot"),
+    )
+    flagged = base.select(
+        "*",
+        F.col("n_tokens").between(5, 5000).alias("quality_ok"),
+        (
+            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp"))
+        ).alias("dedup_keep"),
+        (F.col("slot") < F.col("rate10")).alias("mix_keep"),
+    )
+    keep = F.col("quality_ok") & F.col("dedup_keep") & F.col("mix_keep")
+    W, S = _CHUNK_W, _CHUNK_S
+    n_chunks = F.when(F.col("n_tokens") <= W, F.lit(1).cast("long")).otherwise(
+        F.expr(f"CAST((n_tokens - {W} + {S} - 1) DIV {S} AS BIGINT) + 1")
+    )
+    per_doc = flagged.select(
+        "source",
+        keep.alias("keep"),
+        F.col("n_tokens"),
+        F.when(keep, n_chunks).otherwise(0).alias("n_chunks"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_final"),
+        F.sum("n_chunks").cast("long").alias("n_chunks"),
+        F.sum(
+            F.when(
+                F.col("keep"),
+                F.col("n_tokens") + (W - S) * (F.col("n_chunks") - 1),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("chunk_tokens"),
+    )
+    n_shards = F.expr(
+        f"CAST((chunk_tokens + {_PACK_BUDGET} - 1) DIV {_PACK_BUDGET} AS BIGINT)"
+    )
+    return agg.select(
+        "source",
+        "n_raw",
+        "n_final",
+        "n_chunks",
+        "chunk_tokens",
+        n_shards.alias("n_shards"),
+        F.when(F.col("chunk_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("chunk_tokens").cast("double")
+            / (
+                F.lit(float(_PACK_BUDGET))
+                * F.expr(
+                    f"(chunk_tokens + {_PACK_BUDGET} - 1) DIV {_PACK_BUDGET}"
+                )
+            )
+        )
+        .alias("shard_fill"),
+    )
