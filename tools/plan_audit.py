@@ -94,6 +94,22 @@ KNOWN_EXCEPTIONS = {
     "(O(keys)) and md5 position sets (O(build·k) ≈ 900 rows), all "
     "joined via broadcast; the only fact-scale work is the two "
     "distinct-key reductions",
+    "ctfidf_top_terms_per_source": "after the one token-explode "
+    "reduction, every exchange (term-window df, source-window top-N, "
+    "scalar n_sources) carries the O(sources×vocab) class-aggregated "
+    "table or a 1-row scalar — class-level aggregation already "
+    "collapsed the posting lists",
+    "lsh_recall_audit": "composes the ALREADY-REVIEWED jaccard and "
+    "minhash pipelines verbatim (the audit must run exactly what it "
+    "measures) plus a full-outer join of the two O(pairs) sets — the "
+    "SMJ and extra exchanges operate on ~10² pair rows, never "
+    "documents",
+    "global_row_ordinals": "2 of 5 exchanges carry the fact (range "
+    "partition + pid-window clustering — the second exists only "
+    "because Catalyst cannot prove spark_partition_id() clustering "
+    "satisfies the window); the rest carry the O(parts) offset "
+    "table. The RDD zipWithIndex form avoids the second pass at "
+    "scale; this query exists to hash-prove the two-pass algebra",
     "dedup_semantic_clustered": "the centroid-assignment subtree "
     "feeds both the per-cluster pair counts and the output join, so "
     "Spark plans it twice (see PERF.md 'SemDeDup double-planning' "
@@ -124,6 +140,9 @@ REVIEWED_FLAGS = {
     "seasonal_profile_monthly": {"XCHG"},
     "bloom_filter_membership": {"XCHG"},
     "dedup_semantic_clustered": {"XCHG"},
+    "ctfidf_top_terms_per_source": {"XCHG"},
+    "lsh_recall_audit": {"XCHG", "SORTMERGE"},
+    "global_row_ordinals": {"XCHG"},
 }
 
 

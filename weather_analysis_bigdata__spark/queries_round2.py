@@ -2002,9 +2002,13 @@ def ctfidf_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     ns = d.agg(F.countDistinct("source").alias("n_sources"))
-    sdf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df via a count window over the term partition — one pass over the
+    # (source, term) table instead of a groupBy+join that would replan
+    # the tf subtree twice.
     w = (
-        tf.join(sdf, "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(ns))
         .select(
             "source",
@@ -2061,9 +2065,12 @@ def ctfidf_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_variants,
-           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_raw,
-           CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_canonical,
-           MIN(md5(canonical)) AS canonical_md5
+           CAST(COUNT(DISTINCT {sql_hex15_to_long('md5(url)')}) AS BIGINT)
+             AS n_distinct_raw,
+           CAST(COUNT(DISTINCT {sql_hex15_to_long('md5(canonical)')})
+                AS BIGINT) AS n_canonical,
+           CAST(MIN({sql_hex15_to_long('md5(canonical)')}) AS BIGINT)
+             AS canonical_key
     FROM canon
     GROUP BY doc_id
     """,
@@ -2075,8 +2082,8 @@ def ctfidf_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "resource (case/param-order/utm/fragment variations, mirrored in "
     "the oracle); the proof is in the output: 3 distinct raw URLs "
     "per doc collapse to exactly 1 canonical key (n_canonical pinned "
-    "=1 per doc by both engines, plus the md5 of the canonical "
-    "form). Pure string/array built-ins — row-local, shuffle-free, "
+    "=1 per doc by both engines, plus the 60-bit md5 key of the "
+    "canonical form). Pure string/array built-ins — row-local, "
     "codegen'd; at 100 TB this runs inside the scan stage and its "
     "md5 output IS the dedup_exact_hash input.",
 )
@@ -2114,14 +2121,21 @@ def url_canonicalize_dedup_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "&",
     )
     canonical = F.when(q == "", base).otherwise(F.concat(base, F.lit("?"), q))
+    # Distinct-counts and the min aggregate run over 60-bit md5 keys,
+    # not raw strings — string MIN/COUNT DISTINCT fall back to
+    # SortAggregate (measured; same rule as the integer minhashes).
     return (
-        variants.select("doc_id", "url", canonical.alias("canonical"))
+        variants.select(
+            "doc_id",
+            hex15_to_long(md5s(F.col("url"))).alias("url_key"),
+            hex15_to_long(md5s(canonical)).alias("canon_key"),
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_variants"),
-            F.countDistinct("url").alias("n_distinct_raw"),
-            F.countDistinct("canonical").alias("n_canonical"),
-            F.min(F.md5(F.col("canonical").cast("binary"))).alias("canonical_md5"),
+            F.countDistinct("url_key").alias("n_distinct_raw"),
+            F.countDistinct("canon_key").alias("n_canonical"),
+            F.min("canon_key").alias("canonical_key"),
         )
     )
 
