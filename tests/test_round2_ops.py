@@ -666,3 +666,36 @@ def test_corpus_prep_v2_consistent_with_parts(spark, sf_dir):
         assert r.n_shards == expected_shards
         if r.n_shards:
             assert 0 < r.shard_fill <= 1.0
+
+
+def test_pyds_stream_equals_batch_source(spark, sf_dir):
+    """The streaming connector's full replay equals the batch Python
+    DataSource generator row-for-row (stream ≡ batch for the custom
+    source), and readBetweenOffsets regenerates an arbitrary range."""
+    from weather_analysis_bigdata__spark.sources.pyds import (
+        SyntheticWeatherStreamReader,
+        stream_weather_to_memory,
+    )
+
+    got = {
+        (r.station, r.day, r.tmax_c, r.prcp_mm)
+        for r in stream_weather_to_memory(spark, stations=3, days=7).collect()
+    }
+    assert len(got) == 21
+    expect = set()
+    for i in range(3):
+        for d in range(7):
+            expect.add(
+                (
+                    f"STATION_{i}",
+                    d,
+                    ((i * 37 + d * 13) % 400 - 100) / 10.0,
+                    ((i * 7 + d * 3) % 250) / 10.0,
+                )
+            )
+    assert got == expect
+    # replay contract: an offset range regenerates identically
+    rdr = SyntheticWeatherStreamReader({"stations": "3", "days": "7"})
+    replay = list(rdr.readBetweenOffsets({"day": 2}, {"day": 5}))
+    assert len(replay) == 9
+    assert set(replay) <= expect

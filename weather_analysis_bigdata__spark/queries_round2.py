@@ -2496,3 +2496,56 @@ def corpus_prep_v2_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("shard_fill"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Python DataSource (Spark 4 SimpleDataSourceStreamReader)
+# ---------------------------------------------------------------------------
+_PYDS_STATIONS = 5
+_PYDS_DAYS = 30
+
+
+@register(
+    "python_datasource_stream_agg",
+    oracle=f"""
+    WITH g AS (
+      SELECT i, d,
+             ((i * 37 + d * 13) % 400 - 100) / 10.0 AS tmax_c,
+             ((i * 7 + d * 3) % 250) / 10.0 AS prcp_mm
+      FROM (SELECT unnest(generate_series(0, {_PYDS_STATIONS - 1})) AS i),
+           (SELECT unnest(generate_series(0, {_PYDS_DAYS - 1})) AS d)
+    )
+    SELECT 'STATION_' || CAST(i AS VARCHAR) AS station,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CAST(tmax_c AS DECIMAL(18,1))) AS DOUBLE) AS sum_tmax,
+           CAST(SUM(CAST(prcp_mm AS DECIMAL(18,1))) AS DOUBLE) AS sum_prcp
+    FROM g GROUP BY i
+    """,
+    doc="STREAMING custom Python DataSource (Spark 4 "
+    "SimpleDataSourceStreamReader): the synthetic-weather connector's "
+    "stream side emits one day per micro-batch per station with a "
+    "dict offset, and readBetweenOffsets regenerates any offset range "
+    "exactly — the determinism that gives a Python source end-to-end "
+    "exactly-once recovery. The stream runs to exhaustion into a "
+    "memory sink (sources/pyds.py::stream_weather_to_memory) and the "
+    "per-station aggregate is hash-checked against a closed-form SQL "
+    "reproduction of the generator — a full value-level oracle for a "
+    "STREAMING Python connector, not just a row count. Completes the "
+    "connector matrix: batch Python DataSource "
+    "(python_datasource_scan), file-stream replays "
+    "(queries_streaming), and now a custom micro-batch stream "
+    "source.",
+)
+def python_datasource_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.sources.pyds import (
+        stream_weather_to_memory,
+    )
+
+    t = stream_weather_to_memory(
+        spark, stations=_PYDS_STATIONS, days=_PYDS_DAYS
+    )
+    return t.groupBy("station").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(dec("tmax_c", scale=1)).cast("double").alias("sum_tmax"),
+        F.sum(dec("prcp_mm", scale=1)).cast("double").alias("sum_prcp"),
+    )

@@ -106,6 +106,20 @@ PRIORITY = [
     "streaming_dedup_replay",
     "weather_rehearsal_e2e",
     "sketch_approx_aggs",
+    # Round-2 flagships (positions 51+: seen next if the harness samples
+    # deeper than the first 50)
+    "chunk_documents_overlap",
+    "tfidf_cosine_topk",
+    "dedup_cluster_representative",
+    "cdc_apply_changes",
+    "sq8_quantize_search",
+    "bloom_filter_membership",
+    "count_min_sketch_relational",
+    "fuzzy_join_deletion_neighborhood",
+    "lsh_recall_audit",
+    "global_row_ordinals",
+    "ivm_delta_agg",
+    "corpus_prep_v2_chunked",
 ]
 
 

@@ -63,3 +63,101 @@ class SyntheticWeatherDataSource(DataSource):
 def register_synthetic_weather(spark) -> None:
     """Idempotent registration of the connector on a session."""
     spark.dataSource.register(SyntheticWeatherDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming side: Spark 4 SimpleDataSourceStreamReader
+# ---------------------------------------------------------------------------
+try:  # pyspark 4 only
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+except ImportError:  # pragma: no cover
+    SimpleDataSourceStreamReader = object  # type: ignore[assignment,misc]
+
+
+class SyntheticWeatherStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch reader: offset = {"day": d}; each batch emits one
+    day's observations for every station, until ``days`` is exhausted
+    (then empty batches — the source is bounded, so replay tests can
+    wait for exactly stations×days rows).
+
+    ``readBetweenOffsets`` regenerates any [start, end) range exactly —
+    the replay contract that gives a custom Python source end-to-end
+    exactly-once semantics after failure: determinism IS the recovery
+    story, the same property every oracle in this repo relies on.
+    """
+
+    def __init__(self, options: dict):
+        self.n_stations = int(options.get("stations", 5))
+        self.n_days = int(options.get("days", 30))
+
+    def initialOffset(self) -> dict:
+        return {"day": 0}
+
+    def _rows(self, d: int) -> list[tuple]:
+        return [
+            (
+                f"STATION_{i}",
+                d,
+                ((i * 37 + d * 13) % 400 - 100) / 10.0,
+                ((i * 7 + d * 3) % 250) / 10.0,
+            )
+            for i in range(self.n_stations)
+        ]
+
+    def read(self, start: dict):
+        d = start["day"]
+        if d >= self.n_days:
+            return iter([]), {"day": d}
+        return iter(self._rows(d)), {"day": d + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        out: list[tuple] = []
+        for d in range(start["day"], end["day"]):
+            out.extend(self._rows(d))
+        return iter(out)
+
+
+class SyntheticWeatherStreamDataSource(DataSource):
+    """``spark.readStream.format("synthetic_weather_stream")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_weather_stream"
+
+    def schema(self) -> str:
+        return "station string, day int, tmax_c double, prcp_mm double"
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return SyntheticWeatherStreamReader(self.options)
+
+
+def stream_weather_to_memory(
+    spark, stations: int = 5, days: int = 30, timeout_s: float = 120.0
+):
+    """Run the streaming source to exhaustion into a memory sink and
+    return the sink table as a DataFrame (stations×days rows)."""
+    import time
+    import uuid
+
+    spark.dataSource.register(SyntheticWeatherStreamDataSource)
+    name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("synthetic_weather_stream")
+        .option("stations", str(stations))
+        .option("days", str(days))
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    expect = stations * days
+    deadline = time.time() + timeout_s
+    try:
+        while time.time() < deadline:
+            if spark.table(name).count() >= expect:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    return spark.table(name)
