@@ -699,3 +699,19 @@ def test_pyds_stream_equals_batch_source(spark, sf_dir):
     replay = list(rdr.readBetweenOffsets({"day": 2}, {"day": 5}))
     assert len(replay) == 9
     assert set(replay) <= expect
+
+
+def test_quarantine_splits_exactly(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        _QUAR_N,
+        csv_corrupt_record_quarantine,
+    )
+
+    r = csv_corrupt_record_quarantine(spark, sf_dir).collect()[0]
+    corrupt = [k for k in range(_QUAR_N) if k % 13 == 0]
+    assert r.n_rows == _QUAR_N
+    assert r.n_quarantined == len(corrupt)
+    assert r.n_good == _QUAR_N - len(corrupt)
+    assert r.sum_good_keys == sum(
+        k for k in range(_QUAR_N) if k % 13 != 0
+    )

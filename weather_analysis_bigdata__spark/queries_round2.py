@@ -2549,3 +2549,96 @@ def python_datasource_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("tmax_c", scale=1)).cast("double").alias("sum_tmax"),
         F.sum(dec("prcp_mm", scale=1)).cast("double").alias("sum_prcp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-record quarantine (PERMISSIVE CSV ingest routing)
+# ---------------------------------------------------------------------------
+_QUAR_N = 1000
+
+
+@register(
+    "csv_corrupt_record_quarantine",
+    oracle=f"""
+    WITH k AS (
+      SELECT unnest(generate_series(0, {_QUAR_N - 1})) AS k
+    ),
+    classified AS (
+      SELECT k, k % 13 = 0 AS corrupt,
+             (k % 977) / 10.0 AS v
+      FROM k
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_good,
+           CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quarantined,
+           CAST(SUM(CASE WHEN corrupt THEN 0 ELSE k END) AS BIGINT)
+             AS sum_good_keys,
+           CAST(SUM(CASE WHEN corrupt THEN NULL
+                         ELSE CAST(v AS DECIMAL(18,1)) END) AS DOUBLE)
+             AS sum_good_v
+    FROM classified
+    """,
+    doc="Corrupt-record QUARANTINE — the ingest pattern that keeps one "
+    "bad upstream line from failing a 100 TB load: PERMISSIVE CSV "
+    "parsing with columnNameOfCorruptRecord routes malformed rows "
+    "(here every 13th line carries a non-numeric field + wrong arity, "
+    "written deterministically to a scratch file) into a raw-line "
+    "column instead of an exception, and ONE pass splits the stream "
+    "into parsed rows (aggregated in exact decimals) and a counted "
+    "quarantine for reprocessing. The oracle reproduces the "
+    "generator's closed form — parsed counts, quarantined counts, and "
+    "good-row sums all hash-match, proving the parser dropped and "
+    "kept exactly the intended lines. DROPMALFORMED/FAILFAST are the "
+    "same reader one option away; quarantine is the production "
+    "default because it preserves evidence.",
+)
+def csv_corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    tmp = tempfile.mkdtemp(prefix=f"quarantine_{uuid.uuid4().hex[:8]}_")
+    path = os.path.join(tmp, "rows.csv")
+    with open(path, "w") as f:
+        for k in range(_QUAR_N):
+            if k % 13 == 0:
+                f.write(f"{k},not_a_number,surprise_extra_field\n")
+            else:
+                f.write(f"{k},{(k % 977) / 10.0}\n")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    out = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(bad, 0).otherwise(1)).cast("long").alias("n_good"),
+        F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_quarantined"),
+        F.sum(F.when(bad, 0).otherwise(F.col("k"))).cast("long").alias(
+            "sum_good_keys"
+        ),
+        F.sum(F.when(bad, None).otherwise(dec("v", scale=1)))
+        .cast("double")
+        .alias("sum_good_v"),
+    )
+    rows = out.collect()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "n_rows BIGINT, n_good BIGINT, n_quarantined BIGINT,"
+        " sum_good_keys BIGINT, sum_good_v DOUBLE",
+    )
