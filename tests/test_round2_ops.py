@@ -715,3 +715,54 @@ def test_quarantine_splits_exactly(spark, sf_dir):
     assert r.sum_good_keys == sum(
         k for k in range(_QUAR_N) if k % 13 != 0
     )
+
+
+def test_filtered_ann_guarantees_k_and_shows_starvation(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        _FANN_K,
+        _FANN_LABEL,
+        ann_filtered_prefilter_topk,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    rows = sorted(
+        ann_filtered_prefilter_topk(spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    assert len(rows) == _FANN_K  # pre-filter always fills k
+    sims = [r.cosine_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    for r in rows:
+        assert labels[r.vec_id] == _FANN_LABEL
+    # ~10% selectivity: the global top-20 can't hold all ten label hits,
+    # so post-filter starves at least one true neighbor
+    assert any(not r.in_postfilter_topk for r in rows)
+
+
+def test_hybrid_rrf_rank_arithmetic(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        _RRF_C,
+        _RRF_K,
+        hybrid_search_rrf,
+    )
+
+    rows = sorted(hybrid_search_rrf(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert len(rows) == _RRF_K
+    for r in rows:
+        expect = 0.0
+        if r.rank_b is not None:
+            expect += 1.0 / (_RRF_C + r.rank_b)
+        if r.rank_v is not None:
+            expect += 1.0 / (_RRF_C + r.rank_v)
+        assert r.rrf == expect
+        assert r.rank_b is not None or r.rank_v is not None
+    scores = [r.rrf for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # docs present in BOTH channels outrank single-channel docs with
+    # comparable ranks; at minimum the fused list mixes both channels
+    assert any(r.rank_b is not None for r in rows)
+    assert any(r.rank_v is not None for r in rows)

@@ -1859,6 +1859,8 @@ def sql_pipe_syntax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LSH recall/precision audit vs exact Jaccard ground truth
 # ---------------------------------------------------------------------------
 def _lsh_audit_oracle() -> str:
+    import weather_analysis_bigdata__spark.queries_llmops  # noqa: F401
+
     from weather_analysis_bigdata__spark.registry import _REGISTRY
 
     truth_sql = _REGISTRY["dedup_ngram_jaccard"].oracle
@@ -2641,4 +2643,258 @@ def csv_corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame
         rows,
         "n_rows BIGINT, n_good BIGINT, n_quarantined BIGINT,"
         " sum_good_keys BIGINT, sum_good_v DOUBLE",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN: pre-filter vs post-filter routing
+# ---------------------------------------------------------------------------
+_FANN_LABEL = 3
+_FANN_K = 10
+_FANN_POSTK = 20
+
+
+def _fann_oracle() -> str:
+    from weather_analysis_bigdata__spark.functions.vectorops import (
+        sql_dot,
+        sql_norm,
+    )
+
+    return f"""
+    WITH n AS (
+      SELECT vec_id, label, embedding,
+             {sql_norm('embedding')} AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT embedding, nrm FROM n WHERE vec_id = 0),
+    scored AS (
+      SELECT c.vec_id, c.label,
+             {sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)
+               AS cosine_sim
+      FROM n c, q WHERE c.vec_id <> 0
+    ),
+    pre AS (
+      SELECT vec_id, cosine_sim,
+             row_number() OVER (ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+      FROM scored WHERE label = {_FANN_LABEL}
+    ),
+    postk AS (
+      SELECT vec_id, label,
+             row_number() OVER (ORDER BY cosine_sim DESC, vec_id ASC) AS grank
+      FROM scored
+    )
+    SELECT p.rank AS rank, p.vec_id AS vec_id, p.cosine_sim AS cosine_sim,
+           p.vec_id IN (SELECT vec_id FROM postk
+                        WHERE grank <= {_FANN_POSTK}
+                          AND label = {_FANN_LABEL}) AS in_postfilter_topk
+    FROM pre p WHERE p.rank <= {_FANN_K}
+    """
+
+
+@register(
+    "ann_filtered_prefilter_topk",
+    oracle=_fann_oracle(),
+    doc="FILTERED vector search — the production design axis plain ANN "
+    "misses (every real query carries metadata predicates: language, "
+    "license, date range): PRE-filter applies the predicate "
+    f"(label = {_FANN_LABEL}) before ranking and guarantees k exact "
+    "results; POST-filter ranks globally then filters, and the output "
+    "column in_postfilter_topk shows concretely which of the true "
+    f"top-{_FANN_K} a global top-{_FANN_POSTK}-then-filter route "
+    "would have STARVED out (selectivity ~10% → expect most global "
+    "slots spent on other labels). Exact integer dot products and "
+    "fully tie-broken ranks on both engines. At 100 TB this maps to "
+    "partition-pruned per-label IVF lists (pre-filter as partition "
+    "design) vs over-fetch multipliers on a global index — the "
+    "measured starvation is the argument for the former.",
+)
+def ann_filtered_prefilter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.vectorops import (
+        cosine,
+        norm,
+        scaled_vec,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", norm(scaled_vec("embedding")).alias("nrm")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    sim = cosine(
+        scaled_vec(F.col("q_emb")),
+        scaled_vec(F.col("embedding")),
+        F.col("q_nrm"),
+        F.col("nrm"),
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", sim.alias("cosine_sim"))
+    )
+    pre = (
+        scored.filter(F.col("label") == _FANN_LABEL)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+            ),
+        )
+        .filter(F.col("rank") <= _FANN_K)
+    )
+    postk = (
+        scored.withColumn(
+            "grank",
+            F.row_number().over(
+                Window.orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+            ),
+        )
+        .filter(
+            (F.col("grank") <= _FANN_POSTK) & (F.col("label") == _FANN_LABEL)
+        )
+        .select(F.col("vec_id").alias("pv"), F.lit(True).alias("hit"))
+    )
+    return (
+        pre.join(F.broadcast(postk), pre.vec_id == postk.pv, "left")
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "vec_id",
+            "cosine_sim",
+            F.coalesce("hit", F.lit(False)).alias("in_postfilter_topk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 ⊕ dense vectors via Reciprocal Rank Fusion
+# ---------------------------------------------------------------------------
+_RRF_C = 60
+_RRF_K = 10
+
+
+def _rrf_oracle() -> str:
+    import weather_analysis_bigdata__spark.queries_datapipe  # noqa: F401
+
+    from weather_analysis_bigdata__spark.registry import _REGISTRY
+
+    bm25_sql = _REGISTRY["bm25_search_topk"].oracle
+    from weather_analysis_bigdata__spark.functions.vectorops import (
+        sql_dot,
+        sql_norm,
+    )
+
+    return f"""
+    WITH bm AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank_b
+      FROM ({bm25_sql})
+    ),
+    n AS (
+      SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm FROM embeddings
+    ),
+    q AS (SELECT embedding, nrm FROM n WHERE vec_id = 0),
+    vec AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY {sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) DESC, c.vec_id ASC) AS rank_v
+      FROM n c, q WHERE c.vec_id <> 0
+    ),
+    vtop AS (SELECT doc_id, rank_v FROM vec WHERE rank_v <= {_RRF_K}),
+    fused AS (
+      SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+             b.rank_b, v.rank_v,
+             COALESCE(1.0 / ({_RRF_C} + b.rank_b), 0.0)
+               + COALESCE(1.0 / ({_RRF_C} + v.rank_v), 0.0) AS rrf
+      FROM bm b FULL OUTER JOIN vtop v ON b.doc_id = v.doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT)
+             AS rank,
+           doc_id,
+           CAST(rank_b AS BIGINT) AS rank_b,
+           CAST(rank_v AS BIGINT) AS rank_v,
+           rrf
+    FROM fused
+    ORDER BY rrf DESC, doc_id ASC LIMIT {_RRF_K}
+    """
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=_rrf_oracle(),
+    doc="HYBRID retrieval — the shape production RAG actually runs: "
+    "the lexical ranking (bm25_search_topk's registered pipeline and "
+    "oracle, embedded verbatim) fused with the dense ranking (exact "
+    "integer-dot cosine vs query vector 0, doc_id ≡ vec_id) by "
+    f"Reciprocal Rank Fusion: Σ 1/({_RRF_C}+rank) over whichever "
+    "lists contain the doc. RRF is the fusion rule of choice at "
+    "scale precisely because it is SCORE-FREE — no calibration "
+    "between BM25 points and cosine similarity is needed, ranks are "
+    "integers, and the fused score is a sum of two exactly-computed "
+    "rationals (deterministic across engines, unlike learned or "
+    "z-scored fusion). Output pins both source ranks per fused hit, "
+    "so lexical-only / dense-only / both-channel winners are visible. "
+    "Plan: two independent top-k subplans (each already reviewed) + "
+    "an O(k) full-outer fuse — the fuse costs nothing at any scale.",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.vectorops import (
+        cosine,
+        norm,
+        scaled_vec,
+    )
+    from weather_analysis_bigdata__spark.queries_datapipe import bm25_search_topk
+
+    bm = bm25_search_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .alias("rank_b"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(scaled_vec("embedding")).alias("nrm")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    sim = cosine(
+        scaled_vec(F.col("q_emb")),
+        scaled_vec(F.col("embedding")),
+        F.col("q_nrm"),
+        F.col("nrm"),
+    )
+    vec = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number()
+            .over(Window.orderBy(sim.desc(), F.col("vec_id").asc()))
+            .alias("rank_v"),
+        )
+        .filter(F.col("rank_v") <= _RRF_K)
+    )
+    fused = bm.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_b",
+        "rank_v",
+        (
+            F.coalesce(1.0 / (_RRF_C + F.col("rank_b")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_C + F.col("rank_v")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("rank") <= _RRF_K)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            F.col("rank_b").cast("long").alias("rank_b"),
+            F.col("rank_v").cast("long").alias("rank_v"),
+            "rrf",
+        )
     )
