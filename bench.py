@@ -61,6 +61,7 @@ HEADLINE = [
     "sq8_quantize_search",
     "cdc_apply_changes",
     "chunk_documents_overlap",
+    "hybrid_search_rrf",
 ]
 
 

@@ -1,11 +1,20 @@
 """Round-2 corpus/lakehouse operator batteries (charter extensions).
 
-RAG-prep chunking, sparse TF-IDF similarity (the inverted-index
-complement to the dense ANN ladder), near-dup cluster representative
-selection (what a production dedup actually keeps), CDC ordered-upsert
-apply, last-touch attribution, equi-width histograms, bloom-filter
-membership, scalar (SQ8) vector quantization, and broadcast geo
-nearest-neighbor assignment.
+RAG & retrieval: chunking with overlap, sparse TF-IDF top-k, c-TF-IDF
+keywords, filtered ANN routing, hybrid BM25⊕vector RRF fusion, SQ8
+scalar quantization. Dedup keep-side: cluster representative
+selection, mergeable MinHash signatures, LSH recall audit, URL
+canonicalization keys, SymSpell fuzzy join. Lakehouse: CDC apply,
+incremental view maintenance, SCD2 point-in-time join, exact-quota
+sampling, corrupt-record quarantine, global row ordinals. Analytics &
+monitoring: CUSUM changepoint, seasonal decomposition, dyadic EWMA,
+equi-width/equi-depth histograms, Pareto frontier, last-touch
+attribution, robust median/IQR stats. Governance & sketches:
+relational bloom filter and Count-Min sketch (deterministic hashing →
+the oracle reproduces exact error), l-diversity, domain policy gate,
+feature hashing. Connectors: Spark 4 streaming Python DataSource,
+SQL pipe syntax. Capstone: the corpus-prep funnel fused with chunk &
+shard capacity accounting.
 
 Same determinism rules as the rest of the registry: integer/decimal
 arithmetic across every aggregation boundary, IEEE-correctly-rounded
