@@ -766,3 +766,49 @@ def test_hybrid_rrf_rank_arithmetic(spark, sf_dir):
     # comparable ranks; at minimum the fused list mixes both channels
     assert any(r.rank_b is not None for r in rows)
     assert any(r.rank_v is not None for r in rows)
+
+
+def test_lift_bounds_and_support(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        term_cooccurrence_lift,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    rows = term_cooccurrence_lift(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.term_a < r.term_b
+        assert r.c_ab * 20 >= n_docs  # relative support floor
+        assert n_docs <= r.df_a * 20 and r.df_a * 20 <= 19 * n_docs
+        assert n_docs <= r.df_b * 20 and r.df_b * 20 <= 19 * n_docs
+        assert r.c_ab <= min(r.df_a, r.df_b)  # pairs can't exceed either df
+        assert r.lift > 0
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_ks_matches_brute_force(spark, sf_dir):
+    import numpy as np
+
+    from weather_analysis_bigdata__spark.queries_round2 import ks_two_sample_doclen
+    from weather_analysis_bigdata__spark.functions.textops import tokens
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    r = ks_two_sample_doclen(spark, sf_dir).collect()[0]
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(tokens("text")).alias("n"))
+        .collect()
+    )
+    a = sorted(x.n for x in d if x.doc_id % 2 == 0)
+    b = sorted(x.n for x in d if x.doc_id % 2 != 0)
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    support = sorted(set(a) | set(b))
+    best = 0
+    for v in support:
+        ca = np.searchsorted(a, v, side="right")
+        cb = np.searchsorted(b, v, side="right")
+        best = max(best, abs(int(ca) * len(b) - int(cb) * len(a)))
+    assert r.ks_numer == best
+    assert r.ks_stat == best / (len(a) * len(b))

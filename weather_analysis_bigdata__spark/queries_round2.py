@@ -2907,3 +2907,196 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rrf",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: co-occurrence lift (PMI's exact-rational core)
+# ---------------------------------------------------------------------------
+#: Corpus-RELATIVE dials (×20 integer arithmetic ≡ fractions of n_docs):
+#: keep terms in ≥5% and ≤95% of docs; pair support ≥5% of docs. Fixed
+#: absolute thresholds would silently go vacuous when the scale factor
+#: changes — relative ones track the corpus.
+_LIFT_TOPN = 15
+
+
+@register(
+    "term_cooccurrence_lift",
+    oracle=f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, unnest({SQL_TOKENS.format(c='text')}) AS term
+        FROM documents
+      )
+    ),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM dt),
+    dfreq AS (
+      SELECT term, COUNT(*) AS df FROM dt GROUP BY term
+      HAVING COUNT(*) * 20 >= (SELECT n_docs FROM nd)
+         AND COUNT(*) * 20 <= 19 * (SELECT n_docs FROM nd)
+    ),
+    keep AS (SELECT dt.doc_id, dt.term FROM dt JOIN dfreq USING (term)),
+    pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS c_ab
+      FROM keep a JOIN keep b
+        ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2
+      HAVING COUNT(*) * 20 >= (SELECT n_docs FROM nd)
+    )
+    SELECT term_a, term_b,
+           CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(da.df AS BIGINT) AS df_a,
+           CAST(db.df AS BIGINT) AS df_b,
+           CAST(c_ab * (SELECT n_docs FROM nd) AS DOUBLE)
+             / (da.df * db.df) AS lift
+    FROM pairs
+    JOIN dfreq da ON term_a = da.term
+    JOIN dfreq db ON term_b = db.term
+    ORDER BY lift DESC, term_a ASC, term_b ASC
+    LIMIT {_LIFT_TOPN}
+    """,
+    doc="Collocation mining by co-occurrence LIFT — PMI's core "
+    "association ratio N·c(a,b)/(c(a)·c(b)) kept as an exact rational "
+    "(PMI itself just wraps it in a log, which adds a transcendental "
+    "and changes no ranking): document-level term pairs via the "
+    "inverted-index self-join, vocabulary bounded on BOTH ends with "
+    "corpus-RELATIVE dials (df in [5%, 95%] of n_docs, pair support "
+    "≥5% — ×20 integer arithmetic, no floats; absolute thresholds "
+    "would go silently vacuous at a different scale factor, the "
+    "upper bound is the posting-list quadratic-term discipline every "
+    "pair-join in this repo applies), fully tie-broken top-N. "
+    "Lift > 1 means terms attract — the phrase-detection / stop-pair "
+    "signal a tokenizer-training corpus survey wants. One shuffle on "
+    "term, one on the pair key, both df-bounded.",
+)
+def term_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select("doc_id", F.explode(tokens("text")).alias("term")).distinct()
+    nd = dt.agg(F.countDistinct("doc_id").alias("n_docs"))
+    dfreq = (
+        dt.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .filter(
+            (F.col("df") * 20 >= F.col("n_docs"))
+            & (F.col("df") * 20 <= 19 * F.col("n_docs"))
+        )
+        .select("term", "df")
+    )
+    keep = dt.join(dfreq.select("term"), "term")
+    pairs = (
+        keep.alias("a")
+        .join(
+            keep.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .crossJoin(F.broadcast(nd.select(F.col("n_docs").alias("nd2"))))
+        .filter(F.col("c_ab") * 20 >= F.col("nd2"))
+        .select("term_a", "term_b", "c_ab")
+    )
+    da = dfreq.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    db = dfreq.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(da), "term_a")
+        .join(F.broadcast(db), "term_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "term_a",
+            "term_b",
+            "c_ab",
+            F.col("df_a").cast("long").alias("df_a"),
+            F.col("df_b").cast("long").alias("df_b"),
+            (
+                (F.col("c_ab") * F.col("n_docs")).cast("double")
+                / (F.col("df_a") * F.col("df_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("term_a").asc(), F.col("term_b").asc())
+        .limit(_LIFT_TOPN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov distance, integer-exact
+# ---------------------------------------------------------------------------
+@register(
+    "ks_two_sample_doclen",
+    oracle=f"""
+    WITH s AS (
+      SELECT len({SQL_TOKENS.format(c='text')}) AS n_tokens,
+             (doc_id % 2 = 0) AS grp_a
+      FROM documents
+    ),
+    counts AS (
+      SELECT n_tokens,
+             SUM(CASE WHEN grp_a THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN grp_a THEN 0 ELSE 1 END) AS cb
+      FROM s GROUP BY n_tokens
+    ),
+    tot AS (
+      SELECT SUM(ca) AS na, SUM(cb) AS nb FROM counts
+    ),
+    cum AS (
+      SELECT n_tokens,
+             SUM(ca) OVER (ORDER BY n_tokens) AS cca,
+             SUM(cb) OVER (ORDER BY n_tokens) AS ccb
+      FROM counts
+    )
+    SELECT CAST((SELECT na FROM tot) AS BIGINT) AS n_a,
+           CAST((SELECT nb FROM tot) AS BIGINT) AS n_b,
+           CAST((SELECT MAX(abs(cca * nb - ccb * na)) FROM cum, tot)
+                AS BIGINT) AS ks_numer,
+           CAST((SELECT MAX(abs(cca * nb - ccb * na)) FROM cum, tot)
+                AS DOUBLE)
+             / ((SELECT na FROM tot) * (SELECT nb FROM tot)) AS ks_stat
+    """,
+    doc="Two-sample Kolmogorov-Smirnov distance between the document-"
+    "length distributions of two corpus halves — the DISTRIBUTION-"
+    "level drift test completing the monitoring trio (drift_tvd = "
+    "binned distance over fixed periods, cusum = WHEN the mean "
+    "shifted, KS = strongest evidence of any distributional "
+    "difference, bin-free): sup|ECDF_a − ECDF_b| computed as the "
+    "integer max |cumA·N_b − cumB·N_a| over the merged support — "
+    "numerator exact, one final division. Shape: raw docs reduce to "
+    "O(distinct lengths) counts in one aggregate; the cumulative "
+    "window runs over that reduction — same mergeable-histogram "
+    "economics as every monitor here.",
+)
+def ks_two_sample_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        F.size(tokens("text")).alias("n_tokens"),
+        (F.col("doc_id") % 2 == 0).alias("grp_a"),
+    )
+    counts = d.groupBy("n_tokens").agg(
+        F.sum(F.when(F.col("grp_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("grp_a"), 0).otherwise(1)).alias("cb"),
+    )
+    tot = counts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    wcum = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        F.sum("ca").over(wcum).alias("cca"),
+        F.sum("cb").over(wcum).alias("ccb"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "na",
+            "nb",
+            F.abs(F.col("cca") * F.col("nb") - F.col("ccb") * F.col("na")).alias(
+                "dev"
+            ),
+        )
+        .groupBy("na", "nb")
+        .agg(F.max("dev").alias("ks_numer"))
+        .select(
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.col("ks_numer").cast("long").alias("ks_numer"),
+            (
+                F.col("ks_numer").cast("double")
+                / (F.col("na") * F.col("nb")).cast("double")
+            ).alias("ks_stat"),
+        )
+    )
