@@ -812,3 +812,60 @@ def test_ks_matches_brute_force(spark, sf_dir):
         best = max(best, abs(int(ca) * len(b) - int(cb) * len(a)))
     assert r.ks_numer == best
     assert r.ks_stat == best / (len(a) * len(b))
+
+
+def test_group_kfold_no_user_straddles_folds(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        _KFOLD,
+        group_kfold_assignment,
+    )
+    from weather_analysis_bigdata__spark.functions.textops import (
+        hex15_to_long,
+        md5s,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    rows = group_kfold_assignment(spark, sf_dir).collect()
+    assert {r.fold for r in rows} <= set(range(_KFOLD))
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r.n_events for r in rows) == ev.count()
+    # user→fold is a function: per-user distinct fold count is 1
+    per_user = (
+        ev.select(
+            "user_id",
+            (
+                hex15_to_long(
+                    md5s(F.concat(F.lit("fold:"), F.col("user_id").cast("string")))
+                )
+                % _KFOLD
+            ).alias("fold"),
+        )
+        .groupBy("user_id")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .agg(F.max("nf").alias("m"))
+        .collect()[0]
+    )
+    assert per_user.m == 1
+    assert sum(r.n_users for r in rows) == ev.select("user_id").distinct().count()
+
+
+def test_nested_rollup_matches_flat(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import nested_items_rollup
+    from weather_analysis_bigdata__spark.functions.deterministic import dec
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    nested = {r.l_orderkey: r for r in nested_items_rollup(spark, sf_dir).collect()}
+    flat = {
+        r.l_orderkey: r
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("total"),
+        )
+        .collect()
+    }
+    assert set(nested) == set(flat)
+    for k, r in nested.items():
+        assert r.n_items == flat[k].n_items
+        assert r.order_total == flat[k].total

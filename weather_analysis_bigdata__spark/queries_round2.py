@@ -3100,3 +3100,142 @@ def ks_two_sample_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_stat"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-level k-fold assignment (leakage-safe cross-validation)
+# ---------------------------------------------------------------------------
+_KFOLD = 5
+
+
+@register(
+    "group_kfold_assignment",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             {sql_hex15_to_long("md5('fold:' || CAST(user_id AS VARCHAR))")}
+               % {_KFOLD} AS fold
+      FROM events
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases
+    FROM ev GROUP BY fold
+    """,
+    doc="GROUP k-fold assignment — the leakage-correct form of "
+    "cross-validation splitting: the fold is a salted hash of the "
+    "GROUP key (user_id), so every event of a user lands in the same "
+    "fold and no user straddles train/eval (row-level splitting — "
+    "train_val_test_split's per-doc hash — would leak user behavior "
+    "across folds for grouped data). The same property that makes "
+    "the split repartition-invariant and incrementally stable: new "
+    "events of a known user join their existing fold with no state "
+    "lookup, a pure function of the key — O(0) coordination at "
+    "100 TB. Output is the per-fold audit (events, users, positive-"
+    "class counts) a CV harness checks for balance before training; "
+    "tests additionally pin that no user appears in two folds.",
+)
+def group_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    fold = (
+        hex15_to_long(
+            md5s(F.concat(F.lit("fold:"), F.col("user_id").cast("string")))
+        )
+        % _KFOLD
+    )
+    return (
+        ev.select("event_id", "user_id", "event_type", fold.alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_purchases"),
+        )
+        .select(F.col("fold").cast("long").alias("fold"), "n_events", "n_users", "n_purchases")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nested array-of-struct rollup (denormalized processing, shuffle-once)
+# ---------------------------------------------------------------------------
+@register(
+    "nested_items_rollup",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(MAX(l_linenumber) AS BIGINT) AS max_lineno,
+           CAST(SUM({sql_dec('l_extendedprice')}) AS DOUBLE) AS order_total,
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_discounted,
+           md5(string_agg(CAST(l_linenumber AS VARCHAR) || ':'
+                          || CAST(CAST({sql_dec('l_extendedprice')} * 100
+                                       AS BIGINT) AS VARCHAR), ','
+                          ORDER BY l_linenumber,
+                                   {sql_dec('l_extendedprice')},
+                                   l_discount)) AS items_md5
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    doc="Denormalized (nested array-of-struct) processing — the "
+    "parquet-native shape 100 TB fact data increasingly ships in "
+    "(one row per order, items nested): lineitems are packed into a "
+    "line-number-sorted array<struct> with collect_list + array_sort "
+    "(ONE shuffle on the order key — collect_list order is "
+    "partition-nondeterministic, array_sort restores a canonical "
+    "FULL-STRUCT lexicographic order — the synthetic data has "
+    "duplicate line numbers, so the tie-break through price and "
+    "discount is load-bearing — which the items_md5 over the "
+    "serialized array proves bit-stable), and every per-order "
+    "statistic is then computed "
+    "INSIDE the array with higher-order functions (size/aggregate/"
+    "filter) — zero further shuffles, the whole point of nesting: "
+    "once co-located, per-entity analytics are row-local forever. "
+    "Oracle = the flat GROUP BY equivalent with a string_agg "
+    "fingerprint of the ordered items.",
+)
+def nested_items_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.struct(
+            F.col("l_linenumber").alias("lineno"),
+            dec("l_extendedprice").alias("price"),
+            F.col("l_discount").alias("discount"),
+        ).alias("item"),
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("item")).alias("items")
+    )
+    items = F.col("items")
+    price_sum = F.aggregate(
+        items,
+        F.lit("0.00").cast("decimal(28,2)"),
+        # decimal addition widens (28,2)+(18,2)→(29,2); fold state must
+        # keep its declared type, and (28,2) has ample headroom here
+        lambda acc, x: (acc + x["price"]).cast("decimal(28,2)"),
+    )
+    return nested.select(
+        "l_orderkey",
+        F.size(items).cast("long").alias("n_items"),
+        F.element_at(items, -1)["lineno"].cast("long").alias("max_lineno"),
+        price_sum.cast("double").alias("order_total"),
+        F.size(F.filter(items, lambda x: x["discount"] > 0.05))
+        .cast("long")
+        .alias("n_discounted"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    items,
+                    lambda x: F.concat(
+                        x["lineno"].cast("string"),
+                        F.lit(":"),
+                        (x["price"] * 100).cast("long").cast("string"),
+                    ),
+                ),
+            ).cast("binary")
+        ).alias("items_md5"),
+    )
