@@ -869,3 +869,49 @@ def test_nested_rollup_matches_flat(spark, sf_dir):
     for k, r in nested.items():
         assert r.n_items == flat[k].n_items
         assert r.order_total == flat[k].total
+
+
+def test_entity_resolution_links_corrupted_to_origin(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        entity_resolution_components,
+    )
+
+    rows = entity_resolution_components(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.canonical_record == r.entity_id  # min-id survivorship
+        assert 0 <= r.n_corrupted <= r.n_records
+        assert r.n_records >= 2  # components only form from edges
+    # every corrupted record resolved into some entity with an original
+    assert any(r.n_corrupted > 0 and r.n_records > r.n_corrupted for r in rows)
+
+
+def test_linear_attribution_credit_conserves_value(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        attribution_linear_multi_touch,
+    )
+
+    rows = attribution_linear_multi_touch(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.n_prior_clicks == 0:
+            assert r.credit_per_click is None
+        else:
+            assert r.credit_per_click >= 0
+    assert any(r.n_prior_clicks > 0 for r in rows)
+    assert any(r.n_prior_clicks == 0 for r in rows)
+
+
+def test_calibration_deciles_partition_events(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import calibration_by_decile
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    rows = sorted(calibration_by_decile(spark, sf_dir).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert sum(r.n for r in rows) == load_table(spark, sf_dir, "events").count()
+    for r in rows:
+        assert 0.0 <= r.purchase_rate <= 1.0
+        assert r.n_purchases <= r.n
+        assert r.lo_cents <= r.hi_cents
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi_cents <= b.lo_cents

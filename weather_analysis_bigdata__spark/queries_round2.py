@@ -3239,3 +3239,211 @@ def nested_items_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("binary")
         ).alias("items_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution capstone: fuzzy edges → components → canonical record
+# ---------------------------------------------------------------------------
+def _er_oracle() -> str:
+    # Embed the registered fuzzy-join oracle as the edge generator, so
+    # the resolution stage can never diverge from the matcher it
+    # consumes (same discipline as lsh_recall_audit).
+    from weather_analysis_bigdata__spark.registry import _REGISTRY
+
+    fuzzy_sql = _REGISTRY["fuzzy_join_deletion_neighborhood"].oracle
+    return f"""
+    WITH RECURSIVE fuzzy AS (
+      SELECT query_id, s_suppkey FROM ({fuzzy_sql})
+    ),
+    edges AS (
+      SELECT query_id AS u, s_suppkey AS v FROM fuzzy
+    ),
+    sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+    reach(src, dst) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT r.src, s.v FROM reach r JOIN sym s ON r.dst = s.u
+    ),
+    comp AS (
+      SELECT src AS record_id, MIN(dst) AS entity_id
+      FROM reach GROUP BY src
+    )
+    SELECT entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(CASE WHEN record_id >= 500000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupted,
+           CAST(MIN(record_id) AS BIGINT) AS canonical_record
+    FROM comp
+    GROUP BY entity_id
+    """
+
+
+@register(
+    "entity_resolution_components",
+    oracle=_er_oracle(),
+    doc="Entity resolution END-TO-END: the deletion-neighborhood fuzzy "
+    "matcher (its registered oracle embedded verbatim as the edge "
+    "source) feeds connected components, collapsing records linked by "
+    "ANY chain of edit-distance-1 matches into one entity — the "
+    "record-linkage shape (match → cluster → survivorship) behind "
+    "every customer-360/master-data build, and the record-level "
+    "sibling of dedup_cluster_representative's text clusters. "
+    "Transitivity is the point AND the hazard: sibling supplier names "
+    "one digit apart chain corrupted queries and originals into "
+    "shared entities, which is exactly what the n_records/n_corrupted "
+    "profile makes visible (threshold tightening = fewer chains). "
+    "Canonical record = min id (survivorship rule made explicit). "
+    "Oracle: recursive-CTE reachability over the embedded matcher "
+    "SQL.",
+)
+def entity_resolution_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.operators.components import (
+        connected_components,
+    )
+
+    edges = fuzzy_join_deletion_neighborhood(spark, sf_dir).select(
+        F.col("query_id").alias("u"), F.col("s_suppkey").alias("v")
+    )
+    comp = connected_components(edges)
+    return (
+        comp.groupBy(F.col("comp").alias("entity_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum(F.when(F.col("node") >= _FUZZY_QID_SHIFT, 1).otherwise(0))
+            .cast("long")
+            .alias("n_corrupted"),
+            F.min("node").alias("canonical_record"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear (multi-touch) attribution — credit split across all prior clicks
+# ---------------------------------------------------------------------------
+@register(
+    "attribution_linear_multi_touch",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, ts, user_id, event_type, value,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS n_prior_clicks
+      FROM events
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CAST(COALESCE(n_prior_clicks, 0) AS BIGINT) AS n_prior_clicks,
+           CASE WHEN COALESCE(n_prior_clicks, 0) > 0
+                THEN CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE)
+                     / n_prior_clicks
+                ELSE NULL END AS credit_per_click
+    FROM w WHERE event_type = 'purchase'
+    """,
+    doc="LINEAR multi-touch attribution — the each-touch-counts "
+    "counterpart to attribution_last_touch: every purchase splits its "
+    "value equally across ALL the user's strictly-prior clicks (a "
+    "running conditional count window — no click list materialized, "
+    "no join), purchases with no prior click stay organic (NULL "
+    "credit). The per-click credit is the purchase value (exact "
+    "decimal) over an integer count — one IEEE division, identical "
+    "both engines. Same single user-shuffle plan as last-touch; the "
+    "two queries together are the attribution-model A/B every "
+    "marketing warehouse runs, and the fan-out to per-click credit "
+    "rows (×n_prior_clicks) is deliberately NOT materialized — at "
+    "100 TB you carry the count, not the exploded credit table.",
+)
+def attribution_linear_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_prior = F.sum(
+        F.when(F.col("event_type") == "click", 1).otherwise(0)
+    ).over(w)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.coalesce(n_prior, F.lit(0)).alias("n_prior_clicks"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("n_prior_clicks").cast("long").alias("n_prior_clicks"),
+            F.when(
+                F.col("n_prior_clicks") > 0,
+                dec("value").cast("double") / F.col("n_prior_clicks"),
+            ).alias("credit_per_click"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calibration curve by value decile (equi-depth buckets × outcome rate)
+# ---------------------------------------------------------------------------
+@register(
+    "calibration_by_decile",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_id, value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase,
+             ntile(10) OVER (ORDER BY {sql_dec('value')} ASC, event_id ASC)
+               AS decile
+      FROM events
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(is_purchase) AS BIGINT) AS n_purchases,
+           CAST(SUM(is_purchase) AS DOUBLE) / COUNT(*) AS purchase_rate,
+           CAST(MIN({sql_dec('value')} * 100) AS BIGINT) AS lo_cents,
+           CAST(MAX({sql_dec('value')} * 100) AS BIGINT) AS hi_cents
+    FROM t GROUP BY decile
+    """,
+    doc="Calibration/monotonicity curve: events bucketed into value "
+    "deciles (fully tie-broken equi-depth ntile, exact integer-cents "
+    "edges) × the purchase-outcome rate per bucket — the table every "
+    "score-calibration check reads (is the outcome rate monotone in "
+    "the score? is decile 10 actually converting?). Rates are exact "
+    "integer÷integer divisions. This composes equi_depth_bins' "
+    "bucketing with conditional aggregation in ONE window + ONE "
+    "group-by; at 100 TB the decile boundaries come from "
+    "approx_percentile and the rest of the plan is unchanged — the "
+    "exact form is the yardstick, same argument as "
+    "robust_scale_stats.",
+)
+def calibration_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        dec("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "is_purchase"
+        ),
+    )
+    w = Window.orderBy(F.col("v").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_purchase").cast("long").alias("n_purchases"),
+            (
+                F.sum("is_purchase").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("purchase_rate"),
+            F.min(F.col("v") * 100).cast("long").alias("lo_cents"),
+            F.max(F.col("v") * 100).cast("long").alias("hi_cents"),
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n",
+            "n_purchases",
+            "purchase_rate",
+            "lo_cents",
+            "hi_cents",
+        )
+    )
