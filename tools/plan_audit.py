@@ -102,6 +102,14 @@ KNOWN_EXCEPTIONS = {
     "(O(keys)) and md5 position sets (O(build·k) ≈ 900 rows), all "
     "joined via broadcast; the only fact-scale work is the two "
     "distinct-key reductions",
+    "hybrid_search_rrf": "the RRF fuse is a full-outer join of two "
+    "O(k)=10-row rank lists (full outer cannot broadcast) — the SMJ "
+    "sorts 20 rows; both rank subplans are the already-audited BM25 "
+    "and exact-cosine top-k shapes",
+    "term_cooccurrence_lift": "inverted-index pair self-join — the "
+    "posting table (window-df form, single lineage) is planned once "
+    "per join side like every jaccard-family pipeline here; exchanges "
+    "carry df-bounded postings and pair aggregates",
     "ctfidf_top_terms_per_source": "after the one token-explode "
     "reduction, every exchange (term-window df, source-window top-N, "
     "scalar n_sources) carries the O(sources×vocab) class-aggregated "
@@ -149,6 +157,8 @@ REVIEWED_FLAGS = {
     "bloom_filter_membership": {"XCHG"},
     "dedup_semantic_clustered": {"XCHG"},
     "ctfidf_top_terms_per_source": {"XCHG"},
+    "hybrid_search_rrf": {"SORTMERGE"},
+    "term_cooccurrence_lift": {"XCHG"},
     "lsh_recall_audit": {"XCHG", "SORTMERGE"},
     "global_row_ordinals": {"XCHG"},
 }
