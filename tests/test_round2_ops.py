@@ -915,3 +915,69 @@ def test_calibration_deciles_partition_events(spark, sf_dir):
         assert r.lo_cents <= r.hi_cents
     for a, b in zip(rows, rows[1:]):
         assert a.hi_cents <= b.lo_cents
+
+
+def test_percentiles_are_observed_values_in_order(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        latency_percentiles_exact,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    rows = latency_percentiles_exact(spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    for r in rows:
+        assert r.p50_cents <= r.p95_cents <= r.p99_cents
+        observed = {
+            int(round(x.value * 100))
+            for x in ev.filter(F.col("event_type") == r.event_type).collect()
+        }
+        for p in (r.p50_cents, r.p95_cents, r.p99_cents):
+            assert p in observed  # nearest-rank: actual values, never interpolated
+
+
+def test_cohort_ltv_cumulative_monotone(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import cohort_ltv_curve
+
+    rows = cohort_ltv_curve(spark, sf_dir).collect()
+    assert rows
+    by_cohort: dict[str, list] = {}
+    for r in rows:
+        assert r.week_n >= 0
+        assert r.wk_value >= 0
+        by_cohort.setdefault(r.cohort, []).append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.week_n)
+        cum = 0.0
+        for r in rs:
+            assert r.cum_value >= cum - 1e-9
+            cum = r.cum_value
+        assert abs(cum - sum(r.wk_value for r in rs)) < 1e-6
+
+
+def test_interval_union_brute_force(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        _COV_WINDOW_MIN,
+        interval_union_coverage,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    got = {r.user_id: r for r in interval_union_coverage(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts").collect()
+    win = _COV_WINDOW_MIN * 60 * 1_000_000
+    by_user: dict[int, list] = {}
+    for e in ev:
+        us = int(e.ts.timestamp() * 1_000_000)
+        by_user.setdefault(e.user_id, []).append((us, us + win))
+    assert set(got) == set(by_user)
+    for u, ivs in by_user.items():
+        ivs.sort()
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        r = got[u]
+        assert r.n_islands == len(merged)
+        assert r.covered_us == sum(e - s for s, e in merged)

@@ -3448,3 +3448,240 @@ def calibration_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hi_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact p50/p95/p99 SLA report per group (order statistics by rank)
+# ---------------------------------------------------------------------------
+@register(
+    "latency_percentiles_exact",
+    oracle="""
+    WITH r AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN cents END) AS BIGINT)
+             AS p50_cents,
+           CAST(MAX(CASE WHEN rk = (19 * n + 19) // 20 THEN cents END)
+                AS BIGINT) AS p95_cents,
+           CAST(MAX(CASE WHEN rk = (99 * n + 99) // 100 THEN cents END)
+                AS BIGINT) AS p99_cents
+    FROM r GROUP BY event_type
+    """,
+    doc="Exact p50/p95/p99 per group — the SLA/latency report shape — "
+    "as ORDER STATISTICS from fully tie-broken ranks (nearest-rank "
+    "definition ⌈q·n⌉ in pure integer arithmetic, values in exact "
+    "cents): no interpolation, no float percentile estimator, so both "
+    "engines agree bit-for-bit and p99 is an actual observed value "
+    "(what an SLA report must show — an interpolated p99 names a "
+    "latency nobody experienced). One window + one group-by per "
+    "group key; at 100 TB the tail percentiles come from "
+    "approx_percentile with this exact form as the yardstick, and "
+    "the nearest-rank semantics transfer unchanged.",
+)
+def latency_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.col("value").alias("v"),
+        (dec("value") * 100).cast("long").alias("cents"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("v", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def at(expr: str) -> F.Column:
+        return F.max(F.when(F.col("rk") == F.expr(expr), F.col("cents")))
+
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        at("(n + 1) DIV 2").cast("long").alias("p50_cents"),
+        at("(19 * n + 19) DIV 20").cast("long").alias("p95_cents"),
+        at("(99 * n + 99) DIV 100").cast("long").alias("p99_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve (signup cohort × weeks-since, cumulative value)
+# ---------------------------------------------------------------------------
+@register(
+    "cohort_ltv_curve",
+    oracle=f"""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    purchases AS (
+      SELECT e.user_id, f.cohort_day,
+             (CAST(e.ts AS DATE) - f.cohort_day) // 7 AS week_n,
+             {sql_dec('e.value')} AS v
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+    ),
+    weekly AS (
+      SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort, week_n,
+             SUM(v) AS wk_value, COUNT(*) AS wk_purchases
+      FROM purchases GROUP BY 1, 2
+    )
+    SELECT cohort,
+           CAST(week_n AS BIGINT) AS week_n,
+           CAST(wk_purchases AS BIGINT) AS wk_purchases,
+           CAST(wk_value AS DOUBLE) AS wk_value,
+           CAST(SUM(wk_value) OVER (PARTITION BY cohort ORDER BY week_n)
+                AS DOUBLE) AS cum_value
+    FROM weekly
+    """,
+    doc="Cohort LTV curve — cohort_retention's revenue sibling and the "
+    "curve every acquisition-spend decision reads: users cohorted by "
+    "first-seen day, purchase value bucketed into integer weeks-since-"
+    "signup, and the cumulative value per cohort emitted as a running "
+    "DECIMAL window sum (order-independent partials; the cumulative "
+    "is exact because the weekly sums are). Two shuffles (first-seen "
+    "per user, cohort×week rollup) + one small ordered window over "
+    "the O(cohorts×weeks) reduction. The first-seen aggregate is the "
+    "same mergeable-min state the streaming sessionizer keeps, so "
+    "the curve maintains incrementally at 100 TB.",
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_day")) / 7
+            )
+            .cast("long")
+            .alias("week_n"),
+            dec("value").alias("v"),
+        )
+    )
+    weekly = purchases.groupBy("cohort", "week_n").agg(
+        F.sum("v").alias("wk_value_dec"),
+        F.count(F.lit(1)).alias("wk_purchases"),
+    )
+    wcum = (
+        Window.partitionBy("cohort")
+        .orderBy("week_n")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return weekly.select(
+        "cohort",
+        "week_n",
+        "wk_purchases",
+        F.col("wk_value_dec").cast("double").alias("wk_value"),
+        F.sum("wk_value_dec").over(wcum).cast("double").alias("cum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-union coverage (merge overlapping intervals, exact sweep)
+# ---------------------------------------------------------------------------
+_COV_WINDOW_MIN = 30
+
+
+@register(
+    "interval_union_coverage",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + {_COV_WINDOW_MIN} * 60 * 1000000 AS e
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id
+                                   ORDER BY s, e) AS island
+      FROM marked
+    ),
+    merged AS (
+      SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(me - ms) AS BIGINT) AS covered_us,
+           CAST(MIN(ms) AS BIGINT) AS first_start_us,
+           CAST(MAX(me) AS BIGINT) AS last_end_us
+    FROM merged GROUP BY user_id
+    """,
+    doc="Interval-union coverage — merge overlapping per-event "
+    f"[ts, ts+{_COV_WINDOW_MIN}min) activity windows and measure the "
+    "TOTAL covered time per user, the classic sweep-line problem "
+    "(billing for concurrent sessions, sensor uptime, dedup of "
+    "overlapping speech segments): an interval starts a new island "
+    "iff its start exceeds the running MAX of all previous ends "
+    "(not lag(e) — an earlier long interval can swallow several "
+    "later ones), islands labeled by the cumulative new-island "
+    "count, then one group-by merges each island. Everything is "
+    "exact integer epoch-microseconds; covered_us ≤ n·window with "
+    "equality iff no overlaps (tested). One user-partition window "
+    "chain = one shuffle; islands merge per partition at any "
+    "scale.",
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + _COV_WINDOW_MIN * 60 * 1_000_000).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max_e = F.max("e").over(wprev)
+    marked = ev.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = marked.select(
+        "user_id", "s", "e", F.sum("new_island").over(wcum).alias("island")
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("me") - F.col("ms")).cast("long").alias("covered_us"),
+        F.min("ms").cast("long").alias("first_start_us"),
+        F.max("me").cast("long").alias("last_end_us"),
+    )
