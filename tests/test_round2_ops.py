@@ -981,3 +981,65 @@ def test_interval_union_brute_force(spark, sf_dir):
         r = got[u]
         assert r.n_islands == len(merged)
         assert r.covered_us == sum(e - s for s, e in merged)
+
+
+def test_incremental_dedup_counts_conserve(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        incremental_dedup_against_index,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    rows = incremental_dedup_against_index(spark, sf_dir).collect()
+    assert rows
+    n_odd = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 1)
+        .count()
+    )
+    assert sum(r.n_new for r in rows) == n_odd
+    for r in rows:
+        assert r.n_new == r.n_novel + r.n_already_seen
+
+
+def test_grouped_topk_aggregate_equals_window_form(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        _AGG_TOPK,
+        grouped_topk_aggregate_form,
+    )
+    from weather_analysis_bigdata__spark.functions.deterministic import dec
+    from weather_analysis_bigdata__spark.sources.files import load_table
+    from pyspark.sql import Window
+
+    agg_form = {
+        (r.o_custkey, r.rk, r.o_orderkey, r.price_cents)
+        for r in grouped_topk_aggregate_form(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    win_form = {
+        (r.o_custkey, r.rk, r.o_orderkey, r.price_cents)
+        for r in o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _AGG_TOPK)
+        .select(
+            "o_custkey",
+            F.col("rk").cast("long").alias("rk"),
+            "o_orderkey",
+            (dec("o_totalprice") * 100).cast("long").alias("price_cents"),
+        )
+        .collect()
+    }
+    assert agg_form == win_form
+
+
+def test_freshness_lag_flags(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import freshness_lag_report
+
+    rows = freshness_lag_report(spark, sf_dir).collect()
+    assert rows
+    head = max(r.high_watermark for r in rows)
+    assert any(r.lag_behind_head == 0 for r in rows)  # someone is the head
+    for r in rows:
+        assert r.lag_behind_head == head - r.high_watermark
+        assert r.stale_flag == (r.lag_behind_head * 10 > head)

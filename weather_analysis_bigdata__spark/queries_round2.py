@@ -3685,3 +3685,179 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ms").cast("long").alias("first_start_us"),
         F.max("me").cast("long").alias("last_end_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted fingerprint index
+# ---------------------------------------------------------------------------
+@register(
+    "incremental_dedup_against_index",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    index_half AS (
+      SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0
+    ),
+    new_batch AS (
+      SELECT doc_id, source, fp FROM fp WHERE doc_id % 2 = 1
+    )
+    SELECT n.source,
+           CAST(COUNT(*) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN i.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(SUM(CASE WHEN i.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_already_seen
+    FROM new_batch n LEFT JOIN index_half i ON n.fp = i.fp
+    GROUP BY n.source
+    """,
+    doc="INCREMENTAL exact dedup — the nightly shape: a new batch "
+    "(odd doc ids) is checked against the PERSISTED fingerprint index "
+    "of history (even ids) with one join on the 16-byte normalized-"
+    "text fingerprint, reporting novel vs already-seen per source — "
+    "no re-scan of history's text, ever; the index is the only state "
+    "and it grows by the novel set (same incremental-state story as "
+    "ivm_delta_agg for aggregates and minhash_signature_merge for "
+    "sketches, completing the trio for exact dedup). At 100 TB the "
+    "index side is a bucketed/bloom-fronted fingerprint table and "
+    "this join is the runtime-filtered probe tests/test_plans.py "
+    "pins; dedup_fingerprint_normalized is the from-scratch "
+    "equivalent this avoids.",
+)
+def incremental_dedup_against_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.textops import normalized_text
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", md5s(normalized_text("text")).alias("fp")
+    )
+    index_half = d.filter(F.col("doc_id") % 2 == 0).select("fp").distinct()
+    new_batch = d.filter(F.col("doc_id") % 2 == 1)
+    return (
+        new_batch.join(
+            index_half.withColumn("seen", F.lit(True)), "fp", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+            F.sum(F.when(F.col("seen").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_already_seen"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group top-k in AGGREGATE form (no window sort) ≡ the window form
+# ---------------------------------------------------------------------------
+_AGG_TOPK = 3
+
+
+@register(
+    "grouped_topk_aggregate_form",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders
+    )
+    SELECT o_custkey,
+           CAST(rk AS BIGINT) AS rk,
+           o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS price_cents
+    FROM ranked WHERE rk <= {_AGG_TOPK}
+    """,
+    doc=f"Per-group top-{_AGG_TOPK} computed in pure AGGREGATE form — "
+    "collect_list(struct) per group, array_sort, slice, posexplode — "
+    "hash-proven identical to the row_number-window form (the "
+    "oracle). Why it exists: the window form SORTS every group's "
+    "full row set after the shuffle, while the aggregate form can do "
+    "partial (map-side) aggregation and, with a bounded-insert "
+    "accumulator, caps state at k per group — for small k over "
+    "heavy-hitter groups this is the shape that survives skew "
+    "(Spark's own TakeOrdered is this idea globally). The sort key "
+    "is the full struct (price desc via negated cents, then "
+    "orderkey), so ties break identically to the window's ORDER "
+    "BY — the equivalence is exact, not statistical.",
+)
+def grouped_topk_aggregate_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        (dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    # array_sort on struct is ascending; negate cents for price DESC,
+    # keep orderkey ascending as the tiebreak.
+    item = F.struct(
+        (-F.col("cents")).alias("neg_cents"), F.col("o_orderkey").alias("okey")
+    )
+    topk = F.slice(
+        F.array_sort(F.collect_list(item)), 1, _AGG_TOPK
+    )
+    return (
+        o.groupBy("o_custkey")
+        .agg(topk.alias("top"))
+        .select("o_custkey", F.posexplode("top").alias("i", "t"))
+        .select(
+            "o_custkey",
+            (F.col("i") + 1).cast("long").alias("rk"),
+            F.col("t.okey").alias("o_orderkey"),
+            (-F.col("t.neg_cents")).cast("long").alias("price_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-freshness lag report (per-source watermark SLA)
+# ---------------------------------------------------------------------------
+@register(
+    "freshness_lag_report",
+    oracle="""
+    WITH per_src AS (
+      SELECT source, MAX(doc_id) AS max_id, COUNT(*) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    globo AS (SELECT MAX(max_id) AS global_max FROM per_src)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(max_id AS BIGINT) AS high_watermark,
+           CAST(global_max - max_id AS BIGINT) AS lag_behind_head,
+           (global_max - max_id) * 10 > global_max AS stale_flag
+    FROM per_src, globo
+    """,
+    doc="Per-source freshness/high-watermark report — the ingestion "
+    "SLA table every multi-source corpus build monitors: each "
+    "source's high watermark (max ingested id — the stand-in for "
+    "max event-time in the timestamped tables) against the global "
+    "head, with a >10%-behind staleness flag computed in integer "
+    "arithmetic. One mergeable max/count aggregate + a 1-row "
+    "broadcast — the cheapest query in the registry by design, "
+    "because freshness checks run every few minutes and must cost "
+    "nothing. The streaming twin of this table is what "
+    "watermark-policy decisions (streaming/__init__) read.",
+)
+def freshness_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_src = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.max("doc_id").alias("max_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+    globo = per_src.agg(F.max("max_id").alias("global_max"))
+    return per_src.crossJoin(F.broadcast(globo)).select(
+        "source",
+        "n_docs",
+        F.col("max_id").cast("long").alias("high_watermark"),
+        (F.col("global_max") - F.col("max_id")).cast("long").alias(
+            "lag_behind_head"
+        ),
+        (
+            (F.col("global_max") - F.col("max_id")) * 10 > F.col("global_max")
+        ).alias("stale_flag"),
+    )
