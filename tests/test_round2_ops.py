@@ -1043,3 +1043,37 @@ def test_freshness_lag_flags(spark, sf_dir):
     for r in rows:
         assert r.lag_behind_head == head - r.high_watermark
         assert r.stale_flag == (r.lag_behind_head * 10 > head)
+
+
+def test_embedding_profile_consistency(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import embedding_norm_profile
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    rows = embedding_norm_profile(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_vectors for r in rows)
+    assert total == load_table(spark, sf_dir, "embeddings").count()
+    for r in rows:
+        assert r.dim == 64
+        assert 0 <= r.min_nsq <= r.max_nsq
+        assert r.min_nsq <= r.mean_nsq <= r.max_nsq
+        assert r.n_degenerate == 0  # healthy corpus: no zero vectors
+
+
+def test_partition_manifests_compose_to_table_fingerprint(spark, sf_dir):
+    """Per-partition checksums are map-combinable: their composition
+    equals the whole-table fingerprint (sum mod-free add, xor of xors,
+    counts add)."""
+    from weather_analysis_bigdata__spark.queries_ops import table_fingerprint
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        partition_manifest_checksums,
+    )
+    from functools import reduce
+
+    parts = partition_manifest_checksums(spark, sf_dir).collect()
+    whole = table_fingerprint(spark, sf_dir).collect()[0]
+    assert sum(p.n_rows for p in parts) == whole.n_rows
+    assert sum(p.checksum_sum for p in parts) == whole.checksum_sum
+    assert reduce(lambda a, b: a ^ b, (p.checksum_xor for p in parts)) == (
+        whole.checksum_xor
+    )

@@ -3861,3 +3861,132 @@ def freshness_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("global_max") - F.col("max_id")) * 10 > F.col("global_max")
         ).alias("stale_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-quality profile (vector QA before indexing)
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_norm_profile",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, label,
+             CAST(list_sum(list_transform(generate_series(1, len(embedding)),
+               i -> CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,8))
+                         * 100000000 AS BIGINT)
+                    * CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,8))
+                           * 100000000 AS BIGINT))) AS HUGEINT) AS nsq,
+             len(embedding) AS dim,
+             len(list_filter(embedding, e -> e = 0)) AS n_zero
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MAX(dim) AS BIGINT) AS dim,
+           CAST(MIN(nsq) AS BIGINT) AS min_nsq,
+           CAST(MAX(nsq) AS BIGINT) AS max_nsq,
+           CAST(CAST(SUM(nsq) AS DECIMAL(38,0)) AS DOUBLE) / COUNT(*)
+             AS mean_nsq,
+           CAST(SUM(n_zero) AS BIGINT) AS n_zero_elems,
+           CAST(SUM(CASE WHEN nsq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_degenerate
+    FROM x GROUP BY label
+    """,
+    doc="Vector-QA profile — the pre-indexing gate every embedding "
+    "pipeline needs (a single all-zero vector poisons cosine math; "
+    "wildly varying norms mean someone forgot to normalize; a dim "
+    "mismatch means a model-version mix): per-label count, dimension, "
+    "exact integer min/max/mean of the squared norm over the repo's "
+    "10^8-scaled representation, zero-element tally, and a degenerate "
+    "(zero-vector) count the index build must reject. All reductions "
+    "are mergeable integer aggregates over one shuffle-free scan + "
+    "one label group-by — profiling 100 TB of embeddings costs one "
+    "pass, and the same per-partition partials feed incremental "
+    "monitoring. Complements table_profile_stats (relational "
+    "columns) with the array-typed column profile.",
+)
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.vectorops import scaled_vec
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.aggregate(
+            scaled_vec("embedding"),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, x: (acc + (x * x).cast("decimal(38,0)")).cast(
+                "decimal(38,0)"
+            ),
+        ).alias("nsq"),
+        F.size(F.filter("embedding", lambda v: v == 0)).alias("n_zero"),
+    )
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.max("dim").cast("long").alias("dim"),
+        F.min("nsq").cast("long").alias("min_nsq"),
+        F.max("nsq").cast("long").alias("max_nsq"),
+        (F.sum("nsq").cast("double") / F.count(F.lit(1))).alias("mean_nsq"),
+        F.sum("n_zero").cast("long").alias("n_zero_elems"),
+        F.sum(F.when(F.col("nsq") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_degenerate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partition write-audit manifest (per-partition counts + checksums)
+# ---------------------------------------------------------------------------
+@register(
+    "partition_manifest_checksums",
+    oracle=f"""
+    WITH h AS (
+      SELECT year(o_orderdate) AS year,
+             {{hex}} AS h
+      FROM (SELECT o_orderdate, md5(concat_ws('|',
+              CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+              o_orderstatus,
+              CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+              strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+              o_orderpriority)) AS d FROM orders)
+    )
+    SELECT CAST(year AS BIGINT) AS year,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(h % 1000000007) AS BIGINT) AS checksum_sum,
+           CAST(bit_xor(h) AS BIGINT) AS checksum_xor
+    FROM h GROUP BY year
+    """.replace("{hex}", "CAST((((((((((((((((0 * 16 + (strpos('0123456789abcdef', substr(d, 1, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(d, 2, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(d, 3, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(d, 4, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(d, 5, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(d, 6, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(d, 7, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(d, 8, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(d, 9, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(d, 10, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(d, 11, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(d, 12, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(d, 13, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(d, 14, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(d, 15, 1)) - 1)) AS BIGINT)"),
+    doc="Per-PARTITION write-audit manifest — table_fingerprint at the "
+    "unit writes actually commit in: for each year partition of "
+    "orders, the row count plus the order-independent modular-sum and "
+    "XOR of canonical row hashes. This is what a production writer "
+    "emits alongside partitionBy('year') output and what every "
+    "downstream consumer (replication, backfill, late-data repair) "
+    "compares INSTEAD of re-reading data: a diverged partition shows "
+    "up as one mismatched 24-byte manifest row, and "
+    "table_snapshot_diff then locates the rows. The checksums are "
+    "map-combinable per partition — the manifest falls out of the "
+    "write pass for free; DuckDB recomputes it independently, so the "
+    "oracle match is the cross-engine audit itself.",
+)
+def partition_manifest_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.col("o_orderpriority"),
+    )
+    h = hex15_to_long(md5s(canon))
+    return (
+        o.select(F.year("o_orderdate").alias("year"), h.alias("h"))
+        .groupBy("year")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("h") % 1000000007).cast("long").alias("checksum_sum"),
+            F.expr("bit_xor(h)").cast("long").alias("checksum_xor"),
+        )
+        .select(F.col("year").cast("long").alias("year"), "n_rows", "checksum_sum", "checksum_xor")
+    )
