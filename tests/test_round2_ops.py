@@ -1077,3 +1077,75 @@ def test_partition_manifests_compose_to_table_fingerprint(spark, sf_dir):
     assert reduce(lambda a, b: a ^ b, (p.checksum_xor for p in parts)) == (
         whole.checksum_xor
     )
+
+
+def test_erasure_cascade_complete_and_exact(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        right_to_erasure_cascade,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    rows = right_to_erasure_cascade(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r.n_events for r in rows) == ev.count()
+    n_flagged = ev.filter(F.col("user_id") % 97 == 0).count()
+    assert sum(r.n_erased for r in rows) == n_flagged
+    assert all(r.cascade_complete for r in rows)
+
+
+def test_bag_semantics_multiset_identity(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import bag_semantics_battery
+
+    r = bag_semantics_battery(spark, sf_dir).collect()[0]
+    assert r.multiset_identity
+    assert r.n_except_all_keys <= r.n_except_all
+    assert r.n_intersect_all <= min(r.n_a, r.n_b)
+
+
+def test_streaming_full_join_matches_batch_sides(spark, sf_dir):
+    """Stream full-outer ≡ batch full-outer on both unmatched sides."""
+    from weather_analysis_bigdata__spark.queries_streaming import (
+        streaming_interval_full_join_replay,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    got = {
+        r.user_id: r
+        for r in streaming_interval_full_join_replay(spark, sf_dir).collect()
+    }
+    assert got
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    j = clicks.join(
+        purchases,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 2 HOURS")),
+        "full_outer",
+    )
+    batch = {
+        r.user_id: r
+        for r in j.groupBy(
+            F.coalesce("cu", "pu").alias("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(F.when(F.col("pid").isNull(), F.col("cid"))).alias(
+                "uc"
+            ),
+            F.countDistinct(F.when(F.col("cid").isNull(), F.col("pid"))).alias(
+                "up"
+            ),
+        )
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for u, r in got.items():
+        assert r.n_rows == batch[u].n_rows
+        assert r.n_unmatched_clicks == batch[u].uc
+        assert r.n_unmatched_purchases == batch[u].up

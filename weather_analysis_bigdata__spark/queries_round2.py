@@ -3990,3 +3990,136 @@ def partition_manifest_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("year").cast("long").alias("year"), "n_rows", "checksum_sum", "checksum_xor")
     )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-erasure cascade (GDPR delete propagation with audit)
+# ---------------------------------------------------------------------------
+@register(
+    "right_to_erasure_cascade",
+    oracle="""
+    WITH flagged AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN f.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_erased,
+           CAST(SUM(CASE WHEN f.user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
+           SUM(CASE WHEN f.user_id IS NOT NULL THEN 1 ELSE 0 END)
+             + SUM(CASE WHEN f.user_id IS NULL THEN 1 ELSE 0 END)
+             = COUNT(*) AS cascade_complete
+    FROM events e LEFT JOIN flagged f ON e.user_id = f.user_id
+    GROUP BY e.event_type
+    """,
+    doc="Right-to-erasure (GDPR Art. 17) cascade with its audit: a "
+    "deletion-request set (users ≡0 mod 97 — the deterministic "
+    "stand-in for the request queue) propagates through the event "
+    "fact as ONE broadcast classification join, and the output is "
+    "the per-event-type erasure report (erased vs retained, "
+    "completeness invariant pinned) a compliance review signs off "
+    "on. The plan shape is the whole point at 100 TB: the request "
+    "set is always tiny → broadcast hash lookup at scan speed, the "
+    "retained side writes straight back out (dynamic partition "
+    "overwrite for the touched partitions — the op "
+    "dynamic_partition_overwrite already covers that half), and the "
+    "erased side's COUNT is the audit artifact regulators ask for. "
+    "Pairs with crawl_domain_policy_filter (pre-ingest exclusion) "
+    "as the post-hoc deletion counterpart.",
+)
+def right_to_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    flagged = (
+        ev.filter(F.col("user_id") % 97 == 0)
+        .select("user_id")
+        .distinct()
+        .withColumn("erase", F.lit(True))
+    )
+    return (
+        ev.join(F.broadcast(flagged), "user_id", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("erase").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_erased"),
+            F.sum(F.when(F.col("erase").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_retained"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_erased",
+            "n_retained",
+            (F.col("n_erased") + F.col("n_retained") == F.col("n_events")).alias(
+                "cascade_complete"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bag (multiset) semantics: EXCEPT ALL / INTERSECT ALL battery
+# ---------------------------------------------------------------------------
+@register(
+    "bag_semantics_battery",
+    oracle="""
+    WITH a AS (
+      SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    b AS (
+      SELECT l_partkey AS k FROM lineitem WHERE l_linestatus = 'F'
+    ),
+    ex AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b),
+    ia AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+           CAST((SELECT COUNT(*) FROM ex) AS BIGINT) AS n_except_all,
+           CAST((SELECT COUNT(DISTINCT k) FROM ex) AS BIGINT)
+             AS n_except_all_keys,
+           CAST((SELECT COUNT(*) FROM ia) AS BIGINT) AS n_intersect_all,
+           (SELECT COUNT(*) FROM ex) + (SELECT COUNT(*) FROM ia)
+             = (SELECT COUNT(*) FROM a) AS multiset_identity
+    """,
+    doc="BAG (multiset) set-operation semantics — EXCEPT ALL and "
+    "INTERSECT ALL, which subtract/keep per-OCCURRENCE multiplicities "
+    "(max(m_a − m_b, 0) and min(m_a, m_b)) rather than the distinct "
+    "sets except_distinct/intersect_distinct already pin; row-level "
+    "reconciliation (billing lines, inventory movements) needs bag "
+    "semantics because losing duplicate rows IS the bug being looked "
+    "for. The battery pins the defining multiset identity "
+    "|A EXCEPT ALL B| + |A INTERSECT ALL B| = |A| as an oracle-"
+    "checked boolean. Spark plans both as one aggregate computing "
+    "per-key counts on each side plus a generate — same single-"
+    "shuffle economics as a groupBy, no row-pair join.",
+)
+def bag_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("k"))
+    b = li.filter(F.col("l_linestatus") == "F").select(F.col("l_partkey").alias("k"))
+    ex = a.exceptAll(b)
+    ia = a.intersectAll(b)
+    na = a.agg(F.count(F.lit(1)).alias("n_a"))
+    nb = b.agg(F.count(F.lit(1)).alias("n_b"))
+    nex = ex.agg(
+        F.count(F.lit(1)).alias("n_except_all"),
+        F.countDistinct("k").alias("n_except_all_keys"),
+    )
+    nia = ia.agg(F.count(F.lit(1)).alias("n_intersect_all"))
+    return (
+        na.crossJoin(nb)
+        .crossJoin(nex)
+        .crossJoin(nia)
+        .select(
+            "n_a",
+            "n_b",
+            "n_except_all",
+            "n_except_all_keys",
+            "n_intersect_all",
+            (
+                F.col("n_except_all") + F.col("n_intersect_all") == F.col("n_a")
+            ).alias("multiset_identity"),
+        )
+    )

@@ -381,3 +381,82 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     return foreachbatch_upsert_replay(
         spark, os.path.join(sf_dir, "events.parquet")
     )
+
+
+@register(
+    "streaming_interval_full_join_replay",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+             c.click_id, p.purchase_id
+      FROM clicks c FULL OUTER JOIN purchases p
+        ON c.user_id = p.user_id
+       AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 2 HOUR
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN click_id IS NOT NULL
+                          AND purchase_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(COUNT(DISTINCT CASE WHEN purchase_id IS NULL
+                                    THEN click_id END) AS BIGINT)
+             AS n_unmatched_clicks,
+           CAST(COUNT(DISTINCT CASE WHEN click_id IS NULL
+                                    THEN purchase_id END) AS BIGINT)
+             AS n_unmatched_purchases
+    FROM j
+    GROUP BY user_id
+    """,
+    doc="Stream-stream FULL OUTER interval join — the final cell of the "
+    "stream-join matrix (inner / left-outer / full-outer, all "
+    "watermark-proved): matched pairs emit eagerly, unmatched CLICKS "
+    "emit with nulls when their horizon closes, and unmatched "
+    "PURCHASES emit with nulls once the watermark proves no candidate "
+    "click window can still arrive — state expires on BOTH sides, the "
+    "most bookkeeping-heavy stream-stream semantic Spark supports. "
+    "Same sentinel end-of-stream harness as the left-outer replay "
+    "(streaming/joins.py, shared implementation); equality with the "
+    "batch FULL JOIN proves match results and both expiry paths. "
+    "State stays bounded by watermark + horizon per side at any "
+    "scale.",
+)
+def streaming_interval_full_join_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from weather_analysis_bigdata__spark.streaming.joins import (
+        interval_full_join_replay,
+    )
+
+    rows = interval_full_join_replay(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+    return rows.groupBy(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("click_id").isNotNull()
+                & F.col("purchase_id").isNotNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_matched"),
+        F.countDistinct(
+            F.when(F.col("purchase_id").isNull(), F.col("click_id"))
+        ).alias("n_unmatched_clicks"),
+        F.countDistinct(
+            F.when(F.col("click_id").isNull(), F.col("purchase_id"))
+        ).alias("n_unmatched_purchases"),
+    )

@@ -110,9 +110,37 @@ def interval_left_join_replay(
     horizon: str = "2 hours",
     watermark: str = "4 hours",
 ) -> DataFrame:
-    """Stream-stream LEFT OUTER interval join: every click, matched to
-    purchases within ``horizon``, or emitted with nulls once the
-    watermark PROVES no match can arrive.
+    """Stream-stream LEFT OUTER interval join (see the shared harness)."""
+    return _interval_outer_join_replay(
+        spark, events_parquet, "leftOuter", horizon, watermark
+    )
+
+
+def interval_full_join_replay(
+    spark: SparkSession,
+    events_parquet: str,
+    horizon: str = "2 hours",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: unmatched rows on BOTH
+    sides emit with nulls once the watermark proves expiry — clicks
+    after their horizon closes, purchases after any candidate click's
+    window has passed."""
+    return _interval_outer_join_replay(
+        spark, events_parquet, "fullOuter", horizon, watermark
+    )
+
+
+def _interval_outer_join_replay(
+    spark: SparkSession,
+    events_parquet: str,
+    join_type: str,
+    horizon: str = "2 hours",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Stream-stream OUTER interval join harness: every click matched to
+    purchases within ``horizon``; outer-side rows emit with nulls once
+    the watermark PROVES no match can arrive.
 
     The outer side only emits when the watermark passes click_ts +
     horizon — so a plain availableNow replay would swallow the
@@ -197,10 +225,15 @@ def interval_left_join_replay(
         F.expr(
             f"c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL {horizon}"
         ),
-        "leftOuter",
+        join_type,
     )
     out = _sink(joined, name)
     try:
-        return out.filter(F.col("c_user") >= 0).localCheckpoint()
+        # Sentinels carry user -1 on whichever side they came in on; a
+        # null side (the outer emission) must pass the filter.
+        return out.filter(
+            (F.coalesce(F.col("c_user"), F.lit(0)) >= 0)
+            & (F.coalesce(F.col("p_user"), F.lit(0)) >= 0)
+        ).localCheckpoint()
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
