@@ -102,6 +102,10 @@ KNOWN_EXCEPTIONS = {
     "(O(keys)) and md5 position sets (O(build·k) ≈ 900 rows), all "
     "joined via broadcast; the only fact-scale work is the two "
     "distinct-key reductions",
+    "bag_semantics_battery": "four independent scalar counts (|A|, "
+    "|B|, |EXCEPT ALL|, |INTERSECT ALL|) each reduce to a 1-row "
+    "exchange; the set-op aggregates themselves are single-shuffle "
+    "per-key counts — every exchange carries scalars or key counts",
     "hybrid_search_rrf": "the RRF fuse is a full-outer join of two "
     "O(k)=10-row rank lists (full outer cannot broadcast) — the SMJ "
     "sorts 20 rows; both rank subplans are the already-audited BM25 "
@@ -157,6 +161,7 @@ REVIEWED_FLAGS = {
     "bloom_filter_membership": {"XCHG"},
     "dedup_semantic_clustered": {"XCHG"},
     "ctfidf_top_terms_per_source": {"XCHG"},
+    "bag_semantics_battery": {"XCHG"},
     "hybrid_search_rrf": {"SORTMERGE"},
     "term_cooccurrence_lift": {"XCHG"},
     "lsh_recall_audit": {"XCHG", "SORTMERGE"},
