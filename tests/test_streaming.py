@@ -370,3 +370,36 @@ def test_foreachbatch_upsert_split_invariant(spark, sf_dir):
             for r in foreachbatch_upsert_replay(spark, src, n_splits).collect()
         }
         assert got == expect, f"splits={n_splits}"
+
+
+def test_streaming_session_window_equals_batch_native(spark, sf_dir):
+    """Native session_window through the streaming engine ≡ the same
+    build in batch mode (the engine merges windows across micro-batches
+    to the identical final state)."""
+    from pyspark.sql import functions as F
+
+    from weather_analysis_bigdata__spark.queries_streaming import (
+        streaming_session_window_replay,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in streaming_session_window_replay(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in e.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+        .collect()
+    }
+    assert got == batch

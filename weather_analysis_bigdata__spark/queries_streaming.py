@@ -460,3 +460,63 @@ def streaming_interval_full_join_replay(
             F.when(F.col("click_id").isNull(), F.col("purchase_id"))
         ).alias("n_unmatched_purchases"),
     )
+
+
+def _session_window_oracle() -> str:
+    import weather_analysis_bigdata__spark.queries_datapipe  # noqa: F401
+
+    from weather_analysis_bigdata__spark.registry import _REGISTRY
+
+    return _REGISTRY["session_window_native"].oracle
+
+
+@register(
+    "streaming_session_window_replay",
+    oracle=_session_window_oracle(),
+    doc="NATIVE session windows under the STREAMING engine — the cell "
+    "that completes the sessionization matrix: gaps-and-islands SQL "
+    "(events_sessionize_30m, batch), custom applyInPandasWithState "
+    "(streaming/sessionize.py), native session_window in batch "
+    "(session_window_native), and now native session_window with "
+    "watermarked state merged by the engine across micro-batches "
+    "(dynamic-gap windows grow/merge as late-ish events arrive — "
+    "state the engine keeps per open session and evicts past the "
+    "watermark). availableNow replay into a complete-mode memory "
+    "sink; the oracle is session_window_native's gaps-and-islands "
+    "SQL VERBATIM, so batch-native, stream-native, and hand-built "
+    "SQL sessions are all proven to be the same function.",
+)
+def streaming_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from weather_analysis_bigdata__spark.streaming.windows import (
+        replay_build_to_memory,
+    )
+
+    def build(s):
+        return (
+            s.withWatermark("ts", "2 hours")
+            .groupBy(
+                "user_id", F.session_window("ts", "30 minutes").alias("sw")
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    return replay_build_to_memory(
+        spark, os.path.join(sf_dir, "events.parquet"), build, schema
+    )
