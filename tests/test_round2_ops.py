@@ -1149,3 +1149,18 @@ def test_streaming_full_join_matches_batch_sides(spark, sf_dir):
         assert r.n_rows == batch[u].n_rows
         assert r.n_unmatched_clicks == batch[u].uc
         assert r.n_unmatched_purchases == batch[u].up
+
+
+def test_log_parse_covers_all_and_statuses_partition(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        log_line_parse_battery,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    rows = log_line_parse_battery(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r.n_requests for r in rows) == ev.count()  # no parse losses
+    assert {r.method for r in rows} == {"GET", "POST"}
+    assert {r.status for r in rows} <= {"200", "404", "500"}
+    n500 = sum(r.n_requests for r in rows if r.status == "500")
+    assert n500 == ev.filter(F.col("event_id") % 17 == 0).count()

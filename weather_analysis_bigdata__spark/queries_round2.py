@@ -4123,3 +4123,91 @@ def bag_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("multiset_identity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-line parsing battery (CLF-style regex extraction into columns)
+# ---------------------------------------------------------------------------
+_LOG_RE = r"^(\d+) - \[([0-9:\- ]+)\] \"(GET|POST) ([^ ]+)\" (\d{3}) (\d+)$"
+
+
+@register(
+    "log_line_parse_battery",
+    oracle=f"""
+    WITH lines AS (
+      SELECT event_id,
+             CAST(user_id AS VARCHAR) || ' - ['
+               || strftime(ts, '%Y-%m-%d %H:%M:%S') || '] "'
+               || CASE WHEN event_id % 3 = 0 THEN 'POST' ELSE 'GET' END
+               || ' /api/' || event_type || '/' || CAST(event_id AS VARCHAR)
+               || '" '
+               || CASE WHEN event_id % 17 = 0 THEN '500'
+                       WHEN event_id % 5 = 0 THEN '404' ELSE '200' END
+               || ' ' || CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                   AS BIGINT) AS VARCHAR) AS line
+      FROM events
+    ),
+    parsed AS (
+      SELECT event_id, line,
+             regexp_extract(line, '{_LOG_RE}', 3) AS method,
+             regexp_extract(line, '{_LOG_RE}', 4) AS path,
+             regexp_extract(line, '{_LOG_RE}', 5) AS status,
+             regexp_extract(line, '{_LOG_RE}', 6) AS nbytes
+      FROM lines
+    )
+    SELECT method,
+           status,
+           CAST(COUNT(*) AS BIGINT) AS n_requests,
+           CAST(SUM(CAST(nbytes AS BIGINT)) AS BIGINT) AS total_bytes,
+           CAST(COUNT(DISTINCT split_part(path, '/', 3)) AS BIGINT)
+             AS n_endpoints
+    FROM parsed
+    GROUP BY method, status
+    """,
+    doc="Log-line parsing battery — raw access-log ingest (the other "
+    "semi-structured staple next to JSON/XML/VARIANT, all now "
+    "covered): CLF-shaped lines are synthesized deterministically "
+    "from events (user, timestamp, method, path, status, bytes — "
+    "mirrored in the oracle) and parsed back into typed columns with "
+    "ONE anchored regex evaluated per capture group; the per-"
+    "(method, status) traffic rollup with byte totals and endpoint "
+    "cardinality is the first dashboard every log pipeline builds. "
+    "Pattern uses plain character classes only, so Java regex and "
+    "RE2 agree (the pii_extract_redact portability rule). Row-local "
+    "parse + one rollup shuffle; at 100 TB the parse runs inside the "
+    "scan stage and malformed lines would route to the "
+    "csv_corrupt_record_quarantine pattern.",
+)
+def log_line_parse_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit(" - ["),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.lit('] "'),
+        F.when(F.col("event_id") % 3 == 0, "POST").otherwise("GET"),
+        F.lit(" /api/"),
+        F.col("event_type"),
+        F.lit("/"),
+        F.col("event_id").cast("string"),
+        F.lit('" '),
+        F.when(F.col("event_id") % 17 == 0, "500")
+        .when(F.col("event_id") % 5 == 0, "404")
+        .otherwise("200"),
+        F.lit(" "),
+        (dec("value") * 100).cast("long").cast("string"),
+    )
+    parsed = ev.select(F.col("event_id"), line.alias("line")).select(
+        "event_id",
+        F.regexp_extract("line", _LOG_RE, 3).alias("method"),
+        F.regexp_extract("line", _LOG_RE, 4).alias("path"),
+        F.regexp_extract("line", _LOG_RE, 5).alias("status"),
+        F.regexp_extract("line", _LOG_RE, 6).alias("nbytes"),
+    )
+    return parsed.groupBy("method", "status").agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.sum(F.col("nbytes").cast("long")).alias("total_bytes"),
+        F.countDistinct(F.split_part(F.col("path"), F.lit("/"), F.lit(3))).alias(
+            "n_endpoints"
+        ),
+    )
