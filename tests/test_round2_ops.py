@@ -1164,3 +1164,38 @@ def test_log_parse_covers_all_and_statuses_partition(spark, sf_dir):
     assert {r.status for r in rows} <= {"200", "404", "500"}
     n500 = sum(r.n_requests for r in rows if r.status == "500")
     assert n500 == ev.filter(F.col("event_id") % 17 == 0).count()
+
+
+def test_offset_windows_are_half_hour_aligned(spark, sf_dir):
+    from weather_analysis_bigdata__spark.queries_round2 import offset_window_agg
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    rows = offset_window_agg(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # start ≡ :30 in epoch time, never :00
+        assert r.window_start_us % 3_600_000_000 == 1_800_000_000
+    assert sum(r.n for r in rows) == load_table(spark, sf_dir, "events").count()
+
+
+def test_chunk_token_closed_form_property():
+    """Hypothesis: the capstone's closed form n + (W-S)(chunks-1) equals
+    explicit chunk-length summation for every document length."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from weather_analysis_bigdata__spark.queries_round2 import _CHUNK_S, _CHUNK_W
+
+    @given(st.integers(min_value=1, max_value=5000))
+    @settings(max_examples=300, deadline=None)
+    def check(n):
+        W, S = _CHUNK_W, _CHUNK_S
+        n_chunks = 1 if n <= W else (n - W + S - 1) // S + 1
+        explicit = sum(
+            min(i * S + W, n) - i * S for i in range(n_chunks)
+        )
+        assert explicit == n + (W - S) * (n_chunks - 1)
+        # and chunks tile: last chunk ends exactly at n
+        assert min((n_chunks - 1) * S + W, n) == n
+
+    check()

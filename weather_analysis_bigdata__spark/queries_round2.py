@@ -4211,3 +4211,51 @@ def log_line_parse_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_endpoints"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling windows with a startTime origin offset
+# ---------------------------------------------------------------------------
+@register(
+    "offset_window_agg",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             (epoch_us(ts) - 1800000000) // 3600000000 AS bucket,
+             value
+      FROM events
+    )
+    SELECT event_type,
+           CAST(bucket * 3600000000 + 1800000000 AS BIGINT) AS window_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM b GROUP BY event_type, bucket
+    """,
+    doc="Tumbling windows with a NON-ZERO origin (window startTime "
+    "parameter — ':30-aligned hourly windows'): the fourth window() "
+    "argument shifts the bucketing origin, which billing-period and "
+    "timezone-boundary alignment need and which naive "
+    "floor(epoch/width) bucketing silently gets wrong. The oracle is "
+    "the explicit integer arithmetic (epoch−offset) DIV width — the "
+    "hash match proves window(ts, '1 hour', '1 hour', '30 minutes') "
+    "computes exactly that. Completes the event-time window battery: "
+    "tumbling, sliding, interval RANGE frames, value RANGE frames, "
+    "session (batch+stream), and now origin-shifted tumbling. "
+    "Single-shuffle aggregate like every windowed count here.",
+)
+def offset_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "1 hour", "30 minutes")
+    return (
+        ev.groupBy("event_type", w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("total"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n",
+            "total",
+        )
+    )
