@@ -8,6 +8,7 @@ import pytest
 
 from weather_analysis_bigdata__spark.plans.inspect import (
     has_take_ordered,
+    n_global_windows,
     n_broadcast_joins,
     n_shuffles,
     n_sortmerge_joins,
@@ -215,16 +216,24 @@ def test_parquet_aggregate_pushdown(spark, sf_dir):
 def test_semantic_dedup_never_cartesian_and_broadcasts_centroids(
     spark, sf_dir, registry
 ):
-    """SemDeDup's scale property: centroid table broadcasts (tiny), the
-    pair join keys on cluster (hash), and NO CartesianProduct over the
-    vectors appears anywhere — the cluster bound is what makes semantic
-    dedup feasible at 100 TB."""
+    """SemDeDup's scale property, split round 3 into build vs serve:
+    the SERVE plan reads the persisted assignment index (two parquet
+    scans feeding a hash pair join on cluster — no CartesianProduct,
+    no sort-merge, no training subtree); the BUILD plan is where the
+    tiny centroid table broadcasts (BNLJ over a broadcast relation,
+    same family the range-band join pins)."""
+    from weather_analysis_bigdata__spark.queries_llmops import (
+        _semdedup_assign_build,
+    )
+
     plan = plan_of(registry["dedup_semantic_clustered"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    # centroid cross join broadcasts the 10-row centroid side (BNLJ over
-    # a broadcast relation, same family the range-band join pins)
-    assert "BroadcastNestedLoopJoin" in plan
     assert n_sortmerge_joins(plan) == 0  # pair join is hash, not sort
+    # serve side must NOT re-plan training: no centroid broadcast join
+    assert "BroadcastNestedLoopJoin" not in plan
+    build_plan = plan_of(_semdedup_assign_build(spark, sf_dir))
+    assert "CartesianProduct" not in build_plan
+    assert "BroadcastNestedLoopJoin" in build_plan
 
 
 def test_ivf_pq_broadcasts_lut_and_candidates(spark, sf_dir, registry):
@@ -246,3 +255,56 @@ def test_codec_decode_stages_shuffle_free(spark, sf_dir, registry):
     ):
         plan = plan_of(registry[name].fn(spark, sf_dir))
         assert n_shuffles(plan) == 0, name
+
+
+def test_filtered_ann_topk_is_take_ordered_no_global_window(
+    spark, sf_dir, registry
+):
+    """Round-3 rewrite contract: the filtered-ANN rankings are
+    TakeOrderedAndProject + rank-within-k (functions/distributed.py
+    ranked_topk) — zero WindowExec nodes at all, so no "No Partition
+    Defined" single-partition stage can reappear."""
+    plan = plan_of(registry["ann_filtered_prefilter_topk"].fn(spark, sf_dir))
+    assert has_take_ordered(plan)
+    assert n_global_windows(plan) == 0
+    assert "(Window" not in plan and ") Window" not in plan
+
+
+def test_no_global_windows_in_rewritten_family(spark, sf_dir, registry):
+    """Every query the round-2 verdict flagged for single-partition
+    windows — plus the new distributed twins — must plan with zero
+    unpartitioned Window nodes."""
+    for name in (
+        "ann_filtered_prefilter_topk",
+        "hybrid_search_rrf",
+        "pack_sequences_fixed_budget",
+        "global_row_ordinals",
+        "equi_depth_bins_twopass",
+        "calibration_by_decile_twopass",
+        "decile_stats_twopass",
+    ):
+        plan = plan_of(registry[name].fn(spark, sf_dir))
+        assert n_global_windows(plan) == 0, name
+
+
+def test_global_window_detector_positive_control(spark):
+    """n_global_windows must actually fire on the anti-pattern (guards
+    the detector itself against format drift in future Spark versions)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.range(100).select((F.col("id") % 7).alias("g"), "id")
+    bad = df.withColumn("r", F.row_number().over(Window.orderBy("id")))
+    good = df.withColumn(
+        "r", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    part_only = df.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    empty_part = df.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    assert n_global_windows(plan_of(bad)) == 1
+    assert n_global_windows(plan_of(good)) == 0
+    assert n_global_windows(plan_of(part_only)) == 0
+    assert n_global_windows(plan_of(empty_part)) == 1

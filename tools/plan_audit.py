@@ -10,6 +10,12 @@ Red flags (printed with !!):
 - SortAggregate         agg fell off the hash path (non-mutable buffer
                         type — e.g. string min/max; see PERF.md)
 - exchanges > 4         likely a redundant shuffle to merge
+- WINDOW_GLOBAL         a WindowExec with an empty partition spec —
+                        Spark moves EVERY input row to one partition
+                        ("No Partition Defined" warning). Fine over a
+                        provably bounded reduction (O(days), O(k));
+                        fatal over a fact table. The round-2 scale-flag
+                        class, now machine-caught.
 
 Queries that execute side effects at build time (streaming replays,
 file-format round-trips, MERGE materialization) are skipped — their
@@ -48,9 +54,6 @@ KNOWN_EXCEPTIONS = {
     "dedup_ngram_jaccard": "shingle→posting→pair pipeline: exchanges are "
     "over postings/pairs that shrink stage-over-stage; single-key "
     "alternatives would recompute the shingle subtree",
-    "ivf_probe_topk": "train/assign/probe phases each need their own "
-    "key (centroid id, probe id, query id); data volume per exchange "
-    "is O(vectors·k), not O(n²)",
     "dedup_jaccard_dfcapped": "adds the DF-cap semi-join ahead of the "
     "jaccard pipeline — two extra small exchanges over the capped "
     "posting list buy the quadratic-hot-key bound",
@@ -60,9 +63,6 @@ KNOWN_EXCEPTIONS = {
     "Spark 4.1 plans SortAggregate for non-binary-equality collations "
     "(no hash support for collation keys yet); the row count per group "
     "is small and the op exists to exercise collation semantics",
-    "pq_adc_search_topk": "codebook/encode/LUT/ADC phases each key "
-    "differently; every exchange carries O(vectors·subspaces) code "
-    "rows, never raw vectors or pairs — the point of PQ",
     "bitmap_exact_distinct_merge": "bitmap_construct/or_agg buffers are "
     "BinaryType — not UnsafeRow-mutable, so Spark plans SortAggregate "
     "by construction for these functions; state is one small bitmap "
@@ -70,14 +70,6 @@ KNOWN_EXCEPTIONS = {
     "table_snapshot_diff": "fact⋈fact FULL OUTER on the primary key — "
     "SMJ is the correct strategy (neither side broadcastable; rows "
     "are pre-projected to key+hash, so the sorted shuffle is ~40 B/row)",
-    "dedup_pq_code_collisions": "inherits the PQ encode phases "
-    "(codebook/distances/argmin/code-concat) plus the collision "
-    "groupBy — each exchange carries O(vectors·subspaces) code rows, "
-    "same justification as pq_adc_search_topk",
-    "ivf_pq_search_topk": "composes the reviewed IVF routing AND PQ "
-    "encode phases in one plan — exchange count is the sum of its two "
-    "reviewed parents; every exchange carries centroid/code/id rows, "
-    "never raw vectors or pairs",
     "triangle_count": "wedge-close self-joins are fact⋈fact by nature "
     "(no side broadcastable at scale) — hash-join hinted, exchanges "
     "carry distinct edge pairs plus three 1-row stat collects",
@@ -89,11 +81,6 @@ KNOWN_EXCEPTIONS = {
     "table in the FIRST exchange; every later exchange and all four "
     "BNLJ steps carry that 84-row table, its 84×84/2 slope pairs, or "
     "1-row scalar stats — the quadratic term never touches raw data",
-    "tfidf_cosine_topk": "the weighted-postings subtree feeds three "
-    "consumers (norms + both self-join sides), so Spark plans it 3× — "
-    "the ivf_probe pattern: at 100 TB the postings table is "
-    "materialized once as the inverted index; every exchange carries "
-    "df-capped posting rows or pair aggregates, never raw text",
     "seasonal_profile_monthly": "the O(months) monthly aggregate "
     "feeds grand-mean, seasonal-mean, and the output join — the "
     "replans all operate on the ≤84-row reduction; the raw scan is "
@@ -124,18 +111,56 @@ KNOWN_EXCEPTIONS = {
     "measures) plus a full-outer join of the two O(pairs) sets — the "
     "SMJ and extra exchanges operate on ~10² pair rows, never "
     "documents",
-    "global_row_ordinals": "2 of 5 exchanges carry the fact (range "
-    "partition + pid-window clustering — the second exists only "
-    "because Catalyst cannot prove spark_partition_id() clustering "
-    "satisfies the window); the rest carry the O(parts) offset "
-    "table. The RDD zipWithIndex form avoids the second pass at "
-    "scale; this query exists to hash-prove the two-pass algebra",
-    "dedup_semantic_clustered": "the centroid-assignment subtree "
-    "feeds both the per-cluster pair counts and the output join, so "
-    "Spark plans it twice (see PERF.md 'SemDeDup double-planning' "
-    "note) — at 100 TB the assignment table persists once like the "
-    "IVF index; every exchange carries id/cluster rows or O(k) "
-    "centroid stats, never raw vectors pairwise",
+    "global_row_ordinals": "one exchange carries the fact (the "
+    "bucket-window clustering); the rest carry the O(parts) offset "
+    "table or 1-row min/max bounds. The RDD zipWithIndex form avoids "
+    "the clustering pass at scale; this query exists to hash-prove "
+    "the two-pass algebra",
+    # ---- WINDOW_GLOBAL reviews: every unpartitioned window below runs
+    # over a PROVABLY BOUNDED reduction (O(days), O(cells), O(k)...),
+    # never a fact table; fact-scale ntile yardsticks carry a
+    # hash-proven distributed twin instead.
+    "nulls_ordering": "windows over ≤200 rows by construction "
+    "(o_orderkey ≤ 200 filter precedes them) — the query exists to pin "
+    "NULLS FIRST/LAST portability semantics, not to scale",
+    "crosstab_share": "share-of-total windows over the O(sources × "
+    "langs) contingency reduction, not documents",
+    "key_skew_profile": "global rank over the O(distinct keys) count "
+    "table — the docstring's point: the window sorts keys, not rows; "
+    "the only fact-scale op is the map-combinable first count",
+    "chisq_independence": "margin windows over the O(event_types × 5) "
+    "contingency cells",
+    "pareto_frontier_2d": "running-max sweep over the DISTINCT-price "
+    "reduction; docstring documents the local-frontier pre-filter that "
+    "bounds the final sweep at 100 TB (per-partition frontiers are "
+    "supersets of the global frontier)",
+    "cusum_changepoint": "cumulative stats over the O(days) daily "
+    "reduction",
+    "ewma_dyadic_smoothing": "lag chain over the O(days) daily "
+    "reduction",
+    "ks_two_sample_doclen": "ECDF cumsum over the O(distinct "
+    "document lengths) count reduction",
+    "equi_depth_bins": "exact global-ntile YARDSTICK over the fact — "
+    "kept deliberately; equi_depth_bins_twopass is the scale-safe "
+    "twin, oracle-gated to the identical result (same SQL, same hash)",
+    "calibration_by_decile": "exact global-ntile yardstick; "
+    "calibration_by_decile_twopass is the hash-proven scale twin",
+    "decile_stats": "exact global-ntile yardstick; "
+    "decile_stats_twopass is the hash-proven scale twin",
+    # ---- two-pass twins: exchange counts are the price of the
+    # distributed form; all but one exchange carry O(parts) rows.
+    "pack_sequences_fixed_budget": "two-pass prefix sum: ONE exchange "
+    "carries the token-count table (bucket clustering for the local "
+    "cumsum window); the rest carry O(parts) bucket sums, 1-row "
+    "min/max bounds, or the O(shards) output aggregate",
+    "equi_depth_bins_twopass": "two-pass ordinal recipe: one "
+    "fact-scale exchange (bucket clustering), the rest O(parts) "
+    "counts/offsets, 1-row bounds/N scalars, and the O(k) bin "
+    "aggregate",
+    "calibration_by_decile_twopass": "same two-pass recipe over "
+    "events: one fact-scale exchange, rest O(parts)/scalar",
+    "decile_stats_twopass": "same two-pass recipe over orders: one "
+    "fact-scale exchange, rest O(parts)/scalar",
 }
 
 #: Flag KINDS covered by each review above (kind = flag text before any
@@ -144,28 +169,37 @@ REVIEWED_FLAGS = {
     "full_outer_join": {"SORTMERGE"},
     "funnel_steps": {"XCHG"},
     "dedup_ngram_jaccard": {"XCHG"},
-    "ivf_probe_topk": {"XCHG"},
     "dedup_jaccard_dfcapped": {"XCHG"},
     "dedup_containment": {"XCHG"},
     "collation_ci_group": {"SORTAGG"},
-    "pq_adc_search_topk": {"XCHG"},
     "bitmap_exact_distinct_merge": {"SORTAGG"},
     "table_snapshot_diff": {"SORTMERGE"},
-    "dedup_pq_code_collisions": {"XCHG"},
-    "ivf_pq_search_topk": {"XCHG"},
     "triangle_count": {"XCHG"},
     "ann_ladder_candidate_audit": {"XCHG"},
-    "theil_sen_trend": {"XCHG"},
-    "tfidf_cosine_topk": {"XCHG"},
+    "theil_sen_trend": {"XCHG", "WINDOW_GLOBAL"},
     "seasonal_profile_monthly": {"XCHG"},
     "bloom_filter_membership": {"XCHG"},
-    "dedup_semantic_clustered": {"XCHG"},
     "ctfidf_top_terms_per_source": {"XCHG"},
     "bag_semantics_battery": {"XCHG"},
     "hybrid_search_rrf": {"SORTMERGE"},
     "term_cooccurrence_lift": {"XCHG"},
     "lsh_recall_audit": {"XCHG", "SORTMERGE"},
     "global_row_ordinals": {"XCHG"},
+    "nulls_ordering": {"WINDOW_GLOBAL"},
+    "crosstab_share": {"WINDOW_GLOBAL"},
+    "key_skew_profile": {"WINDOW_GLOBAL"},
+    "chisq_independence": {"WINDOW_GLOBAL"},
+    "pareto_frontier_2d": {"WINDOW_GLOBAL"},
+    "cusum_changepoint": {"WINDOW_GLOBAL"},
+    "ewma_dyadic_smoothing": {"WINDOW_GLOBAL"},
+    "ks_two_sample_doclen": {"WINDOW_GLOBAL"},
+    "equi_depth_bins": {"WINDOW_GLOBAL"},
+    "calibration_by_decile": {"WINDOW_GLOBAL"},
+    "decile_stats": {"WINDOW_GLOBAL"},
+    "pack_sequences_fixed_budget": {"XCHG"},
+    "equi_depth_bins_twopass": {"XCHG"},
+    "calibration_by_decile_twopass": {"XCHG"},
+    "decile_stats_twopass": {"XCHG"},
 }
 
 
@@ -175,6 +209,9 @@ def main() -> None:
     if "--sf" in args:
         sf_dir = args[args.index("--sf") + 1]
 
+    from weather_analysis_bigdata__spark.plans.inspect import (
+        n_global_windows as count_global_windows,
+    )
     from weather_analysis_bigdata__spark.registry import all_queries
     from weather_analysis_bigdata__spark.session import get_spark
 
@@ -205,8 +242,11 @@ def main() -> None:
             "bnlj": n("BroadcastNestedLoopJoin"),
             "cart": n("CartesianProduct"),
             "sortagg": n("SortAggregate"),
+            "gwin": count_global_windows(plan),
         }
         flags = []
+        if stats["gwin"]:
+            flags.append(f"WINDOW_GLOBAL={stats['gwin']}")
         if stats["cart"]:
             flags.append("CARTESIAN")
         if stats["smj"]:
@@ -229,7 +269,7 @@ def main() -> None:
                 name,
                 f"xchg={stats['xchg']} bhj={stats['bhj']} "
                 f"smj={stats['smj']} bnlj={stats['bnlj']} "
-                f"sortagg={stats['sortagg']}{mark}",
+                f"sortagg={stats['sortagg']} gwin={stats['gwin']}{mark}",
             )
         )
     width = max(len(r[0]) for r in rows)

@@ -1,0 +1,207 @@
+"""Distributed replacements for unpartitioned (global) window plans.
+
+A ``Window.orderBy(...)`` with no ``partitionBy`` moves EVERY row to one
+partition (Spark prints "No Partition Defined for Window operation") —
+correct at sf0.1, fatal at 100 TB. The three primitives here express the
+same functions with scale-safe plans:
+
+- :func:`ranked_topk` — global top-k WITH dense 1..k ranks, planned as
+  TakeOrderedAndProject (per-partition heaps + driver merge) followed by
+  an O(k) array sort; no WindowExec at all.
+- :func:`exclusive_prefix_offsets` — exclusive prefix sums over a small
+  (O(partitions)) count table, computed by a sorted-array aggregate
+  instead of an unpartitioned running-sum window.
+- :func:`two_pass_ordinals` — contiguous global ordinals 0..N-1 in key
+  order via range partitioning + per-partition counts + broadcast
+  offsets: the distributed total-order recipe (cf. TeraSort), never a
+  single-partition sort.
+
+All three are pure DataFrame compositions (no UDFs, no RDDs) so Catalyst
+still sees through them for pruning/pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def ranked_topk(
+    df: DataFrame,
+    order: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Global top-``k`` of ``df`` under ``order`` with a 1-based rank
+    column — without an unpartitioned WindowExec.
+
+    ``order`` is a list of column expressions whose ASCENDING
+    lexicographic order is the desired rank order (negate numeric
+    columns for descending; include a unique key so ties are fully
+    broken). Plan shape: ``orderBy(...).limit(k)`` becomes
+    TakeOrderedAndProject — per-partition k-row heaps merged on the
+    driver, the same scale shape as ``o2_topk`` — then the ≤k survivors
+    are collected into ONE array, sorted locally, and re-exploded with
+    their position as the rank. Total post-heap work is O(k log k) on
+    one row; no stage ever holds more than k rows in one task.
+    """
+    payload = df.columns
+    top = df.orderBy(*order).limit(k)
+    packed = top.select(
+        F.struct(
+            *[o.alias(f"_k{i}") for i, o in enumerate(order)],
+            F.struct(*payload).alias("_row"),
+        ).alias("_p")
+    )
+    arr = packed.agg(F.array_sort(F.collect_list("_p")).alias("_a"))
+    return arr.select(F.posexplode("_a").alias("_pos", "_q")).select(
+        (F.col("_pos") + 1).cast("long").alias(rank_col),
+        F.col("_q._row.*"),
+    )
+
+
+def exclusive_prefix_offsets(
+    counts: DataFrame,
+    key_col: str,
+    count_col: str,
+    offset_col: str = "offset",
+) -> DataFrame:
+    """(key, n) → (key, offset) where offset = Σ n over keys strictly
+    before ``key`` in ascending key order — the exclusive prefix sum.
+
+    For the O(partitions)-row count tables this is meant for, the whole
+    table fits in one array: collect, sort by key, and evaluate each
+    offset as an O(p) slice-aggregate (O(p²) total with p ≈ tens —
+    noise). No WindowExec, so no "No Partition Defined" plan; the only
+    exchange is the single-row aggregate of the already-tiny input.
+    """
+    packed = counts.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(key_col).alias("_k"),
+                    F.col(count_col).cast("long").alias("_n"),
+                )
+            )
+        ).alias("_a")
+    )
+    return packed.select(
+        F.explode(
+            F.transform(
+                F.col("_a"),
+                lambda s, i: F.struct(
+                    s["_k"].alias(key_col),
+                    F.aggregate(
+                        F.slice(F.col("_a"), F.lit(1), i),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x["_n"],
+                    ).alias(offset_col),
+                ),
+            )
+        ).alias("_s")
+    ).select(f"_s.{key_col}", f"_s.{offset_col}")
+
+
+def range_bucketed(
+    df: DataFrame,
+    key: str | Column,
+    n_parts: int,
+    pid_col: str = "_pid",
+) -> DataFrame:
+    """Attach a DETERMINISTIC, order-preserving bucket id 0..n_parts−1
+    computed from approx-percentile boundaries of ``key``.
+
+    Why not ``repartitionByRange`` + ``spark_partition_id()``: the range
+    partitioner samples with a seed derived from the physical RDD id, so
+    when the bucketed subtree is planned twice (e.g. once to count rows
+    per bucket and once to consume them) the two instances can land on
+    DIFFERENT boundaries — offsets from one partitioning applied to
+    another, silently wrong, and only sometimes (measured: the
+    equi-depth twin flipped between 10 and 11 bins run to run). And
+    ``spark_partition_id()`` is a nondeterministic expression, which is
+    also retry-unsafe at 1000-executor scale.
+
+    Here the bucket of a row is a PURE FUNCTION of its key and of exact
+    MIN/MAX aggregates (merge-order-invariant, unlike percentile
+    sketches whose partial-merge order can drift between plan
+    instances): equal-width splits of [min, max]. floor of a monotone
+    map is monotone, so bucket ids are non-decreasing in ``key`` and
+    equal keys always share a bucket — all that ordinal correctness
+    needs. Bucket BALANCE (never correctness) assumes roughly uniform
+    keys; under heavy skew swap the split table for persisted
+    approx-percentile boundaries (the persisted-index pattern, which
+    also restores cross-instance agreement by materializing them once).
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    kd = k.cast("double")
+    bounds = df.agg(
+        F.min(kd).alias("_mn"), F.max(kd).alias("_mx")
+    )
+    span = F.col("_mx") - F.col("_mn")
+    raw = F.floor((kd - F.col("_mn")) / span * n_parts)
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            pid_col,
+            F.when(span <= 0, F.lit(0))
+            .otherwise(
+                F.least(F.lit(n_parts - 1), F.greatest(F.lit(0), raw))
+            )
+            .cast("int"),
+        )
+        .drop("_mn", "_mx")
+    )
+
+
+def two_pass_ordinals(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    n_parts: int,
+    ordinal_col: str = "ordinal",
+) -> DataFrame:
+    """Contiguous global ordinals 0..N-1 in ``order_cols`` order without
+    a single-partition sort: deterministic range buckets on the leading
+    key (:func:`range_bucketed`), count rows per bucket, prefix-sum the
+    O(parts) counts into broadcast offsets, then
+    ordinal = offset + (local rank − 1).
+
+    The output is independent of where the percentile boundaries land:
+    offset(p) + local_rank is always the number of keys strictly before
+    the row globally (``order_cols`` must fully tie-break; equal leading
+    keys share a bucket so the tie-break happens inside one partition).
+    The local rank window IS partitioned (by bucket id), so no global
+    WindowExec appears — the plan is one boundary-sketch aggregate over
+    the pruned key column, one O(parts) count aggregate, and one
+    partitioned window.
+    """
+    d = range_bucketed(df, order_cols[0], n_parts)
+    counts = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = exclusive_prefix_offsets(counts, "_pid", "_n", "_off")
+    wloc = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        d.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            ordinal_col,
+            (F.col("_off") + F.row_number().over(wloc) - 1).cast("long"),
+        )
+        .drop("_pid", "_off")
+    )
+
+
+def ntile_from_ordinal(ordinal: Column, n: Column, k: int) -> Column:
+    """SQL-standard ``ntile(k)`` bucket (1-based) from a 0-based global
+    ordinal and the total row count ``n`` — the closed form that lets a
+    two-pass ordinal plan replace a global-sort ntile window: with
+    q = n div k and r = n mod k, the first r buckets get q+1 rows.
+    Integer-exact and engine-identical by construction.
+    """
+    rank = ordinal + 1  # 1-based
+    q = F.floor(n / k).cast("long")
+    r = (n % k).cast("long")
+    big = r * (q + 1)  # rows covered by the (q+1)-sized buckets
+    return (
+        F.when(rank <= big, F.floor((rank - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rank - big - 1) / F.greatest(q, F.lit(1))) + 1)
+        .cast("int")
+    )

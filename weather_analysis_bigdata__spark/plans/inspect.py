@@ -61,6 +61,70 @@ def read_schemas(plan: str) -> list[str]:
     return [line.strip() for line in plan.splitlines() if "ReadSchema" in line]
 
 
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` groups of a node-argument string (inner
+    brackets nest)."""
+    groups: list[str] = []
+    depth, cur = 0, None
+    for ch in s[s.index("[") :] if "[" in s else "":
+        if ch == "[":
+            if depth == 0:
+                cur = []
+            depth += 1
+            if depth == 1:
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur or []))
+                cur = None
+                continue
+        if cur is not None:
+            cur.append(ch)
+    return groups
+
+
+def n_global_windows(plan: str) -> int:
+    """Count Window/WindowInPandas nodes with an EMPTY partition spec —
+    the plans Spark warns about with "No Partition Defined for Window
+    operation" and executes through ONE partition. Accepts both
+    ``executedPlan().toString()`` trees and ``explain("formatted")``
+    output.
+
+    Node argument format (Spark 4.x):
+      [exprs], [partitionSpec], [orderSpec]   -- partitioned
+      [exprs], [orderSpec]                    -- GLOBAL, ordered
+      [exprs], [partitionSpec]                -- partitioned, no order
+      [exprs]                                 -- GLOBAL, no order
+    The 2-group case is disambiguated by ASC/DESC tokens (present only
+    in order specs). WindowGroupLimit is NOT counted — its final stage
+    sees at most k rows per upstream partition by construction.
+    """
+    lines = plan.splitlines()
+    specs: list[str] = []
+    for i, line in enumerate(lines):
+        s = line.strip().lstrip("+-: *").strip()
+        if s.startswith("Window [") or s.startswith("WindowInPandas ["):
+            specs.append(s)
+        elif re.match(r"^\(\d+\) (Window|WindowInPandas)\b", s):
+            for j in range(i + 1, min(i + 8, len(lines))):
+                t = lines[j].strip()
+                if t.startswith("Arguments: "):
+                    specs.append(t[len("Arguments: ") :])
+                    break
+    n = 0
+    for s in specs:
+        groups = _bracket_groups(s)
+        if len(groups) >= 3:
+            continue  # partitioned
+        if len(groups) == 2 and not (
+            " ASC" in groups[1] or " DESC" in groups[1]
+        ):
+            continue  # [exprs], [partitionSpec] — partitioned, no order
+        n += 1
+    return n
+
+
 def scan_columns(plan: str) -> list[set[str]]:
     """Column-name sets per parquet scan (pruning check)."""
     out = []

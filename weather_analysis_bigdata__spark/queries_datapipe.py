@@ -113,9 +113,9 @@ _K1 = "1.2"
 _B = "0.75"
 
 
-@register(
-    "bm25_search_topk",
-    oracle=f"""
+#: Shared with hybrid_search_rrf (queries_round2.py) as a module-level
+#: constant — no private-registry read, no import-order coupling.
+SQL_BM25_TOPK = f"""
     WITH per_doc AS (
         SELECT doc_id,
                CAST(len(toks) AS BIGINT) AS dl,
@@ -147,7 +147,12 @@ _B = "0.75"
     FROM per_doc, stats
     ORDER BY score DESC, doc_id ASC
     LIMIT 10
-    """,
+    """
+
+
+@register(
+    "bm25_search_topk",
+    oracle=SQL_BM25_TOPK,
     doc="BM25 top-10 keyword retrieval for a 3-term query. Uses the "
     "rational idf variant idf = (N - df + ½)/(df + ½) — monotone in the "
     "standard log idf, but free of transcendental functions, so both "
@@ -602,9 +607,10 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Native session windows
 # ---------------------------------------------------------------------------
-@register(
-    "session_window_native",
-    oracle="""
+#: Shared with streaming_session_window_replay (queries_streaming.py) —
+#: a module-level constant, not a private-registry read, so the two
+#: modules have no import-order coupling (the SQL_CC_COMP pattern).
+SQL_SESSION_WINDOW = """
     WITH flagged AS (
       SELECT user_id, ts,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -625,7 +631,12 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(ts) + INTERVAL '30 minutes' AS TIMESTAMP) AS session_end,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM islands GROUP BY user_id, session_id
-    """,
+    """
+
+
+@register(
+    "session_window_native",
+    oracle=SQL_SESSION_WINDOW,
     doc="Spark's NATIVE session_window aggregation (dynamic-gap session "
     "windows merged by the engine, usable identically in batch and "
     "Structured Streaming) — complementing the two hand-built forms "

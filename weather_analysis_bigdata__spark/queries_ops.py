@@ -482,18 +482,47 @@ _PACK_BUDGET = 8192
     f"Exact integers end-to-end; fill_ratio is one final division. At "
     f"100 TB the prefix sum is the only global dependency — computed "
     f"per-partition + offset broadcast (two passes over counts, not "
-    f"rows), here expressed as the equivalent window cumsum.",
+    f"rows), and that IS the plan here: range-partition by doc_id, "
+    f"per-partition token sums, window-free exclusive offsets "
+    f"(functions/distributed.py), then a partitioned local cumsum — "
+    f"no single-partition WindowExec.",
 )
 def pack_sequences_fixed_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.distributed import (
+        exclusive_prefix_offsets,
+        range_bucketed,
+    )
+
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    packed = toks.select(
-        "doc_id",
-        "n_tokens",
-        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("cum_before"),
+    # Two-pass distributed prefix sum (the docstring's scale form, now
+    # the actual plan): deterministic range buckets by doc_id
+    # (functions/distributed.py — a pure function of the key, so the
+    # counts subtree and the consuming subtree always agree), per-bucket
+    # token sums → broadcast exclusive offsets, then a PARTITIONED
+    # cumsum window — no "No Partition Defined" WindowExec anywhere.
+    # cum_before = offset(bucket) + exclusive local cumsum, which is the
+    # global exclusive running sum wherever the bucket edges land.
+    t = range_bucketed(toks, "doc_id", 16)
+    psums = t.groupBy("_pid").agg(F.sum("n_tokens").alias("_n"))
+    offsets = exclusive_prefix_offsets(psums, "_pid", "_n", "_off")
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        t.join(F.broadcast(offsets), "_pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("_off")
+                + F.coalesce(F.sum("n_tokens").over(wloc), F.lit(0))
+            ).alias("cum_before"),
+        )
     )
     return packed.groupBy(
         F.floor(F.col("cum_before") / _PACK_BUDGET).alias("shard_id")

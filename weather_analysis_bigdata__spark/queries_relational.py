@@ -2342,9 +2342,9 @@ def generated_range_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Decile statistics (ntile bucketing → per-bucket aggregate)
 # ---------------------------------------------------------------------------
-@register(
-    "decile_stats",
-    oracle=f"""
+#: Shared by decile_stats (exact global-ntile yardstick) and
+#: decile_stats_twopass (distributed twin) — one oracle, two plans.
+_DECILE_STATS_SQL = f"""
     WITH ranked AS (
       SELECT o_totalprice,
              ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
@@ -2356,7 +2356,12 @@ def generated_range_source(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(o_totalprice) AS hi,
            {sql_dsum('o_totalprice')} AS sum_price
     FROM ranked GROUP BY 1
-    """,
+    """
+
+
+@register(
+    "decile_stats",
+    oracle=_DECILE_STATS_SQL,
     doc="Decile profile: ntile(10) over a fully tie-broken global "
     "order, then per-decile count/min/max/exact-sum — the "
     "distribution summary a 100 TB skew analysis reports. The global "
@@ -2376,6 +2381,46 @@ def decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
         dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@register(
+    "decile_stats_twopass",
+    oracle=_DECILE_STATS_SQL,
+    doc="The SCALE-SAFE twin of decile_stats, oracle-gated to the "
+    "IDENTICAL result (same SQL, same hash): global ranks via the "
+    "deterministic two-pass range-bucket recipe and the closed-form "
+    "ntile split (functions/distributed.py) instead of a global ntile "
+    "window that totals-sorts every order through one partition — "
+    "completing the yardstick/twin pairing for the whole equi-depth "
+    "family (equi_depth_bins, calibration_by_decile, decile_stats).",
+)
+def decile_stats_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.distributed import (
+        ntile_from_ordinal,
+        two_pass_ordinals,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = two_pass_ordinals(o, ["o_totalprice", "o_orderkey"], 16)
+    nn = o.agg(F.count(F.lit(1)).cast("long").alias("_N"))
+    return (
+        ranked.crossJoin(F.broadcast(nn))
+        .select(
+            "o_totalprice",
+            ntile_from_ordinal(F.col("ordinal"), F.col("_N"), 10)
+            .cast("int")
+            .alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
     )
 
 

@@ -157,6 +157,26 @@ def streaming_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _ensure_atleastonce_fixture(sf_dir: str) -> str:
+    """Write the at-least-once input (events + a re-delivered 10% slice)
+    once per sf_dir; idempotent. Exposed as the query's ``prepare`` hook
+    so bench.py builds it OFF the timed path (round-2 item: the fixture
+    write polluted streaming_dedup_replay's first timed run)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tmp = f"/tmp/spark_graft_atleastonce_{abs(hash(src)) % 10**8}"
+    if not os.path.isdir(tmp):
+        os.makedirs(tmp, exist_ok=True)
+        t = pq.read_table(src)
+        pq.write_table(t, os.path.join(tmp, "part0_full.parquet"))
+        mask = t["event_id"].to_numpy() % 10 == 0
+        dup = t.filter(pa.array(mask))
+        pq.write_table(dup, os.path.join(tmp, "part1_redelivered.parquet"))
+    return tmp
+
+
 @register(
     "streaming_dedup_replay",
     oracle=f"""
@@ -174,26 +194,15 @@ def streaming_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFram
     "is one entry per key within the watermark horizon "
     "(streaming/joins.py; cross-micro-batch suppression pinned in "
     "tests/test_streaming.py).",
+    prepare=lambda spark, sf_dir: _ensure_atleastonce_fixture(sf_dir),
 )
 def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pyarrow.parquet as pq
-
     from pyspark.sql import functions as F
 
     from weather_analysis_bigdata__spark.functions.deterministic import dec
     from weather_analysis_bigdata__spark.streaming.joins import dedup_replay
 
-    src = os.path.join(sf_dir, "events.parquet")
-    tmp = f"/tmp/spark_graft_atleastonce_{abs(hash(src)) % 10**8}"
-    if not os.path.isdir(tmp):
-        os.makedirs(tmp, exist_ok=True)
-        t = pq.read_table(src)
-        pq.write_table(t, os.path.join(tmp, "part0_full.parquet"))
-        import pyarrow as pa
-
-        mask = t["event_id"].to_numpy() % 10 == 0
-        dup = t.filter(pa.array(mask))
-        pq.write_table(dup, os.path.join(tmp, "part1_redelivered.parquet"))
+    tmp = _ensure_atleastonce_fixture(sf_dir)
     deduped = dedup_replay(spark, tmp)
     return deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -463,11 +472,13 @@ def streaming_interval_full_join_replay(
 
 
 def _session_window_oracle() -> str:
-    import weather_analysis_bigdata__spark.queries_datapipe  # noqa: F401
+    # Module-level constant import (the SQL_CC_COMP pattern) — no
+    # private-registry read, no import-order coupling.
+    from weather_analysis_bigdata__spark.queries_datapipe import (
+        SQL_SESSION_WINDOW,
+    )
 
-    from weather_analysis_bigdata__spark.registry import _REGISTRY
-
-    return _REGISTRY["session_window_native"].oracle
+    return SQL_SESSION_WINDOW
 
 
 @register(

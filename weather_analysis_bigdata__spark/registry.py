@@ -31,18 +31,34 @@ class Query:
     fn: QueryFn
     oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
     doc: str = ""
+    #: Optional one-time fixture/index builder (persisted parquet index,
+    #: at-least-once replay input, ...). ``fn`` ALWAYS self-prepares —
+    #: this hook only lets the bench harness move the one-time build
+    #: off the timed path. Signature: (spark, sf_dir) -> None.
+    prepare: Callable[[SparkSession, str], None] | None = None
 
 
 _REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    prepare: Callable[[SparkSession, str], None] | None = None,
+) -> Callable[[QueryFn], QueryFn]:
     """Decorator: add a (spark_fn, oracle_sql) pair to the registry."""
 
     def wrap(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        _REGISTRY[name] = Query(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            doc=doc or (fn.__doc__ or ""),
+            prepare=prepare,
+        )
         return fn
 
     return wrap
@@ -139,10 +155,15 @@ def all_queries() -> dict[str, Query]:
     import weather_analysis_bigdata__spark.queries_ops  # noqa: F401
     import weather_analysis_bigdata__spark.queries_round2  # noqa: F401
 
+    # A typo'd / renamed PRIORITY entry would silently demote a flagship
+    # query out of the sampled-first set — fail loudly instead.
+    missing = [n for n in PRIORITY if n not in _REGISTRY]
+    if missing:
+        raise KeyError(f"PRIORITY names missing from registry: {missing}")
+
     ordered: dict[str, Query] = {}
     for name in PRIORITY:
-        if name in _REGISTRY:
-            ordered[name] = _REGISTRY[name]
+        ordered[name] = _REGISTRY[name]
     for name, q in _REGISTRY.items():
         if name not in ordered:
             ordered[name] = q

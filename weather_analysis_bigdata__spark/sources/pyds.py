@@ -154,9 +154,21 @@ def stream_weather_to_memory(
     expect = stations * days
     deadline = time.time() + timeout_s
     try:
-        while time.time() < deadline:
+        while True:
+            # Surface a failed source IMMEDIATELY — without this check a
+            # source error silently burns the whole timeout and shows up
+            # downstream as a confusing row-count mismatch.
+            exc = q.exception()
+            if exc is not None:
+                raise exc
             if spark.table(name).count() >= expect:
                 break
+            if time.time() >= deadline:
+                raise TimeoutError(
+                    f"stream_weather_to_memory: {spark.table(name).count()}"
+                    f"/{expect} rows after {timeout_s:.0f}s "
+                    f"(query {name} still running, no exception)"
+                )
             time.sleep(0.2)
     finally:
         q.stop()
