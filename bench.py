@@ -62,6 +62,11 @@ HEADLINE = [
     "cdc_apply_changes",
     "chunk_documents_overlap",
     "hybrid_search_rrf",
+    # round 3: capped SemDeDup, the distributed equi-depth twin, and
+    # the window-free filtered-ANN rewrite
+    "dedup_semantic_capped",
+    "equi_depth_bins_twopass",
+    "ann_filtered_prefilter_topk",
 ]
 
 

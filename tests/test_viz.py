@@ -95,3 +95,24 @@ def test_geo_map_is_animated_with_one_marker_per_station(gallery):
         assert {"r", "fill"} <= names  # SMIL animation on radius + color
         # every frame contributes a value
         assert len(anims[0].get("values").split(";")) > 1
+
+
+def test_raster_twins_render_when_matplotlib_present(gallery):
+    """Every SVG figure gains a PNG raster twin when matplotlib is
+    importable (Agg backend) — the reference's plotly/matplotlib
+    fidelity path. In matplotlib-less environments (this container) the
+    SVG path must stand alone and the twins must simply not exist."""
+    import os
+
+    from weather_analysis_bigdata__spark.viz import _mpl
+
+    pngs = [p.replace(".svg", ".png") for p in gallery]
+    if _mpl() is None:
+        assert not any(os.path.exists(p) for p in pngs)
+        import pytest
+
+        pytest.skip("matplotlib not installed — raster path gated off")
+    # time series, trend, both heatmaps, geo map all get raster twins
+    for p in pngs:
+        assert os.path.exists(p), p
+        assert os.path.getsize(p) > 1000, p

@@ -136,6 +136,17 @@ PRIORITY = [
     "global_row_ordinals",
     "ivm_delta_agg",
     "corpus_prep_v2_chunked",
+    # Round-3 flagships: scale-safe twins of the global-window
+    # yardsticks, the capped SemDeDup, filtered ANN, hybrid retrieval,
+    # and the newly oracle-gated BPE pair
+    "dedup_semantic_capped",
+    "equi_depth_bins_twopass",
+    "calibration_by_decile_twopass",
+    "decile_stats_twopass",
+    "ann_filtered_prefilter_topk",
+    "hybrid_search_rrf",
+    "bpe_train_merges",
+    "bpe_apply_tokenize",
 ]
 
 

@@ -119,20 +119,93 @@ class _SVG:
         return path
 
 
-def _maybe_png(svg_path: str, xs, series: dict) -> None:
-    """Optional matplotlib PNG twin of a line figure — import-gated; the
-    SVG deliverable above never depends on it."""
+def _mpl():
+    """matplotlib.pyplot with the Agg backend, or None — every raster
+    twin is gated on this so the SVG deliverables never depend on the
+    (environment-optional) dependency."""
     try:
-        import matplotlib  # noqa: F401
+        import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
+
+        return plt
     except ImportError:
+        return None
+
+
+def _maybe_png(svg_path: str, xs, series: dict, title: str = "") -> None:
+    """Optional matplotlib PNG twin of a line figure — import-gated; the
+    SVG deliverable above never depends on it."""
+    plt = _mpl()
+    if plt is None:
         return
     fig, ax = plt.subplots(figsize=(8, 4.2))
     for label, ys in series.items():
         ax.plot(xs, ys, label=label)
+    ax.set_title(title)
     ax.legend()
+    fig.savefig(svg_path.replace(".svg", ".png"))
+    plt.close(fig)
+
+
+def _maybe_png_heatmap(
+    svg_path: str, r_keys, c_keys, vals: dict, title: str = ""
+) -> None:
+    """Raster twin of render_heatmap (same cell data contract): an
+    imshow grid with the same blue→red scale direction."""
+    plt = _mpl()
+    if plt is None:
+        return
+    import math
+
+    grid = [
+        [
+            vals.get((rk, ck), math.nan)
+            for ck in c_keys
+        ]
+        for rk in r_keys
+    ]
+    fig, ax = plt.subplots(figsize=(8, 4.2))
+    im = ax.imshow(grid, aspect="auto", cmap="coolwarm")
+    ax.set_yticks(range(len(r_keys)), [str(k) for k in r_keys])
+    ax.set_xticks(range(len(c_keys)), [str(k) for k in c_keys])
+    ax.set_title(title)
+    fig.colorbar(im, ax=ax)
+    fig.savefig(svg_path.replace(".svg", ".png"))
+    plt.close(fig)
+
+
+def _maybe_png_geo(
+    svg_path: str, stations: dict, frame_vals: dict, frames, title: str = ""
+) -> None:
+    """Raster twin of render_geo_map: PNG cannot animate, so it renders
+    the LAST frame's scatter (size+color by value) — the plotly
+    animation's final state — keeping the same data contract."""
+    plt = _mpl()
+    if plt is None:
+        return
+    last = frames[-1]
+    fig, ax = plt.subplots(figsize=(8, 4.2))
+    xs, ys, ss, cs, labels = [], [], [], [], []
+    vs = [v for (sid, f), v in frame_vals.items() if f == last]
+    vlo, vhi = (min(vs), max(vs)) if vs else (0.0, 1.0)
+    span = (vhi - vlo) or 1.0
+    for sid, (lon, lat) in sorted(stations.items()):
+        v = frame_vals.get((sid, last))
+        if v is None:
+            continue
+        t = (v - vlo) / span
+        xs.append(lon)
+        ys.append(lat)
+        ss.append(30 + 170 * t)
+        cs.append(v)
+        labels.append(sid)
+    sc = ax.scatter(xs, ys, s=ss, c=cs, cmap="coolwarm", alpha=0.8)
+    for x, y, sid in zip(xs, ys, labels):
+        ax.annotate(str(sid), (x, y), fontsize=7)
+    ax.set_title(f"{title} ({last})")
+    fig.colorbar(sc, ax=ax)
     fig.savefig(svg_path.replace(".svg", ".png"))
     plt.close(fig)
 
@@ -276,6 +349,7 @@ def render_heatmap(
             f'text-anchor="middle" font-family="sans-serif" font-size="10">'
             f"{_esc(ck)}</text>"
         )
+    _maybe_png_heatmap(path, r_keys, c_keys, vals, title)
     return svg.save(path)
 
 
@@ -350,6 +424,7 @@ def render_geo_map(
         )
         + "</text>"
     )
+    _maybe_png_geo(path, stations, vals, frames, title)
     return svg.save(path)
 
 
