@@ -67,6 +67,8 @@ HEADLINE = [
     "dedup_semantic_capped",
     "equi_depth_bins_twopass",
     "ann_filtered_prefilter_topk",
+    "sim_search_binary_hamming",
+    "sim_search_matryoshka",
 ]
 
 

@@ -74,9 +74,11 @@ KNOWN_EXCEPTIONS = {
     "(no side broadcastable at scale) — hash-join hinted, exchanges "
     "carry distinct edge pairs plus three 1-row stat collects",
     "ann_ladder_candidate_audit": "four independent rung estimates in "
-    "one plan (bucket counts ×2, probe join, centroid assignment) — "
-    "each exchange carries bucket/cluster COUNT rows or id/bucket "
-    "pairs; the audit exists to price the rungs, it never builds them",
+    "one plan (bucket counts ×2, probe join, and — round 3 — a SCAN of "
+    "the persisted IVF assignment instead of an inlined centroid "
+    "subtree; 11→8 exchanges) — each exchange carries bucket/cluster "
+    "COUNT rows or id/bucket pairs; the audit exists to price the "
+    "rungs, it never builds them",
     "theil_sen_trend": "raw lineitem reduces to the ~84-row monthly "
     "table in the FIRST exchange; every later exchange and all four "
     "BNLJ steps carry that 84-row table, its 84×84/2 slope pairs, or "
@@ -159,6 +161,11 @@ KNOWN_EXCEPTIONS = {
     "aggregate",
     "calibration_by_decile_twopass": "same two-pass recipe over "
     "events: one fact-scale exchange, rest O(parts)/scalar",
+    "corpus_temperature_mixture": "per-source counts feed weights, "
+    "the sorted-fold normalizer, and the total — every exchange but "
+    "the final per-source output aggregate carries O(sources) count "
+    "rows or a 1-row scalar; the fact-scale gate scan joins the "
+    "broadcast rate table statelessly (one pass, no doc shuffle)",
     "decile_stats_twopass": "same two-pass recipe over orders: one "
     "fact-scale exchange, rest O(parts)/scalar",
 }
@@ -199,6 +206,7 @@ REVIEWED_FLAGS = {
     "pack_sequences_fixed_budget": {"XCHG"},
     "equi_depth_bins_twopass": {"XCHG"},
     "calibration_by_decile_twopass": {"XCHG"},
+    "corpus_temperature_mixture": {"XCHG"},
     "decile_stats_twopass": {"XCHG"},
 }
 

@@ -2582,6 +2582,7 @@ def multimodal_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "all-pairs' claims with numbers and catches any silent candidate "
     "blowup when the dials change. At 100 TB this query IS the "
     "pre-flight cost estimator run before launching a dedup/ANN job.",
+    prepare=_prepare_ivf,
 )
 def ann_ladder_candidate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_analysis_bigdata__spark.functions.vectorops import lsh_bucket
@@ -2614,35 +2615,12 @@ def ann_ladder_candidate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("p"))
     )
 
-    vpos = _vpos(spark, sf_dir)
-    s, n = F.sum("v_int"), F.count(F.lit(1))
-    floordiv = (s - (((s % n) + n) % n)) / n
-    cent_arr = (
-        vpos.groupBy(F.col("label").alias("c_label"), "pos")
-        .agg(floordiv.cast("long").alias("c_int"))
-        .groupBy("c_label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c_int"))),
-                lambda st: st["c_int"],
-            ).alias("c_arr")
-        )
-    )
-
-    def sqdist(a, b):
-        d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
-        return F.aggregate(d, F.lit(0).cast("long"), lambda acc, x: acc + x)
-
-    sv = emb.select("vec_id", scaled_vec("embedding").alias("sva"))
-    w_vec = Window.partitionBy("vec_id").orderBy("dist", "c_label")
-    assign = (
-        sv.crossJoin(F.broadcast(cent_arr))
-        .select("vec_id", "c_label", sqdist("sva", "c_arr").alias("dist"))
-        .select("*", F.row_number().over(w_vec).alias("rn"))
-        .filter(F.col("rn") == 1)
-    )
+    # Cluster rung: read the PERSISTED IVF assignment (same argmin the
+    # audit used to inline — operators/index_store.py) instead of
+    # re-planning the centroid subtree inside the audit.
+    assign = _ivf_assign(spark, sf_dir)
     sem = (
-        assign.groupBy("c_label")
+        assign.groupBy("part_label")
         .agg(F.count(F.lit(1)).alias("c"))
         .agg(F.sum(F.expr("c * (c - 1) div 2")).alias("p"))
     )

@@ -147,6 +147,9 @@ PRIORITY = [
     "hybrid_search_rrf",
     "bpe_train_merges",
     "bpe_apply_tokenize",
+    "sim_search_binary_hamming",
+    "sim_search_matryoshka",
+    "corpus_temperature_mixture",
 ]
 
 
@@ -165,6 +168,7 @@ def all_queries() -> dict[str, Query]:
     import weather_analysis_bigdata__spark.queries_profiling  # noqa: F401
     import weather_analysis_bigdata__spark.queries_ops  # noqa: F401
     import weather_analysis_bigdata__spark.queries_round2  # noqa: F401
+    import weather_analysis_bigdata__spark.queries_round3  # noqa: F401
 
     # A typo'd / renamed PRIORITY entry would silently demote a flagship
     # query out of the sampled-first set — fail loudly instead.
