@@ -69,6 +69,7 @@ HEADLINE = [
     "ann_filtered_prefilter_topk",
     "sim_search_binary_hamming",
     "sim_search_matryoshka",
+    "dedup_minhash_incremental",
 ]
 
 

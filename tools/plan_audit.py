@@ -161,6 +161,11 @@ KNOWN_EXCEPTIONS = {
     "aggregate",
     "calibration_by_decile_twopass": "same two-pass recipe over "
     "events: one fact-scale exchange, rest O(parts)/scalar",
+    "dedup_minhash_incremental": "the LIVE batch band subtree is "
+    "planned twice (vs-corpus join and vs-self join) — every exchange "
+    "carries batch-sized signature/band rows (k×8 B/doc) or the final "
+    "candidate aggregate; the corpus side is a persisted-index SCAN, "
+    "so corpus text is never re-read or shuffled",
     "corpus_temperature_mixture": "per-source counts feed weights, "
     "the sorted-fold normalizer, and the total — every exchange but "
     "the final per-source output aggregate carries O(sources) count "
@@ -206,6 +211,7 @@ REVIEWED_FLAGS = {
     "pack_sequences_fixed_budget": {"XCHG"},
     "equi_depth_bins_twopass": {"XCHG"},
     "calibration_by_decile_twopass": {"XCHG"},
+    "dedup_minhash_incremental": {"XCHG"},
     "corpus_temperature_mixture": {"XCHG"},
     "decile_stats_twopass": {"XCHG"},
 }

@@ -284,26 +284,18 @@ def _sql_minhash_lsh(k: int, bands: int, min_shared_bands: int = 1) -> str:
     """
 
 
-def _dedup_minhash_lsh_impl(
-    spark: SparkSession,
-    sf_dir: str,
-    k: int = _MINHASH_K,
-    bands: int = _LSH_BANDS,
-    min_shared_bands: int = 1,
+def _minhash_bands(
+    docs: DataFrame, k: int = _MINHASH_K, bands: int = _LSH_BANDS
 ) -> DataFrame:
-    """Parameterized MinHash(k) + LSH(bands) near-dedup (see the
-    registered queries for the oracle-checked instantiations).
-
-    ``min_shared_bands`` > 1 is band-AND-ing: requiring ≥m colliding
-    bands sharpens the collision curve (fewer false candidates at the
-    same k), the knob to turn when a 100 TB corpus makes even the
-    banded candidate set too large.
-    """
+    """Exploded band table (doc_id, mh0..mh{k-1}, band_id, band_key)
+    for a docs frame — the shared front half of every MinHash-LSH op.
+    Integer min-hashes keep the aggregate hash-based (MIN over strings
+    falls back to SortAggregate — measured); ONE explode pass over the
+    signature (the union form recomputes the signature subtree per
+    band); mh columns ride along so candidate pairs never join back."""
     from weather_analysis_bigdata__spark.functions.textops import hex15_to_long
 
-    sh = _shingles(_docs_with_dups(spark, sf_dir))
-    # Integer min-hashes keep the aggregate hash-based (MIN over strings
-    # falls back to SortAggregate — measured).
+    sh = _shingles(docs)
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(
@@ -330,10 +322,7 @@ def _dedup_minhash_lsh_impl(
             for b in range(bands)
         ]
     )
-    # ONE pass over sig: explode the band array (the union form
-    # recomputes the whole signature subtree per branch); mh columns ride
-    # along so candidate pairs never join back to sig.
-    bands_df = sig.select(
+    return sig.select(
         "doc_id",
         *[f"mh{j}" for j in range(k)],
         F.explode(band_structs).alias("band"),
@@ -343,6 +332,24 @@ def _dedup_minhash_lsh_impl(
         F.col("band.band_id").alias("band_id"),
         F.col("band.band_key").alias("band_key"),
     )
+
+
+def _dedup_minhash_lsh_impl(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _MINHASH_K,
+    bands: int = _LSH_BANDS,
+    min_shared_bands: int = 1,
+) -> DataFrame:
+    """Parameterized MinHash(k) + LSH(bands) near-dedup (see the
+    registered queries for the oracle-checked instantiations).
+
+    ``min_shared_bands`` > 1 is band-AND-ing: requiring ≥m colliding
+    bands sharpens the collision curve (fewer false candidates at the
+    same k), the knob to turn when a 100 TB corpus makes even the
+    banded candidate set too large.
+    """
+    bands_df = _minhash_bands(_docs_with_dups(spark, sf_dir), k, bands)
     a = bands_df.alias("a")
     b_ = bands_df.alias("b")
     est = sum(
@@ -401,6 +408,139 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup_minhash_lsh_impl(spark, sf_dir, 16, 8, min_shared_bands=2)
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash dedup: new batch vs persisted corpus index
+# ---------------------------------------------------------------------------
+def _minhash_corpus_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED corpus MinHash band index (doc_id, mh0..7, band_id,
+    band_key) — operators/index_store.py: the signature/band table an
+    ingest pipeline maintains so each arriving batch only joins against
+    k×8 B/doc of index, never re-shingling the corpus."""
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        persisted_index,
+    )
+
+    return persisted_index(
+        spark,
+        sf_dir,
+        f"minhash_corpus_bands_k{_MINHASH_K}b{_LSH_BANDS}",
+        lambda: _minhash_bands(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            _MINHASH_K,
+            _LSH_BANDS,
+        ),
+    )
+
+
+def _prepare_minhash_corpus(spark: SparkSession, sf_dir: str) -> None:
+    _minhash_corpus_bands(spark, sf_dir)
+
+
+def _sql_minhash_incremental(k: int, bands: int) -> str:
+    sig_cols = _sql_minhash_cols(k)
+    mh_list = ", ".join(f"mh{j}" for j in range(k))
+
+    def bands_sql(sig_cte: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_id, {key} AS band_key, {mh_list} "
+            f"FROM {sig_cte}"
+            for b, key in enumerate(_sql_band_keys(k, bands))
+        )
+
+    est = (
+        "("
+        + " + ".join(
+            f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(k)
+        )
+        + f") / {float(k)}"
+    )
+    return f"""
+    WITH docs AS (SELECT doc_id, text FROM documents),
+    {SQL_SHINGLES.strip()},
+    csig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    nsh AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, unnest({sql_word_ngrams('toks')}) AS gram
+        FROM (SELECT doc_id + 1000000 AS doc_id,
+                     {SQL_TOKENS.format(c='text')} AS toks
+              FROM documents WHERE doc_id % 50 = 0)
+      )
+    ),
+    nsig AS (SELECT doc_id, {sig_cols} FROM nsh GROUP BY doc_id),
+    cbands AS ({bands_sql('csig')}),
+    nbands AS ({bands_sql('nsig')}),
+    pairs AS (
+      SELECT a.doc_id AS new_doc_id, b.doc_id AS matched_doc_id,
+             'corpus' AS matched_side, {est} AS est
+      FROM nbands a JOIN cbands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+      UNION ALL
+      SELECT a.doc_id, b.doc_id, 'batch', {est}
+      FROM nbands a JOIN nbands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT new_doc_id, matched_doc_id, matched_side,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_bands,
+           MAX(est) AS est_jaccard
+    FROM pairs GROUP BY 1, 2, 3
+    """
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=_sql_minhash_incremental(_MINHASH_K, _LSH_BANDS),
+    doc="INCREMENTAL near-dedup — the shape a production ingest actually "
+    "runs (nobody re-dedups 100 TB per day): the corpus's MinHash band "
+    "table is a PERSISTED index (operators/index_store.py), an arriving "
+    "batch (here: the id-shifted re-crawled copies, doc_id ≥ 10⁶) is "
+    "shingled/signed LIVE and its bands join (a) the corpus index and "
+    "(b) themselves — never corpus×corpus. Per-batch cost is "
+    "O(|batch| · text) for signatures plus band-collision joins against "
+    "k×8 B/doc of index; TOTAL corpus text is never re-read. Output "
+    "labels each candidate pair with matched_side ('corpus'|'batch') "
+    "and the signature-estimated Jaccard — the router for "
+    "drop/keep/link-to-canonical decisions downstream. Same k=8/b=4 "
+    "dial as dedup_minhash_lsh, proven by the same oracle algebra.",
+    prepare=_prepare_minhash_corpus,
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corp = _minhash_corpus_bands(spark, sf_dir)
+    batch_docs = _docs_with_dups(spark, sf_dir).filter(
+        F.col("doc_id") >= 1000000
+    )
+    newb = _minhash_bands(batch_docs, _MINHASH_K, _LSH_BANDS)
+    est = sum(
+        F.when(F.col(f"a.mh{j}") == F.col(f"b.mh{j}"), 1).otherwise(0)
+        for j in range(_MINHASH_K)
+    ) / float(_MINHASH_K)
+
+    def pair(b_side: DataFrame, side: str, ordered: bool) -> DataFrame:
+        cond = (F.col("a.band_id") == F.col("b.band_id")) & (
+            F.col("a.band_key") == F.col("b.band_key")
+        )
+        if ordered:
+            cond = cond & (F.col("a.doc_id") < F.col("b.doc_id"))
+        return (
+            newb.alias("a")
+            .join(b_side.alias("b"), cond)
+            .select(
+                F.col("a.doc_id").alias("new_doc_id"),
+                F.col("b.doc_id").alias("matched_doc_id"),
+                F.lit(side).alias("matched_side"),
+                est.alias("est"),
+            )
+        )
+
+    pairs = pair(corp, "corpus", ordered=False).unionByName(
+        pair(newb, "batch", ordered=True)
+    )
+    return pairs.groupBy("new_doc_id", "matched_doc_id", "matched_side").agg(
+        F.count(F.lit(1)).alias("n_shared_bands"),
+        F.max("est").alias("est_jaccard"),
+    )
 
 
 # ---------------------------------------------------------------------------

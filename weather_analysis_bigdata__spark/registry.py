@@ -150,6 +150,7 @@ PRIORITY = [
     "sim_search_binary_hamming",
     "sim_search_matryoshka",
     "corpus_temperature_mixture",
+    "dedup_minhash_incremental",
 ]
 
 
