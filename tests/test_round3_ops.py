@@ -100,3 +100,24 @@ def test_temperature_mixture_is_deterministic_subsample(spark, sf_dir, registry)
         < src.gate
     )
     assert n_sel == src.n_selected
+
+
+def test_ivf_upsert_conserves_arrivals(spark, sf_dir, registry):
+    """Every arriving vector lands in exactly one inverted list:
+    Σ n_new = |arrivals| and n_after = n_before + n_new per list;
+    Σ n_before = corpus size (the persisted index covers everything)."""
+    from weather_analysis_bigdata__spark import queries_llmops as q
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    rows = registry["ivf_index_upsert"].fn(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    n_arrivals = emb.filter(
+        F.col("vec_id") % q._UPSERT_MOD == q._UPSERT_REM
+    ).count()
+    assert sum(r.n_new for r in rows) == n_arrivals
+    assert sum(r.n_before for r in rows) == n_corpus
+    for r in rows:
+        assert r.n_after == r.n_before + r.n_new
+        if r.n_new:
+            assert r.min_new_vec_id >= 1000000

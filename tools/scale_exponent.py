@@ -54,6 +54,11 @@ PROBE = [
     "tfidf_cosine_topk",
     "dedup_semantic_clustered",
     "dedup_semantic_capped",
+    # round-3 additions: the new rungs + incremental ingest kernels
+    "sim_search_binary_hamming",
+    "sim_search_matryoshka",
+    "dedup_minhash_incremental",
+    "ivf_index_upsert",
 ]
 
 #: Tables the probe queries read; only these are replicated.

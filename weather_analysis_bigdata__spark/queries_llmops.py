@@ -1696,6 +1696,129 @@ def ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF index upsert: arriving vectors against persisted (stale) centroids
+# ---------------------------------------------------------------------------
+_UPSERT_MOD = 20
+_UPSERT_REM = 7
+_UPSERT_DRIFT = 0.97  # deterministic re-embedding drift factor
+
+
+@register(
+    "ivf_index_upsert",
+    oracle=f"""
+    WITH {_SQL_VPOS.strip()},
+    cent AS (
+      SELECT label AS c_label, pos,
+             CAST({_SQL_FLOORDIV.format(s='SUM(v_int)', n='COUNT(*)')} AS BIGINT)
+               AS c_int
+      FROM vpos GROUP BY label, pos
+    ),
+    cent_arr AS (
+      SELECT c_label, list(c_int ORDER BY pos) AS c_arr
+      FROM cent GROUP BY c_label
+    ),
+    sv AS (SELECT vec_id, {_SQL_SVA} AS sva FROM embeddings),
+    before AS (
+      SELECT part_label, COUNT(*) AS n_before FROM (
+        SELECT s.vec_id, c.c_label AS part_label,
+               row_number() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY {_sql_sqdist('s.sva', 'c.c_arr')}, c.c_label) AS rn
+        FROM sv s CROSS JOIN cent_arr c) WHERE rn = 1
+      GROUP BY part_label
+    ),
+    arriving AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding,
+               x -> CAST(CAST(CAST(x AS DOUBLE) * {_UPSERT_DRIFT}
+                              AS DECIMAL(18,8)) * 100000000 AS BIGINT))
+               AS sva
+      FROM embeddings WHERE vec_id % {_UPSERT_MOD} = {_UPSERT_REM}
+    ),
+    newassign AS (
+      SELECT part_label, COUNT(*) AS n_new,
+             CAST(MIN(vec_id) AS BIGINT) AS min_new_vec_id FROM (
+        SELECT a.vec_id, c.c_label AS part_label,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_sql_sqdist('a.sva', 'c.c_arr')}, c.c_label) AS rn
+        FROM arriving a CROSS JOIN cent_arr c) WHERE rn = 1
+      GROUP BY part_label
+    )
+    SELECT b.part_label,
+           CAST(b.n_before AS BIGINT) AS n_before,
+           CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+           CAST(b.n_before + COALESCE(n.n_new, 0) AS BIGINT) AS n_after,
+           n.min_new_vec_id
+    FROM before b LEFT JOIN newassign n USING (part_label)
+    """,
+    doc=f"IVF index UPSERT — the vector-side incremental-state kernel "
+    "(the ANN sibling of dedup_minhash_incremental): arriving vectors "
+    f"(every {_UPSERT_MOD}th corpus vector re-embedded with a "
+    f"deterministic ×{_UPSERT_DRIFT} drift, id-shifted) are assigned "
+    "to the PERSISTED centroid table WITHOUT retraining — exactly how "
+    "production IVF serves ingest between periodic retrains (FAISS "
+    "add() semantics; the stale-centroid trade is the documented cost, "
+    "monitored here by per-list growth). Output: per inverted list, "
+    "size before, arrivals, size after, and the first arriving id — "
+    "the drift/balance report that triggers a retrain when a list "
+    "grows disproportionately. Scale shape: centroids broadcast "
+    "(k×d), arrivals are the only scanned rows, the corpus index "
+    "contributes pre-aggregated list sizes from the persisted "
+    "assignment — per-batch cost is O(|batch|·k·d), corpus-free.",
+    prepare=_prepare_ivf,
+)
+def ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cent_arr = _ivf_centroids(spark, sf_dir)
+    before = (
+        _ivf_assign(spark, sf_dir)
+        .groupBy("part_label")
+        .agg(F.count(F.lit(1)).alias("n_before"))
+    )
+    arriving = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _UPSERT_MOD == _UPSERT_REM)
+        .select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            scaled_vec(
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: x.cast("double") * F.lit(_UPSERT_DRIFT),
+                )
+            ).alias("sva"),
+        )
+    )
+    w_vec = Window.partitionBy("vec_id").orderBy("dist", "c_label")
+    newassign = (
+        arriving.crossJoin(F.broadcast(cent_arr))
+        .select(
+            "vec_id",
+            "c_label",
+            _sqdist_col(F.col("sva"), F.col("c_arr")).alias("dist"),
+        )
+        .select("*", F.row_number().over(w_vec).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("c_label").alias("part_label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.min("vec_id").alias("min_new_vec_id"),
+        )
+    )
+    return (
+        before.join(newassign, "part_label", "left")
+        .select(
+            "part_label",
+            F.col("n_before").cast("long").alias("n_before"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            (F.col("n_before") + F.coalesce("n_new", F.lit(0)))
+            .cast("long")
+            .alias("n_after"),
+            "min_new_vec_id",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Document fingerprinting: winnowing (rolling min-hash windows)
 # ---------------------------------------------------------------------------
 _WINNOW_W = 4  # shingle-hash window width

@@ -151,6 +151,7 @@ PRIORITY = [
     "sim_search_matryoshka",
     "corpus_temperature_mixture",
     "dedup_minhash_incremental",
+    "ivf_index_upsert",
 ]
 
 
