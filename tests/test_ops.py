@@ -179,3 +179,44 @@ def test_parquet_codec_actually_applied(spark, sf_dir, tmp_path):
             for j in range(meta.num_columns)
         }
         assert codecs == {expect}
+
+
+def test_training_shard_writer_matches_manifest(spark, sf_dir, tmp_path):
+    """write_training_shards' read-back must agree with the
+    oracle-checked packing manifest: same per-shard doc counts and token
+    sums, every doc written exactly once, shards are doc_id-contiguous."""
+    from pyspark.sql import functions as F
+
+    from weather_analysis_bigdata__spark.operators.shards import (
+        write_training_shards,
+    )
+
+    out = str(tmp_path / "shards")
+    back = write_training_shards(spark, sf_dir, out)
+    from weather_analysis_bigdata__spark.queries_ops import (
+        pack_sequences_fixed_budget,
+    )
+
+    manifest = {
+        r.shard_id: (r.n_docs, r.total_tokens, r.first_doc, r.last_doc)
+        for r in pack_sequences_fixed_budget(spark, sf_dir).collect()
+    }
+    got = {
+        r.shard_id: (r.n, r.toks, r.lo, r.hi)
+        for r in back.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_tokens").alias("toks"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == manifest
+    n_docs = back.count()
+    assert n_docs == back.select("doc_id").distinct().count()
+    assert n_docs == sum(v[0] for v in manifest.values())
+    # shards partition the doc_id axis contiguously: ranges don't overlap
+    ranges = sorted((v[2], v[3]) for v in manifest.values())
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2

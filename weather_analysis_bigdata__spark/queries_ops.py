@@ -448,6 +448,54 @@ def arrow_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_BUDGET = 8192
 
 
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, cum_before, shard_id) — the deterministic
+    token-budget shard assignment, shared by the manifest query below
+    and operators/shards.py::write_training_shards.
+
+    Two-pass distributed prefix sum (the scale form IS the plan):
+    deterministic range buckets by doc_id (functions/distributed.py — a
+    pure function of the key, so the counts subtree and the consuming
+    subtree always agree), per-bucket token sums → broadcast exclusive
+    offsets, then a PARTITIONED cumsum window — no "No Partition
+    Defined" WindowExec anywhere. cum_before = offset(bucket) +
+    exclusive local cumsum, which is the global exclusive running sum
+    wherever the bucket edges land."""
+    from weather_analysis_bigdata__spark.functions.distributed import (
+        exclusive_prefix_offsets,
+        range_bucketed,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    t = range_bucketed(toks, "doc_id", 16)
+    psums = t.groupBy("_pid").agg(F.sum("n_tokens").alias("_n"))
+    offsets = exclusive_prefix_offsets(psums, "_pid", "_n", "_off")
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        t.join(F.broadcast(offsets), "_pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("_off")
+                + F.coalesce(F.sum("n_tokens").over(wloc), F.lit(0))
+            ).alias("cum_before"),
+        )
+        .withColumn(
+            "shard_id",
+            F.floor(F.col("cum_before") / _PACK_BUDGET).cast("long"),
+        )
+    )
+
+
+
 @register(
     "pack_sequences_fixed_budget",
     oracle=f"""
@@ -488,45 +536,8 @@ _PACK_BUDGET = 8192
     f"no single-partition WindowExec.",
 )
 def pack_sequences_fixed_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from weather_analysis_bigdata__spark.functions.distributed import (
-        exclusive_prefix_offsets,
-        range_bucketed,
-    )
-
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
-    )
-    # Two-pass distributed prefix sum (the docstring's scale form, now
-    # the actual plan): deterministic range buckets by doc_id
-    # (functions/distributed.py — a pure function of the key, so the
-    # counts subtree and the consuming subtree always agree), per-bucket
-    # token sums → broadcast exclusive offsets, then a PARTITIONED
-    # cumsum window — no "No Partition Defined" WindowExec anywhere.
-    # cum_before = offset(bucket) + exclusive local cumsum, which is the
-    # global exclusive running sum wherever the bucket edges land.
-    t = range_bucketed(toks, "doc_id", 16)
-    psums = t.groupBy("_pid").agg(F.sum("n_tokens").alias("_n"))
-    offsets = exclusive_prefix_offsets(psums, "_pid", "_n", "_off")
-    wloc = (
-        Window.partitionBy("_pid")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    packed = (
-        t.join(F.broadcast(offsets), "_pid")
-        .select(
-            "doc_id",
-            "n_tokens",
-            (
-                F.col("_off")
-                + F.coalesce(F.sum("n_tokens").over(wloc), F.lit(0))
-            ).alias("cum_before"),
-        )
-    )
-    return packed.groupBy(
-        F.floor(F.col("cum_before") / _PACK_BUDGET).alias("shard_id")
-    ).agg(
+    packed = shard_assignment(spark, sf_dir)
+    return packed.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.min("doc_id").alias("first_doc"),

@@ -1162,19 +1162,24 @@ def window_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_ratio",
     oracle=f"""
-    SELECT CAST(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+    SELECT 100.0 * (CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
                    THEN {sql_dec('l_extendedprice')} * (1 - {sql_dec('l_discount')})
-                   ELSE 0 END)
-               / SUM({sql_dec('l_extendedprice')} * (1 - {sql_dec('l_discount')}))
-             AS DOUBLE) AS promo_revenue_pct
+                   ELSE 0 END) AS DOUBLE)
+               / CAST(SUM({sql_dec('l_extendedprice')}
+                          * (1 - {sql_dec('l_discount')})) AS DOUBLE))
+             AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
     """,
     doc="TPC-H Q14 shape: promo-revenue percentage — conditional and "
     "unconditional exact-decimal sums in ONE aggregate over a "
     "date-bounded fact⋈dim join (part broadcasts; the month filter is "
-    "pushed to the lineitem scan). The single final double division is "
-    "deterministic from exact operands.",
+    "pushed to the lineitem scan). Both engines cast the EXACT decimal "
+    "sums to double FIRST, then divide, then scale by 100 — the same "
+    "two correctly-rounded IEEE ops in the same order (leaving the "
+    "scaling inside the decimal expression let DuckDB carry decimal "
+    "precision one op further than Spark: a 3.6e-15 divergence, caught "
+    "by the cross-SF sweep at sf0.001).",
 )
 def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -1186,11 +1191,15 @@ def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.agg(
         (
             F.lit(100.0)
-            * F.sum(F.when(F.col("p_type").like("PROMO%"), net).otherwise(F.lit(0)))
-            / F.sum(net)
-        )
-        .cast("double")
-        .alias("promo_revenue_pct")
+            * (
+                F.sum(
+                    F.when(F.col("p_type").like("PROMO%"), net).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.sum(net).cast("double")
+            )
+        ).alias("promo_revenue_pct")
     )
 
 
