@@ -66,9 +66,14 @@ def exclusive_prefix_offsets(
     key_col: str,
     count_col: str,
     offset_col: str = "offset",
+    total_col: str | None = None,
 ) -> DataFrame:
     """(key, n) → (key, offset) where offset = Σ n over keys strictly
     before ``key`` in ascending key order — the exclusive prefix sum.
+    With ``total_col`` set, every row also carries Σ n over ALL keys
+    (free — the same collected array), so consumers that need the grand
+    total (ntile's N, a fill-ratio denominator) don't pay a second scan
+    and a 1-row broadcast join.
 
     For the O(partitions)-row count tables this is meant for, the whole
     table fits in one array: collect, sort by key, and evaluate each
@@ -86,21 +91,32 @@ def exclusive_prefix_offsets(
             )
         ).alias("_a")
     )
-    return packed.select(
-        F.explode(
-            F.transform(
-                F.col("_a"),
-                lambda s, i: F.struct(
-                    s["_k"].alias(key_col),
-                    F.aggregate(
-                        F.slice(F.col("_a"), F.lit(1), i),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x["_n"],
-                    ).alias(offset_col),
-                ),
+
+    def row(s, i):
+        fields = [
+            s["_k"].alias(key_col),
+            F.aggregate(
+                F.slice(F.col("_a"), F.lit(1), i),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x["_n"],
+            ).alias(offset_col),
+        ]
+        if total_col is not None:
+            fields.append(
+                F.aggregate(
+                    F.col("_a"),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x["_n"],
+                ).alias(total_col)
             )
-        ).alias("_s")
-    ).select(f"_s.{key_col}", f"_s.{offset_col}")
+        return F.struct(*fields)
+
+    out_cols = [f"_s.{key_col}", f"_s.{offset_col}"] + (
+        [f"_s.{total_col}"] if total_col is not None else []
+    )
+    return packed.select(
+        F.explode(F.transform(F.col("_a"), row)).alias("_s")
+    ).select(*out_cols)
 
 
 def range_bucketed(
@@ -159,6 +175,7 @@ def two_pass_ordinals(
     order_cols: list[str | Column],
     n_parts: int,
     ordinal_col: str = "ordinal",
+    total_col: str | None = None,
 ) -> DataFrame:
     """Contiguous global ordinals 0..N-1 in ``order_cols`` order without
     a single-partition sort: deterministic range buckets on the leading
@@ -174,10 +191,17 @@ def two_pass_ordinals(
     WindowExec appears — the plan is one boundary-sketch aggregate over
     the pruned key column, one O(parts) count aggregate, and one
     partitioned window.
+
+    With ``total_col`` set, every output row also carries N (the grand
+    row count) piggybacked on the broadcast offsets — consumers like the
+    ntile twins need (ordinal, N) together and would otherwise re-scan
+    for a 1-row count.
     """
     d = range_bucketed(df, order_cols[0], n_parts)
     counts = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-    offsets = exclusive_prefix_offsets(counts, "_pid", "_n", "_off")
+    offsets = exclusive_prefix_offsets(
+        counts, "_pid", "_n", "_off", total_col=total_col
+    )
     wloc = Window.partitionBy("_pid").orderBy(*order_cols)
     return (
         d.join(F.broadcast(offsets), "_pid")

@@ -1805,7 +1805,10 @@ def ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        before.join(newassign, "part_label", "left")
+        # O(k)-row aggregate joins O(k)-row aggregate — broadcast the
+        # arrivals side (without the hint Spark planned a sort-merge
+        # over 10 rows; caught by plan_audit).
+        before.join(F.broadcast(newassign), "part_label", "left")
         .select(
             "part_label",
             F.col("n_before").cast("long").alias("n_before"),

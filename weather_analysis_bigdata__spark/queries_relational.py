@@ -2413,10 +2413,11 @@ def decile_stats_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_totalprice", "o_orderkey"
     )
-    ranked = two_pass_ordinals(o, ["o_totalprice", "o_orderkey"], 16)
-    nn = o.agg(F.count(F.lit(1)).cast("long").alias("_N"))
+    ranked = two_pass_ordinals(
+        o, ["o_totalprice", "o_orderkey"], 16, total_col="_N"
+    )
     return (
-        ranked.crossJoin(F.broadcast(nn))
+        ranked
         .select(
             "o_totalprice",
             ntile_from_ordinal(F.col("ordinal"), F.col("_N"), 10)

@@ -1623,10 +1623,9 @@ def equi_depth_bins_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         dec("o_totalprice").alias("p"),
     )
-    ranked = two_pass_ordinals(o, ["p", "o_orderkey"], 16)
-    nn = o.agg(F.count(F.lit(1)).cast("long").alias("_N"))
+    ranked = two_pass_ordinals(o, ["p", "o_orderkey"], 16, total_col="_N")
     return (
-        ranked.crossJoin(F.broadcast(nn))
+        ranked
         .select(
             "cents",
             ntile_from_ordinal(F.col("ordinal"), F.col("_N"), _DEPTH_K).alias(
@@ -3536,10 +3535,9 @@ def calibration_by_decile_twopass(spark: SparkSession, sf_dir: str) -> DataFrame
             "is_purchase"
         ),
     )
-    ranked = two_pass_ordinals(ev, ["v", "event_id"], 16)
-    nn = ev.agg(F.count(F.lit(1)).cast("long").alias("_N"))
+    ranked = two_pass_ordinals(ev, ["v", "event_id"], 16, total_col="_N")
     return (
-        ranked.crossJoin(F.broadcast(nn))
+        ranked
         .withColumn(
             "decile", ntile_from_ordinal(F.col("ordinal"), F.col("_N"), 10)
         )
