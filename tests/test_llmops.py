@@ -398,3 +398,79 @@ def test_bpe_embedded_oracles_match_independent_generator():
     sf = "/root/testdata/sf0.01"
     assert SQL_BPE_TRAIN_ORACLE == train_oracle_sql(sf)
     assert SQL_BPE_APPLY_ORACLE == apply_oracle_sql(sf)
+
+
+def test_minhash_bucket_cap_is_a_subset_cut_by_bucket_size(spark, sf_dir, registry):
+    """The capped candidates are exactly the base candidates minus
+    pairs whose every shared band sat in an oversized bucket: capped ⊆
+    base, every surviving pair reports max_bucket_size ≤ cap, and on
+    this corpus the cap genuinely BINDS (the tiny test corpus repeats
+    texts, producing ≥4-doc buckets) — the cut is exercised, not
+    vacuous."""
+    base = {
+        (r.doc_id_1, r.doc_id_2): (r.n_shared_bands, r.est_jaccard)
+        for r in registry["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    capped_rows = registry["dedup_minhash_bucket_capped"].fn(spark, sf_dir).collect()
+    from weather_analysis_bigdata__spark import queries_llmops as q
+
+    for r in capped_rows:
+        assert (r.doc_id_1, r.doc_id_2) in base
+        assert r.max_bucket_size <= q._BUCKET_CAP
+        # a kept pair's estimated jaccard is unchanged by the cut
+        assert base[(r.doc_id_1, r.doc_id_2)][1] == r.est_jaccard
+    # the cut binds exactly when an oversized bucket exists in the data
+    from pyspark.sql import functions as F
+
+    n_oversized = (
+        q._minhash_bands(q._docs_with_dups(spark, sf_dir), q._MINHASH_K, q._LSH_BANDS)
+        .groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > q._BUCKET_CAP)
+        .count()
+    )
+    if n_oversized:
+        assert len(capped_rows) < len(base)
+    else:
+        assert len(capped_rows) == len(base)
+
+
+def test_minhash_bucket_cap_drops_oversized_bucket(spark):
+    """Synthetic viral boilerplate: n identical docs collide in every
+    band, bucket_size = n > cap ⇒ ALL their pairs are dropped, while a
+    small near-dup group below the cap survives."""
+    from weather_analysis_bigdata__spark import queries_llmops as q
+    from weather_analysis_bigdata__spark.functions.distributed import (
+        ranked_topk,  # noqa: F401  (ensures module import side-effect-free)
+    )
+
+    cap = q._BUCKET_CAP
+    boiler = [(i, "the same license header text repeated verbatim here")
+              for i in range(cap + 2)]  # bucket of cap+2 > cap
+    pair = [(100, "completely different unique content alpha beta gamma delta"),
+            (101, "completely different unique content alpha beta gamma delta")]
+    docs = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+    bands_df = q._minhash_bands(docs, q._MINHASH_K, q._LSH_BANDS)
+    from pyspark.sql import functions as F
+
+    bsize = bands_df.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    kept = bands_df.join(
+        bsize.filter(F.col("bucket_size") <= cap), ["band_id", "band_key"]
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+        .collect()
+    )
+    got = {(r.d1, r.d2) for r in pairs}
+    assert (100, 101) in got  # the small group survives
+    assert all(d1 >= 100 for d1, _ in got)  # every boilerplate pair dropped

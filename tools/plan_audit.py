@@ -161,6 +161,12 @@ KNOWN_EXCEPTIONS = {
     "aggregate",
     "calibration_by_decile_twopass": "same two-pass recipe over "
     "events: one fact-scale exchange, rest O(parts)/scalar",
+    "dedup_minhash_bucket_capped": "adds the bucket-size semi-join "
+    "ahead of the pair join (same shape as dedup_jaccard_dfcapped's "
+    "DF cap): the extra exchanges carry (band, count) rows and the "
+    "capped band table — k×8 B/doc signatures, never text — and they "
+    "buy the cap²/2 per-bucket pair bound that survives viral "
+    "duplicates",
     "dedup_minhash_incremental": "the LIVE batch band subtree is "
     "planned twice (vs-corpus join and vs-self join) — every exchange "
     "carries batch-sized signature/band rows (k×8 B/doc) or the final "
@@ -211,6 +217,7 @@ REVIEWED_FLAGS = {
     "pack_sequences_fixed_budget": {"XCHG"},
     "equi_depth_bins_twopass": {"XCHG"},
     "calibration_by_decile_twopass": {"XCHG"},
+    "dedup_minhash_bucket_capped": {"XCHG"},
     "dedup_minhash_incremental": {"XCHG"},
     "corpus_temperature_mixture": {"XCHG"},
     "decile_stats_twopass": {"XCHG"},

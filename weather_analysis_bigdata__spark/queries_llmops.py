@@ -411,6 +411,114 @@ def dedup_minhash_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MinHash with a band-bucket cap (viral-boilerplate guard)
+# ---------------------------------------------------------------------------
+_BUCKET_CAP = 3  # max docs per band bucket before the bucket is dropped
+
+
+def _sql_minhash_bucket_capped(k: int, bands: int, cap: int) -> str:
+    mh_list = ", ".join(f"mh{j}" for j in range(k))
+    est = (
+        "("
+        + " + ".join(
+            f"CASE WHEN s1.mh{j} = s2.mh{j} THEN 1 ELSE 0 END"
+            for j in range(k)
+        )
+        + f") / {float(k)}"
+    )
+    return f"""
+    WITH {SQL_DOCS_DUP.strip()},
+    {SQL_SHINGLES.strip()},
+    sig AS (
+      SELECT doc_id, {_sql_minhash_cols(k)} FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig"
+        for b, key in enumerate(_sql_band_keys(k, bands))
+      )}
+    ),
+    bsize AS (
+      SELECT band_id, band_key, COUNT(*) AS bucket_size
+      FROM bands GROUP BY band_id, band_key
+    ),
+    kept AS (
+      SELECT b.doc_id, b.band_id, b.band_key, s.bucket_size
+      FROM bands b JOIN bsize s USING (band_id, band_key)
+      WHERE s.bucket_size <= {cap}
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_bands,
+             CAST(MAX(a.bucket_size) AS BIGINT) AS max_bucket_size
+      FROM kept a
+      JOIN kept b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_1, doc_id_2, n_shared_bands, max_bucket_size,
+           {est} AS est_jaccard
+    FROM cand
+    JOIN sig s1 ON doc_id_1 = s1.doc_id
+    JOIN sig s2 ON doc_id_2 = s2.doc_id
+    """
+
+
+@register(
+    "dedup_minhash_bucket_capped",
+    oracle=_sql_minhash_bucket_capped(_MINHASH_K, _LSH_BANDS, _BUCKET_CAP),
+    doc=f"MinHash-LSH with a BAND-BUCKET size cap — the third skew "
+    "guard in the dedup family (DF cap bounds hot shingles, the "
+    "SemDeDup cap bounds hot clusters; this bounds hot band buckets): "
+    "a band bucket holding more than "
+    f"{_BUCKET_CAP} docs is dropped ENTIRELY before pair generation — "
+    "the RefinedWeb/Gopher production rule, because an oversized "
+    "bucket is almost always boilerplate (headers, licenses, "
+    "templates) whose |bucket|²/2 pairs would dominate the join while "
+    "carrying no dedup signal (boilerplate is handled by repetition "
+    "filters instead). Pair work per bucket is then ≤ cap²/2, so the "
+    "candidate join is O(#buckets·cap²) whatever the corpus — the "
+    "bound that keeps LSH dedup alive under viral duplicates at "
+    "100 TB. Output carries max_bucket_size per surviving pair so the "
+    "cut-off's effect is visible; the same k=8/b=4 signature algebra "
+    "as dedup_minhash_lsh, same oracle generator pattern.",
+)
+def dedup_minhash_bucket_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands_df = _minhash_bands(
+        _docs_with_dups(spark, sf_dir), _MINHASH_K, _LSH_BANDS
+    )
+    bsize = bands_df.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    kept = bands_df.join(
+        bsize.filter(F.col("bucket_size") <= _BUCKET_CAP),
+        ["band_id", "band_key"],
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    est = sum(
+        F.when(F.col(f"a.mh{j}") == F.col(f"b.mh{j}"), 1).otherwise(0)
+        for j in range(_MINHASH_K)
+    ) / float(_MINHASH_K)
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_bands"),
+            F.max("a.bucket_size").cast("long").alias("max_bucket_size"),
+            F.max(est).alias("est_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental MinHash dedup: new batch vs persisted corpus index
 # ---------------------------------------------------------------------------
 def _minhash_corpus_bands(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -152,6 +152,7 @@ PRIORITY = [
     "corpus_temperature_mixture",
     "dedup_minhash_incremental",
     "ivf_index_upsert",
+    "dedup_minhash_bucket_capped",
 ]
 
 
