@@ -147,3 +147,22 @@ def test_sample_video_frames_every_n():
     w, h = 4 + 2 * (7 % 3), 4 + 2 * (7 % 2)
     j = np.arange(w * h * 3 // 2)
     assert np.array_equal(sampled[1], (7 + 7 * 2 + j) % 256)
+
+
+def test_resize_nearest_geometry_and_values():
+    """resize_nearest keeps exactly every factor-th row/col from (0,0):
+    ceil-division output dims and value identity for all small rasters."""
+    import numpy as np
+
+    from weather_analysis_bigdata__spark.operators.multimodal import (
+        resize_nearest,
+    )
+
+    for h in range(1, 8):
+        for w in range(1, 8):
+            arr = np.arange(h * w * 3, dtype=np.int64).reshape(h, w, 3)
+            small = resize_nearest(arr, 2)
+            assert small.shape == ((h + 1) // 2, (w + 1) // 2, 3)
+            for r in range((h + 1) // 2):
+                for c in range((w + 1) // 2):
+                    assert (small[r, c] == arr[2 * r, 2 * c]).all()

@@ -250,6 +250,7 @@ def test_codec_decode_stages_shuffle_free(spark, sf_dir, registry):
     zero exchanges — embarrassingly parallel at any scale."""
     for name in (
         "multimodal_ppm_decode_stats",
+        "multimodal_ppm_resize_stats",
         "multimodal_wav_decode_stats",
         "multimodal_y4m_frame_stats",
     ):

@@ -500,6 +500,65 @@ def ppm_decode_stats(
     return df.select(id_col, payload_col).mapInPandas(kernel, PPM_STATS_SCHEMA)
 
 
+def resize_nearest(arr: np.ndarray, factor: int = 2) -> np.ndarray:
+    """Nearest-neighbor downsample of an (h, w, 3) raster by integer
+    ``factor`` (keep every factor-th row/column starting at 0) — the
+    dependency-free resize kernel; swap in PIL/cv2 interpolation at the
+    same call site when those libs exist."""
+    return arr[::factor, ::factor, :]
+
+
+PPM_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("in_w", T.LongType()),
+        T.StructField("in_h", T.LongType()),
+        T.StructField("out_w", T.LongType()),
+        T.StructField("out_h", T.LongType()),
+        T.StructField("out_pixel_sum", T.LongType()),
+        T.StructField("out_px_min", T.LongType()),
+        T.StructField("out_px_max", T.LongType()),
+    ]
+)
+
+
+def ppm_resize_stats(
+    df: DataFrame,
+    factor: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode → RESIZE (nearest-neighbor ÷factor) → stats, all in one
+    Arrow-batched shuffle-free stage — the thumbnail/preprocess step of
+    an image-corpus pipeline, with the real parser and a real numpy
+    resample (no stub)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                w, h, arr = decode_ppm(bytes(p))
+                small = resize_nearest(arr, factor)
+                flat = small.reshape(-1).astype(np.int64)
+                rows.append(
+                    (
+                        int(did),
+                        w,
+                        h,
+                        small.shape[1],
+                        small.shape[0],
+                        int(flat.sum()),
+                        int(flat.min()),
+                        int(flat.max()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in PPM_RESIZE_SCHEMA])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, PPM_RESIZE_SCHEMA
+    )
+
+
 #: Output schema of :func:`y4m_frame_sample_stats` — one row per
 #: SAMPLED frame.
 Y4M_FRAME_SCHEMA = T.StructType(

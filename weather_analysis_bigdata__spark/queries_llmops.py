@@ -1407,6 +1407,57 @@ def multimodal_ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_ppm_resize_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+    ),
+    o AS (
+      SELECT doc_id, w, h,
+             (w + 1) // 2 AS ow, (h + 1) // 2 AS oh
+      FROM dims
+    ),
+    sampled AS (
+      SELECT doc_id, w, h, ow, oh,
+             list_transform(generate_series(0, oh * ow * 3 - 1),
+               t -> (doc_id
+                     + 3 * (2 * (t // (ow * 3)) * w + 2 * ((t % (ow * 3)) // 3))
+                     + (t % 3)) % 256) AS ps
+      FROM o
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS in_w,
+           CAST(h AS BIGINT) AS in_h,
+           CAST(ow AS BIGINT) AS out_w,
+           CAST(oh AS BIGINT) AS out_h,
+           CAST(list_sum(ps) AS BIGINT) AS out_pixel_sum,
+           CAST(list_min(ps) AS BIGINT) AS out_px_min,
+           CAST(list_max(ps) AS BIGINT) AS out_px_max
+    FROM sampled
+    """,
+    doc="Image RESIZE stage — the preprocess step the charter's "
+    "multimodal bullet names alongside decode and frame-sample: "
+    "decode_ppm → nearest-neighbor ÷2 downsample (numpy slicing — a "
+    "real resample, PIL/cv2 interpolation slots into the same call "
+    "site) → stats, all inside ONE shuffle-free Arrow stage "
+    "(operators/multimodal.py::ppm_resize_stats). The oracle "
+    "recomputes every sampled pixel from the closed-form raster — the "
+    "sampled (row 2r, col 2c, channel ch) is raster byte "
+    "3·(2r·w + 2c) + ch — so the hash match proves decode, stride "
+    "geometry, and edge handling (odd dims keep ⌈·/2⌉ pixels) all "
+    "bit-exact.",
+)
+def multimodal_ppm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.operators.multimodal import (
+        ppm_resize_stats,
+        synth_media,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return ppm_resize_stats(synth_media(d, "ppm"))
+
+
+@register(
     "multimodal_wav_decode_stats",
     oracle="""
     WITH p AS (

@@ -153,6 +153,7 @@ PRIORITY = [
     "dedup_minhash_incremental",
     "ivf_index_upsert",
     "dedup_minhash_bucket_capped",
+    "multimodal_ppm_resize_stats",
 ]
 
 
