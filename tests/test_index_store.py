@@ -64,3 +64,23 @@ def test_persisted_index_concurrent_builders_race_safely(spark, sf_dir, tmp_path
     parent = os.path.dirname(root)
     leftovers = [d for d in os.listdir(parent) if d.startswith("raced.tmp-")]
     assert leftovers == []
+
+
+def test_index_path_tracks_corpus_content(tmp_path):
+    """Regenerating a corpus (same path, new bytes/mtime) must change
+    the index path — stale indexes self-invalidate instead of serving
+    wrong data after a testdata rebuild."""
+    import time
+
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        index_path,
+    )
+
+    d = tmp_path / "sfX"
+    d.mkdir()
+    (d / "t.parquet").write_bytes(b"aaaa")
+    p1 = index_path(str(d), "idx")
+    time.sleep(0.01)
+    (d / "t.parquet").write_bytes(b"bbbbbb")  # regenerated corpus
+    p2 = index_path(str(d), "idx")
+    assert p1 != p2

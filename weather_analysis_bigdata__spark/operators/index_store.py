@@ -20,6 +20,8 @@ regenerating testdata (see .claude/skills/verify gotchas).
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import os
 import shutil
 import uuid
@@ -29,9 +31,26 @@ from pyspark.sql import DataFrame, SparkSession
 _ROOT = "/tmp/spark_graft_index"
 
 
+def corpus_fingerprint(sf_dir: str) -> str:
+    """Cheap content key for a corpus directory: md5 over (file name,
+    size, mtime) of every parquet file. The index path embeds it, so a
+    REGENERATED corpus at the same path gets a fresh index instead of
+    silently serving stale data — the failure mode a path-only key has
+    when the driver rebuilds /root/testdata between rounds."""
+    h = hashlib.md5()
+    for f in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        st = os.stat(f)
+        h.update(
+            f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}".encode()
+        )
+    return h.hexdigest()[:12]
+
+
 def index_path(sf_dir: str, name: str) -> str:
     sf_key = os.path.basename(os.path.abspath(sf_dir).rstrip("/")) or "sf"
-    return os.path.join(_ROOT, sf_key, name)
+    return os.path.join(
+        _ROOT, f"{sf_key}-{corpus_fingerprint(sf_dir)}", name
+    )
 
 
 def persisted_index(

@@ -162,11 +162,20 @@ def _ensure_atleastonce_fixture(sf_dir: str) -> str:
     once per sf_dir; idempotent. Exposed as the query's ``prepare`` hook
     so bench.py builds it OFF the timed path (round-2 item: the fixture
     write polluted streaming_dedup_replay's first timed run)."""
+    import hashlib
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     src = os.path.join(sf_dir, "events.parquet")
-    tmp = f"/tmp/spark_graft_atleastonce_{abs(hash(src)) % 10**8}"
+    # Key by path AND content (size+mtime): deterministic across
+    # processes (unlike builtin hash(), which is seed-randomized) and
+    # self-invalidating when the driver regenerates testdata.
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    tmp = f"/tmp/spark_graft_atleastonce_{key}"
     if not os.path.isdir(tmp):
         os.makedirs(tmp, exist_ok=True)
         t = pq.read_table(src)
