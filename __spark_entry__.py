@@ -47,4 +47,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """ANSI SQL oracle for each query (DuckDB dialect-compatible)."""
-    return {name: q.oracle for name, q in all_queries().items() if q.oracle is not None}
+    return {
+        name: q.oracle_text()
+        for name, q in all_queries().items()
+        if q.oracle is not None
+    }

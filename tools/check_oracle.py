@@ -125,7 +125,7 @@ def main() -> int:
             print(f"skip  {name}: rows-only ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            duck_pdf = con.execute(q.oracle).df()
+            duck_pdf = con.execute(q.oracle_text()).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:400]}")
             n_bad += 1

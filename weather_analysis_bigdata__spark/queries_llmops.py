@@ -3291,63 +3291,34 @@ def dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Literal VALUES oracles for the two BPE queries, precomputed for the
-#: DETERMINISTIC sf0.01 corpus by the INDEPENDENT pure-Python BPE in
-#: tools/gen_bpe_oracle.py (the driver's correctness gate runs oracles
-#: at sf0.01). tests/test_llmops.py regenerates both and asserts they
-#: match these constants, so corpus/algorithm drift fails loudly.
-SQL_BPE_TRAIN_ORACLE = """
-    SELECT CAST(merge_rank AS INT) AS merge_rank,
-           "left", "right",
-           CAST(pair_freq AS BIGINT) AS pair_freq
-    FROM (VALUES
-      (1, 'e', 'r', 4568),
-      (2, 'i', 'n', 2760),
-      (3, 'o', 'w', 2747),
-      (4, 'o', 'r', 2696),
-      (5, 's', 't', 2676),
-      (6, 'm', 'er', 1852),
-      (7, 'a', 't', 1845),
-      (8, 'l', 'u', 1831),
-      (9, 'a', 'r', 1758),
-      (10, 'p', 'ar', 1758)) AS t(merge_rank, "left", "right", pair_freq)
-    ORDER BY merge_rank
-    """
+#: The BPE oracles are literal VALUES tables derived from the corpus
+#: ITSELF, so they are registered as CALLABLES and built lazily from
+#: the CURRENT /root/testdata/sf0.01 by the INDEPENDENT pure-Python BPE
+#: in operators/bpe_reference.py (no imports from operators/bpe.py) —
+#: a testdata regeneration can never leave stale literals behind. The
+#: driver's oracle comparison runs at sf0.01, which these bind to.
+_BPE_ORACLE_SF = "/root/testdata/sf0.01"
 
-SQL_BPE_APPLY_ORACLE = """
-    SELECT source,
-           CAST(n_docs AS BIGINT) AS n_docs,
-           CAST(symbols_before AS BIGINT) AS symbols_before,
-           CAST(symbols_after AS BIGINT) AS symbols_after,
-           CAST(symbols_after AS DOUBLE) / CAST(symbols_before AS DOUBLE)
-             AS compression
-    FROM (VALUES
-      ('src0', 25, 6539, 5216),
-      ('src1', 25, 7055, 5620),
-      ('src10', 25, 5883, 4677),
-      ('src11', 25, 6890, 5507),
-      ('src12', 25, 5680, 4541),
-      ('src13', 25, 6934, 5556),
-      ('src14', 25, 5923, 4737),
-      ('src15', 25, 5827, 4641),
-      ('src16', 25, 6158, 4928),
-      ('src17', 25, 6129, 4872),
-      ('src18', 25, 6217, 4977),
-      ('src19', 25, 5184, 4134),
-      ('src2', 25, 6307, 5087),
-      ('src3', 25, 6261, 5001),
-      ('src4', 25, 5829, 4643),
-      ('src5', 25, 5950, 4783),
-      ('src6', 25, 5723, 4589),
-      ('src7', 25, 6719, 5441),
-      ('src8', 25, 5166, 4147),
-      ('src9', 25, 6135, 4921)) AS t(source, n_docs, symbols_before, symbols_after)
-    """
+
+def _bpe_train_oracle() -> str:
+    from weather_analysis_bigdata__spark.operators.bpe_reference import (
+        train_oracle_sql,
+    )
+
+    return train_oracle_sql(_BPE_ORACLE_SF)
+
+
+def _bpe_apply_oracle() -> str:
+    from weather_analysis_bigdata__spark.operators.bpe_reference import (
+        apply_oracle_sql,
+    )
+
+    return apply_oracle_sql(_BPE_ORACLE_SF)
 
 
 @register(
     "bpe_train_merges",
-    oracle=SQL_BPE_TRAIN_ORACLE,
+    oracle=_bpe_train_oracle,
     doc="BPE tokenizer training (Sennrich et al. 2016): learn the first "
     "10 merges over the documents corpus — iteratively arg-max the "
     "frequency-weighted adjacent symbol pair and fold the merge back "
@@ -3438,7 +3409,7 @@ def dedup_pq_code_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bpe_apply_tokenize",
-    oracle=SQL_BPE_APPLY_ORACLE,
+    oracle=_bpe_apply_oracle,
     doc="BPE tokenizer APPLICATION — the inference side of "
     "bpe_train_merges: the 10 learned merges fold over every word of "
     "every document (row-local, shuffle-free except the final "

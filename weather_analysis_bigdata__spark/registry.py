@@ -29,7 +29,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 class Query:
     name: str
     fn: QueryFn
-    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    #: ANSI SQL for DuckDB; None → rows-only check. A CALLABLE defers
+    #: SQL construction to first use — for oracles derived from the
+    #: corpus itself (the BPE literal VALUES tables), so a regenerated
+    #: testdata directory yields fresh SQL instead of stale constants.
+    oracle: str | Callable[[], str] | None
     doc: str = ""
     #: Optional one-time fixture/index builder (persisted parquet index,
     #: at-least-once replay input, ...). ``fn`` ALWAYS self-prepares —
@@ -37,13 +41,17 @@ class Query:
     #: off the timed path. Signature: (spark, sf_dir) -> None.
     prepare: Callable[[SparkSession, str], None] | None = None
 
+    def oracle_text(self) -> str | None:
+        """The oracle SQL, resolving deferred (callable) oracles."""
+        return self.oracle() if callable(self.oracle) else self.oracle
+
 
 _REGISTRY: dict[str, Query] = {}
 
 
 def register(
     name: str,
-    oracle: str | None,
+    oracle: str | Callable[[], str] | None,
     doc: str = "",
     prepare: Callable[[SparkSession, str], None] | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
