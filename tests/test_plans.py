@@ -309,3 +309,27 @@ def test_global_window_detector_positive_control(spark):
     assert n_global_windows(plan_of(good)) == 0
     assert n_global_windows(plan_of(part_only)) == 0
     assert n_global_windows(plan_of(empty_part)) == 1
+
+
+def test_index_serving_plans_scan_indexes_not_raw_tables(spark, sf_dir, registry):
+    """Persisted-index contract (round 3): the SERVE plans read the
+    parquet index, not the raw corpus. tfidf_cosine_topk must not
+    re-scan documents at all (its only input is the postings index);
+    dedup_semantic_clustered must not re-scan embeddings (both
+    self-join sides read the assignment index)."""
+    tfidf = plan_of(registry["tfidf_cosine_topk"].fn(spark, sf_dir))
+    assert "spark_graft_index" in tfidf
+    assert "documents.parquet" not in tfidf
+    sem = plan_of(registry["dedup_semantic_clustered"].fn(spark, sf_dir))
+    assert "spark_graft_index" in sem
+    assert "embeddings.parquet" not in sem
+
+
+def test_ivf_serve_scans_index_and_only_query_vectors(spark, sf_dir, registry):
+    """ivf_probe_topk reads the assignment index; its only raw
+    embeddings scans are the probe/re-rank sides, which push the
+    vec_id predicate down to the parquet scan."""
+    plan = plan_of(registry["ivf_probe_topk"].fn(spark, sf_dir))
+    assert "spark_graft_index" in plan
+    pushed = pushed_filters(plan)
+    assert any("vec_id" in f for f in pushed), pushed

@@ -1244,13 +1244,16 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_frames
     FROM documents
     """,
-    doc="Multimodal-column plumbing: an opaque binary payload column is "
-    "processed by an Arrow-batched mapInPandas stage (the real "
-    "image/audio decode is stubbed — see operators/multimodal.py — with a "
-    "deterministic metadata extractor: byte length, sha256, fake "
-    "dimensions derived from the digest). The Spark-side contract is "
-    "real: binary schema in, typed metadata schema out, batch-wise "
-    "pandas, no driver involvement, partition-parallel at 100 TB.",
+    doc="Multimodal-column plumbing, format-agnostic tier: an opaque "
+    "binary payload column is processed by an Arrow-batched "
+    "mapInPandas metadata extractor (byte length, sha256, "
+    "digest-derived placeholder dimensions) — the codec-FREE first "
+    "pass a media pipeline runs before routing payloads to the real "
+    "decoders (which exist: multimodal_ppm_decode_stats / "
+    "_resize_stats, _wav_decode_stats, _y4m_frame_stats run actual "
+    "PPM/WAV/Y4M parsers). Binary schema in, typed metadata schema "
+    "out, batch-wise pandas, no driver involvement, "
+    "partition-parallel at 100 TB.",
 )
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_analysis_bigdata__spark.operators.multimodal import (
