@@ -87,3 +87,61 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
+
+
+def test_compaction_preserves_rows_and_shrinks_files(spark, sf_dir, tmp_path):
+    """compact_partitioned: a fragmented day-partitioned events layer
+    (8 writer tasks per partition) compacts to ~1 file per partition
+    with identical rows — count and an order-independent content
+    fingerprint both survive; partition directories are unchanged."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from weather_analysis_bigdata__spark.operators.compaction import (
+        compact_partitioned,
+        data_files,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("day", F.to_date("ts"))
+        .withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+    )
+    # fragment: 8 shuffle tasks each write a sliver of every partition
+    ev.repartition(8).write.partitionBy("day").mode("overwrite").parquet(src)
+    n_parts = ev.select("day").distinct().count()
+    assert len(data_files(src)) > 2 * n_parts  # genuinely fragmented
+
+    stats = compact_partitioned(spark, src, dst, "day")
+    assert stats["files_before"] == len(data_files(src))
+    assert stats["files_after"] <= n_parts + 1  # ~one file per partition
+    assert stats["files_after"] < stats["files_before"] / 2
+
+    def fingerprint(path):
+        df = spark.read.parquet(path)
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in sorted(df.columns)])),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # modular sum keeps 15k 60-bit terms inside int64 (ANSI)
+            F.sum(h % F.lit(1 << 40)).alias("s"),
+        ).collect()[0]
+        return (r.n, r.s)
+
+    assert fingerprint(src) == fingerprint(dst)
+    # same partition directory set
+    parts = lambda p: sorted(  # noqa: E731
+        d for d in os.listdir(p) if d.startswith("day=")
+    )
+    assert parts(src) == parts(dst)
