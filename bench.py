@@ -70,6 +70,8 @@ HEADLINE = [
     "sim_search_binary_hamming",
     "sim_search_matryoshka",
     "dedup_minhash_incremental",
+    "dedup_minhash_bucket_capped",
+    "ivf_index_upsert",
 ]
 
 

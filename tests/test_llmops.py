@@ -400,77 +400,6 @@ def test_bpe_lazy_oracles_resolve_from_independent_generator():
     # independence: the reference module never imports the impl under test
     src = inspect.getsource(bpe_reference)
     assert "operators.bpe import" not in src and "from weather_analysis_bigdata__spark.operators.bpe " not in src
-
-
-def test_semdedup_capped_equals_uncapped_below_cap(spark, sf_dir, registry):
-    """dedup_semantic_capped re-splits clusters above _SEMDEDUP_CAP; on
-    this corpus every cluster is under the cap, so the capped output
-    must be IDENTICAL to dedup_semantic_clustered — the equality the
-    round-3 cap design promises (the split only changes results when
-    it actually bounds a quadratic blow-up)."""
-    uncapped = sorted(
-        map(tuple, registry["dedup_semantic_clustered"].fn(spark, sf_dir).collect())
-    )
-    capped = sorted(
-        map(tuple, registry["dedup_semantic_capped"].fn(spark, sf_dir).collect())
-    )
-    assert uncapped == capped
-    assert len(capped) > 0
-
-
-def test_semdedup_cap_splits_oversized_cluster(spark):
-    """The split mechanics themselves, on a synthetic oversized cluster:
-    with cap c and an n-row cluster, pair candidates drop from n(n-1)/2
-    to sub-cluster-local pairs — the Σ ≤ N·cap/2 bound."""
-    from pyspark.sql.window import Window
-
-    from weather_analysis_bigdata__spark import queries_llmops as q
-
-    cap = q._SEMDEDUP_CAP
-    n = cap * 2 + 10  # forces 3 sub-clusters
-    assign = spark.range(n).select(
-        F.lit(0).alias("cluster"), F.col("id").alias("vec_id")
-    )
-    wsub = Window.partitionBy("cluster").orderBy("vec_id")
-    sub = assign.withColumn(
-        "subcl", F.floor((F.row_number().over(wsub) - 1) / cap).cast("long")
-    )
-    a, b = sub.alias("a"), sub.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.cluster") == F.col("b.cluster"))
-        & (F.col("a.subcl") == F.col("b.subcl"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).count()
-    expected = 2 * (cap * (cap - 1) // 2) + (10 * 9 // 2)
-    assert pairs == expected
-    assert pairs < n * (n - 1) // 2  # strictly below the quadratic
-    assert pairs <= n * cap / 2  # the documented linear bound
-
-
-def test_bpe_embedded_oracles_match_independent_generator():
-    """The literal VALUES oracles embedded for the BPE pair must equal
-    what the independent generator (tools/gen_bpe_oracle.py) produces
-    from the sf0.01 corpus — so testdata or algorithm drift breaks THIS
-    test instead of silently invalidating the driver's oracle check."""
-    import os
-    import sys
-
-    sys.path.insert(
-        0, os.path.join(os.path.dirname(__file__), "..")
-    )
-    from tools.gen_bpe_oracle import apply_oracle_sql, train_oracle_sql
-
-    from weather_analysis_bigdata__spark.queries_llmops import (
-        SQL_BPE_APPLY_ORACLE,
-        SQL_BPE_TRAIN_ORACLE,
-    )
-
-    sf = "/root/testdata/sf0.01"
-    assert SQL_BPE_TRAIN_ORACLE == train_oracle_sql(sf)
-    assert SQL_BPE_APPLY_ORACLE == apply_oracle_sql(sf)
-
-
 def test_minhash_bucket_cap_is_a_subset_cut_by_bucket_size(spark, sf_dir, registry):
     """The capped candidates are exactly the base candidates minus
     pairs whose every shared band sat in an oversized bucket: capped ⊆
