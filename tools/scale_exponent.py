@@ -105,7 +105,13 @@ def build_corpus(mult: int) -> str:
                 }
             ).cast(docs.schema)
         )
-    pq.write_table(pa.concat_tables(d_chunks), os.path.join(out_dir, "documents.parquet"))
+    pq.write_table(
+        pa.concat_tables(d_chunks),
+        os.path.join(out_dir, "documents.parquet"),
+        row_group_size=4096,  # real datasets have many row groups — one
+        # giant group caps scan parallelism at 1-2 tasks (see PERF.md
+        # round-3 split-parallelism finding)
+    )
 
     emb = pq.read_table(os.path.join(BASE_SF, "embeddings.parquet"))
     vec_ids = emb["vec_id"].to_pylist()
@@ -134,7 +140,11 @@ def build_corpus(mult: int) -> str:
                 }
             ).cast(emb.schema)
         )
-    pq.write_table(pa.concat_tables(e_chunks), os.path.join(out_dir, "embeddings.parquet"))
+    pq.write_table(
+        pa.concat_tables(e_chunks),
+        os.path.join(out_dir, "embeddings.parquet"),
+        row_group_size=2048,
+    )
     return out_dir
 
 

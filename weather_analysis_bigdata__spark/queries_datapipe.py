@@ -32,7 +32,10 @@ from weather_analysis_bigdata__spark.functions.textops import (
     word_ngrams,
 )
 from weather_analysis_bigdata__spark.registry import register
-from weather_analysis_bigdata__spark.sources.files import load_table
+from weather_analysis_bigdata__spark.sources.files import (
+    load_table,
+    spread_small_scan,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -71,6 +74,8 @@ from weather_analysis_bigdata__spark.sources.files import load_table
     "but a shuffle) verifies it at test scale.",
 )
 def repetition_topgram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT spread_small_scan: this op's thesis (and plan contract) is the
+    # shuffle-free in-place scan — see the docstring
     d = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     sorted_b = F.array_sort(word_ngrams(toks, 2))
@@ -166,7 +171,9 @@ SQL_BM25_TOPK = f"""
     "every scorer; top-k is TakeOrdered — no global sort.",
 )
 def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_small_scan(
+        load_table(spark, sf_dir, "documents")
+    )  # engage all cores on this compute-heavy row-local stage
     toks = tokens("text")
     nt = len(_BM25_TERMS)
     # [dl, tf0, tf1, tf2] in one pass; finish folds into a struct.

@@ -76,9 +76,16 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct (doc_id, gram) word-n-gram shingle table."""
+    """Distinct (doc_id, gram) word-n-gram shingle table. The input is
+    spread across cores first (sources/files.py::spread_small_scan) —
+    single-row-group test corpora otherwise pin this compute-heavy
+    row-local stage to 1-2 input splits (measured 12× at the 10×
+    corpus); a no-op whenever the scan already has enough splits."""
+    from weather_analysis_bigdata__spark.sources.files import spread_small_scan
+
     return (
-        docs.select("doc_id", F.explode(word_ngrams(tokens("text"), n)).alias("gram"))
+        spread_small_scan(docs)
+        .select("doc_id", F.explode(word_ngrams(tokens("text"), n)).alias("gram"))
         .distinct()
     )
 

@@ -49,7 +49,10 @@ from weather_analysis_bigdata__spark.functions.textops import (
     word_ngrams,
 )
 from weather_analysis_bigdata__spark.registry import register
-from weather_analysis_bigdata__spark.sources.files import load_table
+from weather_analysis_bigdata__spark.sources.files import (
+    load_table,
+    spread_small_scan,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -98,7 +101,9 @@ def dedup_shared_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5s,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_small_scan(
+        load_table(spark, sf_dir, "documents")
+    )  # engage all cores on this compute-heavy row-local stage
     # Postings carry a 60-bit integer gram hash, not the ~60-byte gram
     # string: 4× smaller shuffle and an integer HashAggregate key. The
     # shingle build (the dominant CPU) runs exactly ONCE — both the

@@ -35,7 +35,10 @@ from weather_analysis_bigdata__spark.functions.textops import (
     tokens,
 )
 from weather_analysis_bigdata__spark.registry import register
-from weather_analysis_bigdata__spark.sources.files import load_table
+from weather_analysis_bigdata__spark.sources.files import (
+    load_table,
+    spread_small_scan,
+)
 
 # ---------------------------------------------------------------------------
 # RAG-prep: token-window chunking with overlap
@@ -141,7 +144,9 @@ def _tfidf_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tfidf_postings_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_small_scan(
+        load_table(spark, sf_dir, "documents")
+    )  # engage all cores on this compute-heavy row-local stage
     tf = (
         d.select("doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
