@@ -55,7 +55,12 @@ HEADLINE = [
     "corpus_prep_end_to_end",
     "table_snapshot_diff",
     "weather_rehearsal_e2e",
-    "dedup_semantic_clustered",
+    # NOTE: dedup_semantic_clustered (the UNCAPPED SemDeDup yardstick,
+    # measured scaling exponent 1.45) is deliberately NOT in the
+    # headline set — it stays registry/oracle-gated as the recall
+    # anchor dedup_semantic_capped and dedup_semantic_cap_audit are
+    # judged against, but the headline bench contains only scale-safe
+    # plans (round-3 verdict item 2).
     "ivf_pq_search_topk",
     "tfidf_cosine_topk",
     "sq8_quantize_search",
@@ -120,17 +125,31 @@ def main() -> None:
     # stdout record must stay ONE compact line well under the driver's
     # 2000-char tail capture (round 1's 2.9 KB line was truncated and
     # recorded as parsed: null).
-    detail = {
-        "metric": "headline_query_wall_time",
-        "value": total,
-        "unit": "sec",
-        "queries": times,
-        "cold_value": round(sum(cold.values()), 3),
-        "cold_queries": cold,
-        "sf": sf_val,
-    }
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
+    # MERGE-preserve: keys this run didn't compute (variance_3runs,
+    # scale_exponents, streaming_throughput, ...) survive a re-run —
+    # the round-3 driver bench clobbered the committed 3-run variance
+    # record by rewriting the whole file (round-3 verdict item 6).
+    detail: dict = {}
+    if os.path.exists(detail_path):
+        try:
+            with open(detail_path) as f:
+                detail = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            detail = {}
+    detail.update(
+        {
+            "metric": "headline_query_wall_time",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "cold_value": round(sum(cold.values()), 3),
+            "cold_queries": cold,
+            "sf": sf_val,
+        }
+    )
+    with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     line = json.dumps(
         {
