@@ -77,6 +77,9 @@ HEADLINE = [
     "dedup_minhash_incremental",
     "dedup_minhash_bucket_capped",
     "ivf_index_upsert",
+    # round 4: batch ANN serving over the persisted IVF index
+    "ann_batch_probe_topk",
+    "ann_batch_recall_audit",
 ]
 
 

@@ -61,6 +61,36 @@ def ranked_topk(
     )
 
 
+def grouped_topk(
+    df: DataFrame,
+    keys: list[str | Column],
+    order: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-KEY top-``k`` with 1-based ranks — the grouped
+    generalization of :func:`ranked_topk` (which handles the k=global
+    case without any window at all).
+
+    Plan shape: ONE hash exchange on ``keys`` followed by a
+    PARTITIONED WindowExec (``row_number`` over
+    ``partitionBy(keys).orderBy(order)``) and a ``rank <= k`` filter.
+    Unlike the banned unpartitioned window, every executor sorts only
+    its own key slice and the sort spills — per-task state is bounded
+    by the candidate count of the keys it owns, never by N. This is
+    the standard batch-serving shape: a query *batch* fans out to
+    candidates, and each query's top-k is resolved where its
+    candidates land. ``order`` must fully tie-break (end with a unique
+    key) so ranks are deterministic at any parallelism.
+    """
+    w = Window.partitionBy(
+        *[F.col(c) if isinstance(c, str) else c for c in keys]
+    ).orderBy(*order)
+    return df.select(
+        "*", F.row_number().over(w).cast("long").alias(rank_col)
+    ).filter(F.col(rank_col) <= k)
+
+
 def exclusive_prefix_offsets(
     counts: DataFrame,
     key_col: str,

@@ -162,6 +162,8 @@ PRIORITY = [
     "ivf_index_upsert",
     "dedup_minhash_bucket_capped",
     "multimodal_ppm_resize_stats",
+    "ann_batch_probe_topk",
+    "ann_batch_recall_audit",
 ]
 
 
@@ -181,6 +183,7 @@ def all_queries() -> dict[str, Query]:
     import weather_analysis_bigdata__spark.queries_ops  # noqa: F401
     import weather_analysis_bigdata__spark.queries_round2  # noqa: F401
     import weather_analysis_bigdata__spark.queries_round3  # noqa: F401
+    import weather_analysis_bigdata__spark.queries_round4  # noqa: F401
 
     # A typo'd / renamed PRIORITY entry would silently demote a flagship
     # query out of the sampled-first set — fail loudly instead.
