@@ -97,3 +97,29 @@ def test_ann_batch_no_global_window(spark, sf_dir, registry):
     # stronger: the analyzed plan's window specs all carry a partition key
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "windowspecdefinition()" not in analyzed.replace(" ", "")
+
+
+def test_semdedup_cap_audit_vs_uncapped_anchor(spark, sf_dir, registry):
+    """The audit's uncapped pair counts must equal the anchor query's
+    per-cluster pair counts, and the loss algebra must be internally
+    consistent."""
+    audit = registry["dedup_semantic_cap_audit"].fn(spark, sf_dir).collect()
+    anchor = (
+        registry["dedup_semantic_clustered"]
+        .fn(spark, sf_dir)
+        .groupBy("cluster")
+        .count()
+        .collect()
+    )
+    anchor_counts = {r.cluster: r["count"] for r in anchor}
+    for r in audit:
+        assert r.n_pairs_uncapped == anchor_counts.get(r.cluster, 0)
+        assert 0 <= r.n_pairs_capped <= r.n_pairs_uncapped
+        assert r.n_pairs_lost == r.n_pairs_uncapped - r.n_pairs_capped
+        if r.n_pairs_uncapped:
+            assert r.pair_recall == r.n_pairs_capped / r.n_pairs_uncapped
+        else:
+            assert r.pair_recall is None
+    # the audit cap (32) must actually split at least one cluster at
+    # every test SF — otherwise the audit is measuring nothing
+    assert any(r.n_subclusters > 1 for r in audit)

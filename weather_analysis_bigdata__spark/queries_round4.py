@@ -30,11 +30,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from weather_analysis_bigdata__spark.functions.distributed import grouped_topk
-from weather_analysis_bigdata__spark.functions.vectorops import scaled_vec
+from weather_analysis_bigdata__spark.functions.vectorops import (
+    cosine,
+    scaled_vec,
+    sql_dot,
+)
 from weather_analysis_bigdata__spark.queries_llmops import (
     _ivf_assign,
     _ivf_centroids,
     _prepare_ivf,
+    _prepare_semdedup,
+    _semdedup_assign,
+    _SEMDEDUP_ASSIGN_SQL,
+    _SEMDEDUP_TAU,
     _sql_sqdist,
     _sqdist_col,
     _SQL_FLOORDIV,
@@ -47,6 +55,16 @@ from weather_analysis_bigdata__spark.sources.files import load_table
 _BATCH_QUERIES = 100  # query vectors: vec_id < 100
 _BATCH_PROBES = 2  # nearest centroids searched per query
 _BATCH_K = 10  # results returned per query
+
+#: Audit cap for dedup_semantic_cap_audit. The PRODUCTION cap
+#: (queries_llmops._SEMDEDUP_CAP = 256) exceeds every cluster in the
+#: test corpora, so at 256 the loss set is empty by construction and
+#: the audit would exercise nothing. 32 is below the ~50-row clusters
+#: here, so the re-split actually fires and the audit measures a real
+#: (non-degenerate) cross-split loss — the number that tells an
+#: operator what recall a given cap buys at their cluster-size
+#: distribution.
+_CAP_AUDIT = 32
 
 #: Shared oracle CTE chain: centroid training + inverted-list
 #: assignment (identical algebra to ivf_probe_topk's oracle) + the
@@ -284,4 +302,118 @@ def ann_batch_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.sum(hit5), F.lit(0)).cast("double") / 5.0).alias(
             "recall_at_5"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup cap-recall audit: what does the cluster-size cap cost?
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_semantic_cap_audit",
+    oracle=f"""
+    {_SEMDEDUP_ASSIGN_SQL},
+    subd AS (
+      SELECT vec_id, embedding, nrm, cluster,
+             (row_number() OVER (PARTITION BY cluster ORDER BY vec_id)
+              - 1) // {_CAP_AUDIT} AS subcl
+      FROM assign
+    ),
+    sizes AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST((COUNT(*) - 1) // {_CAP_AUDIT} + 1 AS BIGINT)
+               AS n_subclusters
+      FROM assign GROUP BY cluster
+    ),
+    pairs AS (
+      SELECT a.cluster,
+             CASE WHEN a.subcl = b.subcl THEN 1 ELSE 0 END AS kept
+      FROM subd a JOIN subd b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+            >= {_SEMDEDUP_TAU}
+    ),
+    counts AS (
+      SELECT cluster,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs_uncapped,
+             CAST(SUM(kept) AS BIGINT) AS n_pairs_capped
+      FROM pairs GROUP BY cluster
+    )
+    SELECT s.cluster, s.n_rows, s.n_subclusters,
+           COALESCE(c.n_pairs_uncapped, 0) AS n_pairs_uncapped,
+           COALESCE(c.n_pairs_capped, 0) AS n_pairs_capped,
+           COALESCE(c.n_pairs_uncapped, 0) - COALESCE(c.n_pairs_capped, 0)
+             AS n_pairs_lost,
+           CAST(COALESCE(c.n_pairs_capped, 0) AS DOUBLE)
+             / NULLIF(CAST(COALESCE(c.n_pairs_uncapped, 0) AS DOUBLE), 0.0)
+             AS pair_recall
+    FROM sizes s LEFT JOIN counts c ON s.cluster = c.cluster
+    """,
+    doc=f"SemDeDup CAP-RECALL audit (the lsh_recall_audit pattern "
+    "applied to the cluster-size cap): for every cluster, the number "
+    "of near-duplicate pairs (cosine ≥ τ) the UNCAPPED anchor "
+    "(dedup_semantic_clustered) finds, how many survive the "
+    f"deterministic re-split at cap={_CAP_AUDIT} (deliberately below "
+    "this corpus's ~50-row clusters so the split actually fires — the "
+    "production cap of 256 would make the loss set empty by "
+    "construction), the lost count, and the per-cluster pair recall. "
+    "This is the missing number behind dedup_semantic_capped's "
+    "documented trade: Σcap²/2 pair work bounds COST linearly, and "
+    "this audit prices the RECALL side at a given cluster-size "
+    "distribution, per cluster (a skewed corpus shows its recall "
+    "floor here before anyone ships the cap). Same single-pass shape "
+    "as the capped query — both pair sets come from ONE cluster "
+    "self-join with a kept/lost indicator; no second pair pass.",
+    prepare=_prepare_semdedup,
+)
+def dedup_semantic_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    assign = _semdedup_assign(spark, sf_dir)
+    wsub = Window.partitionBy("cluster").orderBy("vec_id")
+    sub = assign.withColumn(
+        "subcl",
+        F.floor((F.row_number().over(wsub) - 1) / _CAP_AUDIT).cast("long"),
+    )
+    sizes = assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.floor((F.count(F.lit(1)) - 1) / _CAP_AUDIT) + 1)
+        .cast("long")
+        .alias("n_subclusters"),
+    )
+    a, b = sub.alias("a"), sub.alias("b")
+    sim = cosine(
+        F.col("a.sva"), F.col("b.sva"), F.col("a.nrm"), F.col("b.nrm")
+    )
+    counts = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(sim >= _SEMDEDUP_TAU)
+        .select(
+            F.col("a.cluster").alias("cluster"),
+            F.when(F.col("a.subcl") == F.col("b.subcl"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("kept"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs_uncapped"),
+            F.sum("kept").cast("long").alias("n_pairs_capped"),
+        )
+    )
+    uncapped = F.coalesce(F.col("n_pairs_uncapped"), F.lit(0)).cast("long")
+    capped = F.coalesce(F.col("n_pairs_capped"), F.lit(0)).cast("long")
+    return sizes.join(F.broadcast(counts), "cluster", "left").select(
+        "cluster",
+        "n_rows",
+        "n_subclusters",
+        uncapped.alias("n_pairs_uncapped"),
+        capped.alias("n_pairs_capped"),
+        (uncapped - capped).alias("n_pairs_lost"),
+        (
+            capped.cast("double")
+            / F.when(uncapped.cast("double") != 0.0, uncapped.cast("double"))
+        ).alias("pair_recall"),
     )
