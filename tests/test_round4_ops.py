@@ -123,3 +123,27 @@ def test_semdedup_cap_audit_vs_uncapped_anchor(spark, sf_dir, registry):
     # the audit cap (32) must actually split at least one cluster at
     # every test SF — otherwise the audit is measuring nothing
     assert any(r.n_subclusters > 1 for r in audit)
+
+
+def test_zipindex_ordinals_hash_equals_two_pass(spark, sf_dir):
+    """The RDD zipWithIndex form and the two-pass offset algebra must
+    compute the IDENTICAL ordinal function (full-row hash compare)."""
+    from weather_analysis_bigdata__spark.functions.distributed import (
+        two_pass_ordinals,
+        zipindex_ordinals,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    zipf = {
+        (r.o_orderkey, r.ordinal)
+        for r in zipindex_ordinals(o, ["o_orderkey"], 16).collect()
+    }
+    twop = {
+        (r.o_orderkey, r.ordinal)
+        for r in two_pass_ordinals(o, ["o_orderkey"], 16).collect()
+    }
+    assert zipf == twop
+    # dense 0..N-1
+    n = o.count()
+    assert {i for _, i in zipf} == set(range(n))

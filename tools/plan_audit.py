@@ -113,11 +113,6 @@ KNOWN_EXCEPTIONS = {
     "measures) plus a full-outer join of the two O(pairs) sets — the "
     "SMJ and extra exchanges operate on ~10² pair rows, never "
     "documents",
-    "global_row_ordinals": "one exchange carries the fact (the "
-    "bucket-window clustering); the rest carry the O(parts) offset "
-    "table or 1-row min/max bounds. The RDD zipWithIndex form avoids "
-    "the clustering pass at scale; this query exists to hash-prove "
-    "the two-pass algebra",
     # ---- WINDOW_GLOBAL reviews: every unpartitioned window below runs
     # over a PROVABLY BOUNDED reduction (O(days), O(cells), O(k)...),
     # never a fact table; fact-scale ntile yardsticks carry a
@@ -202,7 +197,6 @@ REVIEWED_FLAGS = {
     "hybrid_search_rrf": {"SORTMERGE"},
     "term_cooccurrence_lift": {"XCHG"},
     "lsh_recall_audit": {"XCHG", "SORTMERGE"},
-    "global_row_ordinals": {"XCHG"},
     "nulls_ordering": {"WINDOW_GLOBAL"},
     "crosstab_share": {"WINDOW_GLOBAL"},
     "key_skew_profile": {"WINDOW_GLOBAL"},

@@ -243,6 +243,51 @@ def two_pass_ordinals(
     )
 
 
+def zipindex_ordinals(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    n_parts: int,
+    ordinal_col: str = "ordinal",
+) -> DataFrame:
+    """Contiguous global ordinals 0..N-1 in ``order_cols`` order via
+    RDD ``zipWithIndex`` — the classic scale form (and the one
+    :func:`two_pass_ordinals`'s docstring has promised since round 2):
+    range-partition on the key, sort within partitions, then
+    ``zipWithIndex`` assigns contiguous indexes in partition order,
+    which IS global key order because range partitions are themselves
+    ordered. ``order_cols`` must fully tie-break (equal keys stay in
+    one range partition, so the tie-break resolves locally).
+
+    Cost shape: ONE range exchange of the fact (inherent to any global
+    total order) plus zipWithIndex's per-partition count job — no
+    bucket-count pass, no offset table, no window at all. The
+    boundaries come from RangePartitioner's driver-side sample,
+    computed once and reused by every task retry, so the assignment is
+    retry-stable; and since ordinals depend only on the TOTAL order
+    (not where boundaries land), the output is boundary-independent —
+    the same argument two_pass_ordinals makes.
+
+    Trade-off vs two_pass_ordinals: rows round-trip through the
+    Python RDD API (pickled), leaving whole-stage codegen — the price
+    of zipWithIndex not existing in the DataFrame API. Keep the
+    two-pass form where the input must stay JVM-side; use this one
+    when the imperative lineage is acceptable and the extra
+    bucket-count/offset machinery is not.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    sorted_df = df.repartitionByRange(n_parts, *cols).sortWithinPartitions(
+        *cols
+    )
+    schema = StructType(
+        sorted_df.schema.fields
+        + [StructField(ordinal_col, LongType(), False)]
+    )
+    rdd = sorted_df.rdd.zipWithIndex().map(lambda t: tuple(t[0]) + (t[1],))
+    return sorted_df.sparkSession.createDataFrame(rdd, schema)
+
+
 def ntile_from_ordinal(ordinal: Column, n: Column, k: int) -> Column:
     """SQL-standard ``ntile(k)`` bucket (1-based) from a 0-based global
     ordinal and the total row count ``n`` — the closed form that lets a

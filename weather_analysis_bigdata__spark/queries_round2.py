@@ -2251,34 +2251,27 @@ _ORD_PARTS = 16
              AS ordinal
     FROM orders
     """,
-    doc="Contiguous global ordinals 0..N-1 in key order — the "
-    "classic distributed total-order problem solved WITHOUT the naive "
-    "single-partition window (which serializes the whole fact through "
-    "one task): deterministic range buckets on the key (a pure "
-    "function of key and exact min/max — functions/distributed.py "
-    "explains why sampled repartitionByRange boundaries are UNSAFE "
-    "when the subtree is planned twice), count rows per bucket, "
-    "prefix-sum the O(parts) counts into offsets (window-free, "
-    "broadcast), then ordinal = bucket offset + local rank. Output is "
-    "provably independent of where the bucket edges land, because "
-    "offset(p) + local_rank is always the count of keys strictly "
-    "before the row globally. The oracle IS the naive global window — "
-    "the hash match proves the distributed two-pass form computes the "
-    "identical function. This is zipWithIndex/row-ordinal assignment "
-    "for training-shard ids at 100 TB: two scans + an O(parts) "
-    "driver-free prefix sum instead of one impossible sort.",
+    doc="Contiguous global ordinals 0..N-1 in key order — the classic "
+    "distributed total-order problem, solved (round 4) by the RDD "
+    "zipWithIndex scale form this docstring promised for two rounds "
+    "(functions/distributed.py:zipindex_ordinals): range-partition on "
+    "the key, sort within partitions, zipWithIndex — ONE range "
+    "exchange (inherent to any global total order) plus the "
+    "per-partition count job; no bucket-count pass, no offset table, "
+    "no window at all. The oracle IS the naive global window — the "
+    "hash match proves the zip form computes the identical function — "
+    "and tests/test_round4_ops.py additionally hash-proves it equal "
+    "to the two-pass offset algebra (two_pass_ordinals), which stays "
+    "the JVM-side/codegen twin powering the *_twopass ntile family. "
+    "This is row-ordinal assignment for training-shard ids at 100 TB.",
 )
 def global_row_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_analysis_bigdata__spark.functions.distributed import (
-        two_pass_ordinals,
+        zipindex_ordinals,
     )
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey")
-    # functions/distributed.py: range partition + per-partition counts +
-    # WINDOW-FREE exclusive prefix offsets (the round-2 form computed
-    # the O(parts) offsets with an unpartitioned running-sum window —
-    # harmless at 16 rows but the exact plan class this repo bans).
-    return two_pass_ordinals(o, ["o_orderkey"], _ORD_PARTS)
+    return zipindex_ordinals(o, ["o_orderkey"], _ORD_PARTS)
 
 
 # ---------------------------------------------------------------------------
