@@ -99,15 +99,6 @@ KNOWN_EXCEPTIONS = {
     "O(k)=10-row rank lists (full outer cannot broadcast) — the SMJ "
     "sorts 20 rows; both rank subplans are the already-audited BM25 "
     "and exact-cosine top-k shapes",
-    "term_cooccurrence_lift": "inverted-index pair self-join — the "
-    "posting table (window-df form, single lineage) is planned once "
-    "per join side like every jaccard-family pipeline here; exchanges "
-    "carry df-bounded postings and pair aggregates",
-    "ctfidf_top_terms_per_source": "after the one token-explode "
-    "reduction, every exchange (term-window df, source-window top-N, "
-    "scalar n_sources) carries the O(sources×vocab) class-aggregated "
-    "table or a 1-row scalar — class-level aggregation already "
-    "collapsed the posting lists",
     "lsh_recall_audit": "composes the ALREADY-REVIEWED jaccard and "
     "minhash pipelines verbatim (the audit must run exactly what it "
     "measures) plus a full-outer join of the two O(pairs) sets — the "
@@ -192,10 +183,8 @@ REVIEWED_FLAGS = {
     "theil_sen_trend": {"XCHG", "WINDOW_GLOBAL"},
     "seasonal_profile_monthly": {"XCHG"},
     "bloom_filter_membership": {"XCHG"},
-    "ctfidf_top_terms_per_source": {"XCHG"},
     "bag_semantics_battery": {"XCHG"},
     "hybrid_search_rrf": {"SORTMERGE"},
-    "term_cooccurrence_lift": {"XCHG"},
     "lsh_recall_audit": {"XCHG", "SORTMERGE"},
     "nulls_ordering": {"WINDOW_GLOBAL"},
     "crosstab_share": {"WINDOW_GLOBAL"},

@@ -2089,31 +2089,29 @@ _CTFIDF_SCALE = 1_000_000
     "class-level df makes the idf table O(vocab) with NO df cap "
     "needed because the per-class aggregation already collapsed "
     "the posting lists. All integer arithmetic; one shuffle on "
-    "(source, term), one window per source.",
+    "(source, term), one window per source. Round 4: the class-term "
+    "table is a PERSISTED parquet index (operators/index_store.py) — "
+    "tokenize/aggregate once per corpus, serve as a scan.",
+    prepare=lambda spark, sf_dir: _prepare_ctfidf(spark, sf_dir),
 )
 def ctfidf_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    tf = (
-        d.select("source", F.explode(tokens("text")).alias("term"))
-        .groupBy("source", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    ns = d.agg(F.countDistinct("source").alias("n_sources"))
-    # df via a count window over the term partition — one pass over the
-    # (source, term) table instead of a groupBy+join that would replan
-    # the tf subtree twice.
-    w = (
-        tf.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-        )
-        .crossJoin(F.broadcast(ns))
-        .select(
-            "source",
-            "term",
-            F.expr(
-                f"tf * ((n_sources + 1) * {_CTFIDF_SCALE} DIV (df + 1))"
-            ).alias("w"),
-        )
+    # Round 4: the class-term table (tf + class-df, O(sources×vocab))
+    # is a PERSISTED parquet index — the tokenize/aggregate training
+    # pass runs once per corpus and every consumer (the ns scalar and
+    # the weight/rank stage here) reads a SCAN, the same serve split
+    # as tfidf_cosine_topk. Retires this query's plan-audit XCHG
+    # exception: post-index exchanges carry only the class-aggregated
+    # table or a 1-row scalar.
+    post = _ctfidf_postings(spark, sf_dir)
+    # n_sources from the index itself (O(sources×vocab) scan), not a
+    # second documents scan.
+    ns = post.agg(F.countDistinct("source").alias("n_sources"))
+    w = post.crossJoin(F.broadcast(ns)).select(
+        "source",
+        "term",
+        F.expr(
+            f"tf * ((n_sources + 1) * {_CTFIDF_SCALE} DIV (df + 1))"
+        ).alias("w"),
     )
     wr = Window.partitionBy("source").orderBy(F.col("w").desc(), F.col("term").asc())
     return (
@@ -2121,6 +2119,33 @@ def ctfidf_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _CTFIDF_TOPN)
         .select("source", F.col("rank").cast("long").alias("rank"), "term", "w")
     )
+
+
+def _ctfidf_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED class-term index (source, term, tf, df) — the trained
+    half of c-TF-IDF, built once per corpus (operators/index_store.py)."""
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        persisted_index,
+    )
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        tf = (
+            d.select("source", F.explode(tokens("text")).alias("term"))
+            .groupBy("source", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        # class-level df via a count window over the term partition —
+        # one pass over the (source, term) table.
+        return tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+
+    return persisted_index(spark, sf_dir, "ctfidf_postings", build)
+
+
+def _prepare_ctfidf(spark: SparkSession, sf_dir: str) -> None:
+    _ctfidf_postings(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -3025,26 +3050,20 @@ _LIFT_TOPN = 15
     "pair-join in this repo applies), fully tie-broken top-N. "
     "Lift > 1 means terms attract — the phrase-detection / stop-pair "
     "signal a tokenizer-training corpus survey wants. One shuffle on "
-    "term, one on the pair key, both df-bounded.",
+    "term, one on the pair key, both df-bounded. Round 4: the "
+    "df-bounded posting table is a PERSISTED parquet index "
+    "(operators/index_store.py) — both pair-join sides scan it "
+    "instead of re-executing the tokenize/distinct/window subtree.",
+    prepare=lambda spark, sf_dir: _lift_postings(spark, sf_dir) and None,
 )
 def term_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    # n_docs from the base table (every doc tokenizes non-empty), so the
-    # scalar doesn't replan the distinct doc-term subtree.
-    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    dt = d.select("doc_id", F.explode(tokens("text")).alias("term")).distinct()
-    # df via a term-partition count window (single lineage — a
-    # groupBy+join df table replans the dt subtree once per consumer;
-    # measured 25 exchanges in that form vs 8 here).
-    keep = (
-        dt.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
-        .crossJoin(F.broadcast(nd))
-        .filter(
-            (F.col("df") * 20 >= F.col("n_docs"))
-            & (F.col("df") * 20 <= 19 * F.col("n_docs"))
-        )
-        .select("doc_id", "term", "df", "n_docs")
-    )
+    # Round 4: the df-bounded posting table is a PERSISTED parquet
+    # index — previously each side of the pair self-join inlined (and
+    # re-executed) the tokenize/distinct/window subtree; now both
+    # sides are SCANS of the same index, the serve split every
+    # inverted-index consumer in this repo uses. Retires this query's
+    # plan-audit XCHG exception.
+    keep = _lift_postings(spark, sf_dir)
     pairs = (
         keep.alias("a")
         .join(
@@ -3076,6 +3095,40 @@ def term_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), F.col("term_a").asc(), F.col("term_b").asc())
         .limit(_LIFT_TOPN)
     )
+
+
+def _lift_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED df-bounded posting index (doc_id, term, df, n_docs)
+    for collocation mining — built once per corpus
+    (operators/index_store.py), scanned by both pair-join sides."""
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        persisted_index,
+    )
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        # n_docs from the base table (every doc tokenizes non-empty),
+        # so the scalar doesn't replan the distinct doc-term subtree.
+        nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+        dt = d.select(
+            "doc_id", F.explode(tokens("text")).alias("term")
+        ).distinct()
+        # df via a term-partition count window (single lineage — a
+        # groupBy+join df table replans the dt subtree once per
+        # consumer; measured 25 exchanges in that form vs 8 inline).
+        return (
+            dt.withColumn(
+                "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+            )
+            .crossJoin(F.broadcast(nd))
+            .filter(
+                (F.col("df") * 20 >= F.col("n_docs"))
+                & (F.col("df") * 20 <= 19 * F.col("n_docs"))
+            )
+            .select("doc_id", "term", "df", "n_docs")
+        )
+
+    return persisted_index(spark, sf_dir, "lift_postings", build)
 
 
 # ---------------------------------------------------------------------------
