@@ -102,6 +102,11 @@ def main() -> int:
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
+    # Lazy (callable) oracles — the BPE literal VALUES tables — derive
+    # their SQL from the corpus itself; bind them to THIS sweep's
+    # corpus so a non-default --sf compares like against like.
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = args.sf
+
     from weather_analysis_bigdata__spark.registry import all_queries
     from weather_analysis_bigdata__spark.session import get_spark
 

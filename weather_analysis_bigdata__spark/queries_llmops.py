@@ -3310,12 +3310,24 @@ def dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ORACLE_SF = "/root/testdata/sf0.01"
 
 
+def _bpe_oracle_sf() -> str:
+    """The corpus the lazy BPE oracles bind to, resolved at CALL time:
+    ``SPARK_GRAFT_ORACLE_SF_DIR`` if set (tools/check_oracle.py exports
+    it, so the cross-SF sweep regenerates the literal oracles from the
+    sweep's own corpus instead of comparing sf0.001 Spark output
+    against sf0.01-derived literals — the round-3 by-design reds),
+    else the driver's sf0.01 default."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", _BPE_ORACLE_SF)
+
+
 def _bpe_train_oracle() -> str:
     from weather_analysis_bigdata__spark.operators.bpe_reference import (
         train_oracle_sql,
     )
 
-    return train_oracle_sql(_BPE_ORACLE_SF)
+    return train_oracle_sql(_bpe_oracle_sf())
 
 
 def _bpe_apply_oracle() -> str:
@@ -3323,7 +3335,7 @@ def _bpe_apply_oracle() -> str:
         apply_oracle_sql,
     )
 
-    return apply_oracle_sql(_BPE_ORACLE_SF)
+    return apply_oracle_sql(_bpe_oracle_sf())
 
 
 @register(
