@@ -135,10 +135,15 @@ def _mpl():
 
 
 def _maybe_png(svg_path: str, xs, series: dict, title: str = "") -> None:
-    """Optional matplotlib PNG twin of a line figure — import-gated; the
-    SVG deliverable above never depends on it."""
+    """PNG twin of a line figure: matplotlib (Agg) when importable,
+    else the dependency-free rasterizer (viz_raster.py) — since round
+    4 the twin always renders, so the raster path is testable in
+    matplotlib-less containers instead of permanently skipped."""
     plt = _mpl()
     if plt is None:
+        from weather_analysis_bigdata__spark.viz_raster import png_lines
+
+        png_lines(svg_path.replace(".svg", ".png"), xs, series)
         return
     fig, ax = plt.subplots(figsize=(8, 4.2))
     for label, ys in series.items():
@@ -153,9 +158,13 @@ def _maybe_png_heatmap(
     svg_path: str, r_keys, c_keys, vals: dict, title: str = ""
 ) -> None:
     """Raster twin of render_heatmap (same cell data contract): an
-    imshow grid with the same blue→red scale direction."""
+    imshow grid with the same blue→red scale direction; falls back to
+    the dependency-free rasterizer when matplotlib is absent."""
     plt = _mpl()
     if plt is None:
+        from weather_analysis_bigdata__spark.viz_raster import png_heatmap
+
+        png_heatmap(svg_path.replace(".svg", ".png"), r_keys, c_keys, vals)
         return
     import math
 
@@ -181,9 +190,22 @@ def _maybe_png_geo(
 ) -> None:
     """Raster twin of render_geo_map: PNG cannot animate, so it renders
     the LAST frame's scatter (size+color by value) — the plotly
-    animation's final state — keeping the same data contract."""
+    animation's final state — keeping the same data contract; falls
+    back to the dependency-free rasterizer when matplotlib is absent."""
     plt = _mpl()
     if plt is None:
+        from weather_analysis_bigdata__spark.viz_raster import png_scatter
+
+        last = frames[-1]
+        vs = [v for (sid, f), v in frame_vals.items() if f == last]
+        vlo, vhi = (min(vs), max(vs)) if vs else (0.0, 1.0)
+        span = (vhi - vlo) or 1.0
+        pts = [
+            (lon, lat, (frame_vals[(sid, last)] - vlo) / span)
+            for sid, (lon, lat) in sorted(stations.items())
+            if (sid, last) in frame_vals
+        ]
+        png_scatter(svg_path.replace(".svg", ".png"), pts)
         return
     last = frames[-1]
     fig, ax = plt.subplots(figsize=(8, 4.2))
