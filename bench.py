@@ -124,6 +124,38 @@ def main() -> None:
     total = round(sum(times.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     sf_val = float(sf) if sf else None
+
+    # Streaming replay throughput (round-3 verdict item 9): the replay
+    # queries are correctness-gated but published no rows/s, so
+    # streaming regressions were invisible. Input volume = the events
+    # rows each replay pushes through the engine (the dedup replay
+    # additionally re-delivers the event_id % 10 == 0 slice).
+    streaming = {}
+    try:
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        events_rows = ev.count()
+        redelivered = ev.filter("event_id % 10 = 0").count()
+        stream_names = [
+            n for n in registry if n.startswith("streaming_")
+        ]
+        for name in stream_names:
+            prep = registry[name].prepare
+            if prep is not None:
+                prep(spark, sf_dir)
+            n_in = events_rows + (
+                redelivered if name == "streaming_dedup_replay" else 0
+            )
+            t0 = time.time()
+            df = registry[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            wall = time.time() - t0
+            streaming[name] = {
+                "wall_sec": round(wall, 3),
+                "input_rows": n_in,
+                "rows_per_sec": round(n_in / wall) if wall > 0 else None,
+            }
+    except Exception as e:  # never let the throughput probe kill bench
+        streaming["error"] = f"{type(e).__name__}: {e}"[:300]
     # Full detail (incl. per-query cold/JIT times) goes to a file; the
     # stdout record must stay ONE compact line well under the driver's
     # 2000-char tail capture (round 1's 2.9 KB line was truncated and
@@ -149,6 +181,7 @@ def main() -> None:
             "queries": times,
             "cold_value": round(sum(cold.values()), 3),
             "cold_queries": cold,
+            "streaming_throughput": streaming,
             "sf": sf_val,
         }
     )
