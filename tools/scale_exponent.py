@@ -43,38 +43,84 @@ BASE_SF = "/root/testdata/sf0.1"
 ROOT = "/tmp/spark_graft_scale"
 SHIFT = 10_000_000
 
-PROBE = [
-    "dedup_minhash_lsh",
-    "dedup_shared_ngram_spans",
-    "dedup_ngram_jaccard",
-    "sim_search_topk",
-    "sim_search_lsh",
-    "sim_search_lsh_multiprobe",
-    "ivf_probe_topk",
-    "tfidf_cosine_topk",
-    "dedup_semantic_clustered",
-    "dedup_semantic_capped",
-    # round-3 additions: the new rungs + incremental ingest kernels
-    "sim_search_binary_hamming",
-    "sim_search_matryoshka",
-    "dedup_minhash_incremental",
-    "ivf_index_upsert",
-]
+#: Round 4: the probe covers the FULL bench headline (round-3 verdict
+#: item 4) — every headline query gets a measured exponent, not just
+#: the 14 LLM-ops — plus the uncapped SemDeDup yardstick (not in the
+#: headline anymore, but its honest ~quadratic exponent is the anchor
+#: the capped twin is judged against, so it stays probed).
+_EXTRA_PROBE = ["dedup_semantic_clustered"]
+#: Scale-INDEPENDENT by construction (generates its own fixed-size
+#: input regardless of sf_dir) — an exponent would measure nothing.
+_PROBE_EXCLUDE = {"weather_rehearsal_e2e"}
 
-#: Tables the probe queries read; only these are replicated.
+
+def _probe_names() -> list[str]:
+    from bench import HEADLINE
+
+    names = [n for n in HEADLINE if n not in _PROBE_EXCLUDE]
+    return names + [n for n in _EXTRA_PROBE if n not in names]
+
+
+#: Fact tables replicated ×m with id-shifted keys (replicas reference
+#: replica-local parents, so per-key structure grows linearly — the
+#: honest null model for "more independent data"); dimension tables
+#: (region/nation/supplier/part) are copied once, so fact-per-dim
+#: fan-in grows with m — exactly what a fixed dim table looks like
+#: under a growing fact at 100 TB. documents/embeddings keep their
+#: bespoke replication (shingle-disjoint suffixes / perturbed vectors).
+_SHIFT_COLS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id", "user_id"],
+}
+_DIM_TABLES = ("region", "nation", "supplier", "part")
+
 TABLES = ("documents", "embeddings")
+
+
+def _all_tables() -> tuple:
+    return TABLES + tuple(_SHIFT_COLS) + _DIM_TABLES
 
 
 def build_corpus(mult: int) -> str:
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
+    import shutil
 
     out_dir = os.path.join(ROOT, f"x{mult}")
     if all(
-        os.path.exists(os.path.join(out_dir, f"{t}.parquet")) for t in TABLES
+        os.path.exists(os.path.join(out_dir, f"{t}.parquet"))
+        for t in _all_tables()
     ):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
+
+    # Dimension tables: one copy (fact-per-dim fan-in grows with m).
+    for t in _DIM_TABLES:
+        shutil.copyfile(
+            os.path.join(BASE_SF, f"{t}.parquet"),
+            os.path.join(out_dir, f"{t}.parquet"),
+        )
+
+    # Fact tables: ×m replicas with id-shifted keys (arrow compute —
+    # no python-list round trip; lineitem is 6M rows at x10).
+    for t, shift_cols in _SHIFT_COLS.items():
+        base = pq.read_table(os.path.join(BASE_SF, f"{t}.parquet"))
+        chunks = [base]
+        for r in range(1, mult):
+            rep = base
+            for c in shift_cols:
+                idx = rep.schema.get_field_index(c)
+                shifted = pc.add(rep[c], pa.scalar(r * SHIFT, rep.schema.field(c).type))
+                rep = rep.set_column(idx, rep.schema.field(c), shifted)
+            chunks.append(rep)
+        pq.write_table(
+            pa.concat_tables(chunks),
+            os.path.join(out_dir, f"{t}.parquet"),
+            row_group_size=65536,
+        )
 
     docs = pq.read_table(os.path.join(BASE_SF, "documents.parquet"))
     doc_ids = docs["doc_id"].to_pylist()
@@ -160,11 +206,12 @@ def main() -> None:
     registry = all_queries()
     spark.range(1).count()
 
+    probe = [n for n in _probe_names() if n in registry]
     dirs = {m: build_corpus(m) for m in mults}
-    times: dict[str, dict[int, float]] = {q: {} for q in PROBE}
+    times: dict[str, dict[int, float]] = {q: {} for q in probe}
     for m in mults:
         sf_dir = dirs[m]
-        for name in PROBE:
+        for name in probe:
             q = registry[name]
             if q.prepare is not None:  # index builds off the timed path
                 q.prepare(spark, sf_dir)
@@ -185,7 +232,22 @@ def main() -> None:
             **{f"x{m}": ts[m] for m in mults},
             "exponent": round(exp, 2) if exp is not None else None,
         }
-    print(json.dumps({"base": BASE_SF, "mults": mults, "queries": out}, indent=1))
+    record = {"base": BASE_SF, "mults": mults, "queries": out}
+    # Round 4: persist into BENCH_DETAIL.json (merge — bench.py
+    # preserves keys it didn't compute, and so does this tool).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_DETAIL.json",
+    )
+    try:
+        with open(detail_path) as f:
+            detail = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        detail = {}
+    detail["scale_exponents"] = record
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(record, indent=1))
 
 
 if __name__ == "__main__":
