@@ -77,9 +77,10 @@ HEADLINE = [
     "dedup_minhash_incremental",
     "dedup_minhash_bucket_capped",
     "ivf_index_upsert",
-    # round 4: batch ANN serving over the persisted IVF index
+    # round 4: batch ANN serving over the persisted IVF/PQ indexes
     "ann_batch_probe_topk",
     "ann_batch_recall_audit",
+    "ann_batch_ivfpq_adc_topk",
 ]
 
 

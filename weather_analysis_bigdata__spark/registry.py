@@ -164,6 +164,8 @@ PRIORITY = [
     "multimodal_ppm_resize_stats",
     "ann_batch_probe_topk",
     "ann_batch_recall_audit",
+    "ann_batch_ivfpq_adc_topk",
+    "dedup_semantic_cap_audit",
 ]
 
 
