@@ -81,6 +81,7 @@ HEADLINE = [
     "ann_batch_probe_topk",
     "ann_batch_recall_audit",
     "ann_batch_ivfpq_adc_topk",
+    "dedup_semantic_incremental",
 ]
 
 

@@ -166,3 +166,31 @@ def test_ann_batch_ivfpq_candidates_match_ivf_routing(spark, sf_dir, registry):
         dists = [r.adc_dist for r in rs]
         assert dists == sorted(dists)
         assert all(r.neighbor_id != q for r in rs)
+
+
+def test_semdedup_incremental_finds_every_origin(spark, sf_dir, registry):
+    """Each drifted arrival must land in its origin's cluster and match
+    its origin at ~1.0 cosine (drift ×0.97 preserves direction up to
+    quantization)."""
+    rows = registry["dedup_semantic_incremental"].fn(spark, sf_dir).collect()
+    arrivals = {r.new_vec_id for r in rows}
+    origin_hits = {
+        r.new_vec_id: r.cosine_sim
+        for r in rows
+        if r.corpus_vec_id == r.new_vec_id - 1000000
+    }
+    # every arrival that produced any pair also matched its origin
+    assert set(origin_hits) == arrivals
+    for sim in origin_hits.values():
+        assert sim > 0.999999
+    # and the arrival set is exactly the vec_id % 20 == 7 slice
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    expected = {
+        r.vec_id + 1000000
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter("vec_id % 20 = 7")
+        .select("vec_id")
+        .collect()
+    }
+    assert arrivals == expected

@@ -40,6 +40,7 @@ from weather_analysis_bigdata__spark.functions.vectorops import (
     cosine,
     scaled_vec,
     sql_dot,
+    sql_norm,
 )
 from weather_analysis_bigdata__spark.queries_llmops import (
     _ivf_assign,
@@ -558,4 +559,118 @@ def ann_batch_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         "adc_dist",
         F.col("rank").alias("rn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental SemDeDup: arriving vectors vs the persisted cluster index
+# ---------------------------------------------------------------------------
+_INC_MOD = 20
+_INC_REM = 7
+_INC_DRIFT = 0.97  # deterministic re-embedding drift factor
+_SQL_SVA_DRIFT = (
+    "list_transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) "
+    f"* {_INC_DRIFT} AS DECIMAL(18,8)) * 100000000 AS BIGINT))"
+)
+
+
+def _prepare_semdedup_inc(spark: SparkSession, sf_dir: str) -> None:
+    _prepare_semdedup(spark, sf_dir)
+    _ivf_centroids(spark, sf_dir)
+
+
+@register(
+    "dedup_semantic_incremental",
+    oracle=f"""
+    {_SEMDEDUP_ASSIGN_SQL},
+    arr AS (
+      SELECT vec_id + 1000000 AS new_vec_id,
+             list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * {_INC_DRIFT}) AS emb_d,
+             {_SQL_SVA_DRIFT} AS sva_d
+      FROM embeddings WHERE vec_id % {_INC_MOD} = {_INC_REM}
+    ),
+    routed AS (
+      SELECT new_vec_id, emb_d, cluster FROM (
+        SELECT a.new_vec_id, a.emb_d, c.c_label AS cluster,
+               row_number() OVER (
+                 PARTITION BY a.new_vec_id
+                 ORDER BY {_sql_sqdist('a.sva_d', 'c.c_arr')}, c.c_label)
+                 AS rn
+        FROM arr a CROSS JOIN cent_arr c) WHERE rn = 1
+    )
+    SELECT r.cluster, r.new_vec_id, s.vec_id AS corpus_vec_id,
+           {sql_dot('r.emb_d', 's.embedding')}
+             / ({sql_norm('r.emb_d')} * s.nrm) AS cosine_sim
+    FROM routed r JOIN assign s ON r.cluster = s.cluster
+    WHERE {sql_dot('r.emb_d', 's.embedding')}
+          / ({sql_norm('r.emb_d')} * s.nrm) >= {_SEMDEDUP_TAU}
+    """,
+    doc="INCREMENTAL SemDeDup — the semantic member of the "
+    "incremental-ingest family (dedup_minhash_incremental for text, "
+    "ivf_index_upsert for the vector index; this one answers 'is the "
+    "arriving batch a semantic near-dup of anything we already "
+    f"hold?'): arriving vectors (every {_INC_MOD}th corpus vector "
+    f"re-embedded with a deterministic ×{_INC_DRIFT} drift, "
+    "id-shifted) are routed to their nearest PERSISTED centroid "
+    "(broadcast k×d table — no retraining, no batch re-clustering), "
+    "and exact cosine runs ONLY against the persisted cluster "
+    "assignment's members of that one cluster — never corpus×corpus, "
+    "never batch×corpus. Per-batch cost is O(|batch|·k·d) routing "
+    "plus O(|batch|·|cluster|·d) scoring against an index SCAN; "
+    "corpus embeddings are never re-shuffled. Pairs at cosine ≥ "
+    f"τ={_SEMDEDUP_TAU} are the candidate dups (each arrival finds "
+    "at least its drift-parallel original — direction is preserved, "
+    "so its origin cluster and ~1.0 cosine survive quantization). "
+    "All scaled-integer exact dot products; norms once per side.",
+    prepare=_prepare_semdedup_inc,
+)
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from weather_analysis_bigdata__spark.functions.vectorops import norm
+
+    cent_arr = _ivf_centroids(spark, sf_dir)
+    assign = _semdedup_assign(spark, sf_dir)
+    arriving = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _INC_MOD == _INC_REM)
+        .select(
+            (F.col("vec_id") + 1000000).alias("new_vec_id"),
+            scaled_vec(
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: x.cast("double") * F.lit(_INC_DRIFT),
+                )
+            ).alias("sva_d"),
+        )
+        .withColumn("nrm_d", norm(F.col("sva_d")))
+    )
+    w = Window.partitionBy("new_vec_id").orderBy("dist", "c_label")
+    routed = (
+        arriving.crossJoin(F.broadcast(cent_arr))
+        .select(
+            "new_vec_id", "sva_d", "nrm_d", "c_label",
+            _sqdist_col(F.col("sva_d"), F.col("c_arr")).alias("dist"),
+        )
+        .select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "new_vec_id", "sva_d", "nrm_d",
+            F.col("c_label").alias("cluster"),
+        )
+    )
+    sim = cosine(
+        F.col("r.sva_d"), F.col("s.sva"), F.col("r.nrm_d"), F.col("s.nrm")
+    )
+    return (
+        routed.alias("r")
+        .join(assign.alias("s"), F.col("r.cluster") == F.col("s.cluster"))
+        .select(
+            F.col("r.cluster").alias("cluster"),
+            F.col("r.new_vec_id").alias("new_vec_id"),
+            F.col("s.vec_id").alias("corpus_vec_id"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= _SEMDEDUP_TAU)
     )

@@ -166,6 +166,7 @@ PRIORITY = [
     "ann_batch_recall_audit",
     "ann_batch_ivfpq_adc_topk",
     "dedup_semantic_cap_audit",
+    "dedup_semantic_incremental",
 ]
 
 
