@@ -82,6 +82,7 @@ HEADLINE = [
     "ann_batch_recall_audit",
     "ann_batch_ivfpq_adc_topk",
     "dedup_semantic_incremental",
+    "hard_negative_mining",
 ]
 
 

@@ -194,3 +194,27 @@ def test_semdedup_incremental_finds_every_origin(spark, sf_dir, registry):
         .collect()
     }
     assert arrivals == expected
+
+
+def test_hard_negative_mining_contract(spark, sf_dir, registry):
+    rows = registry["hard_negative_mining"].fn(spark, sf_dir).collect()
+    by_q: dict = {}
+    for r in rows:
+        assert r.query_label != r.neighbor_label
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        dists = [r.sq_dist for r in rs]
+        assert dists == sorted(dists)
+    # negatives must be a subset of the batch candidate pool: every
+    # negative is at least as far as the query's nearest same-pool
+    # neighbor (rank-1 of the unfiltered batch top-k)
+    top1 = {
+        r.query_id: r.sq_dist
+        for r in registry["ann_batch_probe_topk"].fn(spark, sf_dir).collect()
+        if r.rn == 1
+    }
+    for q, rs in by_q.items():
+        assert rs[0].sq_dist >= top1[q]

@@ -129,16 +129,19 @@ _SQL_BATCH_BASE = f"""
 """
 
 
-def _batch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, neighbor_id, dist, rank): per-query IVF top-k for the
-    100-query batch, served from the PERSISTED centroid and
-    inverted-list indexes."""
+def _batch_pair_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, cand_id, cand_label, dist): exact scaled-integer
+    squared-L2 for every (batch query × probed-list candidate) pair —
+    the shared candidate stage of the batch serve family, fed from the
+    PERSISTED centroid and inverted-list indexes."""
     cent_arr = _ivf_centroids(spark, sf_dir)
     sv = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", scaled_vec("embedding").alias("sva")
+        "vec_id", "label", scaled_vec("embedding").alias("sva")
     )
     q = sv.filter(F.col("vec_id") < _BATCH_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("sva").alias("q_sva")
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("sva").alias("q_sva"),
     )
     # Probe selection: batch × centroids is O(batch·k) rows; the
     # centroid table broadcasts, and grouped_topk partitions by
@@ -164,17 +167,27 @@ def _batch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id")
     )
-    # Exact re-rank: ONE (query×probed-list) exchange joins candidates
-    # to their vectors; the query side (batch×d longs) broadcasts.
-    pair = (
+    # Exact re-rank distances: ONE (query×probed-list) exchange joins
+    # candidates to their vectors; the query side (batch×d longs)
+    # broadcasts.
+    return (
         cands.join(sv, F.col("cand_id") == F.col("vec_id"))
         .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
+            "query_label",
             "cand_id",
+            F.col("label").alias("cand_label"),
             _sqdist_col(F.col("q_sva"), F.col("sva")).alias("dist"),
         )
     )
+
+
+def _batch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, dist, rank): per-query IVF top-k for the
+    100-query batch, served from the PERSISTED centroid and
+    inverted-list indexes."""
+    pair = _batch_pair_dists(spark, sf_dir)
     return grouped_topk(
         pair, ["query_id"], [F.col("dist"), F.col("cand_id")], _BATCH_K
     ).select(
@@ -673,4 +686,67 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             sim.alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= _SEMDEDUP_TAU)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: nearest WRONG-label neighbors per query
+# ---------------------------------------------------------------------------
+_NEG_K = 5
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    {_SQL_BATCH_BASE},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    neg AS (
+      SELECT p.query_id, ql.label AS query_label,
+             p.cand_id, cl.label AS neighbor_label, p.dist
+      FROM pair p
+      JOIN lab ql ON ql.vec_id = p.query_id
+      JOIN lab cl ON cl.vec_id = p.cand_id
+      WHERE ql.label <> cl.label
+    )
+    SELECT query_id, query_label, cand_id AS neighbor_id,
+           neighbor_label,
+           CAST(dist AS DOUBLE) / 10000000000000000.0 AS sq_dist, rn
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY dist, cand_id) AS BIGINT)
+               AS rn
+      FROM neg)
+    WHERE rn <= {_NEG_K}
+    """,
+    doc="HARD-NEGATIVE mining — the training-data op behind contrastive "
+    "retrieval/embedding training (DPR, SimCSE lineage): for each of "
+    f"the {_BATCH_QUERIES} batch queries, the {_NEG_K} NEAREST "
+    "candidates whose label differs from the query's — close in "
+    "embedding space but semantically wrong, exactly the negatives "
+    "that teach a bi-encoder its decision boundary (random negatives "
+    "are too easy; these are the hard ones). Mining rides the batch "
+    "IVF serve path unchanged (persisted centroid + inverted-list "
+    "indexes, one fact-scale exchange, per-query grouped top-k) with "
+    "the label-mismatch filter applied BEFORE ranking — so a query "
+    "whose probed lists are label-pure simply yields fewer negatives "
+    "(visible in the output), rather than silently padding with easy "
+    "ones. At 100 TB this is how negative pools are built: mine hard "
+    "negatives per training query from the SERVING index, not from a "
+    "separate brute-force pass.",
+    prepare=_prepare_ivf,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    neg = _batch_pair_dists(spark, sf_dir).filter(
+        F.col("query_label") != F.col("cand_label")
+    )
+    return grouped_topk(
+        neg, ["query_id"], [F.col("dist"), F.col("cand_id")], _NEG_K,
+        rank_col="rn",
+    ).select(
+        "query_id",
+        "query_label",
+        F.col("cand_id").alias("neighbor_id"),
+        F.col("cand_label").alias("neighbor_label"),
+        (F.col("dist").cast("double") / 1e16).alias("sq_dist"),
+        "rn",
     )

@@ -167,6 +167,7 @@ PRIORITY = [
     "ann_batch_ivfpq_adc_topk",
     "dedup_semantic_cap_audit",
     "dedup_semantic_incremental",
+    "hard_negative_mining",
 ]
 
 
