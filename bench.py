@@ -83,6 +83,7 @@ HEADLINE = [
     "ann_batch_ivfpq_adc_topk",
     "dedup_semantic_incremental",
     "hard_negative_mining",
+    "corpus_ingest_router",
 ]
 
 

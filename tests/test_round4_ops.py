@@ -218,3 +218,32 @@ def test_hard_negative_mining_contract(spark, sf_dir, registry):
     }
     for q, rs in by_q.items():
         assert rs[0].sq_dist >= top1[q]
+
+
+def test_ingest_router_decisions(spark, sf_dir, registry):
+    """Every synthesized arm routes to its intended fate; precedence
+    and payload columns are consistent."""
+    rows = registry["corpus_ingest_router"].fn(spark, sf_dir).collect()
+    by_arm: dict = {}
+    for r in rows:
+        arm = r.new_doc_id // 1000000  # 1=exact 2=near 3=novel 4=spam
+        by_arm.setdefault(arm, []).append(r)
+    # exact copies: always drop_exact, matched = origin
+    for r in by_arm[1]:
+        assert r.decision == "drop_exact"
+        assert r.matched_doc_id == r.new_doc_id - 1000000
+        assert r.est_jaccard is None
+    # near-dups: link_near_dup with est >= 0.5 and the origin as target
+    for r in by_arm[2]:
+        assert r.decision == "link_near_dup", r
+        assert r.matched_doc_id == r.new_doc_id - 2000000
+        assert r.est_jaccard >= 0.5
+    # spam repeats: always drop_quality (1 distinct token of 40)
+    for r in by_arm[4]:
+        assert r.decision == "drop_quality"
+        assert r.matched_doc_id is None
+        assert r.n_distinct_tokens == 1 and r.n_tokens == 40
+    # novel rewrites: never matched against the corpus (shingle-disjoint)
+    for r in by_arm[3]:
+        assert r.decision in ("keep", "drop_quality")
+        assert r.matched_doc_id is None

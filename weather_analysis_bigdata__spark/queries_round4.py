@@ -750,3 +750,266 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dist").cast("double") / 1e16).alias("sq_dist"),
         "rn",
     )
+
+
+# ---------------------------------------------------------------------------
+# Capstone: the nightly ingest ROUTER — exact / near-dup / quality / keep
+# ---------------------------------------------------------------------------
+_RT_NEAR_MIN_EQ = 4  # signature agreement >= 4/8 <=> est jaccard >= 0.5
+
+
+def _router_fp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED corpus fingerprint index (fp = md5(text), fp_doc_id =
+    min corpus doc with that fp) — the exact-dup gate's index side."""
+    from weather_analysis_bigdata__spark.functions.textops import md5s
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        persisted_index,
+    )
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        return (
+            d.select(md5s(F.col("text")).alias("fp"), "doc_id")
+            .groupBy("fp")
+            .agg(F.min("doc_id").cast("long").alias("fp_doc_id"))
+        )
+
+    return persisted_index(spark, sf_dir, "router_fp", build)
+
+
+def _prepare_router(spark: SparkSession, sf_dir: str) -> None:
+    from weather_analysis_bigdata__spark.queries_llmops import (
+        _prepare_minhash_corpus,
+    )
+
+    _prepare_minhash_corpus(spark, sf_dir)
+    _router_fp_index(spark, sf_dir)
+
+
+def _router_oracle() -> str:
+    from weather_analysis_bigdata__spark.functions.textops import (
+        SQL_TOKENS,
+        sql_word_ngrams,
+    )
+    from weather_analysis_bigdata__spark.queries_llmops import (
+        SQL_SHINGLES,
+        _sql_band_keys,
+        _sql_minhash_cols,
+    )
+
+    toks = SQL_TOKENS.format(c="text")
+    mh_list = ", ".join(f"mh{j}" for j in range(8))
+
+    def bands_sql(sig_cte: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_id, {key} AS band_key, {mh_list} "
+            f"FROM {sig_cte}"
+            for b, key in enumerate(_sql_band_keys(8, 4))
+        )
+
+    n_eq = (
+        "("
+        + " + ".join(
+            f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END"
+            for j in range(8)
+        )
+        + ")"
+    )
+    return f"""
+    WITH batch AS (
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 50 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' zznovel'
+      FROM documents WHERE doc_id % 50 = 1
+      UNION ALL
+      SELECT doc_id + 3000000,
+             array_to_string(list_transform({toks}, t -> t || 'q9'), ' ')
+      FROM documents WHERE doc_id % 50 = 2
+      UNION ALL
+      SELECT doc_id + 4000000, trim(repeat('spam ', 40))
+      FROM documents WHERE doc_id % 50 = 3
+    ),
+    btoks AS (
+      SELECT doc_id, text, {toks} AS toks FROM batch
+    ),
+    bstats AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+      FROM btoks
+    ),
+    cfp AS (
+      SELECT md5(text) AS fp, CAST(MIN(doc_id) AS BIGINT) AS fp_doc_id
+      FROM documents GROUP BY 1
+    ),
+    bsh AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, unnest({sql_word_ngrams('toks')}) AS gram
+        FROM btoks)
+    ),
+    bsig AS (SELECT doc_id, {_sql_minhash_cols(8)} FROM bsh GROUP BY doc_id),
+    docs AS (SELECT doc_id, text FROM documents),
+    {SQL_SHINGLES.strip()},
+    csig AS (SELECT doc_id, {_sql_minhash_cols(8)} FROM sh GROUP BY doc_id),
+    cbands AS ({bands_sql('csig')}),
+    bbands AS ({bands_sql('bsig')}),
+    ndpairs AS (
+      SELECT DISTINCT a.doc_id AS new_doc_id, b.doc_id AS matched_doc_id,
+             {n_eq} AS n_eq
+      FROM bbands a JOIN cbands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+    ),
+    ndbest AS (
+      SELECT new_doc_id, CAST(matched_doc_id AS BIGINT) AS nd_doc_id, n_eq
+      FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY new_doc_id
+                 ORDER BY n_eq DESC, matched_doc_id) AS rn
+        FROM ndpairs WHERE n_eq >= {_RT_NEAR_MIN_EQ})
+      WHERE rn = 1
+    )
+    SELECT b.doc_id AS new_doc_id,
+           CASE WHEN f.fp_doc_id IS NOT NULL THEN 'drop_exact'
+                WHEN n.nd_doc_id IS NOT NULL THEN 'link_near_dup'
+                WHEN s.n_distinct * 10 < s.n_tokens * 3 THEN 'drop_quality'
+                ELSE 'keep' END AS decision,
+           CASE WHEN f.fp_doc_id IS NOT NULL THEN f.fp_doc_id
+                WHEN n.nd_doc_id IS NOT NULL THEN n.nd_doc_id
+                END AS matched_doc_id,
+           CASE WHEN f.fp_doc_id IS NULL AND n.nd_doc_id IS NOT NULL
+                THEN CAST(n.n_eq AS DOUBLE) / 8.0 END AS est_jaccard,
+           s.n_tokens, s.n_distinct AS n_distinct_tokens
+    FROM btoks b
+    JOIN bstats s USING (doc_id)
+    LEFT JOIN cfp f ON md5(b.text) = f.fp
+    LEFT JOIN ndbest n ON n.new_doc_id = b.doc_id
+    """
+
+
+@register(
+    "corpus_ingest_router",
+    oracle=_router_oracle,
+    doc="The nightly ingest ROUTER — the round-4 capstone composing the "
+    "incremental family into the decision a production corpus pipeline "
+    "actually executes per arriving document, in ONE declarative plan: "
+    "(1) exact gate — md5 fingerprint against the PERSISTED corpus "
+    "fingerprint index → drop_exact; (2) near-dup gate — MinHash bands "
+    "(live-signed batch) against the PERSISTED corpus band index, best "
+    "corpus match at signature agreement ≥ 4/8 (est Jaccard ≥ 0.5, "
+    "fully tie-broken) → link_near_dup with the canonical target; "
+    "(3) quality gate — distinct-token ratio < 0.3 → drop_quality; "
+    "else keep. The arriving batch is synthesized deterministically "
+    "from the corpus with all four fates represented: exact copies "
+    "(doc_id%50=0), one-token-appended near-dups (%50=1), "
+    "shingle-disjoint novel rewrites (%50=2), and degenerate "
+    "spam repeats (%50=3). Precedence is exact > near-dup > quality — "
+    "the cheap gates veto the expensive ones' work downstream. Scale "
+    "shape: both index sides are SCANS (corpus text is never "
+    "re-shingled, never re-hashed); the batch side is O(|batch|) "
+    "everywhere; band/fingerprint joins carry the batch × index-hit "
+    "rows only. This is dedup_minhash_incremental + "
+    "incremental_dedup_against_index + text quality, composed with "
+    "router semantics instead of run as three disconnected reports.",
+    prepare=_prepare_router,
+)
+def corpus_ingest_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.textops import (
+        md5s,
+        tokens,
+    )
+    from weather_analysis_bigdata__spark.queries_llmops import (
+        _minhash_bands,
+        _minhash_corpus_bands,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens("text")
+    batch = (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 50 == 1).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zznovel")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 50 == 2).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.array_join(
+                    F.transform(toks, lambda t: F.concat(t, F.lit("q9"))),
+                    " ",
+                ).alias("text"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 50 == 3).select(
+                (F.col("doc_id") + 4000000).alias("doc_id"),
+                F.trim(F.expr("repeat('spam ', 40)")).alias("text"),
+            )
+        )
+    )
+    stats = batch.select(
+        "doc_id",
+        "text",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        md5s(F.col("text")).alias("fp"),
+    )
+    # Near-dup gate: live batch bands vs the persisted corpus index.
+    bbands = _minhash_bands(batch)
+    cbands = _minhash_corpus_bands(spark, sf_dir)
+    n_eq = sum(
+        F.when(F.col(f"a.mh{j}") == F.col(f"b.mh{j}"), 1).otherwise(0)
+        for j in range(8)
+    )
+    ndpairs = (
+        bbands.alias("a")
+        .join(
+            cbands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_doc_id"),
+            F.col("b.doc_id").alias("matched_doc_id"),
+            n_eq.alias("n_eq"),
+        )
+        .distinct()
+        .filter(F.col("n_eq") >= _RT_NEAR_MIN_EQ)
+    )
+    ndbest = grouped_topk(
+        ndpairs,
+        ["new_doc_id"],
+        [F.col("n_eq").desc(), F.col("matched_doc_id")],
+        1,
+    ).select(
+        "new_doc_id",
+        F.col("matched_doc_id").cast("long").alias("nd_doc_id"),
+        "n_eq",
+    )
+    routed = stats.join(
+        _router_fp_index(spark, sf_dir), "fp", "left"
+    ).join(
+        F.broadcast(ndbest),
+        F.col("doc_id") == F.col("new_doc_id"),
+        "left",
+    )
+    exact = F.col("fp_doc_id")
+    nd = F.col("nd_doc_id")
+    return routed.select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.when(exact.isNotNull(), "drop_exact")
+        .when(nd.isNotNull(), "link_near_dup")
+        .when(F.col("n_distinct") * 10 < F.col("n_tokens") * 3, "drop_quality")
+        .otherwise("keep")
+        .alias("decision"),
+        F.when(exact.isNotNull(), exact)
+        .when(nd.isNotNull(), nd)
+        .alias("matched_doc_id"),
+        F.when(exact.isNull() & nd.isNotNull(), F.col("n_eq").cast("double") / 8.0)
+        .alias("est_jaccard"),
+        "n_tokens",
+        F.col("n_distinct").alias("n_distinct_tokens"),
+    )

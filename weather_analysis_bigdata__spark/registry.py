@@ -168,6 +168,7 @@ PRIORITY = [
     "dedup_semantic_cap_audit",
     "dedup_semantic_incremental",
     "hard_negative_mining",
+    "corpus_ingest_router",
 ]
 
 
