@@ -140,3 +140,50 @@ def test_raster_twins_always_render(gallery):
         # truecolor RGB (ctype 2): each scanline is 1 filter byte + 3*w
         if ctype == 2:
             assert len(raw) == h * (1 + 3 * w), p
+
+
+def test_interactive_html_twins(gallery):
+    """The time-series and trend figures gain self-contained interactive
+    HTML twins (hover + rangeslider — the reference's plotly
+    interactions, dependency-free). Structural check always; when node
+    is available (this container has it), the DOM-stub harness
+    actually drives the JS: initial render, hover tooltip resolution,
+    and slider-driven re-render."""
+    import json
+    import os
+    import re
+    import shutil
+    import subprocess
+
+    htmls = [
+        p.replace(".svg", ".html")
+        for p in gallery
+        if p.endswith(("time_series.svg", "trend.svg"))
+    ]
+    assert len(htmls) == 2
+    for p in htmls:
+        assert os.path.exists(p), p
+        s = open(p, encoding="utf-8").read()
+        # self-contained: no external scripts/styles/CDN
+        assert "http://" not in s and "https://" not in s
+        m = re.search(
+            r'<script id="data" type="application/json">(.*?)</script>',
+            s,
+            re.S,
+        )
+        d = json.loads(m.group(1))
+        assert d["x"] and d["series"]
+        for ser in d["series"]:
+            assert len(ser["values"]) == len(d["x"])
+        assert "mousemove" in s and 'type="range"' in s
+    node = shutil.which("node")
+    if node is None:
+        return  # structural checks stand alone
+    harness = os.path.join(os.path.dirname(__file__), "interactive_harness.js")
+    for p in htmls:
+        out = subprocess.run(
+            [node, harness, p], capture_output=True, text=True, timeout=60
+        )
+        assert out.returncode == 0, out.stderr
+        assert "display: block" in out.stdout, out.stdout
+        assert "rerendered: true" in out.stdout, out.stdout

@@ -285,6 +285,18 @@ def render_time_series(
         xs,
         {c: [r[c] for r in rows] for c in y_cols},
     )
+    # Interactive HTML twin (hover + rangeslider — the plotly
+    # interactions, dependency-free; viz_interactive.py).
+    from weather_analysis_bigdata__spark.viz_interactive import (
+        render_interactive_timeseries,
+    )
+
+    render_interactive_timeseries(
+        path.replace(".svg", ".html"),
+        [r[x_col] for r in rows],
+        {c: [r[c] for r in rows] for c in y_cols},
+        title=title,
+    )
     return svg.save(path)
 
 
@@ -327,6 +339,16 @@ def render_trend(
         f'font-size="11">slope={t.slope:.4f}/yr</text>'
     )
     _maybe_png(path, years, {"mean": vals, "fit": fit})
+    from weather_analysis_bigdata__spark.viz_interactive import (
+        render_interactive_timeseries,
+    )
+
+    render_interactive_timeseries(
+        path.replace(".svg", ".html"),
+        years,
+        {"mean": vals, "fit": fit},
+        title=title,
+    )
     return svg.save(path)
 
 
