@@ -198,6 +198,9 @@ def main() -> None:
     mults = [1, 4, 10]
     if "--mults" in sys.argv:
         mults = [int(x) for x in sys.argv[sys.argv.index("--mults") + 1].split(",")]
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
 
     from weather_analysis_bigdata__spark.registry import all_queries
     from weather_analysis_bigdata__spark.session import get_spark
@@ -207,6 +210,10 @@ def main() -> None:
     spark.range(1).count()
 
     probe = [n for n in _probe_names() if n in registry]
+    if only is not None:
+        probe = [n for n in probe if n in only] + [
+            n for n in only if n in registry and n not in probe
+        ]
     dirs = {m: build_corpus(m) for m in mults}
     times: dict[str, dict[int, float]] = {q: {} for q in probe}
     for m in mults:
@@ -244,7 +251,14 @@ def main() -> None:
             detail = json.load(f)
     except (OSError, json.JSONDecodeError):
         detail = {}
-    detail["scale_exponents"] = record
+    prev = detail.get("scale_exponents", {})
+    if only is not None and prev.get("mults") == mults:
+        # --only re-measures a subset: merge into the existing record
+        # instead of discarding every other query's exponents.
+        prev.setdefault("queries", {}).update(out)
+        detail["scale_exponents"] = prev
+    else:
+        detail["scale_exponents"] = record
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     print(json.dumps(record, indent=1))
