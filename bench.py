@@ -84,6 +84,7 @@ HEADLINE = [
     "dedup_semantic_incremental",
     "hard_negative_mining",
     "corpus_ingest_router",
+    "ann_batch_filtered_topk",
 ]
 
 

@@ -247,3 +247,28 @@ def test_ingest_router_decisions(spark, sf_dir, registry):
     for r in by_arm[3]:
         assert r.decision in ("keep", "drop_quality")
         assert r.matched_doc_id is None
+
+
+def test_ann_batch_filtered_respects_predicate(spark, sf_dir, registry):
+    """Every returned neighbor carries the query's target label, ranks
+    are dense per query, and each query gets exactly k results (the
+    pre-filter guarantee — every label has >= k members here)."""
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    rows = registry["ann_batch_filtered_topk"].fn(spark, sf_dir).collect()
+    by_q: dict = {}
+    for r in rows:
+        assert r.target_label == r.query_id % 10
+        assert labels[r.neighbor_id] == r.target_label
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 100
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rs] == [1, 2, 3, 4, 5]

@@ -1042,3 +1042,87 @@ def corpus_ingest_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.col("n_distinct").alias("n_distinct_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch FILTERED ANN: per-query metadata predicate, pre-filter routing
+# ---------------------------------------------------------------------------
+_FB_K = 5
+
+
+@register(
+    "ann_batch_filtered_topk",
+    oracle=f"""
+    WITH sv AS (
+      SELECT vec_id, label, {_SQL_SVA} AS sva FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id,
+             CAST(vec_id % 10 AS BIGINT) AS target_label,
+             sva AS q_sva
+      FROM sv WHERE vec_id < {_BATCH_QUERIES}
+    ),
+    cand AS (
+      SELECT q.query_id, q.target_label, s.vec_id AS cand_id,
+             {_sql_sqdist('q.q_sva', 's.sva')} AS dist
+      FROM q JOIN sv s
+        ON CAST(s.label AS BIGINT) = q.target_label
+       AND s.vec_id <> q.query_id
+    )
+    SELECT query_id, target_label, cand_id AS neighbor_id,
+           CAST(dist AS DOUBLE) / 10000000000000000.0 AS sq_dist, rn
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY dist, cand_id) AS BIGINT)
+               AS rn
+      FROM cand)
+    WHERE rn <= {_FB_K}
+    """,
+    doc="BATCH FILTERED ANN — per-query metadata predicates at batch "
+    f"scale (every production query carries filters): each of the "
+    f"{_BATCH_QUERIES} batch queries targets ITS OWN label "
+    "(target_label = query_id mod 10) and receives exact "
+    f"top-{_FB_K} from only that label's vectors — the PRE-filter "
+    "route that guarantees k results (ann_filtered_prefilter_topk "
+    "proves, single-query, that post-filtering a global top-k "
+    "starves). The per-query predicate becomes an EQUI-JOIN on the "
+    "label (query batch broadcast against the corpus), so Spark "
+    "routes each query to exactly its label's partition — at 100 TB "
+    "with the corpus label-partitioned (the partition-design argument "
+    "of the single-query rung) this plan reads ~1/n_labels of the "
+    "data per query and never builds a global candidate set. "
+    "Per-query grouped top-k (partitioned window); exact "
+    "scaled-integer distances, fully tie-broken.",
+)
+def ann_batch_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", scaled_vec("embedding").alias("sva")
+    )
+    q = sv.filter(F.col("vec_id") < _BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        (F.col("vec_id") % 10).cast("long").alias("target_label"),
+        F.col("sva").alias("q_sva"),
+    )
+    cand = (
+        sv.join(
+            F.broadcast(q),
+            (F.col("label").cast("long") == F.col("target_label"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "target_label",
+            F.col("vec_id").alias("cand_id"),
+            _sqdist_col(F.col("q_sva"), F.col("sva")).alias("dist"),
+        )
+    )
+    return grouped_topk(
+        cand, ["query_id"], [F.col("dist"), F.col("cand_id")], _FB_K,
+        rank_col="rn",
+    ).select(
+        "query_id",
+        "target_label",
+        F.col("cand_id").alias("neighbor_id"),
+        (F.col("dist").cast("double") / 1e16).alias("sq_dist"),
+        "rn",
+    )

@@ -169,6 +169,7 @@ PRIORITY = [
     "dedup_semantic_incremental",
     "hard_negative_mining",
     "corpus_ingest_router",
+    "ann_batch_filtered_topk",
 ]
 
 
