@@ -1126,3 +1126,93 @@ def ann_batch_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dist").cast("double") / 1e16).alias("sq_dist"),
         "rn",
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift monitor: per-label centroid shift between snapshots
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_drift_by_label",
+    oracle=f"""
+    WITH {_SQL_VPOS.strip()},
+    side AS (
+      SELECT label, pos, v_int,
+             CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS snap
+      FROM vpos
+    ),
+    cent AS (
+      SELECT label, snap, pos,
+             CAST({_SQL_FLOORDIV.format(s='SUM(v_int)', n='COUNT(*)')} AS BIGINT)
+               AS c_int,
+             COUNT(*) AS n
+      FROM side GROUP BY label, snap, pos
+    ),
+    shift AS (
+      SELECT a.label,
+             CAST(MAX(a.n) AS BIGINT) AS n_a,
+             CAST(MAX(b.n) AS BIGINT) AS n_b,
+             CAST(SUM((a.c_int - b.c_int) * (a.c_int - b.c_int)) AS BIGINT)
+               AS shift_scaled,
+             CAST(MAX(ABS(a.c_int - b.c_int)) AS BIGINT) AS max_dim_scaled
+      FROM cent a JOIN cent b
+        ON a.label = b.label AND a.pos = b.pos
+       AND a.snap = 'a' AND b.snap = 'b'
+      GROUP BY a.label
+    )
+    SELECT label, n_a, n_b,
+           CAST(shift_scaled AS DOUBLE) / 10000000000000000.0
+             AS centroid_shift_sq,
+           CAST(max_dim_scaled AS DOUBLE) / 100000000.0 AS max_dim_shift
+    FROM shift
+    """,
+    doc="EMBEDDING DRIFT monitor — the vector member of the drift "
+    "family (drift_tvd for categories, ks_two_sample for scalars, "
+    "cusum for time): per label, the squared L2 shift between the "
+    "centroids of two corpus snapshots (even/odd vec_id — in "
+    "production: yesterday's embedding run vs today's), plus the "
+    "worst single-dimension shift. This is the cheap gate that "
+    "catches a silent embedding-model change or a feature-pipeline "
+    "regression BEFORE a re-index is served: centroids are "
+    "O(labels×d) per side (one map-combinable aggregate over the "
+    "position-exploded scan, the embedding_centroids shape), the "
+    "drift join is label×pos sized, and everything downstream of the "
+    "first aggregate is dimension-table work. Exact scaled-integer "
+    "centroid arithmetic (portable floor-div), one correctly-rounded "
+    "double per output.",
+)
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.queries_llmops import _vpos
+
+    vpos = _vpos(spark, sf_dir)
+    side = vpos.select(
+        "label",
+        "pos",
+        "v_int",
+        F.when(F.col("vec_id") % 2 == 0, "a").otherwise("b").alias("snap"),
+    )
+    s, n = F.sum("v_int"), F.count(F.lit(1))
+    floordiv = (s - (((s % n) + n) % n)) / n
+    cent = side.groupBy("label", "snap", "pos").agg(
+        floordiv.cast("long").alias("c_int"), n.alias("n")
+    )
+    a = cent.filter(F.col("snap") == "a").alias("a")
+    b = cent.filter(F.col("snap") == "b").alias("b")
+    diff = F.col("a.c_int") - F.col("b.c_int")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.pos") == F.col("b.pos")),
+        )
+        .groupBy(F.col("a.label").alias("label"))
+        .agg(
+            F.max("a.n").cast("long").alias("n_a"),
+            F.max("b.n").cast("long").alias("n_b"),
+            (F.sum(diff * diff).cast("double") / 1e16).alias(
+                "centroid_shift_sq"
+            ),
+            (F.max(F.abs(diff)).cast("double") / 1e8).alias(
+                "max_dim_shift"
+            ),
+        )
+    )

@@ -170,6 +170,7 @@ PRIORITY = [
     "hard_negative_mining",
     "corpus_ingest_router",
     "ann_batch_filtered_topk",
+    "embedding_drift_by_label",
 ]
 
 
