@@ -1,0 +1,63 @@
+"""3-run bench variance: runs bench.py three times (solo — run this
+with nothing else on the machine), collects each run's per-query warm
+times, and records {query: {runs, min, max, spread}} under
+``variance_3runs`` in BENCH_DETAIL.json (merge-preserving every other
+key). This is the contention-adjudication record the round-2 verdict
+asked for, now covering the FULL headline instead of two queries.
+
+Usage: python tools/bench_variance.py [n_runs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DETAIL = os.path.join(HERE, "BENCH_DETAIL.json")
+
+
+def main() -> None:
+    n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    runs: list[dict[str, float]] = []
+    for i in range(n_runs):
+        subprocess.run(
+            [sys.executable, os.path.join(HERE, "bench.py")],
+            check=True,
+            cwd=HERE,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        with open(DETAIL) as f:
+            runs.append(json.load(f)["queries"])
+        print(f"run {i + 1}/{n_runs}: total "
+              f"{round(sum(runs[-1].values()), 2)} s", flush=True)
+
+    names = sorted(set().union(*[set(r) for r in runs]))
+    var = {}
+    for q in names:
+        vals = [r[q] for r in runs if q in r]
+        var[q] = {
+            "runs": vals,
+            "min": min(vals),
+            "max": max(vals),
+            "spread": round(max(vals) - min(vals), 3),
+        }
+    with open(DETAIL) as f:
+        detail = json.load(f)
+    detail["variance_3runs"] = {
+        "n_runs": n_runs,
+        "queries": var,
+        "max_spread": max(v["spread"] for v in var.values()),
+        "note": "solo runs (no concurrent load); per-query warm times",
+    }
+    with open(DETAIL, "w") as f:
+        json.dump(detail, f, indent=1)
+    worst = sorted(var.items(), key=lambda kv: -kv[1]["spread"])[:5]
+    print("worst spreads:", {k: v["spread"] for k, v in worst})
+
+
+if __name__ == "__main__":
+    main()
