@@ -1216,3 +1216,117 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index upsert: raw postings + df dictionary are the additive layer
+# ---------------------------------------------------------------------------
+_UP_MOD = 25
+_UP_REM = 4
+
+
+def _raw_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED RAW posting index (doc_id, term, tf) — unlike the
+    WEIGHTED tfidf_postings index (whose w embeds df and n_docs, both
+    global, so it cannot be incrementally merged), the raw layer is
+    purely additive and is what a segment-based engine persists."""
+    from weather_analysis_bigdata__spark.functions.textops import tokens
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        persisted_index,
+    )
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        return (
+            d.select("doc_id", F.explode(tokens("text")).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+
+    return persisted_index(spark, sf_dir, "raw_postings", build)
+
+
+@register(
+    "postings_index_upsert",
+    oracle=f"""
+    WITH basetf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents)
+      GROUP BY doc_id, term
+    ),
+    basedf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM basetf
+               GROUP BY term),
+    batchtf AS (
+      SELECT doc_id + 1000000 AS doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents WHERE doc_id % {_UP_MOD} = {_UP_REM})
+      GROUP BY doc_id, term
+    ),
+    delta AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df_delta,
+             CAST(SUM(tf) AS BIGINT) AS tf_delta
+      FROM batchtf GROUP BY term
+    )
+    SELECT d.term,
+           COALESCE(b.df, 0) AS df_before,
+           d.df_delta,
+           COALESCE(b.df, 0) + d.df_delta AS df_after,
+           d.tf_delta
+    FROM delta d LEFT JOIN basedf b USING (term)
+    """,
+    doc="Inverted-index UPSERT — the text-retrieval member of the "
+    "incremental-state family, and a deliberate contrast with the "
+    "served tfidf_postings index: WEIGHTED postings cannot be "
+    "incrementally merged (w embeds df and n_docs, both global — one "
+    "arriving document changes every posting of every term it "
+    "contains), so segment-based engines persist the RAW additive "
+    "layer — (doc, term, tf) postings plus the df dictionary — and "
+    "either weight at query time or rebuild weighted segments on "
+    "merge. This query pins the additive contract: an arriving batch "
+    f"(every {_UP_MOD}th doc, id-shifted) produces per-term deltas, "
+    "and merged df (index-scan df_before + live df_delta) must equal "
+    "the from-scratch rebuild over base ∪ batch — the oracle IS the "
+    "rebuild, so the hash match is the mergeable-state proof (the "
+    "minhash_signature_merge / ivm_delta_agg argument, applied to "
+    "search postings). Output rows = only terms the batch touches — "
+    "exactly the segment a real upsert publishes. Per-batch cost: "
+    "O(|batch| tokens) + one term-level join against the df "
+    "dictionary scan; the corpus is never re-tokenized.",
+)
+def postings_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.textops import tokens
+
+    raw = _raw_postings(spark, sf_dir)
+    df_base = raw.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_before")
+    )
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _UP_MOD == _UP_REM)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.explode(tokens("text")).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    delta = batch.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_delta"),
+        F.sum("tf").cast("long").alias("tf_delta"),
+    )
+    return (
+        F.broadcast(delta)
+        .join(df_base, "term", "left")
+        .select(
+            "term",
+            F.coalesce("df_before", F.lit(0)).cast("long").alias("df_before"),
+            "df_delta",
+            (F.coalesce("df_before", F.lit(0)) + F.col("df_delta"))
+            .cast("long")
+            .alias("df_after"),
+            "tf_delta",
+        )
+    )

@@ -171,6 +171,7 @@ PRIORITY = [
     "corpus_ingest_router",
     "ann_batch_filtered_topk",
     "embedding_drift_by_label",
+    "postings_index_upsert",
 ]
 
 
