@@ -272,3 +272,16 @@ def test_ann_batch_filtered_respects_predicate(spark, sf_dir, registry):
     for q, rs in by_q.items():
         rs.sort(key=lambda r: r.rn)
         assert [r.rn for r in rs] == [1, 2, 3, 4, 5]
+
+
+def test_streaming_minhash_index_replay_totals(spark, sf_dir, registry):
+    """The stream-built band index must cover every document in every
+    band (4 bands x n_docs rows) — the summary the oracle hash-gates."""
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    rows = registry["streaming_minhash_index_replay"].fn(spark, sf_dir).collect()
+    assert sorted(r.band_id for r in rows) == [0, 1, 2, 3]
+    for r in rows:
+        assert r.n_docs == n_docs
+        assert 0 < r.n_distinct_keys <= n_docs

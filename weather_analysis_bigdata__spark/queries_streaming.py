@@ -540,3 +540,145 @@ def streaming_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFra
     return replay_build_to_memory(
         spark, os.path.join(sf_dir, "events.parquet"), build, schema
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming MinHash index maintenance (round 4): foreachBatch segment
+# publish, stream-built index ≡ batch-built index
+# ---------------------------------------------------------------------------
+def _sql_band_summary() -> str:
+    from weather_analysis_bigdata__spark.functions.textops import (
+        sql_hex15_to_long,
+    )
+    from weather_analysis_bigdata__spark.queries_llmops import (
+        _sql_band_keys,
+        _sql_minhash_cols,
+        SQL_SHINGLES,
+    )
+
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig"
+        for b, key in enumerate(_sql_band_keys(8, 4))
+    )
+    item = sql_hex15_to_long(
+        "md5(CAST(doc_id AS VARCHAR) || ':' || CAST(band_id AS VARCHAR)"
+        " || ':' || band_key)"
+    )
+    return f"""
+    WITH docs AS (SELECT doc_id, text FROM documents),
+    {SQL_SHINGLES.strip()},
+    sig AS (SELECT doc_id, {_sql_minhash_cols(8)} FROM sh GROUP BY doc_id),
+    bands AS ({bands}),
+    summary AS (
+      SELECT band_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT band_key) AS BIGINT) AS n_distinct_keys,
+             CAST(SUM(({item}) % 1099511627776) AS BIGINT) AS key_checksum
+      FROM bands GROUP BY band_id
+    )
+    SELECT CAST(band_id AS BIGINT) AS band_id, n_docs, n_distinct_keys,
+           key_checksum
+    FROM summary
+    """
+
+
+@register(
+    "streaming_minhash_index_replay",
+    oracle=_sql_band_summary(),
+    doc="STREAMING index maintenance — the corpus MinHash band index "
+    "maintained by the streaming engine instead of a batch job: "
+    "documents replay in 4 micro-batches (availableNow, one file per "
+    "trigger) and foreachBatch computes each batch's band signatures "
+    "and publishes them as a SEGMENT (a per-batch_id directory, "
+    "overwrite-mode — deterministic per batch, so at-least-once "
+    "redelivery is idempotent: the exactly-once recipe every "
+    "segment-based indexer uses). The registered result is a per-band "
+    "summary (doc count, distinct band keys, order-independent "
+    "md5-mod checksum over (doc, band, key)) computed FROM the "
+    "stream-built segments; the oracle computes the same summary by "
+    "rebuilding the band table from scratch in SQL — the hash match "
+    "proves stream-built ≡ batch-built, i.e. index maintenance "
+    "commutes with micro-batching (the additive-state argument of "
+    "minhash_signature_merge, now under the streaming engine with "
+    "segment publishing). At 100 TB this is the ingest half of "
+    "dedup_minhash_incremental: arriving docs sign themselves into "
+    "segments; periodic compaction folds segments into the persisted "
+    "index the probe side scans.",
+)
+def streaming_minhash_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from weather_analysis_bigdata__spark.functions.textops import (
+        hex15_to_long,
+        md5s,
+    )
+    from weather_analysis_bigdata__spark.queries_llmops import _minhash_bands
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    run = uuid.uuid4().hex[:10]
+    src_dir = tempfile.mkdtemp(prefix=f"mhidx_src_{run}_")
+    seg_dir = tempfile.mkdtemp(prefix=f"mhidx_seg_{run}_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        schema = docs.schema
+        docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+        def publish(batch_df: DataFrame, batch_id: int) -> None:
+            # Segment publish: overwrite into a batch_id-keyed dir —
+            # deterministic per batch, so redelivery is idempotent.
+            _minhash_bands(batch_df).select(
+                "doc_id", "band_id", "band_key"
+            ).write.mode("overwrite").parquet(
+                os.path.join(seg_dir, f"seg_{batch_id}")
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(publish)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        built = spark.read.parquet(os.path.join(seg_dir, "seg_*"))
+        item = (
+            hex15_to_long(
+                md5s(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("band_id").cast("string"),
+                        F.col("band_key"),
+                    )
+                )
+            )
+            % F.lit(1099511627776)
+        )
+        rows = (
+            built.groupBy(F.col("band_id").cast("long").alias("band_id"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.countDistinct("band_key").cast("long").alias(
+                    "n_distinct_keys"
+                ),
+                F.sum(item).cast("long").alias("key_checksum"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "band_id long, n_docs long, n_distinct_keys long, "
+            "key_checksum long",
+        )
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(seg_dir, ignore_errors=True)

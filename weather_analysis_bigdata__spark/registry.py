@@ -172,6 +172,7 @@ PRIORITY = [
     "ann_batch_filtered_topk",
     "embedding_drift_by_label",
     "postings_index_upsert",
+    "streaming_minhash_index_replay",
 ]
 
 
