@@ -140,6 +140,9 @@ def main() -> None:
         ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         events_rows = ev.count()
         redelivered = ev.filter("event_id % 10 = 0").count()
+        docs_rows = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).count()
         stream_names = [
             n for n in registry if n.startswith("streaming_")
         ]
@@ -147,9 +150,12 @@ def main() -> None:
             prep = registry[name].prepare
             if prep is not None:
                 prep(spark, sf_dir)
-            n_in = events_rows + (
-                redelivered if name == "streaming_dedup_replay" else 0
-            )
+            if name == "streaming_minhash_index_replay":
+                n_in = docs_rows  # documents stream, not events
+            else:
+                n_in = events_rows + (
+                    redelivered if name == "streaming_dedup_replay" else 0
+                )
             t0 = time.time()
             df = registry[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
