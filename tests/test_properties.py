@@ -161,3 +161,42 @@ def test_wav_roundtrip_any_samples(samples, sr):
     sr2, back = decode_wav_pcm16(payload)
     assert sr2 == sr
     assert np.array_equal(back, arr)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # key (few → collisions)
+            st.integers(min_value=-5, max_value=5),  # value (ties likely)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_grouped_topk_matches_python_reference(spark, rows, k):
+    """grouped_topk ≡ per-key sorted-prefix under arbitrary keys, tie
+    values, and k — with a unique tiebreaker appended, ranks are total
+    and partitioning-independent."""
+    from weather_analysis_bigdata__spark.functions.distributed import (
+        grouped_topk,
+    )
+
+    data = [(key, v, i) for i, (key, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["k", "v", "uid"]).repartition(5)
+    got = {
+        (r.k, r.rank): (r.v, r.uid)
+        for r in grouped_topk(
+            df, ["k"], [F.col("v"), F.col("uid")], k
+        ).collect()
+    }
+    expect = {}
+    per_key: dict = {}
+    for key, v, uid in data:
+        per_key.setdefault(key, []).append((v, uid))
+    for key, vs in per_key.items():
+        for rank, (v, uid) in enumerate(sorted(vs)[:k], start=1):
+            expect[(key, rank)] = (v, uid)
+    assert got == expect
