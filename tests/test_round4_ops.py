@@ -285,3 +285,19 @@ def test_streaming_minhash_index_replay_totals(spark, sf_dir, registry):
     for r in rows:
         assert r.n_docs == n_docs
         assert 0 < r.n_distinct_keys <= n_docs
+
+
+def test_image_phash_groups_partition_all_images(spark, sf_dir, registry):
+    """Group sizes sum to the corpus size, hashes fit the raster width
+    (< 2^48), and at least one real collision group exists (gradient
+    images in one (w,h) class collide unless a 256-wrap crosses)."""
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    rows = registry["multimodal_image_phash_groups"].fn(spark, sf_dir).collect()
+    assert sum(r.n_images for r in rows) == n_docs
+    assert any(r.n_images >= 2 for r in rows)
+    for r in rows:
+        assert 0 <= r.phash < (1 << 48)
+        assert 4 <= r.w <= 8 and 3 <= r.h <= 6
+        assert r.min_doc_id <= r.max_doc_id

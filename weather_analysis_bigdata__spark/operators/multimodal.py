@@ -666,3 +666,40 @@ def wav_decode_stats(
             )
 
     return df.select(id_col, payload_col).mapInPandas(kernel, WAV_STATS_SCHEMA)
+
+
+def ppm_phash(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Perceptual AVERAGE HASH from REAL PPM decode (Arrow-batched,
+    shuffle-free): per pixel, grayscale = R+G+B from the decoded
+    raster; bit p set iff gray_p · n_pixels > Σ gray (strictly above
+    the image mean, integer cross-multiplied); bits fold into one
+    ≤48-bit integer. Images sharing (phash, w, h) are perceptual
+    duplicates — the image-modality analogue of a MinHash band key."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("w", T.LongType()),
+            T.StructField("h", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                w, h, arr = decode_ppm(bytes(p))
+                px = arr.reshape(-1, 3).astype(np.int64)
+                gray = px.sum(axis=1)
+                total = int(gray.sum())
+                npix = w * h
+                bits = (gray * npix > total).astype(np.int64)
+                ph = int((bits << np.arange(npix, dtype=np.int64)).sum())
+                rows.append((int(did), w, h, ph))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "w", "h", "phash"]
+            )
+
+    return df.mapInPandas(kernel, schema)

@@ -1330,3 +1330,76 @@ def postings_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tf_delta",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Image-modality dedup: perceptual hash (aHash) over the REAL PPM path
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_image_phash_groups",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 5 AS BIGINT) AS w,
+             CAST(3 + doc_id % 4 AS BIGINT) AS h
+      FROM documents
+    ),
+    pix AS (
+      SELECT doc_id, w, h, t.p AS p,
+             ((doc_id + 3 * t.p) % 256)
+             + ((doc_id + 3 * t.p + 1) % 256)
+             + ((doc_id + 3 * t.p + 2) % 256) AS gray
+      FROM img, unnest(generate_series(0, w * h - 1)) AS t(p)
+    ),
+    tot AS (
+      SELECT doc_id, w, h, SUM(gray) AS total, COUNT(*) AS npix
+      FROM pix GROUP BY doc_id, w, h
+    ),
+    perdoc AS (
+      SELECT p.doc_id, p.w, p.h,
+             CAST(SUM(CASE WHEN p.gray * t.npix > t.total
+                           THEN (CAST(1 AS BIGINT) << CAST(p.p AS INT))
+                           ELSE 0 END) AS BIGINT) AS phash
+      FROM pix p JOIN tot t ON p.doc_id = t.doc_id
+      GROUP BY p.doc_id, p.w, p.h
+    )
+    SELECT phash, w, h,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM perdoc GROUP BY phash, w, h
+    """,
+    doc="IMAGE-modality dedup — the third modality in the dedup family "
+    "(text: MinHash/SimHash; vectors: SemDeDup; now pixels): every "
+    "document's synthetic PPM image runs through the REAL decode path "
+    "(Arrow-batched mapInPandas → operators/multimodal.decode_ppm — "
+    "actual header grammar + raster parse, the 100 TB image-pipeline "
+    "template) and a perceptual AVERAGE HASH is computed from the "
+    "DECODED pixels: per-pixel grayscale (RGB sum), one bit per pixel "
+    "for strictly-above-image-mean (integer cross-multiplied — no "
+    "division), bits folded into a ≤48-bit integer. Images sharing a "
+    "(phash, w, h) key are perceptual duplicates; the output is the "
+    "collision-group table (size, id range) a dedup pass consumes. "
+    "The oracle recomputes the hash in closed form from the synthesis "
+    "formula (byte i = (id+i) mod 256) WITHOUT any decode — the hash "
+    "match therefore proves codec + hash end-to-end. Gradient images "
+    "in the same (w, h) class collide unless a 256-wrap crosses the "
+    "raster, so real collision groups exist at every SF. Scale shape: "
+    "decode+hash is shuffle-free row-local work; the group-by carries "
+    "8-byte hashes, never pixels — at 100 TB this is exactly how "
+    "image corpora dedup (pHash/aHash buckets, then pairwise verify "
+    "within buckets).",
+)
+def multimodal_image_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.operators.multimodal import (
+        ppm_phash,
+        synth_media,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    per_doc = ppm_phash(synth_media(d, "ppm"))
+    return per_doc.groupBy("phash", "w", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )

@@ -173,6 +173,7 @@ PRIORITY = [
     "embedding_drift_by_label",
     "postings_index_upsert",
     "streaming_minhash_index_replay",
+    "multimodal_image_phash_groups",
 ]
 
 
