@@ -136,6 +136,7 @@ def main() -> None:
     # rows each replay pushes through the engine (the dedup replay
     # additionally re-delivers the event_id % 10 == 0 slice).
     streaming = {}
+    streaming_error = None
     try:
         ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         events_rows = ev.count()
@@ -166,7 +167,9 @@ def main() -> None:
                 "rows_per_sec": round(n_in / wall) if wall > 0 else None,
             }
     except Exception as e:  # never let the throughput probe kill bench
-        streaming["error"] = f"{type(e).__name__}: {e}"[:300]
+        # kept SEPARATE from the per-query dicts so streaming_throughput
+        # stays a uniform name → {wall/rows/rate} map (round-5 advice)
+        streaming_error = f"{type(e).__name__}: {e}"[:300]
     # Full detail (incl. per-query cold/JIT times) goes to a file; the
     # stdout record must stay ONE compact line well under the driver's
     # 2000-char tail capture (round 1's 2.9 KB line was truncated and
@@ -184,6 +187,26 @@ def main() -> None:
                 detail = json.load(f)
         except (OSError, json.JSONDecodeError):
             detail = {}
+    # SF-stamp preserved sections so a re-run at a different --sf can't
+    # silently mix measurements from two scale factors in one record
+    # (round-5 advice): sections written before stamping existed inherit
+    # the file's previous top-level sf; a mismatch with THIS run's sf is
+    # warned (the section is kept — it documents a different SF, and
+    # now says so).
+    for section in ("variance_3runs", "scale_exponents"):
+        sec = detail.get(section)
+        if isinstance(sec, dict):
+            sec.setdefault("sf", detail.get("sf"))
+            if sec.get("sf") != sf_val:
+                print(
+                    f"bench: WARNING {section} in BENCH_DETAIL.json was "
+                    f"measured at sf={sec.get('sf')}, this run is "
+                    f"sf={sf_val}",
+                    file=sys.stderr,
+                )
+    detail.pop("streaming_throughput_error", None)
+    if streaming_error is not None:
+        detail["streaming_throughput_error"] = streaming_error
     detail.update(
         {
             "metric": "headline_query_wall_time",

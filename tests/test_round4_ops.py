@@ -88,15 +88,30 @@ def test_ann_batch_recall_audit_contract(spark, sf_dir, registry):
 
 def test_ann_batch_no_global_window(spark, sf_dir, registry):
     """The batch serve plan must contain no unpartitioned window — the
-    per-query ranking is grouped_topk (partitioned by query_id)."""
+    per-query ranking is grouped_topk (partitioned by query_id).
+
+    Round-5 advice fix: the old per-line 'partitionBy' string check was
+    vacuous (physical plans never print that token), so it now reuses
+    the same WINDOW_GLOBAL detector plan_audit runs (empty
+    partition-spec bracket group on Window nodes), with a positive
+    control proving the detector actually fires on a global window."""
+    from pyspark.sql import Window
+
+    from weather_analysis_bigdata__spark.plans.inspect import (
+        n_global_windows,
+    )
+
     df = registry["ann_batch_probe_topk"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    for line in plan.splitlines():
-        if "Window" in line:
-            assert "partitionBy" not in line or "query_id" in line
-    # stronger: the analyzed plan's window specs all carry a partition key
-    analyzed = df._jdf.queryExecution().analyzed().toString()
-    assert "windowspecdefinition()" not in analyzed.replace(" ", "")
+    assert plan.count("Window") > 0  # the ranking window is present
+    assert n_global_windows(plan) == 0
+
+    # positive control: a deliberately global window MUST be flagged
+    bad = spark.range(10).select(
+        "id", F.row_number().over(Window.orderBy("id")).alias("rn")
+    )
+    bad_plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert n_global_windows(bad_plan) >= 1
 
 
 def test_semdedup_cap_audit_vs_uncapped_anchor(spark, sf_dir, registry):

@@ -49,6 +49,10 @@ def main() -> None:
         detail = json.load(f)
     detail["variance_3runs"] = {
         "n_runs": n_runs,
+        # sf stamp: the bench runs above used bench.py's default SF
+        # (or $SPARK_GRAFT_SF_DIR) — record it so a later bench at a
+        # different --sf can't silently mix scale factors (advice r5)
+        "sf": detail.get("sf"),
         "queries": var,
         "max_spread": max(v["spread"] for v in var.values()),
         "note": "solo runs (no concurrent load); per-query warm times",

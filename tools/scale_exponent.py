@@ -239,7 +239,14 @@ def main() -> None:
             **{f"x{m}": ts[m] for m in mults},
             "exponent": round(exp, 2) if exp is not None else None,
         }
-    record = {"base": BASE_SF, "mults": mults, "queries": out}
+    # "sf" stamp mirrors bench.py's BENCH_DETAIL sections (advice r5):
+    # the probe's base is a fixed SF directory, recorded numerically.
+    record = {
+        "base": BASE_SF,
+        "sf": float(os.path.basename(BASE_SF.rstrip("/")).replace("sf", "")),
+        "mults": mults,
+        "queries": out,
+    }
     # Round 4: persist into BENCH_DETAIL.json (merge — bench.py
     # preserves keys it didn't compute, and so does this tool).
     detail_path = os.path.join(

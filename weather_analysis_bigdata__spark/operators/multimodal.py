@@ -695,6 +695,17 @@ def ppm_phash(
                 gray = px.sum(axis=1)
                 total = int(gray.sum())
                 npix = w * h
+                if npix > 63:
+                    # bits << arange(npix) overflows int64 past bit 62,
+                    # silently colliding hashes — enforce the ≤48-bit
+                    # contract instead (real pipelines average-pool the
+                    # raster down to 8×8 BEFORE hashing; this operator
+                    # hashes the raw raster and so owns the guard).
+                    raise ValueError(
+                        f"ppm_phash: {w}x{h} raster has {npix} pixels; "
+                        "the fold supports at most 63 (contract: <=48). "
+                        "Downsample the raster before hashing."
+                    )
                 bits = (gray * npix > total).astype(np.int64)
                 ph = int((bits << np.arange(npix, dtype=np.int64)).sum())
                 rows.append((int(did), w, h, ph))
@@ -703,3 +714,63 @@ def ppm_phash(
             )
 
     return df.mapInPandas(kernel, schema)
+
+
+_WAV_FP_FRAME = 10  # samples per energy frame
+
+
+def wav_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Energy-delta audio fingerprint from REAL WAV decode
+    (Arrow-batched, shuffle-free): the PCM16 stream is cut into
+    ``_WAV_FP_FRAME``-sample frames (tail samples dropped), each
+    frame's energy is the exact int64 sum of squares, and bit ``f`` of
+    the fingerprint is set iff ``energy[f+1] > energy[f]`` — the
+    sign-of-energy-delta code that makes the fingerprint invariant to
+    uniform gain (scaling every sample scales every energy, preserving
+    the comparisons), the same robustness idea as Haitsma-Kalker /
+    Shazam band-energy fingerprints, collapsed to one band.
+
+    Output: (doc_id, sample_rate, n_frames, afp). Audio sharing
+    (sample_rate, n_frames, afp) are near-identical recordings; the
+    Hamming-radius query on top catches re-encodes that flip a few
+    energy comparisons. The audio analogue of ``ppm_phash``.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sample_rate", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("afp", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                sr, samples = decode_wav_pcm16(bytes(p))
+                s = samples.astype(np.int64)
+                nf = len(s) // _WAV_FP_FRAME
+                if nf - 1 > 63:
+                    raise ValueError(
+                        f"wav_fingerprint: {nf} frames need {nf - 1} "
+                        "bits; the fold supports at most 63. Use wider "
+                        "frames."
+                    )
+                e = (
+                    s[: nf * _WAV_FP_FRAME]
+                    .reshape(nf, _WAV_FP_FRAME)
+                    .__pow__(2)
+                    .sum(axis=1)
+                )
+                bits = (e[1:] > e[:-1]).astype(np.int64)
+                afp = int((bits << np.arange(nf - 1, dtype=np.int64)).sum())
+                rows.append((int(did), int(sr), int(nf), afp))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_frames", "afp"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)

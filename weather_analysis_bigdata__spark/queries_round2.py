@@ -2103,14 +2103,17 @@ def ctfidf_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exception: post-index exchanges carry only the class-aggregated
     # table or a 1-row scalar.
     post = _ctfidf_postings(spark, sf_dir)
-    # n_sources from the index itself (O(sources×vocab) scan), not a
-    # second documents scan.
-    ns = post.agg(F.countDistinct("source").alias("n_sources"))
+    # n_sources comes from the index, where it was stored AT BUILD TIME
+    # from the documents table (round-5 advice fix: deriving it as
+    # countDistinct(source) over the postings would drop a source whose
+    # documents all tokenize empty and silently change every weight —
+    # the oracle counts sources from documents).
+    ns = post.agg(F.max("n_sources").alias("ns_total"))
     w = post.crossJoin(F.broadcast(ns)).select(
         "source",
         "term",
         F.expr(
-            f"tf * ((n_sources + 1) * {_CTFIDF_SCALE} DIV (df + 1))"
+            f"tf * ((ns_total + 1) * {_CTFIDF_SCALE} DIV (df + 1))"
         ).alias("w"),
     )
     wr = Window.partitionBy("source").orderBy(F.col("w").desc(), F.col("term").asc())
@@ -2122,14 +2125,20 @@ def ctfidf_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ctfidf_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PERSISTED class-term index (source, term, tf, df) — the trained
-    half of c-TF-IDF, built once per corpus (operators/index_store.py)."""
+    """PERSISTED class-term index (source, term, tf, df, n_sources) —
+    the trained half of c-TF-IDF, built once per corpus
+    (operators/index_store.py). ``n_sources`` is captured from the
+    DOCUMENTS table at build time (a cheap countDistinct during the
+    one-time tokenize pass), so the serve path never needs a documents
+    scan AND a source with only empty-tokenizing documents still
+    counts — matching the oracle's definition."""
     from weather_analysis_bigdata__spark.operators.index_store import (
         persisted_index,
     )
 
     def build() -> DataFrame:
         d = load_table(spark, sf_dir, "documents")
+        ns = d.agg(F.countDistinct("source").alias("n_sources"))
         tf = (
             d.select("source", F.explode(tokens("text")).alias("term"))
             .groupBy("source", "term")
@@ -2139,9 +2148,11 @@ def _ctfidf_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one pass over the (source, term) table.
         return tf.withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-        )
+        ).crossJoin(F.broadcast(ns))
 
-    return persisted_index(spark, sf_dir, "ctfidf_postings", build)
+    # v2: schema gained n_sources — new name so a cached v1 index
+    # (keyed by name under the corpus fingerprint) is never misread.
+    return persisted_index(spark, sf_dir, "ctfidf_postings_v2", build)
 
 
 def _prepare_ctfidf(spark: SparkSession, sf_dir: str) -> None:

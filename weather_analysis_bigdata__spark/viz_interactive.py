@@ -54,6 +54,10 @@ const LO = document.getElementById("lo"), HI = document.getElementById("hi");
 const W = 760, H = 380, ML = 50, MR = 15, MT = 15, MB = 35;
 const PW = W - ML - MR, PH = H - MT - MB;
 const COLORS = ["#1f77b4", "#ff7f0e", "#2ca02c", "#d62728", "#9467bd"];
+// labels/x values are data-derived strings injected via innerHTML —
+// escape them so markup in a label renders as text, never as nodes
+const esc = s => String(s).replace(/&/g, "&amp;").replace(/</g, "&lt;")
+                          .replace(/>/g, "&gt;").replace(/"/g, "&quot;");
 const N = DATA.x.length;
 LO.max = N - 2; HI.max = N - 1; HI.value = N - 1;
 let lo = 0, hi = N - 1;
@@ -86,9 +90,9 @@ function render() {
          `font-size="10">${v.toFixed(2)}</text>`;
   }
   s += `<text x="${ML}" y="${H - 8}" font-size="10">` +
-       `${DATA.x[lo]}</text>` +
+       `${esc(DATA.x[lo])}</text>` +
        `<text x="${ML + PW}" y="${H - 8}" text-anchor="end" ` +
-       `font-size="10">${DATA.x[hi]}</text>`;
+       `font-size="10">${esc(DATA.x[hi])}</text>`;
   DATA.series.forEach((ser, si) => {
     const pts = [];
     for (let i = lo; i <= hi; i++) {
@@ -99,7 +103,7 @@ function render() {
          `stroke-width="1.5" points="${pts.join(" ")}"/>` +
          `<text x="${ML + PW - 5}" y="${MT + 14 + 14 * si}" ` +
          `text-anchor="end" font-size="11" ` +
-         `fill="${COLORS[si % COLORS.length]}">${ser.label}</text>`;
+         `fill="${COLORS[si % COLORS.length]}">${esc(ser.label)}</text>`;
   });
   s += `<line id="xhair" x1="-10" y1="${MT}" x2="-10" ` +
        `y2="${MT + PH}" stroke="#888" stroke-dasharray="3,3"/>`;
@@ -117,8 +121,8 @@ SVG.addEventListener("mousemove", ev => {
   const fx = (ev.clientX - r.left - ML) / PW;
   const i = Math.round(lo + fx * (hi - lo));
   if (i < lo || i > hi) { TIP.style.display = "none"; return; }
-  const lines = [DATA.x[i]].concat(DATA.series.map(
-    s => `${s.label}: ${s.values[i] === null ? "-" : s.values[i]}`));
+  const lines = [esc(DATA.x[i])].concat(DATA.series.map(
+    s => `${esc(s.label)}: ${s.values[i] === null ? "-" : s.values[i]}`));
   TIP.innerHTML = lines.join("<br>");
   TIP.style.display = "block";
   TIP.style.left = (ev.pageX + 12) + "px";
@@ -152,8 +156,11 @@ def render_interactive_timeseries(
             for lbl, vs in series.items()
         ],
     }
+    # '<' is escaped in the serialized JSON so a value containing
+    # '</script>' cannot terminate the data block early (the standard
+    # JSON-in-HTML hardening; < parses identically).
     doc = _TEMPLATE.replace("__TITLE__", html.escape(title)).replace(
-        "__DATA__", json.dumps(data)
+        "__DATA__", json.dumps(data).replace("<", "\\u003c")
     )
     with open(path, "w", encoding="utf-8") as f:
         f.write(doc)
