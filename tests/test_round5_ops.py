@@ -175,3 +175,156 @@ def test_audio_near_dup_consistent_with_groups(spark, sf_dir, registry):
     for r in pairs:
         assert r.afp_a < r.afp_b
         assert 1 <= r.hamming <= 2
+
+
+# ---------------------------------------------------------------------------
+# Recall FLOORS (round-4 verdict item 5): the audits now fail the suite
+# if quality collapses, with a seeded-bug positive control proving the
+# floor separates healthy from broken routing.
+# ---------------------------------------------------------------------------
+# Calibration at sf0.01 (recorded 2026-08-14): healthy 2-probe-of-10
+# batch IVF measures mean recall@10 = 0.353 with 99/100 queries > 0;
+# random routing would give ~0.2 (2 of 10 lists), and the seeded
+# farthest-centroid bug below measures 0.076. The floors sit between
+# the healthy and broken regimes.
+_ANN_MEAN_RECALL_FLOOR = 0.25
+_ANN_NONZERO_FRAC_FLOOR = 0.9
+
+
+def test_ann_batch_recall_floor_gate(spark, sf_dir, registry):
+    rows = registry["ann_batch_recall_audit"].fn(spark, sf_dir).collect()
+    r10 = [r.recall_at_k for r in rows]
+    assert sum(r10) / len(r10) >= _ANN_MEAN_RECALL_FLOOR
+    assert (
+        sum(1 for v in r10 if v > 0) / len(r10) >= _ANN_NONZERO_FRAC_FLOOR
+    )
+
+
+def test_ann_recall_floor_catches_seeded_routing_bug(spark, sf_dir):
+    """Positive control: re-route every batch query to its FARTHEST
+    centroids (the canonical sign-flip routing bug) and check the
+    resulting recall falls BELOW the gate's floor — i.e. the floor
+    actually separates healthy from broken, it isn't vacuously low."""
+    from pyspark.sql import functions as F
+
+    from weather_analysis_bigdata__spark.functions.distributed import (
+        grouped_topk,
+    )
+    from weather_analysis_bigdata__spark.functions.vectorops import scaled_vec
+    from weather_analysis_bigdata__spark.queries_llmops import (
+        _ivf_assign,
+        _ivf_centroids,
+        _sqdist_col,
+    )
+    from weather_analysis_bigdata__spark.queries_round4 import (
+        _BATCH_K,
+        _BATCH_PROBES,
+        _BATCH_QUERIES,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    cent = _ivf_centroids(spark, sf_dir)
+    sv = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", scaled_vec("embedding").alias("sva")
+    )
+    q = sv.filter(F.col("vec_id") < _BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("sva").alias("q_sva")
+    )
+    ps = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "c_label",
+        _sqdist_col(F.col("q_sva"), F.col("c_arr")).alias("dist"),
+    )
+    # THE BUG: order by -dist → farthest centroids probed
+    probes = grouped_topk(
+        ps, ["query_id"], [(-F.col("dist")), F.col("c_label")], _BATCH_PROBES
+    ).select("query_id", F.col("c_label").alias("probe_label"))
+    cands = (
+        F.broadcast(probes)
+        .join(
+            _ivf_assign(spark, sf_dir),
+            F.col("probe_label") == F.col("part_label"),
+        )
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+    )
+    pair = (
+        cands.join(sv, F.col("cand_id") == F.col("vec_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            _sqdist_col(F.col("q_sva"), F.col("sva")).alias("dist"),
+        )
+    )
+    bug = grouped_topk(
+        pair, ["query_id"], [F.col("dist"), F.col("cand_id")], _BATCH_K
+    ).select("query_id", F.col("cand_id").alias("neighbor_id"))
+    pairs_all = (
+        sv.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            _sqdist_col(F.col("q_sva"), F.col("sva")).alias("dist"),
+        )
+    )
+    exact = grouped_topk(
+        pairs_all, ["query_id"], [F.col("dist"), F.col("cand_id")], _BATCH_K
+    ).select("query_id", F.col("cand_id").alias("neighbor_id"))
+    hits = exact.join(bug, ["query_id", "neighbor_id"]).count()
+    bugged_mean = hits / (_BATCH_QUERIES * _BATCH_K)
+    assert bugged_mean < _ANN_MEAN_RECALL_FLOOR
+
+
+# Calibration at sf0.01: per-cluster pair_recall min 0.346 / mean 0.522;
+# total (pair-weighted) recall ~0.5. A cap bug that dropped whole
+# clusters would zero their rows and crash through these floors.
+_SEM_MIN_RECALL_FLOOR = 0.25
+_SEM_MEAN_RECALL_FLOOR = 0.4
+
+
+def test_semdedup_cap_recall_floor_gate(spark, sf_dir, registry):
+    rows = registry["dedup_semantic_cap_audit"].fn(spark, sf_dir).collect()
+    pr = [r.pair_recall for r in rows]
+    assert min(pr) >= _SEM_MIN_RECALL_FLOOR
+    assert sum(pr) / len(pr) >= _SEM_MEAN_RECALL_FLOOR
+    # loss algebra must stay internally consistent
+    for r in rows:
+        assert r.n_pairs_capped + r.n_pairs_lost == r.n_pairs_uncapped
+
+
+# ---------------------------------------------------------------------------
+# IVF centroid refresh: conservation + convergence sanity
+# ---------------------------------------------------------------------------
+def test_ivf_refresh_conservation(spark, sf_dir, registry):
+    """The refresh report's flow algebra must balance: every vector is
+    assigned before and after, and per-list n_after = n_before − out +
+    in. Movement must be present (the training shortcut != the Lloyd
+    mean) but small relative to vector norms (the lists were already
+    near their centroids)."""
+    rows = registry["ivf_centroid_refresh"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert sum(r.n_before for r in rows) == sum(r.n_after for r in rows)
+    assert sum(r.n_out for r in rows) == sum(r.n_in for r in rows)
+    for r in rows:
+        assert r.n_after == r.n_before - r.n_out + r.n_in
+        assert r.centroid_shift >= 0.0
+
+
+def test_lsh_capped_bounds_candidates(spark, sf_dir, registry):
+    """Every served neighbor must come from a capped slot, and every
+    query served by the uncapped rung is still served by the capped
+    one (the cap bounds work, it must not starve queries)."""
+    from weather_analysis_bigdata__spark.queries_llmops import (
+        _LSH_BUCKET_CAP,
+    )
+
+    capped = registry["sim_search_lsh_capped"].fn(spark, sf_dir).collect()
+    assert all(1 <= r.neighbor_brank <= _LSH_BUCKET_CAP for r in capped)
+    uncapped_q = {
+        r.query_id
+        for r in registry["sim_search_lsh"].fn(spark, sf_dir).collect()
+    }
+    capped_q = {r.query_id for r in capped}
+    assert capped_q == uncapped_q

@@ -834,6 +834,12 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: cost that multi-probe (Hamming-adjacent buckets) buys back — see
 #: sim_search_lsh_multiprobe for the parameterized form at planes=10.
 _LSH_PLANES = 8
+#: Per-bucket candidate cap for sim_search_lsh_capped (round 5): each
+#: query scores at most this many bucket-mates (first-by-vec_id), so
+#: the pair term is Σ min(c,cap)·(c−1) ≈ N·cap instead of Σ c² — the
+#: hyperplane family's answer to the skewed-bucket quadratic, priced
+#: in ann_ladder_candidate_audit's lsh256_capped_cands column.
+_LSH_BUCKET_CAP = 6
 _EMB_DIM = 64
 
 
@@ -2964,6 +2970,10 @@ def multimodal_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT SUM(c * (c - 1) // 2) AS p FROM (
         SELECT COUNT(*) AS c FROM b8 GROUP BY bucket)
     ),
+    lshcap AS (
+      SELECT SUM(LEAST(c, {_LSH_BUCKET_CAP}) * (c - 1)) AS p FROM (
+        SELECT COUNT(*) AS c FROM b8 GROUP BY bucket)
+    ),
     b10 AS (
       SELECT vec_id, ({_sql_bucket(10)}) AS bucket FROM embeddings
     ),
@@ -3003,9 +3013,10 @@ def multimodal_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(nn.n AS BIGINT) AS n_vectors,
            CAST(nn.n * (nn.n - 1) // 2 AS BIGINT) AS brute_pairs,
            CAST(lsh.p AS BIGINT) AS lsh256_pairs,
+           CAST(lshcap.p AS BIGINT) AS lsh256_capped_cands,
            CAST(mp.p AS BIGINT) AS multiprobe_cands,
            CAST(sem.p AS BIGINT) AS cluster_pairs
-    FROM nn, lsh, mp, sem
+    FROM nn, lsh, lshcap, mp, sem
     """,
     doc="The ANN ladder's candidate economics MEASURED, not asserted: "
     "exact candidate-pair counts each rung examines on this corpus — "
@@ -3026,10 +3037,12 @@ def ann_ladder_candidate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = emb.agg(F.count(F.lit(1)).alias("n"))
 
     b8 = emb.select(lsh_bucket(F.col("embedding"), _hyperplanes(8)).alias("bucket"))
-    lsh = (
-        b8.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.sum(F.expr("c * (c - 1) div 2")).alias("p"))
+    b8c = b8.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    lsh = b8c.agg(F.sum(F.expr("c * (c - 1) div 2")).alias("p"))
+    lshcap = b8c.agg(
+        F.sum(
+            F.least(F.col("c"), F.lit(_LSH_BUCKET_CAP)) * (F.col("c") - 1)
+        ).alias("p")
     )
 
     b10 = emb.select(
@@ -3062,12 +3075,14 @@ def ann_ladder_candidate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         nn.crossJoin(lsh.withColumnRenamed("p", "lsh_p"))
+        .crossJoin(lshcap.withColumnRenamed("p", "lshcap_p"))
         .crossJoin(mp.withColumnRenamed("p", "mp_p"))
         .crossJoin(sem.withColumnRenamed("p", "sem_p"))
         .select(
             F.col("n").cast("long").alias("n_vectors"),
             F.expr("n * (n - 1) div 2").cast("long").alias("brute_pairs"),
             F.col("lsh_p").cast("long").alias("lsh256_pairs"),
+            F.col("lshcap_p").cast("long").alias("lsh256_capped_cands"),
             F.col("mp_p").cast("long").alias("multiprobe_cands"),
             F.col("sem_p").cast("long").alias("cluster_pairs"),
         )
