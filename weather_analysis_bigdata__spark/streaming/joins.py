@@ -42,6 +42,36 @@ def _sink(joined: DataFrame, name: str) -> DataFrame:
     return joined.sparkSession.table(name)
 
 
+#: State partition count for the interval-join replays. Stream-stream
+#: joins keep FOUR state stores per partition (left/right ×
+#: keyToNumValues/keyWithIndexToValue), and every micro-batch pays a
+#: per-store commit plus a full-store eviction scan when the watermark
+#: advances — so per-batch overhead is O(partitions × 4 stores), paid
+#: whether or not a partition holds state. The replay's state is
+#: ~100k rows; 8 partitions hold it comfortably and measured 4× faster
+#: than 32 (PERF.md round-5). This is the capacity knob a production
+#: deployment RAISES with state volume: size it to state ÷
+#: (store-throughput × batch-interval), not to the batch-analytics
+#: shuffle default.
+_JOIN_STATE_PARTITIONS = 8
+
+
+class _state_partitions:
+    """Scoped override of spark.sql.shuffle.partitions (which fixes a
+    streaming query's state-partition count at start) — restored on
+    exit so batch plans keep the session default."""
+
+    def __init__(self, spark: SparkSession, n: int):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def interval_join_replay(
     spark: SparkSession,
     events_dir: str,
@@ -80,7 +110,8 @@ def interval_join_replay(
             f"c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL {horizon}"
         ),
     )
-    return _sink(joined, name)
+    with _state_partitions(spark, _JOIN_STATE_PARTITIONS):
+        return _sink(joined, name)
 
 
 def dedup_replay(
@@ -146,10 +177,16 @@ def _interval_outer_join_replay(
     horizon — so a plain availableNow replay would swallow the
     unmatched clicks near the end of the data (the watermark dies with
     the input). The harness therefore stages two far-future SENTINEL
-    rows (user_id −1, +30d click then +60d purchase) as separate
-    micro-batch files: they push the final watermark beyond every real
-    click's horizon, flushing all pending null-emissions before
-    termination — the streaming analogue of an end-of-stream marker.
+    rows (user_id −1, +30d click and +60d purchase) as ONE extra
+    micro-batch file: they push the watermark beyond every real
+    click's horizon, and the engine's trailing no-data micro-batch
+    (spark.sql.streaming.noDataMicroBatches, on by default) then
+    flushes all pending null-emissions before termination — the
+    streaming analogue of an end-of-stream marker. Round 5: the
+    sentinels previously arrived as TWO files/batches; one suffices
+    (row-identical output, verified) and each dropped batch saves a
+    full per-partition state-store commit + eviction sweep — see
+    _JOIN_STATE_PARTITIONS for the per-batch cost model.
     Sentinels are filtered from the returned rows.
     """
     import datetime
@@ -183,6 +220,7 @@ def _interval_outer_join_replay(
             T.StructField("props", T.StringType()),
         ]
     )
+    sent_rows = []
     for i, (etype, days) in enumerate([("click", 30), ("purchase", 60)], 1):
         if isinstance(ts_type, T.LongType):
             # nanos-as-long encoding: ts is an int64 of epoch nanoseconds,
@@ -190,16 +228,15 @@ def _interval_outer_join_replay(
             sent_ts = mx + days * 86_400 * 10**9
         else:
             sent_ts = mx + datetime.timedelta(days=days)
-        sent = spark.createDataFrame(
-            [(10**12 + i, sent_ts, -1, etype, 0.0, "{}")], schema=sent_schema
-        )
-        stage = os.path.join(src_dir, f"stage{i}")
-        sent.coalesce(1).write.parquet(stage)
-        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-        dst = os.path.join(src_dir, f"{i:03d}.parquet")
-        shutil.copy(os.path.join(stage, part), dst)
-        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
-        shutil.rmtree(stage, ignore_errors=True)
+        sent_rows.append((10**12 + i, sent_ts, -1, etype, 0.0, "{}"))
+    sent = spark.createDataFrame(sent_rows, schema=sent_schema)
+    stage = os.path.join(src_dir, "stage")
+    sent.coalesce(1).write.parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    dst = os.path.join(src_dir, "001.parquet")
+    shutil.copy(os.path.join(stage, part), dst)
+    os.utime(dst, (1_700_000_100,) * 2)
+    shutil.rmtree(stage, ignore_errors=True)
 
     base = stream_events(spark, src_dir, max_files_per_trigger=1)
     clicks = (
@@ -227,7 +264,8 @@ def _interval_outer_join_replay(
         ),
         join_type,
     )
-    out = _sink(joined, name)
+    with _state_partitions(spark, _JOIN_STATE_PARTITIONS):
+        out = _sink(joined, name)
     try:
         # Sentinels carry user -1 on whichever side they came in on; a
         # null side (the outer emission) must pass the filter.
