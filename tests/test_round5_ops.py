@@ -328,3 +328,73 @@ def test_lsh_capped_bounds_candidates(spark, sf_dir, registry):
     }
     capped_q = {r.query_id for r in capped}
     assert capped_q == uncapped_q
+
+
+# ---------------------------------------------------------------------------
+# Multimodal ingest router + two-sided banded Hamming join
+# ---------------------------------------------------------------------------
+def test_banded_hamming_join_exact_recall(spark):
+    """The probe-vs-index band join must find exactly the brute-force
+    matches within the radius, INCLUDING distance-0 exact matches."""
+    import random
+
+    from weather_analysis_bigdata__spark.operators.hamming import (
+        banded_hamming_join,
+    )
+
+    rng = random.Random(9)
+    corpus = sorted({rng.getrandbits(48) for _ in range(40)})
+    probes = [corpus[0]]  # exact match
+    for h in corpus[1:6]:  # near matches at 1..3
+        flip = 0
+        for b in rng.sample(range(48), rng.randint(1, 3)):
+            flip |= 1 << b
+        probes.append(h ^ flip)
+    probes.append((~corpus[0]) & ((1 << 48) - 1))  # far miss
+    left = spark.createDataFrame(
+        [(1, h, i) for i, h in enumerate(probes)], ["cls", "h", "pid"]
+    )
+    right = spark.createDataFrame(
+        [(1, h, i) for i, h in enumerate(corpus)], ["cls", "h", "rid"]
+    )
+    got = {
+        (r.pid, r.rid, r.hamming)
+        for r in banded_hamming_join(
+            left, right, ["cls"], "h", 48, 4, 3,
+            left_carry=("pid",), right_carry=("rid",),
+        ).collect()
+    }
+    expect = {
+        (pi, ri, bin(p ^ c).count("1"))
+        for pi, p in enumerate(probes)
+        for ri, c in enumerate(corpus)
+        if bin(p ^ c).count("1") <= 3
+    }
+    assert got == expect
+    assert any(d == 0 for (_, _, d) in expect)  # the exact match is in
+
+
+def test_multimodal_router_contract(spark, sf_dir, registry):
+    """Every arriving doc gets exactly one decision; the identical-text
+    slice always drops as exact text; matched rows carry a corpus
+    representative and a distance consistent with the decision."""
+    rows = registry["corpus_ingest_router_multimodal"].fn(
+        spark, sf_dir
+    ).collect()
+    ids = {r.new_doc_id for r in rows}
+    assert len(rows) == len(ids)
+    decisions = {r.decision for r in rows}
+    assert decisions >= {"drop_exact_text"}  # slice 0 always present
+    assert len(decisions) >= 3  # several gates fire on this corpus
+    for r in rows:
+        if r.new_doc_id < 2000000:  # the identical-text slice
+            assert r.decision == "drop_exact_text"
+        if r.decision == "keep":
+            assert r.matched_doc_id is None and r.modality is None
+        else:
+            assert r.matched_doc_id is not None
+            assert 0 <= r.matched_doc_id < 1000000  # a corpus doc
+        if r.decision.startswith("drop_"):
+            assert r.match_distance == 0
+        if r.decision.startswith("link_"):
+            assert r.match_distance >= 1

@@ -50,51 +50,70 @@ from weather_analysis_bigdata__spark.sources.files import load_table
 # (byte i of a synthetic PPM = (id+i) mod 256; WAV sample k =
 # (id·7 + k·13) mod 2001 − 1000 — see operators/multimodal.py synth_*)
 # ---------------------------------------------------------------------------
-_SQL_IMG_PERDOC = """img AS (
+def _sql_img_perdoc(src: str = "documents", prefix: str = "") -> str:
+    """CTE chain recomputing the PPM perceptual hash in closed form for
+    every doc_id in ``src``; final CTE ``{prefix}perdoc`` has
+    (doc_id, w, h, phash). ``prefix`` namespaces the inner CTEs so two
+    instantiations (corpus + arriving batch) coexist in one query."""
+    p = prefix
+    return f"""{p}img AS (
       SELECT doc_id,
              CAST(4 + doc_id % 5 AS BIGINT) AS w,
              CAST(3 + doc_id % 4 AS BIGINT) AS h
-      FROM documents
+      FROM {src}
     ),
-    pix AS (
+    {p}pix AS (
       SELECT doc_id, w, h, t.p AS p,
              ((doc_id + 3 * t.p) % 256)
              + ((doc_id + 3 * t.p + 1) % 256)
              + ((doc_id + 3 * t.p + 2) % 256) AS gray
-      FROM img, unnest(generate_series(0, w * h - 1)) AS t(p)
+      FROM {p}img, unnest(generate_series(0, w * h - 1)) AS t(p)
     ),
-    tot AS (
+    {p}tot AS (
       SELECT doc_id, w, h, SUM(gray) AS total, COUNT(*) AS npix
-      FROM pix GROUP BY doc_id, w, h
+      FROM {p}pix GROUP BY doc_id, w, h
     ),
-    perdoc AS (
+    {p}perdoc AS (
       SELECT p.doc_id, p.w, p.h,
              CAST(SUM(CASE WHEN p.gray * t.npix > t.total
                            THEN (CAST(1 AS BIGINT) << CAST(p.p AS INT))
                            ELSE 0 END) AS BIGINT) AS phash
-      FROM pix p JOIN tot t ON p.doc_id = t.doc_id
+      FROM {p}pix p JOIN {p}tot t ON p.doc_id = t.doc_id
       GROUP BY p.doc_id, p.w, p.h
     )"""
 
-_SQL_AUDIO_PERDOC = """aud AS (
-      SELECT doc_id, 50 + doc_id % 50 AS n FROM documents
+
+def _sql_audio_perdoc(src: str = "documents", prefix: str = "") -> str:
+    """CTE chain recomputing the WAV energy-delta fingerprint in closed
+    form for every doc_id in ``src``; final CTE ``{prefix}afpd`` has
+    (doc_id, sample_rate, n_frames, afp)."""
+    p = prefix
+    return f"""{p}aud AS (
+      SELECT doc_id, 50 + doc_id % 50 AS n FROM {src}
     ),
-    fr AS (
+    {p}fr AS (
       SELECT doc_id, CAST(n // 10 AS BIGINT) AS nf, t.f AS f,
              list_sum(list_transform(
                generate_series(10 * t.f, 10 * t.f + 9),
                k -> ((doc_id * 7 + k * 13) % 2001 - 1000)
                   * ((doc_id * 7 + k * 13) % 2001 - 1000))) AS e
-      FROM aud, unnest(generate_series(0, n // 10 - 1)) AS t(f)
+      FROM {p}aud, unnest(generate_series(0, n // 10 - 1)) AS t(f)
     ),
-    afpd AS (
+    {p}afpd AS (
       SELECT a.doc_id, CAST(8000 AS BIGINT) AS sample_rate, a.nf AS n_frames,
              CAST(SUM(CASE WHEN b.e > a.e
                            THEN (CAST(1 AS BIGINT) << CAST(a.f AS INT))
                            ELSE 0 END) AS BIGINT) AS afp
-      FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+      FROM {p}fr a JOIN {p}fr b ON a.doc_id = b.doc_id AND b.f = a.f + 1
       GROUP BY a.doc_id, a.nf
     )"""
+
+
+#: Static instantiations (prefix-free names: img/pix/tot/perdoc and
+#: aud/fr/afpd) used by the single-corpus oracles above.
+_SQL_IMG_PERDOC = _sql_img_perdoc()
+
+_SQL_AUDIO_PERDOC = _sql_audio_perdoc()
 
 _IMG_HAMMING_T = 3  # Hamming radius; < _IMG_BANDS (pigeonhole)
 _IMG_BANDS = 4  # 4 bands × 12 bits cover the ≤48-bit phash
@@ -858,4 +877,252 @@ def sim_search_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("bigint").alias("rn"),
         )
         .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal ingest router: one plan routes text + image + audio
+# ---------------------------------------------------------------------------
+def _image_rep_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED corpus image-fingerprint index (w, h, phash, rep_id) —
+    built once through the REAL decode path, served as a scan."""
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        persisted_index,
+    )
+
+    return persisted_index(
+        spark,
+        sf_dir,
+        "image_phash_reps",
+        lambda: _image_reps(spark, sf_dir).select(
+            "w", "h", "phash", "rep_id"
+        ),
+    )
+
+
+def _audio_rep_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED corpus audio-fingerprint index
+    (sample_rate, n_frames, afp, rep_id)."""
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        persisted_index,
+    )
+
+    def build() -> DataFrame:
+        return (
+            _audio_fps(spark, sf_dir)
+            .groupBy("sample_rate", "n_frames", "afp")
+            .agg(F.min("doc_id").cast("long").alias("rep_id"))
+        )
+
+    return persisted_index(spark, sf_dir, "audio_afp_reps", build)
+
+
+def _prepare_router_multimodal(spark: SparkSession, sf_dir: str) -> None:
+    from weather_analysis_bigdata__spark.queries_round4 import (
+        _router_fp_index,
+    )
+
+    _router_fp_index(spark, sf_dir)
+    _image_rep_index(spark, sf_dir)
+    _audio_rep_index(spark, sf_dir)
+
+
+@register(
+    "corpus_ingest_router_multimodal",
+    oracle=f"""
+    WITH batch AS (
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 50 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' zznovel'
+      FROM documents WHERE doc_id % 50 = 1
+    ),
+    {_sql_img_perdoc('documents', 'c')},
+    {_sql_img_perdoc('batch', 'b')},
+    {_sql_audio_perdoc('documents', 'ca')},
+    {_sql_audio_perdoc('batch', 'ba')},
+    cfp AS (
+      SELECT md5(text) AS fp, CAST(MIN(doc_id) AS BIGINT) AS fp_doc_id
+      FROM documents GROUP BY fp
+    ),
+    cireps AS (
+      SELECT w, h, phash, CAST(MIN(doc_id) AS BIGINT) AS rep_id
+      FROM cperdoc GROUP BY w, h, phash
+    ),
+    careps AS (
+      SELECT sample_rate, n_frames, afp,
+             CAST(MIN(doc_id) AS BIGINT) AS rep_id
+      FROM caafpd GROUP BY sample_rate, n_frames, afp
+    ),
+    tmatch AS (
+      SELECT b.doc_id, c.fp_doc_id
+      FROM (SELECT doc_id, md5(text) AS fp FROM batch) b
+      JOIN cfp c USING (fp)
+    ),
+    imatch AS (
+      SELECT doc_id, rep_id, hamming FROM (
+        SELECT b.doc_id, r.rep_id,
+               CAST(bit_count(xor(b.phash, r.phash)) AS BIGINT) AS hamming,
+               row_number() OVER (
+                 PARTITION BY b.doc_id
+                 ORDER BY bit_count(xor(b.phash, r.phash)), r.rep_id) AS rn
+        FROM bperdoc b JOIN cireps r ON b.w = r.w AND b.h = r.h
+        WHERE bit_count(xor(b.phash, r.phash)) <= {_IMG_HAMMING_T})
+      WHERE rn = 1
+    ),
+    amatch AS (
+      SELECT doc_id, rep_id, hamming FROM (
+        SELECT b.doc_id, r.rep_id,
+               CAST(bit_count(xor(b.afp, r.afp)) AS BIGINT) AS hamming,
+               row_number() OVER (
+                 PARTITION BY b.doc_id
+                 ORDER BY bit_count(xor(b.afp, r.afp)), r.rep_id) AS rn
+        FROM baafpd b JOIN careps r
+          ON b.sample_rate = r.sample_rate AND b.n_frames = r.n_frames
+        WHERE bit_count(xor(b.afp, r.afp)) <= {_AUD_HAMMING_T})
+      WHERE rn = 1
+    )
+    SELECT b.doc_id AS new_doc_id,
+           CASE WHEN t.fp_doc_id IS NOT NULL THEN 'drop_exact_text'
+                WHEN i.hamming = 0 THEN 'drop_image_dup'
+                WHEN i.hamming IS NOT NULL THEN 'link_image_near_dup'
+                WHEN a.hamming = 0 THEN 'drop_audio_dup'
+                WHEN a.hamming IS NOT NULL THEN 'link_audio_near_dup'
+                ELSE 'keep' END AS decision,
+           CASE WHEN t.fp_doc_id IS NOT NULL THEN 'text'
+                WHEN i.hamming IS NOT NULL THEN 'image'
+                WHEN a.hamming IS NOT NULL THEN 'audio' END AS modality,
+           CASE WHEN t.fp_doc_id IS NOT NULL THEN t.fp_doc_id
+                WHEN i.hamming IS NOT NULL THEN i.rep_id
+                WHEN a.hamming IS NOT NULL THEN a.rep_id
+                END AS matched_doc_id,
+           CASE WHEN t.fp_doc_id IS NOT NULL THEN CAST(0 AS BIGINT)
+                WHEN i.hamming IS NOT NULL THEN i.hamming
+                WHEN a.hamming IS NOT NULL THEN a.hamming
+                END AS match_distance
+    FROM batch b
+    LEFT JOIN tmatch t ON b.doc_id = t.doc_id
+    LEFT JOIN imatch i ON b.doc_id = i.doc_id
+    LEFT JOIN amatch a ON b.doc_id = a.doc_id
+    """,
+    doc="MULTIMODAL corpus ingest router — the round-5 capstone "
+    "(verdict item 9): one plan routes an arriving batch through ALL "
+    "THREE modality gates against PERSISTED corpus indexes: text "
+    "exact (md5 fingerprint vs the router_fp index), image perceptual "
+    f"(REAL PPM decode → phash, banded Hamming ≤ {_IMG_HAMMING_T} vs "
+    "the image_phash_reps index — distance 0 is a perceptual dup, "
+    "1..t a near-dup link), audio perceptual (REAL WAV decode → "
+    f"energy fingerprint, Hamming ≤ {_AUD_HAMMING_T} vs "
+    "audio_afp_reps). Precedence text > image > audio mirrors "
+    "production triage (cheapest-certain gate first); each arriving "
+    "doc gets ONE decision with the matched corpus representative, "
+    "the winning modality, and the match distance. The arriving "
+    "media is decoded by the same Arrow-batched kernels as the "
+    "corpus indexes were built with — the oracle recomputes both "
+    "sides in closed form, so the match certifies decode + hash + "
+    "banding + precedence end-to-end. Scale shape: the batch is the "
+    "only non-index scan; index joins are equi-joins on fingerprint "
+    "band keys (batch side broadcasts); per-doc best-match is a "
+    "grouped top-1, partitioned by arriving doc.",
+    prepare=_prepare_router_multimodal,
+)
+def corpus_ingest_router_multimodal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.distributed import (
+        grouped_topk,
+    )
+    from weather_analysis_bigdata__spark.functions.textops import md5s
+    from weather_analysis_bigdata__spark.operators.hamming import (
+        banded_hamming_join,
+    )
+    from weather_analysis_bigdata__spark.operators.multimodal import (
+        ppm_phash,
+        synth_media,
+        wav_fingerprint,
+    )
+    from weather_analysis_bigdata__spark.queries_round4 import (
+        _router_fp_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 50 == 1).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zznovel")).alias("text"),
+            )
+        )
+    )
+    ids = batch.select("doc_id")
+    # Arriving media runs the SAME real decode kernels the corpus
+    # indexes were built with.
+    bimg = ppm_phash(synth_media(ids, "ppm"))
+    baud = wav_fingerprint(synth_media(ids, "wav"))
+
+    tmatch = (
+        batch.select("doc_id", md5s(F.col("text")).alias("fp"))
+        .join(_router_fp_index(spark, sf_dir), "fp")
+        .select("doc_id", "fp_doc_id")
+    )
+    icand = banded_hamming_join(
+        bimg.select("w", "h", "phash", "doc_id"),
+        _image_rep_index(spark, sf_dir),
+        class_cols=["w", "h"],
+        hash_col="phash",
+        n_bits=48,
+        n_bands=_IMG_BANDS,
+        max_hamming=_IMG_HAMMING_T,
+        left_carry=("doc_id",),
+        right_carry=("rep_id",),
+    )
+    imatch = grouped_topk(
+        icand, ["doc_id"], [F.col("hamming"), F.col("rep_id")], 1
+    ).select("doc_id", F.col("rep_id").alias("i_rep"), F.col("hamming").alias("i_ham"))
+    acand = banded_hamming_join(
+        baud.select("sample_rate", "n_frames", "afp", "doc_id"),
+        _audio_rep_index(spark, sf_dir),
+        class_cols=["sample_rate", "n_frames"],
+        hash_col="afp",
+        n_bits=9,
+        n_bands=_AUD_BANDS,
+        max_hamming=_AUD_HAMMING_T,
+        left_carry=("doc_id",),
+        right_carry=("rep_id",),
+    )
+    amatch = grouped_topk(
+        acand, ["doc_id"], [F.col("hamming"), F.col("rep_id")], 1
+    ).select("doc_id", F.col("rep_id").alias("a_rep"), F.col("hamming").alias("a_ham"))
+
+    routed = (
+        batch.select("doc_id")
+        .join(F.broadcast(tmatch), "doc_id", "left")
+        .join(F.broadcast(imatch), "doc_id", "left")
+        .join(F.broadcast(amatch), "doc_id", "left")
+    )
+    t = F.col("fp_doc_id")
+    i_ham, a_ham = F.col("i_ham"), F.col("a_ham")
+    return routed.select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.when(t.isNotNull(), "drop_exact_text")
+        .when(i_ham == 0, "drop_image_dup")
+        .when(i_ham.isNotNull(), "link_image_near_dup")
+        .when(a_ham == 0, "drop_audio_dup")
+        .when(a_ham.isNotNull(), "link_audio_near_dup")
+        .otherwise("keep")
+        .alias("decision"),
+        F.when(t.isNotNull(), "text")
+        .when(i_ham.isNotNull(), "image")
+        .when(a_ham.isNotNull(), "audio")
+        .alias("modality"),
+        F.when(t.isNotNull(), t)
+        .when(i_ham.isNotNull(), F.col("i_rep"))
+        .when(a_ham.isNotNull(), F.col("a_rep"))
+        .alias("matched_doc_id"),
+        F.when(t.isNotNull(), F.lit(0).cast("long"))
+        .when(i_ham.isNotNull(), i_ham)
+        .when(a_ham.isNotNull(), a_ham)
+        .alias("match_distance"),
     )
