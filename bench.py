@@ -85,6 +85,15 @@ HEADLINE = [
     "hard_negative_mining",
     "corpus_ingest_router",
     "ann_batch_filtered_topk",
+    # round 5: perceptual near-dup across modalities, IVF refresh,
+    # capped hyperplane LSH, the multimodal router capstone
+    "multimodal_image_near_dup",
+    "multimodal_audio_fingerprint_groups",
+    "multimodal_audio_near_dup",
+    "ivf_centroid_refresh",
+    "ivf_probe_topk_refreshed",
+    "sim_search_lsh_capped",
+    "corpus_ingest_router_multimodal",
 ]
 
 

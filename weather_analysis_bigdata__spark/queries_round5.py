@@ -285,7 +285,10 @@ def multimodal_image_near_dup_groups(
     comp = connected_components(edges)
     return (
         per_doc.join(reps, ["w", "h", "phash"])
-        .join(comp, reps["rep_id"] == comp["node"], "left")
+        # comp holds only representatives with >=1 near-dup edge — a
+        # bounded dedup artifact (collision clusters), broadcast so the
+        # fact-scale doc->group resolution never sorts (was an SMJ).
+        .join(F.broadcast(comp), reps["rep_id"] == comp["node"], "left")
         .select(
             "doc_id",
             "w",

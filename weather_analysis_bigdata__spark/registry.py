@@ -174,6 +174,13 @@ PRIORITY = [
     "postings_index_upsert",
     "streaming_minhash_index_replay",
     "multimodal_image_phash_groups",
+    # round 5: near-dup across all three modalities + index refresh
+    "multimodal_image_near_dup",
+    "multimodal_audio_fingerprint_groups",
+    "multimodal_audio_near_dup",
+    "ivf_centroid_refresh",
+    "sim_search_lsh_capped",
+    "corpus_ingest_router_multimodal",
 ]
 
 
