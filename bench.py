@@ -94,6 +94,7 @@ HEADLINE = [
     "ivf_probe_topk_refreshed",
     "sim_search_lsh_capped",
     "corpus_ingest_router_multimodal",
+    "multimodal_video_near_dup",
 ]
 
 

@@ -398,3 +398,44 @@ def test_multimodal_router_contract(spark, sf_dir, registry):
             assert r.match_distance == 0
         if r.decision.startswith("link_"):
             assert r.match_distance >= 1
+
+
+# ---------------------------------------------------------------------------
+# Video modality: frame-hash near-dup + router evidence columns
+# ---------------------------------------------------------------------------
+def test_video_near_dup_shared_frames(spark, sf_dir, registry):
+    """Every pair's shared-frame count is bounded by both videos' frame
+    counts, and the df-cap keeps the candidate join off the viral
+    boilerplate buckets (the frame-hash index shows ~80-video buckets
+    that MUST NOT appear as pair sources)."""
+    pairs = registry["multimodal_video_near_dup"].fn(spark, sf_dir).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert 2 <= r.n_shared_frames
+        assert r.n_shared_frames <= min(r.n_frames_a, r.n_frames_b)
+        assert r.doc_id_a < r.doc_id_b
+    groups = registry["multimodal_video_frame_phash_groups"].fn(
+        spark, sf_dir
+    ).collect()
+    assert max(g.n_videos for g in groups) > 10  # hot buckets exist...
+    # ...and a capped join is why pair counts stay tiny despite them
+    assert len(pairs) < 100
+
+
+def test_multimodal_router_video_evidence(spark, sf_dir, registry):
+    """The video gate's evidence column is populated even when an
+    earlier gate wins precedence, and any video-decided row's distance
+    equals frames-not-matched."""
+    rows = registry["corpus_ingest_router_multimodal"].fn(
+        spark, sf_dir
+    ).collect()
+    assert any(r.video_shared_frames is not None for r in rows)
+    for r in rows:
+        if r.decision == "drop_video_dup":
+            assert r.match_distance == 0
+        if r.decision in ("drop_video_dup", "link_video_near_dup"):
+            assert r.modality == "video"
+            assert r.video_shared_frames >= 2
+        # evidence is independent of the winning gate
+        if r.decision == "drop_exact_text":
+            assert r.text_doc_id is not None

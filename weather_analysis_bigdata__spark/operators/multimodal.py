@@ -774,3 +774,62 @@ def wav_fingerprint(
             )
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def y4m_frame_phash(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-FRAME luma average-hash from REAL Y4M decode (Arrow-batched,
+    shuffle-free): each C420 frame's Y plane (the first w·h bytes)
+    hashes to one ≤48-bit integer — bit j set iff ``Y_j · npix >
+    Σ Y`` (strictly above the frame's luma mean, integer
+    cross-multiplied). One output row per (video, frame_idx).
+
+    This is the video-modality fingerprint at FRAME granularity — the
+    unit video copy-detection systems index, because near-duplicate
+    videos (re-encodes, trims, intro/outro edits) share frame hashes
+    without sharing a whole-file hash. The near-dup query on top
+    joins videos on shared DISCRIMINATIVE frame hashes (df-capped:
+    viral boilerplate frames — black frames, intro cards — collide
+    across thousands of videos and carry no signal)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("w", T.LongType()),
+            T.StructField("h", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("fhash", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                w, h, _fps, frames = decode_y4m(bytes(p))
+                npix = w * h
+                if npix > 63:
+                    raise ValueError(
+                        f"y4m_frame_phash: {w}x{h} luma plane has "
+                        f"{npix} pixels; the fold supports at most 63 "
+                        "(contract: <=48). Downsample frames first."
+                    )
+                for f, fr in enumerate(frames):
+                    y = np.frombuffer(fr, dtype=np.uint8, count=npix).astype(
+                        np.int64
+                    )
+                    s = int(y.sum())
+                    bits = (y * npix > s).astype(np.int64)
+                    fh = int((bits << np.arange(npix, dtype=np.int64)).sum())
+                    rows.append(
+                        (int(did), w, h, len(frames), f, fh)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "w", "h", "n_frames", "frame_idx", "fhash",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)

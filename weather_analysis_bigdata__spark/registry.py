@@ -180,6 +180,7 @@ PRIORITY = [
     "multimodal_audio_near_dup",
     "ivf_centroid_refresh",
     "sim_search_lsh_capped",
+    "multimodal_video_near_dup",
     "corpus_ingest_router_multimodal",
 ]
 
