@@ -151,9 +151,9 @@ def main() -> None:
         ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         events_rows = ev.count()
         redelivered = ev.filter("event_id % 10 = 0").count()
-        docs_rows = spark.read.parquet(
-            os.path.join(sf_dir, "documents.parquet")
-        ).count()
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        docs_rows = docs.count()
+        router_batch_rows = docs.filter("doc_id % 50 < 2").count()
         stream_names = [
             n for n in registry if n.startswith("streaming_")
         ]
@@ -163,6 +163,10 @@ def main() -> None:
                 prep(spark, sf_dir)
             if name == "streaming_minhash_index_replay":
                 n_in = docs_rows  # documents stream, not events
+            elif name == "streaming_multimodal_router_replay":
+                # streams the synthesized arriving batch: the two
+                # doc_id % 50 slices (see queries_round5._router_batch_df)
+                n_in = router_batch_rows
             else:
                 n_in = events_rows + (
                     redelivered if name == "streaming_dedup_replay" else 0

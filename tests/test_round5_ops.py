@@ -439,3 +439,54 @@ def test_multimodal_router_video_evidence(spark, sf_dir, registry):
         # evidence is independent of the winning gate
         if r.decision == "drop_exact_text":
             assert r.text_doc_id is not None
+
+
+def test_lsh_cap_bounds_viral_bucket(spark):
+    """Skew stress: plant 300 IDENTICAL vectors (one viral bucket —
+    the failure mode the cap exists for) and verify the capped rung's
+    candidate row count is bounded by N·cap while the uncapped
+    bucket's pair term would be N·(N−1). Uses the same bucket/cap
+    algebra as sim_search_lsh_capped on a synthetic frame."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from weather_analysis_bigdata__spark.queries_llmops import (
+        _LSH_BUCKET_CAP,
+    )
+
+    n = 300
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"), F.lit(7).alias("bucket")
+    )
+    wb = Window.partitionBy("bucket").orderBy("vec_id")
+    kept = df.select(
+        "*", F.row_number().over(wb).alias("brank")
+    ).filter(F.col("brank") <= _LSH_BUCKET_CAP)
+    pairs = df.alias("a").join(
+        kept.alias("b"),
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    )
+    capped_count = pairs.count()
+    assert capped_count <= n * _LSH_BUCKET_CAP
+    assert capped_count == (
+        _LSH_BUCKET_CAP * (_LSH_BUCKET_CAP - 1)
+        + (n - _LSH_BUCKET_CAP) * _LSH_BUCKET_CAP
+    )
+    # the uncapped term on the same bucket would be N(N-1) = 89,700
+    assert n * (n - 1) > capped_count * 40
+
+
+def test_streaming_router_equals_batch(spark, sf_dir, registry):
+    """Routing commutes with micro-batching: the stream-built decision
+    segments must equal the batch router row-for-row."""
+    key = lambda r: r.new_doc_id  # noqa: E731
+    batch = sorted(
+        registry["corpus_ingest_router_multimodal"].fn(spark, sf_dir)
+        .collect(), key=key,
+    )
+    stream = sorted(
+        registry["streaming_multimodal_router_replay"].fn(spark, sf_dir)
+        .collect(), key=key,
+    )
+    assert [tuple(r) for r in batch] == [tuple(r) for r in stream]

@@ -999,153 +999,32 @@ def _prepare_router_multimodal(spark: SparkSession, sf_dir: str) -> None:
     _video_kept_index(spark, sf_dir)
 
 
-@register(
-    "corpus_ingest_router_multimodal",
-    oracle=f"""
-    WITH batch AS (
-      SELECT doc_id + 1000000 AS doc_id, text
-      FROM documents WHERE doc_id % 50 = 0
-      UNION ALL
-      SELECT doc_id + 2000000, text || ' zznovel'
-      FROM documents WHERE doc_id % 50 = 1
-    ),
-    {_sql_img_perdoc('documents', 'c')},
-    {_sql_img_perdoc('batch', 'b')},
-    {_sql_audio_perdoc('documents', 'ca')},
-    {_sql_audio_perdoc('batch', 'ba')},
-    cfp AS (
-      SELECT md5(text) AS fp, CAST(MIN(doc_id) AS BIGINT) AS fp_doc_id
-      FROM documents GROUP BY fp
-    ),
-    cireps AS (
-      SELECT w, h, phash, CAST(MIN(doc_id) AS BIGINT) AS rep_id
-      FROM cperdoc GROUP BY w, h, phash
-    ),
-    careps AS (
-      SELECT sample_rate, n_frames, afp,
-             CAST(MIN(doc_id) AS BIGINT) AS rep_id
-      FROM caafpd GROUP BY sample_rate, n_frames, afp
-    ),
-    tmatch AS (
-      SELECT b.doc_id, c.fp_doc_id
-      FROM (SELECT doc_id, md5(text) AS fp FROM batch) b
-      JOIN cfp c USING (fp)
-    ),
-    imatch AS (
-      SELECT doc_id, rep_id, hamming FROM (
-        SELECT b.doc_id, r.rep_id,
-               CAST(bit_count(xor(b.phash, r.phash)) AS BIGINT) AS hamming,
-               row_number() OVER (
-                 PARTITION BY b.doc_id
-                 ORDER BY bit_count(xor(b.phash, r.phash)), r.rep_id) AS rn
-        FROM bperdoc b JOIN cireps r ON b.w = r.w AND b.h = r.h
-        WHERE bit_count(xor(b.phash, r.phash)) <= {_IMG_HAMMING_T})
-      WHERE rn = 1
-    ),
-    amatch AS (
-      SELECT doc_id, rep_id, hamming FROM (
-        SELECT b.doc_id, r.rep_id,
-               CAST(bit_count(xor(b.afp, r.afp)) AS BIGINT) AS hamming,
-               row_number() OVER (
-                 PARTITION BY b.doc_id
-                 ORDER BY bit_count(xor(b.afp, r.afp)), r.rep_id) AS rn
-        FROM baafpd b JOIN careps r
-          ON b.sample_rate = r.sample_rate AND b.n_frames = r.n_frames
-        WHERE bit_count(xor(b.afp, r.afp)) <= {_AUD_HAMMING_T})
-      WHERE rn = 1
-    ),
-    {_sql_video_fhash('documents', 'cv')},
-    {_sql_video_fhash('batch', 'bv')},
-    cvd AS (SELECT DISTINCT doc_id, w, h, fh FROM cvfhash),
-    cvb AS (SELECT w, h, fh, COUNT(*) AS nv FROM cvd GROUP BY w, h, fh),
-    cvkept AS (
-      SELECT c.* FROM cvd c JOIN cvb b
-        ON c.w = b.w AND c.h = b.h AND c.fh = b.fh
-      WHERE b.nv <= {_VID_DF_CAP}
-    ),
-    bvd AS (SELECT DISTINCT doc_id, w, h, fh FROM bvfhash),
-    bvn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bf
-            FROM bvd GROUP BY doc_id),
-    vpair AS (
-      SELECT b.doc_id, c.doc_id AS cand,
-             CAST(COUNT(*) AS BIGINT) AS n_shared
-      FROM bvd b JOIN cvkept c
-        ON b.w = c.w AND b.h = c.h AND b.fh = c.fh
-      GROUP BY b.doc_id, c.doc_id
-      HAVING COUNT(*) >= {_VID_MIN_SHARED}
-    ),
-    vmatch AS (
-      SELECT doc_id, CAST(cand AS BIGINT) AS rep_id, n_shared, n_bf FROM (
-        SELECT v.*, n.n_bf,
-               row_number() OVER (
-                 PARTITION BY v.doc_id
-                 ORDER BY v.n_shared DESC, v.cand) AS rn
-        FROM vpair v JOIN bvn n ON v.doc_id = n.doc_id)
-      WHERE rn = 1
+def _router_batch_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized arriving batch (doc_id, text): an identical-text
+    slice (id+1e6) and a text-modified slice (id+2e6) — shared by the
+    batch router and its streaming replay."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 50 == 1).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zznovel")).alias("text"),
+            )
+        )
     )
-    SELECT b.doc_id AS new_doc_id,
-           CASE WHEN t.fp_doc_id IS NOT NULL THEN 'drop_exact_text'
-                WHEN i.hamming = 0 THEN 'drop_image_dup'
-                WHEN i.hamming IS NOT NULL THEN 'link_image_near_dup'
-                WHEN a.hamming = 0 THEN 'drop_audio_dup'
-                WHEN a.hamming IS NOT NULL THEN 'link_audio_near_dup'
-                WHEN v.n_shared = v.n_bf THEN 'drop_video_dup'
-                WHEN v.n_shared IS NOT NULL THEN 'link_video_near_dup'
-                ELSE 'keep' END AS decision,
-           CASE WHEN t.fp_doc_id IS NOT NULL THEN 'text'
-                WHEN i.hamming IS NOT NULL THEN 'image'
-                WHEN a.hamming IS NOT NULL THEN 'audio'
-                WHEN v.n_shared IS NOT NULL THEN 'video' END AS modality,
-           CASE WHEN t.fp_doc_id IS NOT NULL THEN t.fp_doc_id
-                WHEN i.hamming IS NOT NULL THEN i.rep_id
-                WHEN a.hamming IS NOT NULL THEN a.rep_id
-                WHEN v.n_shared IS NOT NULL THEN v.rep_id
-                END AS matched_doc_id,
-           CASE WHEN t.fp_doc_id IS NOT NULL THEN CAST(0 AS BIGINT)
-                WHEN i.hamming IS NOT NULL THEN i.hamming
-                WHEN a.hamming IS NOT NULL THEN a.hamming
-                WHEN v.n_shared IS NOT NULL THEN v.n_bf - v.n_shared
-                END AS match_distance,
-           t.fp_doc_id AS text_doc_id,
-           i.hamming AS image_hamming,
-           a.hamming AS audio_hamming,
-           v.n_shared AS video_shared_frames
-    FROM batch b
-    LEFT JOIN tmatch t ON b.doc_id = t.doc_id
-    LEFT JOIN imatch i ON b.doc_id = i.doc_id
-    LEFT JOIN amatch a ON b.doc_id = a.doc_id
-    LEFT JOIN vmatch v ON b.doc_id = v.doc_id
-    """,
-    doc="MULTIMODAL corpus ingest router — the round-5 capstone "
-    "(verdict item 9, extended to ALL FOUR modalities): one plan "
-    "routes an arriving batch through every modality gate against "
-    "PERSISTED corpus indexes: text exact (md5 fingerprint vs the "
-    f"router_fp index), image perceptual (REAL PPM decode → phash, "
-    f"banded Hamming ≤ {_IMG_HAMMING_T} vs image_phash_reps — "
-    "distance 0 is a perceptual dup, 1..t a near-dup link), audio "
-    f"perceptual (REAL WAV decode → energy fingerprint, Hamming ≤ "
-    f"{_AUD_HAMMING_T} vs audio_afp_reps), and video (REAL Y4M "
-    "decode → per-frame luma hashes vs the df-capped "
-    f"video_fhash_kept index: ≥ {_VID_MIN_SHARED} shared "
-    "discriminative frames links, full frame-set coverage drops). "
-    "Precedence text > image > audio > video mirrors production "
-    "triage (cheapest-certain gate first); each arriving doc gets "
-    "ONE decision plus the PER-MODALITY EVIDENCE columns "
-    "(text_doc_id, image_hamming, audio_hamming, "
-    "video_shared_frames) — the decision log a pipeline audits, with "
-    "every gate's verdict visible even when precedence overrides it. "
-    "The arriving media is decoded by the same Arrow-batched kernels "
-    "the corpus indexes were built with — the oracle recomputes both "
-    "sides in closed form, so the match certifies decode + hash + "
-    "banding + df-cap + precedence end-to-end. Scale shape: the "
-    "batch is the only non-index scan; index joins are equi-joins on "
-    "fingerprint/band keys (batch side broadcasts); per-doc best "
-    "match is a grouped top-1, partitioned by arriving doc.",
-    prepare=_prepare_router_multimodal,
-)
-def corpus_ingest_router_multimodal(
-    spark: SparkSession, sf_dir: str
+
+
+def _route_batch(
+    spark: SparkSession, sf_dir: str, batch: DataFrame
 ) -> DataFrame:
+    """Route (doc_id, text) arrivals through the FOUR modality gates
+    against the persisted corpus indexes — the router kernel, shared
+    by the batch query and the streaming replay. Decisions are pure
+    per-doc functions of (doc, corpus indexes), so routing COMMUTES
+    with micro-batching — the property the streaming replay's
+    stream ≡ batch oracle certifies."""
     from weather_analysis_bigdata__spark.functions.distributed import (
         grouped_topk,
     )
@@ -1163,17 +1042,6 @@ def corpus_ingest_router_multimodal(
         _router_fp_index,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    batch = (
-        d.filter(F.col("doc_id") % 50 == 0)
-        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
-        .unionByName(
-            d.filter(F.col("doc_id") % 50 == 1).select(
-                (F.col("doc_id") + 2000000).alias("doc_id"),
-                F.concat(F.col("text"), F.lit(" zznovel")).alias("text"),
-            )
-        )
-    )
     ids = batch.select("doc_id")
     # Arriving media runs the SAME real decode kernels the corpus
     # indexes were built with.
@@ -1288,6 +1156,161 @@ def corpus_ingest_router_multimodal(
         a_ham.alias("audio_hamming"),
         v_sh.alias("video_shared_frames"),
     )
+
+
+#: Shared by the batch router and its streaming replay (decisions are
+#: per-doc, so stream-built segments must equal this batch SQL).
+_ROUTER_MM_ORACLE = f"""
+    WITH batch AS (
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 50 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' zznovel'
+      FROM documents WHERE doc_id % 50 = 1
+    ),
+    {_sql_img_perdoc('documents', 'c')},
+    {_sql_img_perdoc('batch', 'b')},
+    {_sql_audio_perdoc('documents', 'ca')},
+    {_sql_audio_perdoc('batch', 'ba')},
+    cfp AS (
+      SELECT md5(text) AS fp, CAST(MIN(doc_id) AS BIGINT) AS fp_doc_id
+      FROM documents GROUP BY fp
+    ),
+    cireps AS (
+      SELECT w, h, phash, CAST(MIN(doc_id) AS BIGINT) AS rep_id
+      FROM cperdoc GROUP BY w, h, phash
+    ),
+    careps AS (
+      SELECT sample_rate, n_frames, afp,
+             CAST(MIN(doc_id) AS BIGINT) AS rep_id
+      FROM caafpd GROUP BY sample_rate, n_frames, afp
+    ),
+    tmatch AS (
+      SELECT b.doc_id, c.fp_doc_id
+      FROM (SELECT doc_id, md5(text) AS fp FROM batch) b
+      JOIN cfp c USING (fp)
+    ),
+    imatch AS (
+      SELECT doc_id, rep_id, hamming FROM (
+        SELECT b.doc_id, r.rep_id,
+               CAST(bit_count(xor(b.phash, r.phash)) AS BIGINT) AS hamming,
+               row_number() OVER (
+                 PARTITION BY b.doc_id
+                 ORDER BY bit_count(xor(b.phash, r.phash)), r.rep_id) AS rn
+        FROM bperdoc b JOIN cireps r ON b.w = r.w AND b.h = r.h
+        WHERE bit_count(xor(b.phash, r.phash)) <= {_IMG_HAMMING_T})
+      WHERE rn = 1
+    ),
+    amatch AS (
+      SELECT doc_id, rep_id, hamming FROM (
+        SELECT b.doc_id, r.rep_id,
+               CAST(bit_count(xor(b.afp, r.afp)) AS BIGINT) AS hamming,
+               row_number() OVER (
+                 PARTITION BY b.doc_id
+                 ORDER BY bit_count(xor(b.afp, r.afp)), r.rep_id) AS rn
+        FROM baafpd b JOIN careps r
+          ON b.sample_rate = r.sample_rate AND b.n_frames = r.n_frames
+        WHERE bit_count(xor(b.afp, r.afp)) <= {_AUD_HAMMING_T})
+      WHERE rn = 1
+    ),
+    {_sql_video_fhash('documents', 'cv')},
+    {_sql_video_fhash('batch', 'bv')},
+    cvd AS (SELECT DISTINCT doc_id, w, h, fh FROM cvfhash),
+    cvb AS (SELECT w, h, fh, COUNT(*) AS nv FROM cvd GROUP BY w, h, fh),
+    cvkept AS (
+      SELECT c.* FROM cvd c JOIN cvb b
+        ON c.w = b.w AND c.h = b.h AND c.fh = b.fh
+      WHERE b.nv <= {_VID_DF_CAP}
+    ),
+    bvd AS (SELECT DISTINCT doc_id, w, h, fh FROM bvfhash),
+    bvn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bf
+            FROM bvd GROUP BY doc_id),
+    vpair AS (
+      SELECT b.doc_id, c.doc_id AS cand,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM bvd b JOIN cvkept c
+        ON b.w = c.w AND b.h = c.h AND b.fh = c.fh
+      GROUP BY b.doc_id, c.doc_id
+      HAVING COUNT(*) >= {_VID_MIN_SHARED}
+    ),
+    vmatch AS (
+      SELECT doc_id, CAST(cand AS BIGINT) AS rep_id, n_shared, n_bf FROM (
+        SELECT v.*, n.n_bf,
+               row_number() OVER (
+                 PARTITION BY v.doc_id
+                 ORDER BY v.n_shared DESC, v.cand) AS rn
+        FROM vpair v JOIN bvn n ON v.doc_id = n.doc_id)
+      WHERE rn = 1
+    )
+    SELECT b.doc_id AS new_doc_id,
+           CASE WHEN t.fp_doc_id IS NOT NULL THEN 'drop_exact_text'
+                WHEN i.hamming = 0 THEN 'drop_image_dup'
+                WHEN i.hamming IS NOT NULL THEN 'link_image_near_dup'
+                WHEN a.hamming = 0 THEN 'drop_audio_dup'
+                WHEN a.hamming IS NOT NULL THEN 'link_audio_near_dup'
+                WHEN v.n_shared = v.n_bf THEN 'drop_video_dup'
+                WHEN v.n_shared IS NOT NULL THEN 'link_video_near_dup'
+                ELSE 'keep' END AS decision,
+           CASE WHEN t.fp_doc_id IS NOT NULL THEN 'text'
+                WHEN i.hamming IS NOT NULL THEN 'image'
+                WHEN a.hamming IS NOT NULL THEN 'audio'
+                WHEN v.n_shared IS NOT NULL THEN 'video' END AS modality,
+           CASE WHEN t.fp_doc_id IS NOT NULL THEN t.fp_doc_id
+                WHEN i.hamming IS NOT NULL THEN i.rep_id
+                WHEN a.hamming IS NOT NULL THEN a.rep_id
+                WHEN v.n_shared IS NOT NULL THEN v.rep_id
+                END AS matched_doc_id,
+           CASE WHEN t.fp_doc_id IS NOT NULL THEN CAST(0 AS BIGINT)
+                WHEN i.hamming IS NOT NULL THEN i.hamming
+                WHEN a.hamming IS NOT NULL THEN a.hamming
+                WHEN v.n_shared IS NOT NULL THEN v.n_bf - v.n_shared
+                END AS match_distance,
+           t.fp_doc_id AS text_doc_id,
+           i.hamming AS image_hamming,
+           a.hamming AS audio_hamming,
+           v.n_shared AS video_shared_frames
+    FROM batch b
+    LEFT JOIN tmatch t ON b.doc_id = t.doc_id
+    LEFT JOIN imatch i ON b.doc_id = i.doc_id
+    LEFT JOIN amatch a ON b.doc_id = a.doc_id
+    LEFT JOIN vmatch v ON b.doc_id = v.doc_id
+    """
+
+
+@register(
+    "corpus_ingest_router_multimodal",
+    oracle=_ROUTER_MM_ORACLE,
+    doc="MULTIMODAL corpus ingest router — the round-5 capstone "
+    "(verdict item 9, extended to ALL FOUR modalities): one plan "
+    "routes an arriving batch through every modality gate against "
+    "PERSISTED corpus indexes: text exact (md5 fingerprint vs the "
+    f"router_fp index), image perceptual (REAL PPM decode → phash, "
+    f"banded Hamming ≤ {_IMG_HAMMING_T} vs image_phash_reps — "
+    "distance 0 is a perceptual dup, 1..t a near-dup link), audio "
+    f"perceptual (REAL WAV decode → energy fingerprint, Hamming ≤ "
+    f"{_AUD_HAMMING_T} vs audio_afp_reps), and video (REAL Y4M "
+    "decode → per-frame luma hashes vs the df-capped "
+    f"video_fhash_kept index: ≥ {_VID_MIN_SHARED} shared "
+    "discriminative frames links, full frame-set coverage drops). "
+    "Precedence text > image > audio > video mirrors production "
+    "triage (cheapest-certain gate first); each arriving doc gets "
+    "ONE decision plus the PER-MODALITY EVIDENCE columns "
+    "(text_doc_id, image_hamming, audio_hamming, "
+    "video_shared_frames) — the decision log a pipeline audits, with "
+    "every gate's verdict visible even when precedence overrides it. "
+    "The arriving media is decoded by the same Arrow-batched kernels "
+    "the corpus indexes were built with — the oracle recomputes both "
+    "sides in closed form, so the match certifies decode + hash + "
+    "banding + df-cap + precedence end-to-end. Scale shape: the "
+    "batch is the only non-index scan; index joins are equi-joins on "
+    "fingerprint/band keys (batch side broadcasts); per-doc best "
+    "match is a grouped top-1, partitioned by arriving doc.",
+    prepare=_prepare_router_multimodal,
+)
+def corpus_ingest_router_multimodal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _route_batch(spark, sf_dir, _router_batch_df(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -1425,3 +1448,71 @@ def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_shared_frames") >= _VID_MIN_SHARED)
     )
+
+
+@register(
+    "streaming_multimodal_router_replay",
+    oracle=_ROUTER_MM_ORACLE,
+    doc="The multimodal ingest router RUN BY THE STREAMING ENGINE — "
+    "production ingest is a stream, not a batch job: the arriving "
+    "docs replay in 4 micro-batches (availableNow, one file per "
+    "trigger) and foreachBatch routes EACH micro-batch through the "
+    "four modality gates against the PERSISTED corpus indexes "
+    "(_route_batch — the exact kernel the batch query runs), "
+    "publishing each batch's decisions as a batch_id-keyed overwrite "
+    "segment (deterministic per batch → idempotent under "
+    "at-least-once redelivery). The registered result is the UNION of "
+    "the stream-built decision segments; the oracle is the batch "
+    "router's SQL VERBATIM — the hash match proves routing COMMUTES "
+    "with micro-batching (decisions are pure per-doc functions of "
+    "doc + corpus indexes), i.e. a streaming deployment of the "
+    "router loses nothing vs the batch job. Completes the streaming "
+    "index-maintenance family: streaming_minhash_index_replay "
+    "maintains the index side; this replays the DECISION side.",
+    prepare=_prepare_router_multimodal,
+)
+def streaming_multimodal_router_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    run = uuid.uuid4().hex[:10]
+    src_dir = tempfile.mkdtemp(prefix=f"mmrt_src_{run}_")
+    seg_dir = tempfile.mkdtemp(prefix=f"mmrt_seg_{run}_")
+    try:
+        batch = _router_batch_df(spark, sf_dir)
+        schema = batch.schema
+        batch.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+        def publish(batch_df: DataFrame, batch_id: int) -> None:
+            _route_batch(spark, sf_dir, batch_df).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(seg_dir, f"seg_{batch_id}"))
+
+        q = (
+            stream.writeStream.foreachBatch(publish)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        rows = spark.read.parquet(os.path.join(seg_dir, "seg_*")).collect()
+        return spark.createDataFrame(
+            rows,
+            "new_doc_id long, decision string, modality string, "
+            "matched_doc_id long, match_distance long, text_doc_id long, "
+            "image_hamming long, audio_hamming long, "
+            "video_shared_frames long",
+        )
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(seg_dir, ignore_errors=True)

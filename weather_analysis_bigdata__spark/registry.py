@@ -182,6 +182,7 @@ PRIORITY = [
     "sim_search_lsh_capped",
     "multimodal_video_near_dup",
     "corpus_ingest_router_multimodal",
+    "streaming_multimodal_router_replay",
 ]
 
 
