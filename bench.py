@@ -91,6 +91,7 @@ HEADLINE = [
     "multimodal_audio_fingerprint_groups",
     "multimodal_audio_near_dup",
     "ivf_centroid_refresh",
+    "ivf_lloyd_convergence",
     "ivf_probe_topk_refreshed",
     "sim_search_lsh_capped",
     "corpus_ingest_router_multimodal",

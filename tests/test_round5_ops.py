@@ -490,3 +490,24 @@ def test_streaming_router_equals_batch(spark, sf_dir, registry):
         .collect(), key=key,
     )
     assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
+
+
+def test_lloyd_objective_monotone(spark, sf_dir, registry):
+    """Lloyd's theorem, empirically pinned: the clustering objective is
+    non-increasing across iterations, and reassignment churn + centroid
+    movement both shrink (the convergence signals a production retrain
+    loop watches)."""
+    rows = sorted(
+        registry["ivf_lloyd_convergence"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.iteration,
+    )
+    assert [r.iteration for r in rows] == [0, 1, 2, 3]
+    objs = [r.objective for r in rows]
+    # floor-means are within 1e-8/dim of the exact minimizer; allow an
+    # epsilon far below any real objective increase
+    assert all(b <= a + 1e-6 for a, b in zip(objs, objs[1:]))
+    assert objs[-1] < objs[0]  # it actually improved
+    moved = [r.n_reassigned for r in rows[1:]]
+    shift = [r.centroid_shift_total for r in rows[1:]]
+    assert moved == sorted(moved, reverse=True)
+    assert shift == sorted(shift, reverse=True)

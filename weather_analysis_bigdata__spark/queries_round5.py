@@ -1516,3 +1516,222 @@ def streaming_multimodal_router_replay(
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(seg_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Lloyd convergence: K refresh iterations, objective proven monotone
+# ---------------------------------------------------------------------------
+_LLOYD_ITERS = 3
+
+
+def _sql_lloyd_convergence(k_iter: int) -> str:
+    """CTE chain for ``k_iter`` full Lloyd iterations from the
+    label-trained centroids: assign_i (argmin + its distance) against
+    cent_arr_i, then cent_arr_{i+1} = exact floor-means over assign_i.
+    Objective sums use DECIMAL(38,0) (per-vector distances reach
+    ~2.6e18; a corpus sum overflows BIGINT)."""
+    sq = _sql_sqdist("s.sva", "c.c_arr")
+    parts = [
+        _SQL_VPOS.strip(),
+        f"""cent0 AS (
+      SELECT label AS part_label, pos,
+             CAST({_SQL_FLOORDIV.format(s='SUM(v_int)', n='COUNT(*)')} AS BIGINT)
+               AS c_int
+      FROM vpos GROUP BY label, pos
+    ),
+    cent_arr_0 AS (
+      SELECT part_label, list(c_int ORDER BY pos) AS c_arr
+      FROM cent0 GROUP BY part_label
+    ),
+    sv AS (SELECT vec_id, {_SQL_SVA} AS sva FROM embeddings)""",
+    ]
+    for i in range(k_iter + 1):
+        parts.append(
+            f"""assign_{i} AS (
+      SELECT vec_id, part_label, dist FROM (
+        SELECT s.vec_id, c.part_label, {sq} AS dist,
+               row_number() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY {sq}, c.part_label) AS rn
+        FROM sv s CROSS JOIN cent_arr_{i} c) WHERE rn = 1
+    ),
+    obj_{i} AS (
+      SELECT CAST(SUM(CAST(dist AS DECIMAL(38, 0))) AS DOUBLE)
+               / 10000000000000000.0 AS objective
+      FROM assign_{i}
+    )"""
+        )
+        if i == k_iter:
+            break
+        parts.append(
+            f"""vp_{i} AS (
+      SELECT a.part_label, v.pos, v.v_int
+      FROM vpos v JOIN assign_{i} a ON v.vec_id = a.vec_id
+    ),
+    cent_{i + 1} AS (
+      SELECT part_label, pos,
+             CAST({_SQL_FLOORDIV.format(s='SUM(v_int)', n='COUNT(*)')} AS BIGINT)
+               AS c_int
+      FROM vp_{i} GROUP BY part_label, pos
+    ),
+    cent_arr_{i + 1} AS (
+      SELECT part_label, list(c_int ORDER BY pos) AS c_arr
+      FROM cent_{i + 1} GROUP BY part_label
+    ),
+    shift_{i + 1} AS (
+      SELECT CAST(SUM(CAST({_sql_sqdist('a.c_arr', 'b.c_arr')}
+                           AS DECIMAL(38, 0))) AS DOUBLE)
+               / 10000000000000000.0 AS total_shift
+      FROM cent_arr_{i} a JOIN cent_arr_{i + 1} b USING (part_label)
+    ),
+    moved_{i + 1} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_reassigned
+      FROM assign_{i} p JOIN assign_{i + 1} n USING (vec_id)
+      WHERE p.part_label <> n.part_label
+    )"""
+        )
+    selects = [
+        "SELECT CAST(0 AS BIGINT) AS iteration, objective, "
+        "CAST(NULL AS BIGINT) AS n_reassigned, "
+        "CAST(NULL AS DOUBLE) AS centroid_shift_total FROM obj_0"
+    ]
+    for i in range(1, k_iter + 1):
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT), o.objective, m.n_reassigned, "
+            f"s.total_shift FROM obj_{i} o, moved_{i} m, shift_{i} s"
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+    )
+
+
+@register(
+    "ivf_lloyd_convergence",
+    oracle=_sql_lloyd_convergence(_LLOYD_ITERS),
+    doc=f"K-MEANS CONVERGENCE proven cross-engine: {_LLOYD_ITERS} full "
+    "Lloyd iterations from the label-trained centroids, each emitting "
+    "the clustering OBJECTIVE (Σ squared distance of every vector to "
+    "its nearest centroid — exact DECIMAL(38,0) sums of scaled-integer "
+    "distances, one rounding at the boundary), the number of vectors "
+    "that changed lists, and the total centroid movement. Lloyd's "
+    "theorem says the objective is monotone non-increasing (each "
+    "assignment step and each mean-update step can only lower it) — "
+    "the output curve SHOWS it, a pytest asserts it, and the DuckDB "
+    "hash match proves both engines walk the identical trajectory "
+    "(floor-means + tie-broken argmins are deterministic, so there is "
+    "exactly one). This extends ivf_centroid_refresh's single step to "
+    "the full retrain loop a production index runs until movement is "
+    "small. Scale shape per iteration: broadcast k×d centroids, one "
+    "embarrassingly-parallel argmin pass, one groupBy(label, dim) "
+    "mean — O(N·k·d) work, no pairwise terms; the iteration count is "
+    "the only sequential dimension.",
+)
+def ivf_lloyd_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", scaled_vec("embedding").alias("sva")
+    )
+    vpos = sv.select("vec_id", F.posexplode("sva").alias("pos", "v_int"))
+    s, n = F.sum("v_int"), F.count(F.lit(1))
+    floordiv = (s - (((s % n) + n) % n)) / n
+
+    def to_arr(cent_long: DataFrame) -> DataFrame:
+        return cent_long.groupBy("part_label").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c_int"))),
+                lambda st: st["c_int"],
+            ).alias("c_arr")
+        )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = to_arr(
+        e.select(
+            "label",
+            F.posexplode(scaled_vec("embedding")).alias("pos", "v_int"),
+        )
+        .groupBy(F.col("label").alias("part_label"), "pos")
+        .agg(floordiv.cast("long").alias("c_int"))
+        .select("part_label", "pos", "c_int")
+    ).localCheckpoint(eager=True)
+
+    w_vec = Window.partitionBy("vec_id").orderBy("dist", "part_label")
+
+    def assign_against(cent_arr: DataFrame) -> DataFrame:
+        return (
+            sv.crossJoin(F.broadcast(cent_arr))
+            .select(
+                "vec_id",
+                "part_label",
+                _sqdist_col(F.col("sva"), F.col("c_arr")).alias("dist"),
+            )
+            .select("*", F.row_number().over(w_vec).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "part_label", "dist")
+            .localCheckpoint(eager=True)
+        )
+
+    def objective(assign: DataFrame):
+        return (
+            F.sum(F.col("dist").cast("decimal(38,0)")).cast("double") / 1e16
+        )
+
+    rows = []
+    assign = assign_against(cent)
+    obj0 = assign.agg(objective(assign).alias("objective"))
+    rows.append(
+        obj0.select(
+            F.lit(0).cast("long").alias("iteration"),
+            "objective",
+            F.lit(None).cast("long").alias("n_reassigned"),
+            F.lit(None).cast("double").alias("centroid_shift_total"),
+        )
+    )
+    for i in range(1, _LLOYD_ITERS + 1):
+        new_cent = to_arr(
+            vpos.join(assign.select(F.col("vec_id").alias("cid"), "part_label"),
+                      vpos["vec_id"] == F.col("cid"))
+            .groupBy("part_label", "pos")
+            .agg(floordiv.cast("long").alias("c_int"))
+        ).localCheckpoint(eager=True)
+        shift = (
+            cent.alias("a")
+            .join(new_cent.alias("b"), "part_label")
+            .agg(
+                (
+                    F.sum(
+                        _sqdist_col(F.col("a.c_arr"), F.col("b.c_arr")).cast(
+                            "decimal(38,0)"
+                        )
+                    ).cast("double")
+                    / 1e16
+                ).alias("centroid_shift_total")
+            )
+        )
+        new_assign = assign_against(new_cent)
+        moved = (
+            assign.select("vec_id", F.col("part_label").alias("old_l"))
+            .join(
+                new_assign.select("vec_id", F.col("part_label").alias("new_l")),
+                "vec_id",
+            )
+            .filter(F.col("old_l") != F.col("new_l"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_reassigned"))
+        )
+        obj = new_assign.agg(objective(new_assign).alias("objective"))
+        rows.append(
+            obj.crossJoin(moved)
+            .crossJoin(shift)
+            .select(
+                F.lit(i).cast("long").alias("iteration"),
+                "objective",
+                "n_reassigned",
+                "centroid_shift_total",
+            )
+        )
+        cent, assign = new_cent, new_assign
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -179,6 +179,7 @@ PRIORITY = [
     "multimodal_audio_fingerprint_groups",
     "multimodal_audio_near_dup",
     "ivf_centroid_refresh",
+    "ivf_lloyd_convergence",
     "sim_search_lsh_capped",
     "multimodal_video_near_dup",
     "corpus_ingest_router_multimodal",
