@@ -96,6 +96,8 @@ HEADLINE = [
     "sim_search_lsh_capped",
     "corpus_ingest_router_multimodal",
     "multimodal_video_near_dup",
+    "multimodal_dedup_consensus",
+    "ivf_probe_topk_post_delete",
 ]
 
 

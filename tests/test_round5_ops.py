@@ -511,3 +511,47 @@ def test_lloyd_objective_monotone(spark, sf_dir, registry):
     shift = [r.centroid_shift_total for r in rows[1:]]
     assert moved == sorted(moved, reverse=True)
     assert shift == sorted(shift, reverse=True)
+
+
+def test_ivf_delete_tombstones_never_surface(spark, sf_dir, registry):
+    """No deleted id appears in post-delete results; delete-report
+    algebra balances; the pre-delete serve DID return ids that are now
+    gone (the filter provably changed results)."""
+    post = registry["ivf_probe_topk_post_delete"].fn(spark, sf_dir).collect()
+    assert len(post) == 40
+    assert all(r.neighbor_id % 4 != 0 for r in post)
+    pre = registry["ivf_probe_topk"].fn(spark, sf_dir).collect()
+    assert any(r.neighbor_id % 4 == 0 for r in pre)
+    rep = registry["ivf_index_delete"].fn(spark, sf_dir).collect()
+    for r in rep:
+        assert r.n_before == r.n_deleted + r.n_after
+        assert abs(r.live_fraction - r.n_after / r.n_before) < 1e-12
+
+
+def test_consensus_groups_refine_single_modality_groups(
+    spark, sf_dir, registry
+):
+    """Every consensus group lies inside ONE image group and ONE audio
+    group (the composite key refines both partitions), and consensus
+    is much rarer than either single modality."""
+    cons = registry["multimodal_dedup_consensus"].fn(spark, sf_dir).collect()
+    assert len(cons) > 0
+    img = {
+        (r.phash, r.w, r.h): r.n_images
+        for r in registry["multimodal_image_phash_groups"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    aud = {
+        (r.sample_rate, r.n_frames, r.afp): r.n_docs
+        for r in registry["multimodal_audio_fingerprint_groups"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    n_cons_docs = 0
+    for r in cons:
+        assert r.n_docs <= img[(r.phash, r.w, r.h)]
+        assert r.n_docs <= aud[(r.sample_rate, r.n_frames, r.afp)]
+        n_cons_docs += r.n_docs
+    n_img_dup_docs = sum(v for v in img.values() if v >= 2)
+    assert n_cons_docs < n_img_dup_docs  # consensus is stricter

@@ -1735,3 +1735,240 @@ def ivf_lloyd_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Cross-modality consensus dedup: composite fingerprint groups
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_dedup_consensus",
+    oracle=f"""
+    WITH {_sql_img_perdoc()},
+    {_sql_audio_perdoc()}
+    SELECT p.w, p.h, p.phash, a.sample_rate, a.n_frames, a.afp,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(p.doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(p.doc_id) AS BIGINT) AS max_doc_id
+    FROM perdoc p JOIN afpd a ON p.doc_id = a.doc_id
+    GROUP BY p.w, p.h, p.phash, a.sample_rate, a.n_frames, a.afp
+    HAVING COUNT(*) >= 2
+    """,
+    doc="CROSS-MODALITY consensus dedup: documents grouped by the "
+    "COMPOSITE (image phash × audio fingerprint) key — both computed "
+    "through their REAL decode paths — and only groups where ≥2 docs "
+    "agree on BOTH modalities survive. Single-modality fingerprints "
+    "false-positive on boilerplate (the gradient-image and flat-audio "
+    "collision classes are visible in their group tables); requiring "
+    "agreement across independent modalities multiplies the collision "
+    "probabilities, so consensus groups are high-confidence duplicate "
+    "sets (55 doc-pairs at sf0.01 vs ~3k per single modality). The "
+    "scale insight is the FORMULATION: consensus needs NO pair join — "
+    "grouping by the composite key is one linear shuffle of 16-byte "
+    "fingerprints, where intersecting two pair sets would inherit "
+    "each modality's Σc² skew term. The oracle joins the two "
+    "closed-form fingerprint chains on doc_id and groups identically.",
+)
+def multimodal_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.operators.multimodal import (
+        ppm_phash,
+        synth_media,
+        wav_fingerprint,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    img = ppm_phash(synth_media(d, "ppm"))
+    aud = wav_fingerprint(synth_media(d, "wav"))
+    return (
+        img.join(aud, "doc_id")
+        .groupBy("w", "h", "phash", "sample_rate", "n_frames", "afp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF index DELETE: tombstones + post-delete serve (completes CRUD)
+# ---------------------------------------------------------------------------
+_DELETE_MOD = 4  # every 4th vector is deleted
+
+
+@register(
+    "ivf_index_delete",
+    oracle=f"""
+    WITH {_SQL_VPOS.strip()},
+    cent AS (
+      SELECT label AS c_label, pos,
+             CAST({_SQL_FLOORDIV.format(s='SUM(v_int)', n='COUNT(*)')} AS BIGINT)
+               AS c_int
+      FROM vpos GROUP BY label, pos
+    ),
+    cent_arr AS (
+      SELECT c_label, list(c_int ORDER BY pos) AS c_arr
+      FROM cent GROUP BY c_label
+    ),
+    sv AS (SELECT vec_id, {_SQL_SVA} AS sva FROM embeddings),
+    assign AS (
+      SELECT vec_id AS cand_id, c_label AS part_label FROM (
+        SELECT s.vec_id, c.c_label,
+               row_number() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY {_sql_sqdist('s.sva', 'c.c_arr')}, c.c_label) AS rn
+        FROM sv s CROSS JOIN cent_arr c) WHERE rn = 1
+    )
+    SELECT CAST(part_label AS BIGINT) AS part_label,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN cand_id % {_DELETE_MOD} = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+           CAST(SUM(CASE WHEN cand_id % {_DELETE_MOD} = 0
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_after,
+           CAST(SUM(CASE WHEN cand_id % {_DELETE_MOD} = 0
+                         THEN 0 ELSE 1 END) AS DOUBLE)
+             / COUNT(*) AS live_fraction
+    FROM assign GROUP BY part_label
+    """,
+    doc=f"IVF index DELETE — the lifecycle operation the maintenance "
+    "family still lacked (build → upsert → refresh → DELETE → serve): "
+    f"a delete set (every {_DELETE_MOD}th vector — GDPR erasure, "
+    "dataset recall, retention expiry) is applied to the PERSISTED "
+    "inverted lists as TOMBSTONES, and the report shows per-list size "
+    "before, deletions, survivors, and the live fraction — the "
+    "compaction trigger (FAISS remove_ids / vector-DB tombstone "
+    "semantics: serve-time filtering is cheap until the dead fraction "
+    "justifies rebuilding the list). The delete set never touches "
+    "vectors: it is an anti-join on ids against the assignment scan. "
+    "ivf_probe_topk_post_delete serves from the same tombstoned "
+    "index and proves deleted ids never surface in results.",
+    prepare=_prepare_ivf_refresh,
+)
+def ivf_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.queries_llmops import _ivf_assign
+
+    assign = _ivf_assign(spark, sf_dir)
+    dead = F.col("cand_id") % _DELETE_MOD == 0
+    return assign.groupBy(F.col("part_label").cast("long").alias("part_label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_before"),
+        F.sum(F.when(dead, 1).otherwise(0)).cast("long").alias("n_deleted"),
+        F.sum(F.when(dead, 0).otherwise(1)).cast("long").alias("n_after"),
+        (
+            F.sum(F.when(dead, 0).otherwise(1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("live_fraction"),
+    )
+
+
+@register(
+    "ivf_probe_topk_post_delete",
+    oracle=f"""
+    WITH {_SQL_VPOS.strip()},
+    cent AS (
+      SELECT label AS c_label, pos,
+             CAST({_SQL_FLOORDIV.format(s='SUM(v_int)', n='COUNT(*)')} AS BIGINT)
+               AS c_int
+      FROM vpos GROUP BY label, pos
+    ),
+    cent_arr AS (
+      SELECT c_label, list(c_int ORDER BY pos) AS c_arr
+      FROM cent GROUP BY c_label
+    ),
+    sv AS (SELECT vec_id, {_SQL_SVA} AS sva FROM embeddings),
+    assign AS (
+      SELECT vec_id AS cand_id, c_label AS part_label FROM (
+        SELECT s.vec_id, c.c_label,
+               row_number() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY {_sql_sqdist('s.sva', 'c.c_arr')}, c.c_label) AS rn
+        FROM sv s CROSS JOIN cent_arr c) WHERE rn = 1
+    ),
+    live AS (
+      SELECT cand_id, part_label FROM assign
+      WHERE cand_id % {_DELETE_MOD} <> 0
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, c_label AS probe_label FROM (
+        SELECT s.vec_id, c.c_label,
+               row_number() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY {_sql_sqdist('s.sva', 'c.c_arr')}, c.c_label) AS rn
+        FROM sv s CROSS JOIN cent_arr c
+        WHERE s.vec_id < {_IVF_QUERIES}) WHERE rn <= {_IVF_PROBES}
+    ),
+    cands AS (
+      SELECT p.query_id, a.cand_id
+      FROM probes p JOIN live a ON p.probe_label = a.part_label
+      WHERE a.cand_id <> p.query_id
+    ),
+    pair AS (
+      SELECT c.query_id, c.cand_id,
+             {_sql_sqdist('q.sva', 'x.sva')} AS dist
+      FROM cands c
+      JOIN sv q ON q.vec_id = c.query_id
+      JOIN sv x ON x.vec_id = c.cand_id
+    )
+    SELECT query_id, cand_id AS neighbor_id,
+           CAST(dist AS DOUBLE) / 10000000000000000.0 AS sq_dist, rn
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY dist, cand_id) AS BIGINT) AS rn
+      FROM pair)
+    WHERE rn <= {_IVF_TOPK}
+    """,
+    doc=f"IVF serve AFTER DELETE: the single-query probe shape "
+    f"({_IVF_QUERIES} queries × {_IVF_PROBES} probes, "
+    f"top-{_IVF_TOPK}) with the tombstone filter applied to the "
+    "persisted inverted-list scan — deleted vectors are excluded "
+    "BEFORE candidate generation (an anti-join pushdown on the index "
+    "scan, never a post-rank patch, so every query still yields k "
+    "live results; a test proves no tombstoned id ever surfaces). "
+    "Together with upsert and refresh this completes the index CRUD "
+    "lifecycle. Note queries themselves may be deleted ids — a "
+    "deleted user can still search; they just can't be FOUND.",
+    prepare=_prepare_ivf_refresh,
+)
+def ivf_probe_topk_post_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.queries_llmops import (
+        _ivf_assign,
+        _ivf_probes,
+    )
+
+    live = _ivf_assign(spark, sf_dir).filter(
+        F.col("cand_id") % _DELETE_MOD != 0
+    )
+    probes = _ivf_probes(spark, sf_dir)
+    sv = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", scaled_vec("embedding").alias("sva")
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(live, F.col("probe_label") == F.col("part_label"))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+    )
+    q = sv.select(
+        F.col("vec_id").alias("query_id"), F.col("sva").alias("q_sva")
+    ).filter(F.col("query_id") < _IVF_QUERIES)
+    pair = (
+        cands.join(sv, F.col("cand_id") == F.col("vec_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            _sqdist_col(F.col("q_sva"), F.col("sva")).alias("dist"),
+        )
+    )
+    w_q = Window.partitionBy("query_id").orderBy("dist", "cand_id")
+    return (
+        pair.select(
+            "*", F.row_number().over(w_q).cast("bigint").alias("rn")
+        )
+        .filter(F.col("rn") <= _IVF_TOPK)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neighbor_id"),
+            (F.col("dist").cast("double") / 1e16).alias("sq_dist"),
+            "rn",
+        )
+    )

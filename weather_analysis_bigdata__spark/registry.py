@@ -182,6 +182,8 @@ PRIORITY = [
     "ivf_lloyd_convergence",
     "sim_search_lsh_capped",
     "multimodal_video_near_dup",
+    "multimodal_dedup_consensus",
+    "ivf_index_delete",
     "corpus_ingest_router_multimodal",
     "streaming_multimodal_router_replay",
 ]
