@@ -98,6 +98,7 @@ HEADLINE = [
     "multimodal_video_near_dup",
     "multimodal_dedup_consensus",
     "ivf_probe_topk_post_delete",
+    "dedup_simhash_hamming",
 ]
 
 

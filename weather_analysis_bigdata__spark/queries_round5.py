@@ -1972,3 +1972,139 @@ def ivf_probe_topk_post_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash at Hamming radius: the text modality joins the banded family
+# ---------------------------------------------------------------------------
+_SIM_HAMMING_T = 2  # < _SIM_BANDS
+_SIM_BANDS = 3  # 3 bands × 6 bits cover the 16-bit simhash
+
+
+def _sql_simhash_reps() -> str:
+    """CTE chain: the dedup_simhash fingerprint algebra (distinct
+    unigrams → md5-nibble ±1 votes → 16 sign bits) over the
+    planted-duplicate corpus, collapsed to distinct-simhash
+    representatives. Mirrors queries_llmops.dedup_simhash exactly."""
+    from weather_analysis_bigdata__spark.functions.textops import (
+        SQL_TOKENS,
+        sql_hexval,
+    )
+    from weather_analysis_bigdata__spark.queries_llmops import SQL_DOCS_DUP
+
+    sums = ", ".join(
+        f"SUM(2 * (({sql_hexval(f'substr(h4, {p // 4 + 1}, 1)')} "
+        f">> {3 - p % 4}) & 1) - 1) AS s{p}"
+        for p in range(16)
+    )
+    bits = " + ".join(
+        f"CASE WHEN s{p} > 0 THEN {1 << p} ELSE 0 END" for p in range(16)
+    )
+    return f"""{SQL_DOCS_DUP.strip()},
+    tok AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest({SQL_TOKENS.format(c='text')}) AS tok FROM docs
+      )
+    ),
+    th AS (SELECT doc_id, substr(md5(tok), 1, 4) AS h4 FROM tok),
+    sums AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
+    sim AS (
+      SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sums
+    ),
+    reps AS (
+      SELECT simhash,
+             CAST(MIN(doc_id) AS BIGINT) AS rep_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM sim GROUP BY simhash
+    )"""
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH {_sql_simhash_reps()}
+    SELECT a.simhash AS simhash_a, b.simhash AS simhash_b,
+           a.rep_id AS rep_a, b.rep_id AS rep_b,
+           a.n_docs AS n_docs_a, b.n_docs AS n_docs_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM reps a JOIN reps b ON a.simhash < b.simhash
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIM_HAMMING_T}
+    """,
+    doc=f"SimHash near-dup at Hamming radius {_SIM_HAMMING_T} — "
+    "dedup_simhash's own docstring promises 'group by hamming-ball "
+    "probes' at 100 TB; this delivers it with the SAME pigeonhole "
+    "banding the image/audio modalities use (operators/hamming.py: "
+    f"{_SIM_BANDS}×6-bit bands over the 16-bit fingerprint, exact "
+    "recall by theorem): documents whose simhashes differ in a couple "
+    "of sign bits — a few changed tokens flipping marginal vote sums "
+    "— match even though exact-simhash grouping separates them. "
+    "Exact-fingerprint duplicates collapse to representatives first "
+    "(the standard skew guard), so the banded pair term is over "
+    "distinct fingerprints. With this, the BANDED HAMMING family is "
+    "uniform across all fingerprint modalities: text simhash, image "
+    "phash, audio energy code — one operator, one theorem, three "
+    "kernels. Oracle = closed-form all-pairs over the same vote "
+    "algebra; the match proves banding finds every pair.",
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.textops import tokens
+    from weather_analysis_bigdata__spark.operators.hamming import (
+        banded_hamming_pairs,
+    )
+    from weather_analysis_bigdata__spark.queries_llmops import (
+        _docs_with_dups,
+        hexval,
+    )
+
+    docs = _docs_with_dups(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    ).distinct()
+    th = tok.select(
+        "doc_id",
+        F.substring(F.md5(F.col("tok").cast("binary")), 1, 4).alias("h4"),
+    )
+    sums = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                2
+                * (
+                    F.shiftright(
+                        hexval(F.substring("h4", p // 4 + 1, 1)), 3 - p % 4
+                    ).bitwiseAND(F.lit(1))
+                )
+                - 1
+            ).alias(f"s{p}")
+            for p in range(16)
+        ]
+    )
+    simhash = sum(
+        F.when(F.col(f"s{p}") > 0, F.lit(1 << p)).otherwise(0)
+        for p in range(16)
+    ).cast("long")
+    reps = (
+        sums.select("doc_id", simhash.alias("simhash"))
+        .groupBy("simhash")
+        .agg(
+            F.min("doc_id").cast("long").alias("rep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+    )
+    pairs = banded_hamming_pairs(
+        reps,
+        class_cols=[],
+        hash_col="simhash",
+        n_bits=16,
+        n_bands=_SIM_BANDS,
+        max_hamming=_SIM_HAMMING_T,
+        carry_cols=("rep_id", "n_docs"),
+    )
+    return pairs.select(
+        F.col("simhash_a"),
+        F.col("simhash_b"),
+        F.col("rep_id_a").alias("rep_a"),
+        F.col("rep_id_b").alias("rep_b"),
+        F.col("n_docs_a"),
+        F.col("n_docs_b"),
+        "hamming",
+    )

@@ -183,6 +183,7 @@ PRIORITY = [
     "sim_search_lsh_capped",
     "multimodal_video_near_dup",
     "multimodal_dedup_consensus",
+    "dedup_simhash_hamming",
     "ivf_index_delete",
     "corpus_ingest_router_multimodal",
     "streaming_multimodal_router_replay",
