@@ -2108,3 +2108,82 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs_b"),
         "hamming",
     )
+
+
+# ---------------------------------------------------------------------------
+# Postings index DELETE: the text-side erasure mirror of ivf_index_delete
+# ---------------------------------------------------------------------------
+_PDEL_MOD = 10
+_PDEL_REM = 3
+
+
+@register(
+    "postings_index_delete",
+    oracle=f"""
+    WITH basetf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents)
+      GROUP BY doc_id, term
+    ),
+    basedf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM basetf
+               GROUP BY term),
+    removed AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df_removed,
+             CAST(SUM(tf) AS BIGINT) AS tf_removed
+      FROM basetf WHERE doc_id % {_PDEL_MOD} = {_PDEL_REM}
+      GROUP BY term
+    )
+    SELECT r.term,
+           b.df AS df_before,
+           r.df_removed,
+           b.df - r.df_removed AS df_after,
+           r.tf_removed
+    FROM removed r JOIN basedf b USING (term)
+    """,
+    doc=f"Inverted-index DELETE — the text-side erasure kernel "
+    "(GDPR right-to-erasure / retention expiry applied to a search "
+    "index), completing the postings lifecycle with "
+    "postings_index_upsert: the delete set (every "
+    f"{_PDEL_MOD}th doc) is resolved against the PERSISTED raw "
+    "posting index — per-term negative deltas (df_removed, "
+    "tf_removed) — and merged df (index df_before − df_removed) must "
+    "equal the from-scratch rebuild over the surviving corpus: the "
+    "oracle IS that rebuild, so the hash match proves raw postings "
+    "are subtractive as well as additive (weighted postings are "
+    "neither — the reason segment engines persist the raw layer). "
+    "Output rows = only the terms the deleted docs touch, i.e. the "
+    "tombstone segment a deletion publishes; terms whose df_after "
+    "hits 0 leave the dictionary. Per-delete cost: O(|deleted docs| "
+    "postings) read from the index partition-pruned by doc_id — the "
+    "corpus is never re-tokenized.",
+)
+def postings_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.queries_round4 import _raw_postings
+
+    raw = _raw_postings(spark, sf_dir)
+    df_base = raw.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_before")
+    )
+    removed = (
+        raw.filter(F.col("doc_id") % _PDEL_MOD == _PDEL_REM)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df_removed"),
+            F.sum("tf").cast("long").alias("tf_removed"),
+        )
+    )
+    return (
+        F.broadcast(removed)
+        .join(df_base, "term")
+        .select(
+            "term",
+            "df_before",
+            "df_removed",
+            (F.col("df_before") - F.col("df_removed"))
+            .cast("long")
+            .alias("df_after"),
+            "tf_removed",
+        )
+    )

@@ -185,6 +185,7 @@ PRIORITY = [
     "multimodal_dedup_consensus",
     "dedup_simhash_hamming",
     "ivf_index_delete",
+    "postings_index_delete",
     "corpus_ingest_router_multimodal",
     "streaming_multimodal_router_replay",
 ]
