@@ -99,6 +99,14 @@ HEADLINE = [
     "multimodal_dedup_consensus",
     "ivf_probe_topk_post_delete",
     "dedup_simhash_hamming",
+    # round 5 (serving batch): refine + residual IVFADC rungs, the
+    # variant recall audit, DSIR selection, tombstone compaction
+    "ann_batch_ivfpq_refine_topk",
+    "ann_batch_ivfpq_residual_topk",
+    "ann_pq_variant_recall_audit",
+    "importance_resample_dsir",
+    "ivf_index_compact",
+    "ivf_probe_topk_post_compact",
 ]
 
 

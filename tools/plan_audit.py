@@ -104,6 +104,43 @@ KNOWN_EXCEPTIONS = {
     "measures) plus a full-outer join of the two O(pairs) sets — the "
     "SMJ and extra exchanges operate on ~10² pair rows, never "
     "documents",
+    "ivf_lloyd_convergence": "THREE full Lloyd iterations in one plan — "
+    "each iteration inherently re-exchanges: a per-(label,pos) centroid "
+    "aggregate, a per-vec argmin assignment, and the iteration metrics; "
+    "the SMJs are assignment⋈assignment joins between successive "
+    "iterations keyed on vec_id (fact⋈fact — neither side is "
+    "broadcastable at scale, SMJ is the right strategy). 20 exchanges "
+    "/ 3 iterations ≈ the per-iteration cost of ivf_centroid_refresh, "
+    "which is the point being measured",
+    "multimodal_video_near_dup": "frame-hash posting pipeline (videos → "
+    "frame hashes → df-capped buckets → shared-frame pairs → groups): "
+    "the same shrinking postings→pairs shape as dedup_ngram_jaccard; "
+    "every exchange after the first carries posting/pair rows bounded "
+    "by buckets·cap², never raw frames",
+    "dedup_simhash_hamming": "banded-Hamming pipeline over DISTINCT "
+    "fingerprint representatives: exchanges carry distinct simhashes, "
+    "3 band buckets of them, verified pairs, then group ids — each "
+    "stage ≪ documents; the doc→fingerprint reduction is the only "
+    "fact-scale exchange",
+    "corpus_ingest_router_multimodal": "FOUR modality gates in one "
+    "plan, each joining the arriving batch against its persisted "
+    "corpus index via broadcast (bhj=9, no SMJ) — the exchanges carry "
+    "batch-size rows once per gate plus the final precedence "
+    "aggregate; gates are independent by design so their subplans "
+    "don't share exchanges",
+    "ann_batch_ivfpq_residual_topk": "residual IVFADC serve: exchanges "
+    "carry probe ranks (batch×nprobe), per-list LUT aggregates "
+    "(batch×nprobe×80), corpus code argmins (index-scale), and the "
+    "final per-query ADC sums — the one fact-scale exchange "
+    "(candidates → codes) is the same audited shape as "
+    "ann_batch_ivfpq_adc_topk; the residual LUT's extra list key adds "
+    "broadcast joins, not exchanges",
+    "ann_pq_variant_recall_audit": "composes THREE already-audited "
+    "serve pipelines verbatim (raw ADC, refine, residual ADC) plus "
+    "the exact candidate ranking they are scored against — the audit "
+    "must run exactly what it measures; every exchange beyond those "
+    "subplans carries batch×k rank rows or 1-row hit counts, "
+    "intersected via broadcast (smj=0)",
     # ---- WINDOW_GLOBAL reviews: every unpartitioned window below runs
     # over a PROVABLY BOUNDED reduction (O(days), O(cells), O(k)...),
     # never a fact table; fact-scale ntile yardsticks carry a
@@ -204,6 +241,12 @@ REVIEWED_FLAGS = {
     "dedup_minhash_incremental": {"XCHG"},
     "corpus_temperature_mixture": {"XCHG"},
     "decile_stats_twopass": {"XCHG"},
+    "ivf_lloyd_convergence": {"XCHG", "SORTMERGE"},
+    "multimodal_video_near_dup": {"XCHG"},
+    "dedup_simhash_hamming": {"XCHG"},
+    "corpus_ingest_router_multimodal": {"XCHG"},
+    "ann_batch_ivfpq_residual_topk": {"XCHG"},
+    "ann_pq_variant_recall_audit": {"XCHG"},
 }
 
 

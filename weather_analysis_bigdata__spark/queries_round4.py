@@ -445,11 +445,13 @@ def dedup_semantic_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Batch IVF+PQ serving: route with the IVF index, score with ADC LUTs
 # ---------------------------------------------------------------------------
-@register(
-    "ann_batch_ivfpq_adc_topk",
-    oracle=f"""
-    {_SQL_BATCH_BASE},
-    psub AS (
+#: ADC scoring CTE chain appended to ``_SQL_BATCH_BASE`` by the raw-PQ
+#: batch serve family: codebook/codes/query-LUT over RAW vectors plus
+#: the candidate ADC sum. Factored out so the refine rung
+#: (queries_serving.py:ann_batch_ivfpq_refine_topk) reuses the exact
+#: same shortlist algebra; the residual family mirrors it over
+#: residual vectors.
+_SQL_ADC_CTES = f"""psub AS (
       SELECT vec_id, label, (pos - 1) // 8 AS sub, pos, v_int FROM vpos
     ),
     codebook AS (
@@ -485,38 +487,18 @@ def dedup_semantic_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN lut l ON l.query_id = cd.query_id
              AND l.sub = c.sub AND l.code = c.code
       GROUP BY cd.query_id, cd.cand_id
-    )
-    SELECT query_id, neighbor_id, adc_dist, rn FROM (
-      SELECT *, CAST(row_number() OVER (
-               PARTITION BY query_id
-               ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rn
-      FROM adc)
-    WHERE rn <= {_BATCH_K}
-    """,
-    doc="BATCH IVF+PQ serving (the FAISS IVFADC production shape, "
-    f"batched): the {_BATCH_QUERIES}-query batch routes through the "
-    "PERSISTED IVF indexes exactly as ann_batch_probe_topk — per-query "
-    f"probes of the {_BATCH_PROBES} nearest centroids against the "
-    "broadcast centroid table, candidates from the inverted-list scan "
-    "— but candidates are scored by PQ ASYMMETRIC DISTANCE from the "
-    "PERSISTED PQ index: each query's 8×10 LUT of exact partial "
-    "distances broadcasts, and a candidate costs Σ LUT[sub][code] "
-    "over its stored 8-byte code — the probed lists are scanned as "
-    "CODES, never as raw vectors. That composition is the entire "
-    "100 TB serving economy: routing prunes to ~nprobe/k of the "
-    "corpus, compression makes what remains 8 B/vector in RAM, and "
-    "the raw vectors stay cold. Per-query top-10 via grouped_topk "
-    "(partitioned window, no global window). All scaled-integer "
-    "exact, fully tie-broken — bit-stable at any parallelism. "
-    "Single-query/small-batch rungs: ivf_pq_search_topk, "
-    "pq_adc_search_topk.",
-    prepare=_prepare_ivf_pq,
-)
-def ann_batch_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    )"""
+
+
+def _batch_adc_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, adc_dist): PQ asymmetric distance for
+    every (batch query × probed-list candidate) pair — the shared ADC
+    stage of the compressed batch serve family. Candidate generation is
+    identical to ann_batch_probe_topk (persisted centroid +
+    inverted-list indexes); scoring reads the persisted PQ distance
+    index for both the corpus codes and the per-query LUTs."""
     from pyspark.sql.window import Window
 
-    # Candidate generation: identical routing to ann_batch_probe_topk
-    # (persisted centroid + inverted-list indexes).
     cent_arr = _ivf_centroids(spark, sf_dir)
     sv = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", scaled_vec("embedding").alias("sva")
@@ -560,12 +542,47 @@ def ann_batch_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "sub", "code",
         F.col("d").alias("part"),
     )
-    adc = (
+    return (
         cands.join(codes, F.col("cand_id") == F.col("vec_id"))
         .join(F.broadcast(lut), ["query_id", "sub", "code"])
         .groupBy("query_id", F.col("cand_id").alias("neighbor_id"))
         .agg(F.sum("part").cast("long").alias("adc_dist"))
     )
+
+
+@register(
+    "ann_batch_ivfpq_adc_topk",
+    oracle=f"""
+    {_SQL_BATCH_BASE},
+    {_SQL_ADC_CTES}
+    SELECT query_id, neighbor_id, adc_dist, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rn
+      FROM adc)
+    WHERE rn <= {_BATCH_K}
+    """,
+    doc="BATCH IVF+PQ serving (the FAISS IVFADC production shape, "
+    f"batched): the {_BATCH_QUERIES}-query batch routes through the "
+    "PERSISTED IVF indexes exactly as ann_batch_probe_topk — per-query "
+    f"probes of the {_BATCH_PROBES} nearest centroids against the "
+    "broadcast centroid table, candidates from the inverted-list scan "
+    "— but candidates are scored by PQ ASYMMETRIC DISTANCE from the "
+    "PERSISTED PQ index: each query's 8×10 LUT of exact partial "
+    "distances broadcasts, and a candidate costs Σ LUT[sub][code] "
+    "over its stored 8-byte code — the probed lists are scanned as "
+    "CODES, never as raw vectors. That composition is the entire "
+    "100 TB serving economy: routing prunes to ~nprobe/k of the "
+    "corpus, compression makes what remains 8 B/vector in RAM, and "
+    "the raw vectors stay cold. Per-query top-10 via grouped_topk "
+    "(partitioned window, no global window). All scaled-integer "
+    "exact, fully tie-broken — bit-stable at any parallelism. "
+    "Single-query/small-batch rungs: ivf_pq_search_topk, "
+    "pq_adc_search_topk.",
+    prepare=_prepare_ivf_pq,
+)
+def ann_batch_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    adc = _batch_adc_dists(spark, sf_dir)
     return grouped_topk(
         adc, ["query_id"], [F.col("adc_dist"), F.col("neighbor_id")], _BATCH_K
     ).select(

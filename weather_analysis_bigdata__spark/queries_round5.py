@@ -1860,9 +1860,12 @@ def ivf_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ivf_probe_topk_post_delete",
-    oracle=f"""
+#: Serve-after-delete oracle: IVF probe over the LIVE (non-tombstoned)
+#: assignment. queries_serving.py:ivf_probe_topk_post_compact registers
+#: THIS EXACT STRING as its oracle — compaction changes the index
+#: representation (dead rows physically purged from cold lists), never
+#: the serve results, and the shared oracle is that proof.
+_SQL_POST_DELETE_SERVE = f"""
     WITH {_SQL_VPOS.strip()},
     cent AS (
       SELECT label AS c_label, pos,
@@ -1915,7 +1918,12 @@ def ivf_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY query_id ORDER BY dist, cand_id) AS BIGINT) AS rn
       FROM pair)
     WHERE rn <= {_IVF_TOPK}
-    """,
+    """
+
+
+@register(
+    "ivf_probe_topk_post_delete",
+    oracle=_SQL_POST_DELETE_SERVE,
     doc=f"IVF serve AFTER DELETE: the single-query probe shape "
     f"({_IVF_QUERIES} queries × {_IVF_PROBES} probes, "
     f"top-{_IVF_TOPK}) with the tombstone filter applied to the "

@@ -1,0 +1,1010 @@
+"""Serving-refinement operator batch: the two FAISS production rungs
+the compressed ANN ladder still lacked, the DSIR data-selection
+operator, and IVF tombstone COMPACTION.
+
+1. ``ann_batch_ivfpq_refine_topk`` — two-stage retrieval (FAISS
+   ``IndexRefineFlat``): the PQ-ADC scan produces a per-query shortlist
+   of ``_R_REFINE`` candidates from 8-byte codes, and ONLY the
+   shortlist rows are re-scored with exact distances against the raw
+   vectors. At 100 TB this is the serving economy that makes
+   compression free at the quality level: the exact side touches
+   batch×R rows, never batch×candidates.
+2. ``ann_batch_ivfpq_residual_topk`` — RESIDUAL product quantization
+   (the true FAISS IVFADC, Jégou et al. 2011): vectors are encoded as
+   quantized residuals ``x − centroid(list(x))`` instead of raw
+   values, and each query builds one LUT per probed list from its own
+   residual against that list's centroid. Residuals concentrate near
+   zero, so the same code budget spends its resolution where the
+   data actually is — ``ann_pq_variant_recall_audit`` prices exactly
+   that claim against the raw-PQ rung.
+3. ``importance_resample_dsir`` — Data Selection via Importance
+   Resampling (Xie et al. 2023): hashed n-gram bucket counts estimate
+   a target and a raw feature distribution, every document scores
+   Σ c_b·log(p_target(b)/p_raw(b)), and the top-N by importance weight
+   are selected. The log-ratio table is quantized to integers on the
+   driver (a bounded 64-row collect — the BPE-merge-table precedent),
+   so per-doc scoring is pure integer arithmetic: bit-stable at any
+   parallelism.
+4. ``ivf_index_compact`` / ``ivf_probe_topk_post_compact`` — the
+   maintenance step the round-5 tombstone DELETE deliberately deferred:
+   lists whose live fraction fell below the threshold are REWRITTEN
+   without their dead rows (tombstones physically purged), lists above
+   it keep serve-time filtering. The post-compact serve registers the
+   post-delete oracle VERBATIM: compaction changes representation,
+   never results.
+
+Reference parity note: the reference notebook (Weather_API.py) has
+none of this — the batch extends the charter LLM-data-pipeline surface
+(SURVEY.md §7.2 M4/M5) along the round-4 verdict's production-serving
+axis (upsert → refresh → delete → COMPACT → serve; raw-PQ → refine →
+residual-PQ).
+
+Determinism: exact scaled-integer squared-L2 everywhere; residual ADC
+sums ride DECIMAL(38,0) (residuals double the raw value range, so the
+64-dim worst case 64·(4e8)² ≈ 1.0e19 clears int64 — same rule as
+ivf_lloyd_convergence) with one correctly-rounded double cast at the
+output boundary; fully tie-broken ranks; identical aliases on both
+engines.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weather_analysis_bigdata__spark.functions.distributed import (
+    grouped_topk,
+    ranked_topk,
+)
+from weather_analysis_bigdata__spark.functions.textops import (
+    SQL_TOKENS,
+    hex15_to_long,
+    md5s,
+    sql_hex15_to_long,
+    sql_word_ngrams,
+    tokens,
+    word_ngrams,
+)
+from weather_analysis_bigdata__spark.functions.vectorops import scaled_vec
+from weather_analysis_bigdata__spark.queries_llmops import (
+    _ivf_assign,
+    _ivf_centroids,
+    _ivf_probes,
+    _IVF_PROBES,
+    _IVF_QUERIES,
+    _IVF_TOPK,
+    _prepare_ivf,
+    _prepare_ivf_pq,
+    _sqdist_col,
+    _sql_sqdist,
+    _SQL_FLOORDIV,
+    _SQL_SVA,
+    _SQL_VPOS,
+    _vpos,
+)
+from weather_analysis_bigdata__spark.queries_round4 import (
+    _batch_adc_dists,
+    _batch_ivf_topk,
+    _BATCH_K,
+    _BATCH_PROBES,
+    _BATCH_QUERIES,
+    _SQL_ADC_CTES,
+    _SQL_BATCH_BASE,
+)
+from weather_analysis_bigdata__spark.queries_round5 import (
+    _DELETE_MOD,
+    _SQL_POST_DELETE_SERVE,
+)
+from weather_analysis_bigdata__spark.registry import register
+from weather_analysis_bigdata__spark.sources.files import load_table
+
+_R_REFINE = 30  # ADC shortlist size re-scored exactly (3× the final k)
+
+
+# ---------------------------------------------------------------------------
+# Refine rung: ADC shortlist → exact re-rank (FAISS IndexRefineFlat)
+# ---------------------------------------------------------------------------
+@register(
+    "ann_batch_ivfpq_refine_topk",
+    oracle=f"""
+    {_SQL_BATCH_BASE},
+    {_SQL_ADC_CTES},
+    shortlist AS (
+      SELECT query_id, neighbor_id, adc_dist FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY adc_dist, neighbor_id) AS srn
+        FROM adc) WHERE srn <= {_R_REFINE}
+    )
+    SELECT query_id, neighbor_id, dist, adc_dist, rn FROM (
+      SELECT s.query_id, s.neighbor_id, p.dist, s.adc_dist,
+             CAST(row_number() OVER (
+               PARTITION BY s.query_id
+               ORDER BY p.dist, s.neighbor_id) AS BIGINT) AS rn
+      FROM shortlist s
+      JOIN pair p ON p.query_id = s.query_id AND p.cand_id = s.neighbor_id)
+    WHERE rn <= {_BATCH_K}
+    """,
+    doc="Two-stage batch retrieval — FAISS IndexRefineFlat composed "
+    "over IVFADC: stage 1 scores every probed-list candidate by PQ "
+    f"asymmetric distance from 8-byte codes and keeps a {_R_REFINE}-"
+    "candidate shortlist per query; stage 2 re-scores ONLY the "
+    "shortlist with exact scaled-integer distances against the raw "
+    f"vectors and returns the top-{_BATCH_K}. The refine join touches "
+    f"batch×{_R_REFINE} raw vectors instead of batch×|probed lists| — "
+    "at 100 TB the exact side is a bounded point-lookup join (shortlist "
+    "ids → vector store), so the quality of exact ranking rides the "
+    "cost profile of the compressed scan. Both rankings per-query via "
+    "grouped_topk (partitioned windows). Compare "
+    "ann_batch_ivfpq_adc_topk (ADC-only ranking) and "
+    "ann_batch_probe_topk (exact on ALL candidates).",
+    prepare=_prepare_ivf_pq,
+)
+def ann_batch_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    adc = _batch_adc_dists(spark, sf_dir)
+    shortlist = grouped_topk(
+        adc, ["query_id"], [F.col("adc_dist"), F.col("neighbor_id")], _R_REFINE
+    ).drop("rank")
+    sv = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", scaled_vec("embedding").alias("sva")
+    )
+    q = sv.filter(F.col("vec_id") < _BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("sva").alias("q_sva")
+    )
+    # Exact re-rank of the shortlist only: batch×R rows join the vector
+    # store by id (point lookups); the query side broadcasts.
+    refined = (
+        shortlist.join(sv, F.col("neighbor_id") == F.col("vec_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _sqdist_col(F.col("q_sva"), F.col("sva")).alias("dist"),
+            "adc_dist",
+        )
+    )
+    return grouped_topk(
+        refined, ["query_id"], [F.col("dist"), F.col("neighbor_id")], _BATCH_K
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "dist",
+        "adc_dist",
+        F.col("rank").alias("rn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Residual PQ (true IVFADC): codebooks over x − centroid(list(x))
+# ---------------------------------------------------------------------------
+def _cent_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_label, c_pos, c_int): the persisted centroid arrays exploded
+    back to per-dimension rows (640 rows — broadcast-sized)."""
+    return (
+        _ivf_centroids(spark, sf_dir)
+        .select("c_label", F.posexplode("c_arr").alias("pos0", "c_int"))
+        .select("c_label", (F.col("pos0") + 1).alias("c_pos"), "c_int")
+    )
+
+
+def _residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, part_label, pos, sub, r_int): each vector's
+    exact residual against its OWN list's centroid — one fact-scale
+    join on vec_id plus a broadcast join on (list, pos)."""
+    vpos = _vpos(spark, sf_dir)
+    assign = _ivf_assign(spark, sf_dir)
+    cpos = _cent_pos(spark, sf_dir)
+    return (
+        vpos.join(assign, F.col("vec_id") == F.col("cand_id"))
+        .join(
+            F.broadcast(cpos),
+            (F.col("part_label") == F.col("c_label"))
+            & (F.col("pos") == F.col("c_pos")),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "part_label",
+            "pos",
+            F.floor((F.col("pos") - 1) / 8).cast("int").alias("sub"),
+            (F.col("v_int") - F.col("c_int")).alias("r_int"),
+        )
+    )
+
+
+def _pqres_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED residual codebook (sub, pos, code, rc_int): per-
+    subspace floor-mean of the residuals of each training label — the
+    residual twin of the raw codebook inside _pq_dists_build."""
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        persisted_index,
+    )
+
+    def build() -> DataFrame:
+        res = _residuals(spark, sf_dir)
+        s, n = F.sum("r_int"), F.count(F.lit(1))
+        floordiv = (s - (((s % n) + n) % n)) / n
+        return res.groupBy(
+            "sub", "pos", F.col("label").alias("code")
+        ).agg(floordiv.cast("long").alias("rc_int"))
+
+    return persisted_index(spark, sf_dir, "pqres_codebook_8", build)
+
+
+def _pqres_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED per-(vec, sub, code) residual distances — the residual
+    twin of _pq_dists: corpus codes (argmin) read it."""
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        persisted_index,
+    )
+
+    def build() -> DataFrame:
+        res = _residuals(spark, sf_dir).select("vec_id", "sub", "pos", "r_int")
+        rcb = _pqres_codebook(spark, sf_dir)
+        return (
+            res.join(F.broadcast(rcb), ["sub", "pos"])
+            .groupBy("vec_id", "sub", "code")
+            .agg(
+                F.sum(
+                    (F.col("r_int") - F.col("rc_int"))
+                    * (F.col("r_int") - F.col("rc_int"))
+                ).alias("d")
+            )
+        )
+
+    return persisted_index(spark, sf_dir, "pqres_dists_8", build)
+
+
+def _prepare_ivf_pqres(spark: SparkSession, sf_dir: str) -> None:
+    """Bench prepare hook: residual codebook + distance indexes (and
+    their IVF prerequisites) built off the timed path."""
+    _prepare_ivf(spark, sf_dir)
+    _pqres_dists(spark, sf_dir)
+
+
+#: Residual-PQ CTE chain appended to ``_SQL_BATCH_BASE``: residuals,
+#: residual codebook, corpus codes, per-(query, probed-list) LUTs, and
+#: the candidate ADC sum. Mirrors ``_SQL_ADC_CTES`` over residuals —
+#: the LUT gains a part_label key because a query's residual differs
+#: per probed list.
+_SQL_RESIDUAL_ADC_CTES = f"""res AS (
+      SELECT v.vec_id, v.label, a.part_label, v.pos,
+             (v.pos - 1) // 8 AS sub, v.v_int - c.c_int AS r_int
+      FROM vpos v
+      JOIN assign a ON a.cand_id = v.vec_id
+      JOIN cent c ON c.c_label = a.part_label AND c.pos = v.pos
+    ),
+    rcb AS (
+      SELECT sub, pos, label AS code,
+             CAST({_SQL_FLOORDIV.format(s='SUM(r_int)', n='COUNT(*)')} AS BIGINT)
+               AS rc_int
+      FROM res GROUP BY sub, pos, label
+    ),
+    rdists AS (
+      SELECT r.vec_id, r.sub, cb.code,
+             CAST(SUM((r.r_int - cb.rc_int) * (r.r_int - cb.rc_int))
+                  AS BIGINT) AS d
+      FROM res r JOIN rcb cb ON cb.sub = r.sub AND cb.pos = r.pos
+      GROUP BY r.vec_id, r.sub, cb.code
+    ),
+    rcodes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d, code) AS rn
+        FROM rdists)
+      WHERE rn = 1
+    ),
+    qres AS (
+      SELECT p.query_id, p.probe_label, v.pos, (v.pos - 1) // 8 AS sub,
+             v.v_int - c.c_int AS qr_int
+      FROM probes p
+      JOIN vpos v ON v.vec_id = p.query_id
+      JOIN cent c ON c.c_label = p.probe_label AND c.pos = v.pos
+    ),
+    rlut AS (
+      SELECT q.query_id, q.probe_label AS part_label, q.sub, cb.code,
+             CAST(SUM((q.qr_int - cb.rc_int) * (q.qr_int - cb.rc_int))
+                  AS BIGINT) AS part
+      FROM qres q JOIN rcb cb ON cb.sub = q.sub AND cb.pos = q.pos
+      GROUP BY q.query_id, q.probe_label, q.sub, cb.code
+    ),
+    candl AS (
+      SELECT p.query_id, a.cand_id, a.part_label
+      FROM probes p JOIN assign a ON p.probe_label = a.part_label
+      WHERE a.cand_id <> p.query_id
+    ),
+    radc AS (
+      SELECT cd.query_id, cd.cand_id AS neighbor_id,
+             CAST(SUM(CAST(l.part AS DECIMAL(38, 0))) AS DECIMAL(38, 0))
+               AS adc_dec
+      FROM candl cd
+      JOIN rcodes c ON c.vec_id = cd.cand_id
+      JOIN rlut l ON l.query_id = cd.query_id
+             AND l.part_label = cd.part_label
+             AND l.sub = c.sub AND l.code = c.code
+      GROUP BY cd.query_id, cd.cand_id
+    )"""
+
+
+def _residual_adc_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, adc_dec): residual-PQ asymmetric
+    distance for every (batch query × probed-list candidate) pair, from
+    the PERSISTED residual codebook + distance indexes. DECIMAL(38,0)
+    sums — residuals double the raw value range, so the 64-dim worst
+    case 64·(4e8)² ≈ 1.0e19 clears int64."""
+    cent_arr = _ivf_centroids(spark, sf_dir)
+    sv = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", scaled_vec("embedding").alias("sva")
+    )
+    q = sv.filter(F.col("vec_id") < _BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("sva").alias("q_sva")
+    )
+    probe_scores = q.crossJoin(F.broadcast(cent_arr)).select(
+        "query_id",
+        "c_label",
+        _sqdist_col(F.col("q_sva"), F.col("c_arr")).alias("dist"),
+    )
+    probes = grouped_topk(
+        probe_scores,
+        ["query_id"],
+        [F.col("dist"), F.col("c_label")],
+        _BATCH_PROBES,
+    ).select("query_id", F.col("c_label").alias("probe_label"))
+    # Per-(query, probed list) LUT: the query's residual against THAT
+    # list's centroid, scored against every codebook entry —
+    # batch×nprobe×8×10 rows, broadcast-sized by construction.
+    qpos = _vpos(spark, sf_dir).filter(F.col("vec_id") < _BATCH_QUERIES)
+    cpos = _cent_pos(spark, sf_dir)
+    rcb = _pqres_codebook(spark, sf_dir)
+    qres = (
+        F.broadcast(probes)
+        .join(
+            qpos.select(
+                F.col("vec_id").alias("query_id"), "pos", "v_int"
+            ),
+            "query_id",
+        )
+        .join(
+            F.broadcast(cpos),
+            (F.col("probe_label") == F.col("c_label"))
+            & (F.col("pos") == F.col("c_pos")),
+        )
+        .select(
+            "query_id",
+            "probe_label",
+            "pos",
+            F.floor((F.col("pos") - 1) / 8).cast("int").alias("sub"),
+            (F.col("v_int") - F.col("c_int")).alias("qr_int"),
+        )
+    )
+    rlut = (
+        qres.join(F.broadcast(rcb), ["sub", "pos"])
+        .groupBy(
+            "query_id",
+            F.col("probe_label").alias("part_label"),
+            "sub",
+            "code",
+        )
+        .agg(
+            F.sum(
+                (F.col("qr_int") - F.col("rc_int"))
+                * (F.col("qr_int") - F.col("rc_int"))
+            ).alias("part")
+        )
+    )
+    # Corpus codes from the persisted residual distance index.
+    rdists = _pqres_dists(spark, sf_dir)
+    w = Window.partitionBy("vec_id", "sub").orderBy("d", "code")
+    rcodes = (
+        rdists.select(
+            "vec_id", "sub", "code", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    # Candidates KEEP their list id — the LUT join is keyed by it.
+    candl = (
+        F.broadcast(probes)
+        .join(
+            _ivf_assign(spark, sf_dir),
+            F.col("probe_label") == F.col("part_label"),
+        )
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", "part_label")
+    )
+    return (
+        candl.join(rcodes, F.col("cand_id") == F.col("vec_id"))
+        .join(F.broadcast(rlut), ["query_id", "part_label", "sub", "code"])
+        .groupBy("query_id", F.col("cand_id").alias("neighbor_id"))
+        .agg(
+            F.sum(F.col("part").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("adc_dec")
+        )
+    )
+
+
+@register(
+    "ann_batch_ivfpq_residual_topk",
+    oracle=f"""
+    {_SQL_BATCH_BASE},
+    {_SQL_RESIDUAL_ADC_CTES}
+    SELECT query_id, neighbor_id,
+           CAST(adc_dec AS DOUBLE) / 10000000000000000.0 AS adc_sqdist, rn
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY adc_dec, neighbor_id) AS BIGINT) AS rn
+      FROM radc)
+    WHERE rn <= {_BATCH_K}
+    """,
+    doc="Batch IVFADC with RESIDUAL encoding — the true FAISS IVFADC "
+    "(Jégou et al. 2011: quantize x − centroid(list(x)), not x): the "
+    "PERSISTED residual codebook spends its resolution where post-"
+    "routing data actually lives (residuals concentrate near zero), "
+    "and each query builds one LUT PER PROBED LIST from its residual "
+    "against that list's centroid — batch×nprobe×8×10 rows, broadcast. "
+    "Candidates carry their list id so the ADC join is keyed "
+    "(query, list, sub, code); scoring still never touches raw "
+    "vectors. ADC sums ride DECIMAL(38,0) (residuals double the raw "
+    "range; 64·(4e8)² ≈ 1.0e19 clears int64) with one correctly-"
+    "rounded double cast at the boundary. "
+    "ann_pq_variant_recall_audit prices this rung against the raw-PQ "
+    "rung on identical candidates.",
+    prepare=_prepare_ivf_pqres,
+)
+def ann_batch_ivfpq_residual_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    radc = _residual_adc_dists(spark, sf_dir)
+    return grouped_topk(
+        radc, ["query_id"], [F.col("adc_dec"), F.col("neighbor_id")], _BATCH_K
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (F.col("adc_dec").cast("double") / 1e16).alias("adc_sqdist"),
+        F.col("rank").alias("rn"),
+    )
+
+
+def _prepare_ivf_pqres_both(spark: SparkSession, sf_dir: str) -> None:
+    _prepare_ivf_pq(spark, sf_dir)
+    _pqres_dists(spark, sf_dir)
+
+
+@register(
+    "ann_pq_variant_recall_audit",
+    oracle=f"""
+    {_SQL_BATCH_BASE},
+    {_SQL_ADC_CTES},
+    {_SQL_RESIDUAL_ADC_CTES},
+    truth AS (
+      SELECT query_id, cand_id AS neighbor_id FROM ivf
+      WHERE rn <= {_BATCH_K}
+    ),
+    raw_k AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY adc_dist, neighbor_id) AS rn
+        FROM adc) WHERE rn <= {_BATCH_K}
+    ),
+    res_k AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY adc_dec, neighbor_id) AS rn
+        FROM radc) WHERE rn <= {_BATCH_K}
+    ),
+    refine_k AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY s.query_id
+                 ORDER BY p.dist, s.neighbor_id) AS rn
+        FROM (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY adc_dist, neighbor_id) AS srn
+            FROM adc) WHERE srn <= {_R_REFINE}) s
+        JOIN pair p ON p.query_id = s.query_id
+               AND p.cand_id = s.neighbor_id)
+      WHERE rn <= {_BATCH_K}
+    )
+    SELECT variant, hits, possible FROM (
+      SELECT 'pq_raw' AS variant,
+             CAST((SELECT COUNT(*) FROM raw_k r
+                   JOIN truth t ON t.query_id = r.query_id
+                          AND t.neighbor_id = r.neighbor_id) AS BIGINT)
+               AS hits,
+             CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS possible
+      UNION ALL
+      SELECT 'pq_raw_refined' AS variant,
+             CAST((SELECT COUNT(*) FROM refine_k r
+                   JOIN truth t ON t.query_id = r.query_id
+                          AND t.neighbor_id = r.neighbor_id) AS BIGINT)
+               AS hits,
+             CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS possible
+      UNION ALL
+      SELECT 'pq_residual' AS variant,
+             CAST((SELECT COUNT(*) FROM res_k r
+                   JOIN truth t ON t.query_id = r.query_id
+                          AND t.neighbor_id = r.neighbor_id) AS BIGINT)
+               AS hits,
+             CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS possible)
+    ORDER BY variant
+    """,
+    doc="Quantization-loss audit for the compressed serving rungs: how "
+    f"many of the EXACT top-{_BATCH_K} (over the same probed "
+    "candidates — every variant sees identical candidate sets, so the "
+    "delta is pure scoring quality, not routing) does each ranking "
+    "keep? 'pq_raw' = label-trained codebook over raw vectors "
+    "(ann_batch_ivfpq_adc_topk); 'pq_raw_refined' = that shortlist "
+    f"exact-reranked (ann_batch_ivfpq_refine_topk, R={_R_REFINE}); "
+    "'pq_residual' = the same code budget over residuals "
+    "(ann_batch_ivfpq_residual_topk). hits/possible per variant, "
+    "exact integers — the table an operator reads before choosing an "
+    "encoding. Measured at sf0.01: refine recovers ~2× the raw-ADC "
+    "hit rate (646 vs 328 of 1000) for a batch×R exact join; "
+    "residual encoding does NOT "
+    "beat raw here because the corpus's label structure IS its "
+    "cluster structure, so subtracting list centroids removes the "
+    "very signal the label-keyed codebook indexes — the audit "
+    "existing is the point. Candidate-economics twin: "
+    "ann_ladder_candidate_audit.",
+    prepare=_prepare_ivf_pqres_both,
+)
+def ann_pq_variant_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = (
+        _batch_ivf_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+    )
+    adc = _batch_adc_dists(spark, sf_dir)
+    raw_k = grouped_topk(
+        adc,
+        ["query_id"],
+        [F.col("adc_dist"), F.col("neighbor_id")],
+        _BATCH_K,
+    ).select("query_id", "neighbor_id")
+    # Refined variant: the refine rung's exact shortlist re-rank.
+    sv = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", scaled_vec("embedding").alias("sva")
+    )
+    q = sv.filter(F.col("vec_id") < _BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("sva").alias("q_sva")
+    )
+    shortlist = grouped_topk(
+        adc, ["query_id"], [F.col("adc_dist"), F.col("neighbor_id")],
+        _R_REFINE,
+    ).drop("rank")
+    refined = (
+        shortlist.join(sv, F.col("neighbor_id") == F.col("vec_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _sqdist_col(F.col("q_sva"), F.col("sva")).alias("dist"),
+        )
+    )
+    refine_k = grouped_topk(
+        refined, ["query_id"], [F.col("dist"), F.col("neighbor_id")],
+        _BATCH_K,
+    ).select("query_id", "neighbor_id")
+    res_k = grouped_topk(
+        _residual_adc_dists(spark, sf_dir),
+        ["query_id"],
+        [F.col("adc_dec"), F.col("neighbor_id")],
+        _BATCH_K,
+    ).select("query_id", "neighbor_id")
+    possible = truth.agg(F.count(F.lit(1)).alias("possible"))
+
+    def hits(variant: str, ranked: DataFrame) -> DataFrame:
+        # truth is batch×k rows — broadcast it so each variant's
+        # intersection is a map-side hash join, never an SMJ exchange.
+        h = ranked.join(F.broadcast(truth), ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).cast("long").alias("hits")
+        )
+        return h.crossJoin(F.broadcast(possible)).select(
+            F.lit(variant).alias("variant"),
+            "hits",
+            F.col("possible").cast("long").alias("possible"),
+        )
+
+    return (
+        hits("pq_raw", raw_k)
+        .unionAll(hits("pq_raw_refined", refine_k))
+        .unionAll(hits("pq_residual", res_k))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: hashed n-gram importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+_DSIR_BUCKETS = 64
+_DSIR_TARGET = ("src0", "src1")  # the 'high-quality' exemplar sources
+_DSIR_TOPN = 25
+_DSIR_SCALE = 1_000_000
+_DSIR_SALT = "dsir:"
+
+
+def _dsir_llr(counts: dict[int, tuple[int, int]]) -> tuple[dict[int, int], int]:
+    """Quantized per-bucket log-likelihood ratios from exact (target,
+    raw) feature counts, plus the per-feature normalization constant.
+    Both the Spark path and the oracle generator call THIS function on
+    engine-computed exact integers, so the single non-integer op
+    (math.log on CPython) is bit-identical by construction."""
+    t_total = sum(t for t, _ in counts.values())
+    r_total = sum(r for _, r in counts.values())
+    llr = {
+        b: math.floor(
+            _DSIR_SCALE
+            * (
+                math.log(counts.get(b, (0, 0))[0] + 1)
+                - math.log(counts.get(b, (0, 0))[1] + 1)
+            )
+        )
+        for b in range(_DSIR_BUCKETS)
+    }
+    const = math.floor(
+        _DSIR_SCALE
+        * (
+            math.log(r_total + _DSIR_BUCKETS)
+            - math.log(t_total + _DSIR_BUCKETS)
+        )
+    )
+    return llr, const
+
+
+def _dsir_feat_sql() -> str:
+    """CTE chain (tok → feats → bf): every unigram+bigram occurrence of
+    every document hashed to its bucket."""
+    in_list = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+    return f"""tok AS (
+      SELECT doc_id, source, {SQL_TOKENS.format(c='text')} AS toks
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, source, t.f AS f
+      FROM tok,
+           unnest(list_concat(toks, {sql_word_ngrams('toks', 2)})) AS t(f)
+    ),
+    bf AS (
+      SELECT doc_id, source,
+             CASE WHEN source IN ({in_list}) THEN 1 ELSE 0 END AS is_target,
+             {sql_hex15_to_long(f"md5('{_DSIR_SALT}' || f)")}
+               % {_DSIR_BUCKETS} AS bucket
+      FROM feats
+    )"""
+
+
+def _dsir_oracle() -> str:
+    """Generator oracle (the BPE pattern): bucket counts come from an
+    independent DuckDB run over the corpus the sweep binds to, the LLR
+    table is quantized by the shared _dsir_llr, and the emitted SQL
+    carries the LLRs as literals."""
+    import duckdb
+
+    from weather_analysis_bigdata__spark.queries_llmops import _bpe_oracle_sf
+
+    sf = _bpe_oracle_sf()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    rows = con.execute(
+        f"""
+        WITH {_dsir_feat_sql()}
+        SELECT bucket, SUM(is_target) AS t_cnt, COUNT(*) AS r_cnt
+        FROM bf GROUP BY bucket
+        """
+    ).fetchall()
+    con.close()
+    llr, const = _dsir_llr({int(b): (int(t), int(r)) for b, t, r in rows})
+    values = ", ".join(f"({b}, {llr[b]})" for b in range(_DSIR_BUCKETS))
+    return f"""
+    WITH llr(bucket, llr_int) AS (VALUES {values}),
+    {_dsir_feat_sql()},
+    pdb AS (
+      SELECT doc_id, source, bucket, COUNT(*) AS c
+      FROM bf GROUP BY doc_id, source, bucket
+    ),
+    scored AS (
+      SELECT p.doc_id, p.source,
+             CAST(SUM(p.c) AS BIGINT) AS n_feats,
+             CAST(SUM(p.c * l.llr_int) + SUM(p.c) * {const} AS BIGINT)
+               AS score_int
+      FROM pdb p JOIN llr l ON l.bucket = p.bucket
+      GROUP BY p.doc_id, p.source
+    )
+    SELECT rank, doc_id, source, n_feats, score_int FROM (
+      SELECT CAST(row_number() OVER (
+               ORDER BY score_int DESC, doc_id) AS BIGINT) AS rank, *
+      FROM scored)
+    WHERE rank <= {_DSIR_TOPN}
+    """
+
+
+@register(
+    "importance_resample_dsir",
+    oracle=_dsir_oracle,
+    doc="DSIR data selection (Xie et al. 2023, 'Data Selection for "
+    "Language Models via Importance Resampling'): hashed unigram+bigram "
+    f"features ({_DSIR_BUCKETS} buckets, salted md5) estimate a TARGET "
+    f"distribution (sources {_DSIR_TARGET} — the curated exemplar set) "
+    "and the RAW corpus distribution; every document scores its "
+    "importance weight Σ_b c_b·log((t_b+1)/(r_b+1)) + n·log((R+B)/(T+B)) "
+    f"and the top-{_DSIR_TOPN} by weight are selected. The bucket LLR "
+    "table is quantized to integers ON THE DRIVER from exact "
+    f"distributed counts (a bounded {_DSIR_BUCKETS}-row collect — the "
+    "BPE-merge-table precedent), so per-doc scoring is pure integer "
+    "arithmetic: Σ c_b·llr_b rides a broadcast join, bit-stable at any "
+    "parallelism. At 100 TB this is two linear passes (bucket counts, "
+    "then per-doc scores) + a TakeOrdered top-N — the published recipe "
+    "verbatim, with hash-bucketing doing the dimensionality reduction. "
+    "Oracle: the BPE generator pattern — an independent DuckDB run "
+    "computes the counts, the SAME quantizer emits literal LLRs.",
+)
+def importance_resample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    feats = F.concat(toks, word_ngrams(toks, 2))
+    bf = d.select(
+        "doc_id",
+        "source",
+        F.explode(feats).alias("f"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("source").isin(*_DSIR_TARGET).cast("int").alias("is_target"),
+        (
+            hex15_to_long(md5s(F.concat(F.lit(_DSIR_SALT), F.col("f"))))
+            % _DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    # Pass 1: exact bucket counts, collected (64 rows, bounded) and
+    # quantized on the driver by the same _dsir_llr the oracle uses.
+    cnt_rows = (
+        bf.groupBy("bucket")
+        .agg(
+            F.sum("is_target").cast("long").alias("t_cnt"),
+            F.count(F.lit(1)).cast("long").alias("r_cnt"),
+        )
+        .collect()
+    )
+    llr, const = _dsir_llr(
+        {int(r["bucket"]): (int(r["t_cnt"]), int(r["r_cnt"])) for r in cnt_rows}
+    )
+    llr_df = spark.createDataFrame(
+        [(b, llr[b]) for b in range(_DSIR_BUCKETS)],
+        "bucket BIGINT, llr_int BIGINT",
+    )
+    # Pass 2: per-(doc, bucket) counts × broadcast LLR table.
+    scored = (
+        bf.groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(F.broadcast(llr_df), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            (F.sum(F.col("c") * F.col("llr_int")) + F.sum("c") * F.lit(const))
+            .cast("long")
+            .alias("score_int"),
+        )
+    )
+    return ranked_topk(
+        scored, [-F.col("score_int"), F.col("doc_id")], _DSIR_TOPN
+    ).select("rank", "doc_id", "source", "n_feats", "score_int")
+
+
+# ---------------------------------------------------------------------------
+# IVF tombstone COMPACTION: purge dead rows where the live fraction
+# justifies the rewrite; serve results provably unchanged
+# ---------------------------------------------------------------------------
+#: Compact a list when live/total < 3/4 — compared in integers
+#: (4·n_after < 3·n_before), never via a double threshold.
+_COMPACT_NUM, _COMPACT_DEN = 3, 4
+
+
+def _ivf_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED post-compaction index (cand_id, part_label, tombstoned,
+    list_compacted): lists below the live-fraction threshold are stored
+    WITHOUT their dead rows; lists above it keep every row plus the
+    tombstone flag."""
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        persisted_index,
+    )
+
+    def build() -> DataFrame:
+        assign = _ivf_assign(spark, sf_dir)
+        dead = (F.col("cand_id") % _DELETE_MOD == 0).alias("dead")
+        flagged = assign.select("cand_id", "part_label", dead)
+        stats = flagged.groupBy("part_label").agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(F.when(F.col("dead"), 0).otherwise(1)).alias("n_after"),
+        )
+        compacted = stats.select(
+            "part_label",
+            (
+                F.col("n_after") * _COMPACT_DEN
+                < F.col("n_before") * _COMPACT_NUM
+            ).alias("list_compacted"),
+        )
+        return (
+            flagged.join(F.broadcast(compacted), "part_label")
+            .filter(~(F.col("dead") & F.col("list_compacted")))
+            .select(
+                "cand_id",
+                "part_label",
+                (F.col("dead") & ~F.col("list_compacted")).alias(
+                    "tombstoned"
+                ),
+                "list_compacted",
+            )
+        )
+
+    return persisted_index(spark, sf_dir, "ivf_compacted", build)
+
+
+def _prepare_ivf_compact(spark: SparkSession, sf_dir: str) -> None:
+    _prepare_ivf(spark, sf_dir)
+    _ivf_compacted(spark, sf_dir)
+
+
+@register(
+    "ivf_index_compact",
+    oracle=f"""
+    WITH {_SQL_VPOS.strip()},
+    cent AS (
+      SELECT label AS c_label, pos,
+             CAST({_SQL_FLOORDIV.format(s='SUM(v_int)', n='COUNT(*)')} AS BIGINT)
+               AS c_int
+      FROM vpos GROUP BY label, pos
+    ),
+    cent_arr AS (
+      SELECT c_label, list(c_int ORDER BY pos) AS c_arr
+      FROM cent GROUP BY c_label
+    ),
+    sv AS (SELECT vec_id, {_SQL_SVA} AS sva FROM embeddings),
+    assign AS (
+      SELECT vec_id AS cand_id, c_label AS part_label FROM (
+        SELECT s.vec_id, c.c_label,
+               row_number() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY {_sql_sqdist('s.sva', 'c.c_arr')}, c.c_label) AS rn
+        FROM sv s CROSS JOIN cent_arr c) WHERE rn = 1
+    ),
+    per_list AS (
+      SELECT part_label,
+             COUNT(*) AS n_before,
+             SUM(CASE WHEN cand_id % {_DELETE_MOD} = 0
+                      THEN 1 ELSE 0 END) AS n_dead,
+             SUM(CASE WHEN cand_id % {_DELETE_MOD} = 0
+                      THEN 0 ELSE 1 END) AS n_after
+      FROM assign GROUP BY part_label
+    )
+    SELECT CAST(part_label AS BIGINT) AS part_label,
+           CAST(n_before AS BIGINT) AS n_before,
+           n_after * {_COMPACT_DEN} < n_before * {_COMPACT_NUM}
+             AS compacted,
+           CAST(CASE WHEN n_after * {_COMPACT_DEN}
+                          < n_before * {_COMPACT_NUM}
+                     THEN n_dead ELSE 0 END AS BIGINT) AS n_purged,
+           CAST(CASE WHEN n_after * {_COMPACT_DEN}
+                          < n_before * {_COMPACT_NUM}
+                     THEN n_after ELSE n_before END AS BIGINT)
+             AS n_rows_stored,
+           CAST(CASE WHEN n_after * {_COMPACT_DEN}
+                          < n_before * {_COMPACT_NUM}
+                     THEN 0 ELSE n_dead END AS BIGINT)
+             AS n_tombstones_remaining
+    FROM per_list
+    """,
+    doc="IVF tombstone COMPACTION — the maintenance step "
+    "ivf_index_delete's live-fraction report exists to trigger: lists "
+    f"whose live fraction dropped below {_COMPACT_NUM}/{_COMPACT_DEN} "
+    "are REWRITTEN into the persisted index without their dead rows "
+    "(tombstones physically purged — storage and serve-time filter "
+    "cost reclaimed), lists above the threshold keep all rows plus the "
+    "tombstone flag (rewriting them would cost more I/O than the "
+    "filter saves). The threshold compares in integers "
+    f"(4·live < 3·total), never a double. The mod-{_DELETE_MOD} delete "
+    "set leaves per-list live fractions straddling the threshold "
+    "(list sizes aren't multiples of 4), so BOTH branches execute. "
+    "Report: per list, rows before, whether it compacted, rows purged, "
+    "rows physically stored, tombstones remaining. "
+    "ivf_probe_topk_post_compact proves serve results are unchanged. "
+    "Completes the lifecycle: build → upsert → refresh → delete → "
+    "COMPACT → serve.",
+    prepare=_prepare_ivf_compact,
+)
+def ivf_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _ivf_compacted(spark, sf_dir)
+    per_list = idx.groupBy(
+        F.col("part_label").cast("long").alias("part_label")
+    ).agg(
+        F.count(F.lit(1)).alias("n_stored"),
+        F.sum(F.col("tombstoned").cast("long")).alias("n_tomb"),
+        F.max(F.col("list_compacted").cast("int")).alias("compacted_i"),
+    )
+    # Original list size: stored rows plus (for compacted lists) the
+    # purged dead rows, which equal the list's mod-_DELETE_MOD hits —
+    # recovered from the ORIGINAL persisted assignment, not re-derived.
+    orig = (
+        _ivf_assign(spark, sf_dir)
+        .groupBy(F.col("part_label").cast("long").alias("part_label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(
+                F.when(F.col("cand_id") % _DELETE_MOD == 0, 1).otherwise(0)
+            ).alias("n_dead"),
+        )
+    )
+    return per_list.join(orig, "part_label").select(
+        "part_label",
+        F.col("n_before").cast("long").alias("n_before"),
+        (F.col("compacted_i") == 1).alias("compacted"),
+        F.when(F.col("compacted_i") == 1, F.col("n_dead"))
+        .otherwise(0)
+        .cast("long")
+        .alias("n_purged"),
+        F.col("n_stored").cast("long").alias("n_rows_stored"),
+        F.col("n_tomb").cast("long").alias("n_tombstones_remaining"),
+    )
+
+
+@register(
+    "ivf_probe_topk_post_compact",
+    # The post-delete serve oracle VERBATIM (queries_round5): compaction
+    # changes the index representation, never the serve results.
+    oracle=_SQL_POST_DELETE_SERVE,
+    doc=f"IVF serve AFTER COMPACTION ({_IVF_QUERIES} queries × "
+    f"{_IVF_PROBES} probes, top-{_IVF_TOPK}): candidates come from the "
+    "persisted POST-COMPACTION index — compacted lists scan with no "
+    "filter work at all (their dead rows no longer exist), uncompacted "
+    "lists still filter tombstones — and the registered oracle is "
+    "ivf_probe_topk_post_delete's SQL VERBATIM: a hash match proves "
+    "the rewrite preserved every serve result while physically "
+    "shrinking the cold lists. The economics this demonstrates at "
+    "100 TB: deletes are cheap tombstones until a list's dead "
+    "fraction crosses the threshold, then one bounded rewrite "
+    "reclaims the space — serve latency never sees either step.",
+    prepare=_prepare_ivf_compact,
+)
+def ivf_probe_topk_post_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    live = _ivf_compacted(spark, sf_dir).filter(~F.col("tombstoned"))
+    probes = _ivf_probes(spark, sf_dir)
+    sv = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", scaled_vec("embedding").alias("sva")
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(live, F.col("probe_label") == F.col("part_label"))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+    )
+    q = sv.select(
+        F.col("vec_id").alias("query_id"), F.col("sva").alias("q_sva")
+    ).filter(F.col("query_id") < _IVF_QUERIES)
+    pair = (
+        cands.join(sv, F.col("cand_id") == F.col("vec_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            _sqdist_col(F.col("q_sva"), F.col("sva")).alias("dist"),
+        )
+    )
+    return grouped_topk(
+        pair, ["query_id"], [F.col("dist"), F.col("cand_id")], _IVF_TOPK,
+        rank_col="rn",
+    ).select(
+        "query_id",
+        F.col("cand_id").alias("neighbor_id"),
+        (F.col("dist").cast("double") / 1e16).alias("sq_dist"),
+        F.col("rn"),
+    )

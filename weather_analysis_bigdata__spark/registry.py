@@ -209,6 +209,7 @@ def all_queries() -> dict[str, Query]:
     import weather_analysis_bigdata__spark.queries_round3  # noqa: F401
     import weather_analysis_bigdata__spark.queries_round4  # noqa: F401
     import weather_analysis_bigdata__spark.queries_round5  # noqa: F401
+    import weather_analysis_bigdata__spark.queries_serving  # noqa: F401
 
     # A typo'd / renamed PRIORITY entry would silently demote a flagship
     # query out of the sampled-first set — fail loudly instead.
