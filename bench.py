@@ -107,6 +107,9 @@ HEADLINE = [
     "importance_resample_dsir",
     "ivf_index_compact",
     "ivf_probe_topk_post_compact",
+    "benchmark_decontaminate",
+    "training_mix_schedule",
+    "streaming_ann_serve_replay",
 ]
 
 

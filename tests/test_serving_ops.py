@@ -255,3 +255,103 @@ def test_compacted_index_physically_smaller(spark, sf_dir):
     ).count()
     assert dead_in_compacted == 0
     assert n_purged > 0
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+def test_decontaminate_finds_every_planted_leak(spark, sf_dir, registry):
+    """Every planted excerpt donor (train doc with doc_id % 25 == 0)
+    must be flagged with at least the excerpt's 3 shared 6-grams and a
+    'dropped' verdict; all flagged docs must actually be train-split
+    members."""
+    from weather_analysis_bigdata__spark.queries_serving import (
+        _DECON_PLANT_MOD,
+        _DECON_DROP,
+    )
+    from weather_analysis_bigdata__spark.functions.textops import (
+        hex15_to_long,
+        md5s,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    rows = registry["benchmark_decontaminate"].fn(spark, sf_dir).collect()
+    assert rows
+    flagged = {r.doc_id: r for r in rows}
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            hex15_to_long(
+                md5s(
+                    F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+                )
+            )
+            % 100
+        ).alias("bucket"),
+    )
+    train_ids = {r.doc_id for r in d.filter(F.col("bucket") < 80).collect()}
+    donors = {i for i in train_ids if i % _DECON_PLANT_MOD == 0}
+    assert donors, "corpus has no planted donors — test corpus changed?"
+    for doc in donors:
+        assert doc in flagged, f"planted leak {doc} not found"
+        assert flagged[doc].n_shared_grams >= _DECON_DROP
+        assert flagged[doc].dropped
+    assert set(flagged) <= train_ids
+
+
+# ---------------------------------------------------------------------------
+# Training mix schedule
+# ---------------------------------------------------------------------------
+def test_mix_schedule_is_a_permutation_with_upweighted_density(
+    spark, sf_dir, registry
+):
+    """positions are a dense 0..N-1 permutation; within any source the
+    schedule preserves doc_id order; and the upweighted sources appear
+    ~2x as densely in the first half as their corpus share."""
+    from weather_analysis_bigdata__spark.queries_serving import (
+        _DSIR_TARGET,
+    )
+
+    rows = (
+        registry["training_mix_schedule"]
+        .fn(spark, sf_dir)
+        .orderBy("position")
+        .collect()
+    )
+    n = len(rows)
+    assert [r.position for r in rows] == list(range(n))
+    assert len({r.doc_id for r in rows}) == n
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        ordered = sorted(rs, key=lambda r: r.position)
+        ids = [r.doc_id for r in ordered]
+        assert ids == sorted(ids), f"{src} not doc_id-ordered in schedule"
+    # upweighted sources finish their stride twice as fast: all their
+    # docs land in (roughly) the first half of the schedule
+    for src in _DSIR_TARGET:
+        if src in by_src:
+            last = max(r.position for r in by_src[src])
+            assert last < 0.6 * n, (
+                f"{src} not front-loaded: last position {last} of {n}"
+            )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ANN serving
+# ---------------------------------------------------------------------------
+def test_streaming_serve_equals_batch_serve(spark, sf_dir, registry):
+    """The streamed serve must reproduce ivf_probe_topk row-for-row —
+    serving commutes with micro-batching (they also share one oracle
+    string by construction)."""
+    a = sorted(
+        map(
+            tuple,
+            registry["streaming_ann_serve_replay"].fn(spark, sf_dir).collect(),
+        )
+    )
+    b = sorted(
+        map(tuple, registry["ivf_probe_topk"].fn(spark, sf_dir).collect())
+    )
+    assert a == b and len(a) > 0

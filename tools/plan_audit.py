@@ -141,6 +141,21 @@ KNOWN_EXCEPTIONS = {
     "must run exactly what it measures; every exchange beyond those "
     "subplans carries batch×k rank rows or 1-row hit counts, "
     "intersected via broadcast (smj=0)",
+    "benchmark_decontaminate": "the reviewed shingle pipeline shape "
+    "(dedup_ngram_jaccard family): one fact-scale exchange builds the "
+    "distinct train shingle table — inherent to shingling — and every "
+    "other exchange carries benchmark-side shingles (small and fixed "
+    "by nature, then BROADCAST into the hit join, bhj=3), gram df "
+    "counts, or the ~flagged-doc aggregate; the train fact table is "
+    "never shuffled by the contamination join itself",
+    "training_mix_schedule": "two_pass_ordinals' documented TeraSort "
+    "recipe (same reviewed shape as equi_depth_bins_twopass / "
+    "decile_stats_twopass): boundary-sketch aggregate, O(parts) "
+    "bucket counts, broadcast offsets (the 2 BNLJ steps are the 1-row "
+    "offset attach), one range exchange and one bucket-partitioned "
+    "window — plus the per-source ordinal's hash exchange on source; "
+    "every exchange carries either the fact rows ONCE (the sort this "
+    "op exists to produce) or O(parts) count rows",
     # ---- WINDOW_GLOBAL reviews: every unpartitioned window below runs
     # over a PROVABLY BOUNDED reduction (O(days), O(cells), O(k)...),
     # never a fact table; fact-scale ntile yardsticks carry a
@@ -247,6 +262,8 @@ REVIEWED_FLAGS = {
     "corpus_ingest_router_multimodal": {"XCHG"},
     "ann_batch_ivfpq_residual_topk": {"XCHG"},
     "ann_pq_variant_recall_audit": {"XCHG"},
+    "benchmark_decontaminate": {"XCHG"},
+    "training_mix_schedule": {"XCHG"},
 }
 
 

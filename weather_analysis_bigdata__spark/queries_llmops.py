@@ -1758,9 +1758,11 @@ def _prepare_ivf(spark: SparkSession, sf_dir: str) -> None:
     _ivf_assign(spark, sf_dir)
 
 
-@register(
-    "ivf_probe_topk",
-    oracle=f"""
+#: The IVF serve oracle — factored to a constant because
+#: queries_serving.py:streaming_ann_serve_replay registers THIS EXACT
+#: STRING as its oracle: the streamed serve must produce the batch
+#: serve's results verbatim (serving commutes with micro-batching).
+_SQL_IVF_SERVE = f"""
     WITH {_SQL_VPOS.strip()},
     cent AS (
       SELECT label AS c_label, pos,
@@ -1809,7 +1811,12 @@ def _prepare_ivf(spark: SparkSession, sf_dir: str) -> None:
                PARTITION BY query_id ORDER BY dist, cand_id) AS BIGINT) AS rn
       FROM pair)
     WHERE rn <= {_IVF_TOPK}
-    """,
+    """
+
+
+@register(
+    "ivf_probe_topk",
+    oracle=_SQL_IVF_SERVE,
     doc=f"Full IVF ANN query path: (1) train — per-label centroids in "
     "exact scaled-integer arithmetic; (2) index — every corpus vector "
     "assigned to its nearest centroid (the inverted lists); (3) search "
