@@ -110,6 +110,7 @@ HEADLINE = [
     "benchmark_decontaminate",
     "training_mix_schedule",
     "streaming_ann_serve_replay",
+    "training_corpus_manifest",
 ]
 
 

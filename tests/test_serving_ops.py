@@ -355,3 +355,46 @@ def test_streaming_serve_equals_batch_serve(spark, sf_dir, registry):
         map(tuple, registry["ivf_probe_topk"].fn(spark, sf_dir).collect())
     )
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# Training corpus manifest (capstone)
+# ---------------------------------------------------------------------------
+def test_manifest_respects_every_stage(spark, sf_dir, registry):
+    """The manifest must contain no dropped-contaminated doc, no
+    duplicate fingerprint, no non-positive DSIR score, and its
+    positions must be a dense 0..N-1 permutation of a subset of the
+    train split."""
+    from weather_analysis_bigdata__spark.functions.textops import (
+        md5s,
+        normalized_text,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    rows = (
+        registry["training_corpus_manifest"]
+        .fn(spark, sf_dir)
+        .orderBy("position")
+        .collect()
+    )
+    assert rows
+    n = len(rows)
+    assert [r.position for r in rows] == list(range(n))
+    ids = {r.doc_id for r in rows}
+    assert len(ids) == n
+    assert all(r.score_int > 0 for r in rows)
+    # stage 2: nothing the decontamination report drops may survive
+    dropped = {
+        r.doc_id
+        for r in registry["benchmark_decontaminate"].fn(spark, sf_dir).collect()
+        if r.dropped
+    }
+    assert not (ids & dropped), f"contaminated docs leaked: {ids & dropped}"
+    # stage 3: manifest docs have pairwise-distinct fingerprints
+    fps = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(*ids))
+        .select(md5s(normalized_text("text")).alias("fp"))
+        .collect()
+    )
+    assert len({r.fp for r in fps}) == n

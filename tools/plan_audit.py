@@ -156,6 +156,14 @@ KNOWN_EXCEPTIONS = {
     "window — plus the per-source ordinal's hash exchange on source; "
     "every exchange carries either the fact rows ONCE (the sort this "
     "op exists to produce) or O(parts) count rows",
+    "training_corpus_manifest": "composition of four audited kernels "
+    "(decontaminate → fingerprint-dedup → DSIR gate → stride "
+    "schedule) with the survivor set PERSISTED before the two-pass "
+    "sort; the textual count triple-prints the cached subtree — the "
+    "plan holds 4 InMemoryTableScan references to ONE cached "
+    "pipeline, so executed exchanges are the ~15 of the component "
+    "kernels run once, not 61 (this audit counts plan TEXT, and "
+    "InMemoryRelation bodies repeat per reference)",
     # ---- WINDOW_GLOBAL reviews: every unpartitioned window below runs
     # over a PROVABLY BOUNDED reduction (O(days), O(cells), O(k)...),
     # never a fact table; fact-scale ntile yardsticks carry a
@@ -264,6 +272,7 @@ REVIEWED_FLAGS = {
     "ann_pq_variant_recall_audit": {"XCHG"},
     "benchmark_decontaminate": {"XCHG"},
     "training_mix_schedule": {"XCHG"},
+    "training_corpus_manifest": {"XCHG"},
 }
 
 

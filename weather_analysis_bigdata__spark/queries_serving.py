@@ -751,6 +751,17 @@ def _dsir_oracle() -> str:
     "computes the counts, the SAME quantizer emits literal LLRs.",
 )
 def importance_resample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _dsir_scored(spark, sf_dir)
+    return ranked_topk(
+        scored, [-F.col("score_int"), F.col("doc_id")], _DSIR_TOPN
+    ).select("rank", "doc_id", "source", "n_feats", "score_int")
+
+
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_feats, score_int): every document's exact
+    integer DSIR importance score — the shared scoring stage of
+    importance_resample_dsir (top-N selection) and
+    training_corpus_manifest (score > 0 gate)."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     feats = F.concat(toks, word_ngrams(toks, 2))
@@ -785,7 +796,7 @@ def importance_resample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket BIGINT, llr_int BIGINT",
     )
     # Pass 2: per-(doc, bucket) counts × broadcast LLR table.
-    scored = (
+    return (
         bf.groupBy("doc_id", "source", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
         .join(F.broadcast(llr_df), "bucket")
@@ -797,9 +808,6 @@ def importance_resample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("score_int"),
         )
     )
-    return ranked_topk(
-        scored, [-F.col("score_int"), F.col("doc_id")], _DSIR_TOPN
-    ).select("rank", "doc_id", "source", "n_feats", "score_int")
 
 
 # ---------------------------------------------------------------------------
@@ -1096,6 +1104,32 @@ def _sql_decon_base() -> str:
     f"drop verdict (>= {_DECON_DROP} shared grams).",
 )
 def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train, hits = _decon_hits(spark, sf_dir)
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").cast("long").alias("n_shared_grams"),
+            F.countDistinct("bench_id").cast("long").alias("n_bench_docs"),
+        )
+        .join(train.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_shared_grams",
+            "n_bench_docs",
+            (F.col("n_shared_grams") >= _DECON_DROP).alias("dropped"),
+        )
+    )
+
+
+def _decon_hits(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(train, hits): the train split plus every (train doc, shared
+    gram, benchmark item) collision against the df-capped broadcast
+    benchmark shingle index — the shared stage of
+    benchmark_decontaminate (the report) and training_corpus_manifest
+    (the drop gate)."""
     from weather_analysis_bigdata__spark.queries_llmops import _shingles
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -1135,21 +1169,7 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bshf = bsh.join(keep, "gram")
     hits = tsh.join(F.broadcast(bshf), "gram")
-    return (
-        hits.groupBy("doc_id")
-        .agg(
-            F.countDistinct("gram").cast("long").alias("n_shared_grams"),
-            F.countDistinct("bench_id").cast("long").alias("n_bench_docs"),
-        )
-        .join(train.select("doc_id", "source"), "doc_id")
-        .select(
-            "doc_id",
-            "source",
-            "n_shared_grams",
-            "n_bench_docs",
-            (F.col("n_shared_grams") >= _DECON_DROP).alias("dropped"),
-        )
-    )
+    return train, hits
 
 
 # ---------------------------------------------------------------------------
@@ -1198,19 +1218,28 @@ _MIX_UPWEIGHT = 2  # high-quality sources drawn twice as densely
     "rerun reads the identical order.",
 )
 def training_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return _stride_schedule(d).select(
+        "position", "doc_id", "source", "src_ordinal", "sched_key"
+    )
+
+
+def _stride_schedule(d: DataFrame) -> DataFrame:
+    """Add (src_ordinal, sched_key, position) stride-scheduling columns
+    to a (doc_id, source, ...) frame — the shared ordering stage of
+    training_mix_schedule (whole corpus) and training_corpus_manifest
+    (the filtered survivors)."""
     from weather_analysis_bigdata__spark.functions.distributed import (
         two_pass_ordinals,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     w_src = Window.partitionBy("source").orderBy("doc_id")
     weight = (
         F.when(F.col("source").isin(*_DSIR_TARGET), _MIX_UPWEIGHT)
         .otherwise(1)
     )
     keyed = d.select(
-        "doc_id",
-        "source",
+        "*",
         (F.row_number().over(w_src) - 1).cast("long").alias("src_ordinal"),
     ).withColumn(
         "sched_key",
@@ -1221,7 +1250,7 @@ def training_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("sched_key"), F.col("source"), F.col("doc_id")],
         8,
         ordinal_col="position",
-    ).select("position", "doc_id", "source", "src_ordinal", "sched_key")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1341,3 +1370,159 @@ def streaming_ann_serve_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(seg_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# The training-data prep capstone: split → decontaminate → dedup →
+# DSIR gate → mix schedule, one plan
+# ---------------------------------------------------------------------------
+def _manifest_oracle() -> str:
+    """Generator oracle: the DSIR LLR literals (same independent DuckDB
+    counts + shared quantizer as importance_resample_dsir) spliced into
+    the full five-stage closed form."""
+    import duckdb
+
+    from weather_analysis_bigdata__spark.functions.textops import (
+        SQL_NORMALIZED,
+    )
+    from weather_analysis_bigdata__spark.queries_llmops import _bpe_oracle_sf
+
+    sf = _bpe_oracle_sf()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    rows = con.execute(
+        f"""
+        WITH {_dsir_feat_sql()}
+        SELECT bucket, SUM(is_target) AS t_cnt, COUNT(*) AS r_cnt
+        FROM bf GROUP BY bucket
+        """
+    ).fetchall()
+    con.close()
+    llr, const = _dsir_llr({int(b): (int(t), int(r)) for b, t, r in rows})
+    values = ", ".join(f"({b}, {llr[b]})" for b in range(_DSIR_BUCKETS))
+    norm = SQL_NORMALIZED.format(c="text")
+    return f"""
+    WITH llr(bucket, llr_int) AS (VALUES {values}),
+    {_sql_decon_base()},
+    contaminated AS (
+      SELECT t.doc_id FROM tsh t JOIN bshf b ON b.gram = t.gram
+      GROUP BY t.doc_id
+      HAVING COUNT(DISTINCT t.gram) >= {_DECON_DROP}
+    ),
+    s2 AS (
+      SELECT tr.doc_id, tr.source, tr.text FROM train tr
+      WHERE tr.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    fp AS (
+      SELECT doc_id, source, md5({norm}) AS fingerprint FROM s2
+    ),
+    s3 AS (
+      SELECT f.doc_id, f.source FROM fp f
+      JOIN (SELECT fingerprint, MIN(doc_id) AS keep_id
+            FROM fp GROUP BY fingerprint) k
+        ON k.keep_id = f.doc_id
+    ),
+    {_dsir_feat_sql()},
+    pdb AS (
+      SELECT doc_id, bucket, COUNT(*) AS c FROM bf GROUP BY doc_id, bucket
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(SUM(p.c * l.llr_int) + SUM(p.c) * {const} AS BIGINT)
+               AS score_int
+      FROM pdb p JOIN llr l ON l.bucket = p.bucket
+      GROUP BY p.doc_id
+    ),
+    s4 AS (
+      SELECT s3.doc_id, s3.source, sc.score_int
+      FROM s3 JOIN scored sc ON sc.doc_id = s3.doc_id
+      WHERE sc.score_int > 0
+    ),
+    weighted AS (
+      SELECT doc_id, source, score_int,
+             CASE WHEN source IN ({", ".join(f"'{s}'" for s in _DSIR_TARGET)})
+                  THEN {_MIX_UPWEIGHT} ELSE 1 END AS weight,
+             row_number() OVER (
+               PARTITION BY source ORDER BY doc_id) - 1 AS src_ordinal
+      FROM s4
+    ),
+    keyed AS (
+      SELECT doc_id, source, score_int, src_ordinal,
+             CAST((src_ordinal + 1) * {_MIX_UPWEIGHT} / weight AS BIGINT)
+               AS sched_key
+      FROM weighted
+    )
+    SELECT CAST(row_number() OVER (
+             ORDER BY sched_key, source, doc_id) - 1 AS BIGINT) AS position,
+           doc_id, source, CAST(src_ordinal AS BIGINT) AS src_ordinal,
+           sched_key, score_int
+    FROM keyed
+    """
+
+
+@register(
+    "training_corpus_manifest",
+    oracle=_manifest_oracle,
+    doc="THE TRAINING-DATA PREP CAPSTONE — the full pipeline a "
+    "pretraining run actually executes, composed in ONE plan over the "
+    "stages this repo ships separately: (1) deterministic train split "
+    "(train_val_test_split's md5 residue); (2) benchmark "
+    "DECONTAMINATION — train docs sharing >= 3 df-capped 6-grams with "
+    "the eval set (incl. the planted leaks) dropped, benchmark index "
+    "broadcast (benchmark_decontaminate); (3) exact DEDUP — keep the "
+    "min doc_id per normalized md5 fingerprint among survivors "
+    "(dedup_fingerprint_normalized's keep-side); (4) DSIR QUALITY "
+    "GATE — keep docs whose integer importance score is positive, "
+    "i.e. target-distribution-leaning (importance_resample_dsir's "
+    "scorer; the LLR estimator still trains on the FULL corpus); "
+    "(5) the stride MIX SCHEDULE over what remains "
+    "(training_mix_schedule) — the output IS the epoch manifest: "
+    "(position, doc, source, ordinal, key, score). Every stage is the "
+    "already-audited kernel, so the composition inherits their scale "
+    "shapes: one broadcast contamination join, one fingerprint "
+    "shuffle, two linear DSIR passes, the TeraSort ordinal recipe. "
+    "At 100 TB this plan IS the data-prep job; a hash match here "
+    "proves the whole pipeline end-to-end on both engines.",
+)
+def training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.textops import (
+        normalized_text,
+    )
+
+    # Stage 1+2: train split minus contaminated docs (the report's
+    # drop set), via a broadcastable anti-join on the tiny flag table.
+    train, hits = _decon_hits(spark, sf_dir)
+    contaminated = (
+        hits.groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared"))
+        .filter(F.col("n_shared") >= _DECON_DROP)
+        .select("doc_id")
+    )
+    s2 = train.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    # Stage 3: exact-dedup keep side among survivors.
+    fp = s2.select(
+        "doc_id", "source", md5s(normalized_text("text")).alias("fingerprint")
+    )
+    keepers = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_id"))
+    s3 = fp.join(
+        keepers, F.col("doc_id") == F.col("keep_id"), "left_semi"
+    ).select("doc_id", "source")
+    # Stage 4: DSIR gate (scorer trains on the full corpus).
+    scored = _dsir_scored(spark, sf_dir).select("doc_id", "score_int")
+    # two_pass_ordinals evaluates its input three times (boundary
+    # sketch, bucket counts, final join) — persist the survivor set so
+    # the whole decontaminate→dedup→score pipeline runs ONCE, not 3×.
+    # At 100 TB the survivors are (id, source, score) rows: tiny
+    # relative to the corpus, and exactly what a real prep job
+    # checkpoints before the global sort.
+    s4 = (
+        s3.join(scored, "doc_id").filter(F.col("score_int") > 0).persist()
+    )
+    # Stage 5: the stride schedule over the survivors.
+    return _stride_schedule(s4).select(
+        "position", "doc_id", "source", "src_ordinal", "sched_key",
+        "score_int",
+    )
