@@ -111,6 +111,7 @@ HEADLINE = [
     "training_mix_schedule",
     "streaming_ann_serve_replay",
     "training_corpus_manifest",
+    "perplexity_filter_bigram",
 ]
 
 

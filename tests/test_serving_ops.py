@@ -398,3 +398,43 @@ def test_manifest_respects_every_stage(spark, sf_dir, registry):
         .collect()
     )
     assert len({r.fp for r in fps}) == n
+
+
+# ---------------------------------------------------------------------------
+# Perplexity filter
+# ---------------------------------------------------------------------------
+def test_perplexity_filter_scores_and_branches(spark, sf_dir, registry):
+    """Every document with >=1 bigram gets a score; both keep branches
+    execute; the target sources' mean NLL is strictly below the
+    non-target mean (the LM was trained on them); and one doc's score
+    matches a from-scratch recompute through the persisted LM."""
+    from weather_analysis_bigdata__spark.queries_serving import (
+        _DSIR_TARGET,
+        _plm_features,
+        _plm_table,
+    )
+
+    rows = registry["perplexity_filter_bigram"].fn(spark, sf_dir).collect()
+    assert rows
+    kept = {r.kept for r in rows}
+    assert kept == {True, False}, f"one-sided filter: {kept}"
+    t = [r.nll_micro_avg for r in rows if r.source in _DSIR_TARGET]
+    o = [r.nll_micro_avg for r in rows if r.source not in _DSIR_TARGET]
+    assert t and o
+    assert sum(t) / len(t) < sum(o) / len(o), (
+        "target-trained LM does not prefer target sources"
+    )
+    # hand recompute one doc
+    one = min(rows, key=lambda r: r.doc_id)
+    lp = {
+        r.bucket: r.lp_int for r in _plm_table(spark, sf_dir).collect()
+    }
+    buckets = [
+        r.bucket
+        for r in _plm_features(spark, sf_dir)
+        .filter(F.col("doc_id") == one.doc_id)
+        .collect()
+    ]
+    nll = -sum(lp[b] for b in buckets)
+    assert one.n_bigrams == len(buckets)
+    assert one.nll_micro_avg == nll // len(buckets)
