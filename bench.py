@@ -112,6 +112,7 @@ HEADLINE = [
     "streaming_ann_serve_replay",
     "training_corpus_manifest",
     "perplexity_filter_bigram",
+    "perplexity_tertile_split",
 ]
 
 

@@ -438,3 +438,21 @@ def test_perplexity_filter_scores_and_branches(spark, sf_dir, registry):
     nll = -sum(lp[b] for b in buckets)
     assert one.n_bigrams == len(buckets)
     assert one.nll_micro_avg == nll // len(buckets)
+
+
+def test_tertile_split_equal_population(spark, sf_dir, registry):
+    """Tertiles are equal-population (SQL-standard split: earlier
+    buckets larger by at most one), every doc appears exactly once,
+    and the head's max NLL <= the middle's min <= the tail's min
+    boundary ordering."""
+    rows = registry["perplexity_tertile_split"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0 and len({r.doc_id for r in rows}) == n
+    by_t: dict[str, list] = {}
+    for r in rows:
+        by_t.setdefault(r.tertile, []).append(r.nll_micro_avg)
+    assert set(by_t) == {"head", "middle", "tail"}
+    sizes = sorted(len(v) for v in by_t.values())
+    assert sizes[-1] - sizes[0] <= 1
+    assert max(by_t["head"]) <= min(by_t["tail"])
+    assert max(by_t["head"]) <= max(by_t["middle"]) <= max(by_t["tail"])

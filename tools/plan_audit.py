@@ -156,6 +156,12 @@ KNOWN_EXCEPTIONS = {
     "window — plus the per-source ordinal's hash exchange on source; "
     "every exchange carries either the fact rows ONCE (the sort this "
     "op exists to produce) or O(parts) count rows",
+    "perplexity_tertile_split": "the two_pass_ordinals TeraSort recipe "
+    "again (same reviewed shape as equi_depth_bins_twopass / "
+    "training_mix_schedule): the scored-doc exchange ONCE plus "
+    "boundary-sketch, O(parts) counts, broadcast offsets (the BNLJ "
+    "steps), and the bucket-partitioned rank window; the LM join is a "
+    "256-row broadcast",
     "training_corpus_manifest": "composition of four audited kernels "
     "(decontaminate → fingerprint-dedup → DSIR gate → stride "
     "schedule) with the survivor set PERSISTED before the two-pass "
@@ -273,6 +279,7 @@ REVIEWED_FLAGS = {
     "benchmark_decontaminate": {"XCHG"},
     "training_mix_schedule": {"XCHG"},
     "training_corpus_manifest": {"XCHG"},
+    "perplexity_tertile_split": {"XCHG"},
 }
 
 

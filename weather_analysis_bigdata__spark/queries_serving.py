@@ -1740,3 +1740,95 @@ def perplexity_filter_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg.alias("nll_micro_avg"),
         (avg <= _PLM_KEEP_NLL).alias("kept"),
     )
+
+
+def _plm_tertile_oracle() -> str:
+    """The ntile(3) closed form over the same literal-LM scores."""
+    import duckdb
+
+    from weather_analysis_bigdata__spark.queries_llmops import _bpe_oracle_sf
+
+    sf = _bpe_oracle_sf()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    in_list = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+    rows = con.execute(
+        f"""
+        WITH {_plm_feat_sql()}
+        SELECT bucket, COUNT(*) AS c FROM bf
+        WHERE source IN ({in_list}) GROUP BY bucket
+        """
+    ).fetchall()
+    con.close()
+    lp = _plm_lp({int(b): int(c) for b, c in rows})
+    values = ", ".join(f"({b}, {lp[b]})" for b in range(_PLM_BUCKETS))
+    avg = _SQL_FLOORDIV.format(s="-SUM(l.lp_int)", n="COUNT(*)")
+    return f"""
+    WITH lpt(bucket, lp_int) AS (VALUES {values}),
+    {_plm_feat_sql()},
+    scored AS (
+      SELECT doc_id, source, CAST({avg} AS BIGINT) AS nll_micro_avg
+      FROM bf JOIN lpt l ON l.bucket = bf.bucket
+      GROUP BY doc_id, source
+    )
+    SELECT doc_id, source, nll_micro_avg,
+           CASE ntile(3) OVER (ORDER BY nll_micro_avg ASC, doc_id ASC)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS tertile
+    FROM scored
+    """
+
+
+
+@register(
+    "perplexity_tertile_split",
+    oracle=_plm_tertile_oracle,
+    doc="CCNet's head/middle/tail corpus split — the published "
+    "deployment of the perplexity filter: documents sorted by their "
+    "bigram-LM average NLL are cut into three equal-population "
+    "tertiles ('head' = lowest perplexity / most in-domain, 'tail' = "
+    "highest; CCNet trains on head+middle and drops or down-weights "
+    "tail). Scoring reads the PERSISTED hashed-bigram LM "
+    "(perplexity_filter_bigram); the global equal-population cut uses "
+    "the SCALE-SAFE two-pass recipe (two_pass_ordinals + the "
+    "closed-form ntile bucket, the equi_depth_bins_twopass shape) — "
+    "no global window, the only global object is the O(parts) offset "
+    "array. The oracle expresses the same cut as a plain ntile(3), so "
+    "the hash match re-proves the distributed form computes the "
+    "SQL-standard split. Fully tie-broken on (nll, doc_id).",
+    prepare=_prepare_plm,
+)
+def perplexity_tertile_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.distributed import (
+        ntile_from_ordinal,
+        two_pass_ordinals,
+    )
+
+    lpt = _plm_table(spark, sf_dir)
+    s, n = F.col("nll"), F.col("n_bigrams")
+    avg = ((s - (((s % n) + n) % n)) / n).cast("long")
+    scored = (
+        _plm_features(spark, sf_dir)
+        .join(F.broadcast(lpt), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (-F.sum("lp_int")).alias("nll"),
+        )
+        .select("doc_id", "source", avg.alias("nll_micro_avg"))
+    )
+    ranked = two_pass_ordinals(
+        scored, [F.col("nll_micro_avg"), F.col("doc_id")], 8, total_col="_N"
+    )
+    tert = ntile_from_ordinal(F.col("ordinal"), F.col("_N"), 3)
+    name = (
+        F.when(tert == 1, "head")
+        .when(tert == 2, "middle")
+        .otherwise("tail")
+    )
+    return ranked.select(
+        "doc_id", "source", "nll_micro_avg", name.alias("tertile")
+    )

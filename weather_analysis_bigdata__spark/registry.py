@@ -188,6 +188,19 @@ PRIORITY = [
     "postings_index_delete",
     "corpus_ingest_router_multimodal",
     "streaming_multimodal_router_replay",
+    # round 5 serving batch: refine/residual IVFADC, compaction, the
+    # LLM-data-prep pipeline (DSIR, decontamination, perplexity,
+    # schedule) and its one-plan capstone
+    "ann_batch_ivfpq_refine_topk",
+    "ann_batch_ivfpq_residual_topk",
+    "ann_pq_variant_recall_audit",
+    "ivf_index_compact",
+    "importance_resample_dsir",
+    "benchmark_decontaminate",
+    "perplexity_filter_bigram",
+    "training_mix_schedule",
+    "streaming_ann_serve_replay",
+    "training_corpus_manifest",
 ]
 
 
