@@ -1,0 +1,173 @@
+"""Tests for the corpus-hygiene batch (queries_hygiene): paragraph
+dedup with a planted duplicate (positive control), epoch-shuffle
+permutation properties, token-budget prefix algebra."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from weather_analysis_bigdata__spark.registry import all_queries
+
+    return all_queries()
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_paragraph_dedup_removes_planted_shared_paragraph(spark):
+    """A paragraph (8-token window) shared by two docs is removed from
+    BOTH; unique paragraphs survive; fingerprints match the expected
+    reconstruction exactly."""
+    from weather_analysis_bigdata__spark.queries_hygiene import (
+        paragraph_dedup,
+    )
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    a_tail = "a1 a2 a3"
+    b_own = "b1 b2 b3 b4 b5 b6 b7 b8"
+    docs = spark.createDataFrame(
+        [
+            # doc 0: shared window then a ragged unique tail
+            (0, f"{shared} {a_tail}"),
+            # doc 1: unique full window, then the shared window
+            (1, f"{b_own} {shared}"),
+            # doc 2: entirely unique, shorter than one window
+            (2, "c1 c2"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    assert rows[0].n_paras == 2 and rows[0].n_removed == 1
+    assert rows[0].kept_tokens == 3
+    assert rows[0].kept_fp == _md5(a_tail)
+    assert rows[1].n_paras == 2 and rows[1].n_removed == 1
+    assert rows[1].kept_fp == _md5(b_own)
+    assert rows[2].n_paras == 1 and rows[2].n_removed == 0
+    assert rows[2].kept_fp == _md5("c1 c2")
+
+
+def test_paragraph_dedup_all_removed_doc_keeps_row(spark):
+    """A doc whose every paragraph is shared still reports a row, with
+    the md5 of the empty string as its fingerprint."""
+    from weather_analysis_bigdata__spark.queries_hygiene import (
+        paragraph_dedup,
+    )
+
+    shared = "x1 x2 x3 x4 x5 x6 x7 x8"
+    docs = spark.createDataFrame(
+        [(0, shared), (1, shared)], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    assert len(rows) == 2
+    for r in rows.values():
+        assert r.n_removed == 1 and r.kept_tokens == 0
+        assert r.kept_fp == _md5("")
+
+
+def test_epoch_shuffle_is_permutation_and_deterministic(spark, sf_dir, registry):
+    fn = registry["epoch_shuffle_order"].fn
+    a = {r.epoch: r for r in fn(spark, sf_dir).collect()}
+    b = {r.epoch: r for r in fn(spark, sf_dir).collect()}
+    assert set(a) == {0, 1, 2}
+    n = a[0].n_docs
+    heads = set()
+    for ep, r in a.items():
+        # each epoch is a permutation 0..N-1
+        assert r.n_docs == n
+        assert r.n_ordinals == n
+        assert r.min_ord == 0 and r.max_ord == n - 1
+        assert len(r.head5.split(",")) == 5
+        heads.add(r.head5)
+        # bit-stable across runs
+        assert b[ep].ord_checksum == r.ord_checksum
+        assert b[ep].head5 == r.head5
+    # epochs are DIFFERENT permutations (md5 keyed by epoch)
+    assert len(heads) == 3
+
+
+def test_token_budget_prefix_flags_are_prefixes(spark, sf_dir, registry):
+    rows = sorted(
+        registry["token_budget_pareto"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.pareto_rank,
+    )
+    grand = rows[0].grand_toks
+    assert all(r.grand_toks == grand for r in rows)
+    assert grand == sum(r.total_toks for r in rows)
+    # cumulative sums rebuild exactly; ranks are dense from 1
+    cum = 0
+    for i, r in enumerate(rows, start=1):
+        assert r.pareto_rank == i
+        cum += r.total_toks
+        assert r.cum_toks == cum
+        assert r.share_ppm == r.total_toks * 1_000_000 // grand
+        assert r.cum_share_ppm == r.cum_toks * 1_000_000 // grand
+    # the p50/p90 heads are PREFIXES of the Pareto order, and minimal:
+    # the last flagged row is the first whose cumulative crosses.
+    for flag, num, den in (("in_p50_head", 1, 2), ("in_p90_head", 9, 10)):
+        flags = [getattr(r, flag) for r in rows]
+        k = sum(flags)
+        assert flags == [1] * k + [0] * (len(rows) - k)
+        assert rows[k - 1].cum_toks * den >= grand * num
+        if k > 1:
+            assert rows[k - 2].cum_toks * den < grand * num
+
+
+def test_incremental_verdicts_by_planted_slice(spark, sf_dir, registry):
+    """Re-submissions → duplicate, one-token edits → partial (full
+    windows known, tail novel), synthetic docs → novel."""
+    rows = registry["dedup_paragraph_incremental"].fn(
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.n_known + r.n_novel == r.n_paras
+        if r.doc_id < 2000000:
+            assert r.verdict == "duplicate" and r.n_novel == 0
+        elif r.doc_id < 3000000:
+            assert r.verdict == "novel" and r.n_known == 0
+        else:
+            assert r.verdict == "partial"
+            assert r.n_novel >= 1 and r.n_known >= 1
+    assert {r.verdict for r in rows} == {"duplicate", "partial", "novel"}
+
+
+def test_streaming_paragraph_replay_equals_batch(spark, sf_dir, registry):
+    a = {
+        r.doc_id: (r.n_paras, r.n_known, r.n_novel, r.verdict)
+        for r in registry["dedup_paragraph_incremental"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    b = {
+        r.doc_id: (r.n_paras, r.n_known, r.n_novel, r.verdict)
+        for r in registry["streaming_paragraph_dedup_replay"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert a == b
+
+
+def test_shard_manifest_tiles_token_axis(spark, sf_dir, registry):
+    rows = sorted(
+        registry["shard_manifest_fixed_tokens"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.shard_id,
+    )
+    assert rows[0].start_tok == 0
+    for prev, cur in zip(rows, rows[1:]):
+        # consecutive present shards tile exactly (a skipped id would
+        # mean one doc spanned a whole budget — still tiles)
+        assert cur.start_tok == prev.end_tok
+        # a shard starts because the budget was crossed
+        assert cur.start_tok >= cur.shard_id * 512
+        assert prev.end_tok > prev.shard_id * 512
+    for r in rows:
+        assert r.end_tok - r.start_tok == r.shard_tokens
+        assert r.n_docs >= 1
+    total = sum(r.shard_tokens for r in rows)
+    assert total == rows[-1].end_tok

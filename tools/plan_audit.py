@@ -162,6 +162,20 @@ KNOWN_EXCEPTIONS = {
     "boundary-sketch, O(parts) counts, broadcast offsets (the BNLJ "
     "steps), and the bucket-partitioned rank window; the LM join is a "
     "256-row broadcast",
+    "epoch_shuffle_order": "the two_pass_ordinals TeraSort recipe once "
+    "more (same reviewed shape as equi_depth_bins_twopass / "
+    "training_mix_schedule): the 3-epoch×doc key exchange ONCE (24 "
+    "bytes/row), boundary-sketch aggregate, O(parts) bucket counts, "
+    "broadcast offsets (the 2 BNLJ steps are the 1-row bounds/offset "
+    "attach), the bucket-partitioned rank window, and the final "
+    "O(epochs)-row audit aggregate",
+    "shard_manifest_fixed_tokens": "the two_pass_prefix_sum TeraSort "
+    "recipe (weighted two_pass_ordinals — same reviewed shape as "
+    "epoch_shuffle_order / training_mix_schedule): one doc-key "
+    "exchange, boundary-sketch aggregate, O(parts) weight sums, "
+    "broadcast offsets (the 2 BNLJ bounds/offset attaches), the "
+    "bucket-partitioned running-sum window, and the final "
+    "O(shards)-row manifest aggregate",
     "training_corpus_manifest": "composition of four audited kernels "
     "(decontaminate → fingerprint-dedup → DSIR gate → stride "
     "schedule) with the survivor set PERSISTED before the two-pass "
@@ -179,6 +193,9 @@ KNOWN_EXCEPTIONS = {
     "NULLS FIRST/LAST portability semantics, not to scale",
     "crosstab_share": "share-of-total windows over the O(sources × "
     "langs) contingency reduction, not documents",
+    "token_budget_pareto": "Pareto rank / running-share windows over "
+    "the O(sources) post-aggregate dimension (the crosstab_share "
+    "class); the fact-side work is one map-side-combined count/sum",
     "key_skew_profile": "global rank over the O(distinct keys) count "
     "table — the docstring's point: the window sorts keys, not rows; "
     "the only fact-scale op is the map-combinable first count",
@@ -254,6 +271,9 @@ REVIEWED_FLAGS = {
     "lsh_recall_audit": {"XCHG", "SORTMERGE"},
     "nulls_ordering": {"WINDOW_GLOBAL"},
     "crosstab_share": {"WINDOW_GLOBAL"},
+    "token_budget_pareto": {"WINDOW_GLOBAL"},
+    "epoch_shuffle_order": {"XCHG"},
+    "shard_manifest_fixed_tokens": {"XCHG"},
     "key_skew_profile": {"WINDOW_GLOBAL"},
     "chisq_independence": {"WINDOW_GLOBAL"},
     "pareto_frontier_2d": {"WINDOW_GLOBAL"},

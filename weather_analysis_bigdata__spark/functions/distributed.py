@@ -243,6 +243,57 @@ def two_pass_ordinals(
     )
 
 
+def two_pass_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    weight_col: str,
+    n_parts: int,
+    cum_col: str = "cum_w",
+    total_col: str | None = None,
+) -> DataFrame:
+    """Exact INCLUSIVE global running sum of an integer weight in
+    ``order_cols`` order without a global sort window — the WEIGHTED
+    generalization of :func:`two_pass_ordinals` (which is the special
+    case weight ≡ 1): deterministic range buckets on the leading key,
+    per-bucket weight totals, broadcast exclusive prefix offsets, then
+    cum = offset + local running sum inside a bucket-partitioned
+    window.
+
+    Same correctness argument as the ordinal form: the output depends
+    only on the TOTAL order (``order_cols`` must fully tie-break;
+    equal leading keys share a bucket), never on where the bucket
+    boundaries land — offset(p) is exactly the weight mass strictly
+    before the bucket, computed from merge-order-invariant integer
+    sums. This is the kernel behind cumulative token budgets and
+    shard-boundary assignment: a 100 TB running total without sorting
+    100 TB into one partition. ``weight_col`` must be integral (the
+    offsets ride int64).
+    """
+    d = range_bucketed(df, order_cols[0], n_parts)
+    sums = d.groupBy("_pid").agg(
+        F.sum(F.col(weight_col).cast("long")).alias("_n")
+    )
+    offsets = exclusive_prefix_offsets(
+        sums, "_pid", "_n", "_off", total_col=total_col
+    )
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            cum_col,
+            (
+                F.col("_off")
+                + F.sum(F.col(weight_col).cast("long")).over(wloc)
+            ).cast("long"),
+        )
+        .drop("_pid", "_off")
+    )
+
+
 def zipindex_ordinals(
     df: DataFrame,
     order_cols: list[str | Column],

@@ -201,6 +201,14 @@ PRIORITY = [
     "training_mix_schedule",
     "streaming_ann_serve_replay",
     "training_corpus_manifest",
+    # round 5 hygiene batch: paragraph-level dedup, epoch shuffle
+    # ordering, token-budget accounting
+    "dedup_paragraph_corpus",
+    "epoch_shuffle_order",
+    "token_budget_pareto",
+    "dedup_paragraph_incremental",
+    "streaming_paragraph_dedup_replay",
+    "shard_manifest_fixed_tokens",
 ]
 
 
@@ -223,6 +231,7 @@ def all_queries() -> dict[str, Query]:
     import weather_analysis_bigdata__spark.queries_round4  # noqa: F401
     import weather_analysis_bigdata__spark.queries_round5  # noqa: F401
     import weather_analysis_bigdata__spark.queries_serving  # noqa: F401
+    import weather_analysis_bigdata__spark.queries_hygiene  # noqa: F401
 
     # A typo'd / renamed PRIORITY entry would silently demote a flagship
     # query out of the sampled-first set — fail loudly instead.
