@@ -171,3 +171,48 @@ def test_shard_manifest_tiles_token_axis(spark, sf_dir, registry):
         assert r.n_docs >= 1
     total = sum(r.shard_tokens for r in rows)
     assert total == rows[-1].end_tok
+
+
+def test_curriculum_anneal_shape(spark, sf_dir, registry):
+    rows = registry["curriculum_anneal_schedule"].fn(
+        spark, sf_dir
+    ).collect()
+    by = {(r.epoch, r.tertile): r for r in rows}
+    assert set(by) == {(e, t) for e in (0, 1, 2) for t in (1, 2, 3)}
+    for e in (0, 1, 2):
+        # the anneal: epoch e keeps tertiles 1..3-e
+        for t in (1, 2, 3):
+            assert by[(e, t)].kept == (1 if t <= 3 - e else 0)
+        # tertile populations are the ntile split (sizes differ by <=1)
+        sizes = [by[(e, t)].n_docs for t in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1
+        # quality key is tokens desc -> head outweighs tail
+        toks = [by[(e, t)].sum_tokens for t in (1, 2, 3)]
+        assert toks[0] >= toks[1] >= toks[2]
+        # epoch axis replicates the same tertile table
+        assert sizes == [by[(0, t)].n_docs for t in (1, 2, 3)]
+
+
+def test_loader_resume_window_contract(spark, sf_dir, registry):
+    fn = registry["loader_resume_window"].fn
+    rows = sorted(fn(spark, sf_dir).collect(), key=lambda r: r.ordinal)
+    assert [r.ordinal for r in rows] == list(range(100, 125))
+    assert [r.batch_pos for r in rows] == list(range(25))
+    # stateless: a re-run reproduces the identical batch
+    again = sorted(fn(spark, sf_dir).collect(), key=lambda r: r.ordinal)
+    assert [r.doc_id for r in rows] == [r.doc_id for r in again]
+    # and it agrees with the FULL epoch-1 shuffle's ordinals
+    from weather_analysis_bigdata__spark.queries_hygiene import (
+        epoch_shuffle,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    full = {
+        r.ordinal: r.doc_id
+        for r in epoch_shuffle(
+            load_table(spark, sf_dir, "documents").select("doc_id")
+        )
+        .filter("epoch = 1 AND ordinal >= 100 AND ordinal < 125")
+        .collect()
+    }
+    assert {r.ordinal: r.doc_id for r in rows} == full

@@ -169,6 +169,16 @@ KNOWN_EXCEPTIONS = {
     "broadcast offsets (the 2 BNLJ steps are the 1-row bounds/offset "
     "attach), the bucket-partitioned rank window, and the final "
     "O(epochs)-row audit aggregate",
+    "curriculum_anneal_schedule": "two_pass_ordinals (same reviewed "
+    "shape as perplexity_tertile_split, whose deployment this "
+    "composes with the epoch axis): one doc exchange, boundary "
+    "sketch, O(parts) counts, broadcast offsets (BNLJ), bucket rank "
+    "window, then the O(epochs×tertiles) schedule aggregate",
+    "loader_resume_window": "the two-pass recipe with ORDINAL "
+    "PUSHDOWN — the extra exchange/BNLJ is the bucket-count/offset "
+    "pass whose broadcast then PRUNES every bucket outside the resume "
+    "window before the rank window; all post-prune work is O(1 "
+    "bucket), which is the query's entire point",
     "shard_manifest_fixed_tokens": "the two_pass_prefix_sum TeraSort "
     "recipe (weighted two_pass_ordinals — same reviewed shape as "
     "epoch_shuffle_order / training_mix_schedule): one doc-key "
@@ -274,6 +284,8 @@ REVIEWED_FLAGS = {
     "token_budget_pareto": {"WINDOW_GLOBAL"},
     "epoch_shuffle_order": {"XCHG"},
     "shard_manifest_fixed_tokens": {"XCHG"},
+    "curriculum_anneal_schedule": {"XCHG"},
+    "loader_resume_window": {"XCHG"},
     "key_skew_profile": {"WINDOW_GLOBAL"},
     "chisq_independence": {"WINDOW_GLOBAL"},
     "pareto_frontier_2d": {"WINDOW_GLOBAL"},

@@ -748,3 +748,167 @@ def shard_manifest_fixed_tokens(
             )
         ).alias("doc_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 5. Curriculum annealing: quality tertiles × epochs
+# ---------------------------------------------------------------------------
+@register(
+    "curriculum_anneal_schedule",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS ntok
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, ntok,
+             CAST(ntile(3) OVER (ORDER BY ntok DESC, doc_id) AS INT)
+               AS tertile
+      FROM t
+    ),
+    e AS (SELECT UNNEST(generate_series(0, 2)) AS epoch)
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           tertile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+           CAST(tertile <= 3 - epoch AS INT) AS kept
+    FROM q CROSS JOIN e
+    GROUP BY epoch, tertile
+    """,
+    doc="Curriculum ANNEALING schedule — the midtraining recipe that "
+    "composes the CCNet head/middle/tail split with the epoch axis: "
+    "docs rank into quality tertiles (1 = head), and successive "
+    "epochs restrict the keep-set — epoch 0 trains on all three "
+    "tertiles, epoch 1 drops the tail, epoch 2 anneals to the head "
+    "only (tertile ≤ 3 − epoch). The quality key here is the doc "
+    "token count (desc, tie-broken) — deliberately a self-contained "
+    "proxy so the oracle needs no generated literals; swapping in the "
+    "persisted bigram-LM NLL of perplexity_tertile_split changes ONE "
+    "column. Tertiles come from two_pass_ordinals + the closed-form "
+    "ntile bucket (no global sort window; the oracle is SQL-standard "
+    "ntile(3), re-proving the distributed split); the epoch axis is "
+    "an exploded literal. Output = the (epoch × tertile) training-"
+    "budget table with keep flags — what a loader materializes before "
+    "a 100 TB anneal run.",
+)
+def curriculum_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.distributed import (
+        ntile_from_ordinal,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("ntok")
+    )
+    o = two_pass_ordinals(
+        d.withColumn("negtok", -F.col("ntok")),
+        ["negtok", "doc_id"],
+        32,
+        ordinal_col="qord",
+        total_col="_n",
+    )
+    t = o.withColumn(
+        "tertile", ntile_from_ordinal(F.col("qord"), F.col("_n"), 3)
+    )
+    e = t.select(
+        "doc_id",
+        "ntok",
+        "tertile",
+        F.explode(
+            F.array(*[F.lit(i).cast("long") for i in range(3)])
+        ).alias("epoch"),
+    )
+    return e.groupBy("epoch", "tertile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("sum_tokens"),
+        F.max(
+            (F.col("tertile") <= 3 - F.col("epoch")).cast("int")
+        ).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. Stateless loader resume: ordinal-window read with bucket pruning
+# ---------------------------------------------------------------------------
+_RESUME_EPOCH = 1
+_RESUME_AT = 100
+_RESUME_K = 25
+
+
+@register(
+    "loader_resume_window",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id,
+             md5('ep{_RESUME_EPOCH}:' || CAST(doc_id AS VARCHAR)) AS kh
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY {sql_hex15_to_long('kh')}, doc_id) - 1 AS ordinal
+      FROM k
+    )
+    SELECT CAST(ordinal AS BIGINT) AS ordinal,
+           doc_id,
+           CAST(ordinal - {_RESUME_AT} AS BIGINT) AS batch_pos
+    FROM o
+    WHERE ordinal >= {_RESUME_AT}
+      AND ordinal < {_RESUME_AT + _RESUME_K}
+    """,
+    doc="STATELESS training-loader resume — read docs "
+    f"[{_RESUME_AT}, {_RESUME_AT + _RESUME_K}) of epoch "
+    f"{_RESUME_EPOCH}'s shuffle order from nothing but the checkpoint "
+    "ordinal, because the epoch order is a pure md5 function of "
+    "(epoch, doc_id) (epoch_shuffle_order's contract). The scale move "
+    "is ORDINAL PUSHDOWN through the two-pass algebra: after the "
+    "O(parts) bucket-count/offset pass, buckets whose ordinal span "
+    "[offset, offset+count) misses the resume window are PRUNED "
+    "before the rank window runs — the sort-and-rank work touches "
+    "only the ~1 bucket overlapping the window, so resuming at "
+    "ordinal 10^9 of a 100 TB epoch costs one boundary-sketch pass "
+    "plus one bucket's rows, not a global sort. The oracle is the "
+    "naive global ROW_NUMBER + filter; the hash match proves pruning "
+    "changes nothing.",
+)
+def loader_resume_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.distributed import (
+        exclusive_prefix_offsets,
+        range_bucketed,
+    )
+
+    lo, hi = _RESUME_AT, _RESUME_AT + _RESUME_K
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        hex15_to_long(
+            md5s(
+                F.concat(
+                    F.lit(f"ep{_RESUME_EPOCH}:"),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+        ).alias("keynum"),
+    )
+    b = range_bucketed(d, "keynum", _EP_PARTS)
+    counts = b.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = exclusive_prefix_offsets(counts, "_pid", "_n", "_off")
+    # Ordinal pushdown: keep only buckets overlapping [lo, hi).
+    live = (
+        offsets.join(counts, "_pid")
+        .filter((F.col("_off") < hi) & (F.col("_off") + F.col("_n") > lo))
+        .select("_pid", "_off")
+    )
+    w = Window.partitionBy("_pid").orderBy("keynum", "doc_id")
+    return (
+        b.join(F.broadcast(live), "_pid")
+        .withColumn(
+            "ordinal",
+            (F.col("_off") + F.row_number().over(w) - 1).cast("long"),
+        )
+        .filter((F.col("ordinal") >= lo) & (F.col("ordinal") < hi))
+        .select(
+            "ordinal",
+            "doc_id",
+            (F.col("ordinal") - lo).cast("long").alias("batch_pos"),
+        )
+    )

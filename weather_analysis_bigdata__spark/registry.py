@@ -209,6 +209,8 @@ PRIORITY = [
     "dedup_paragraph_incremental",
     "streaming_paragraph_dedup_replay",
     "shard_manifest_fixed_tokens",
+    "curriculum_anneal_schedule",
+    "loader_resume_window",
 ]
 
 
