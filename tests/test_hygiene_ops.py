@@ -216,3 +216,46 @@ def test_loader_resume_window_contract(spark, sf_dir, registry):
         .collect()
     }
     assert {r.ordinal: r.doc_id for r in rows} == full
+
+
+def test_pack_boundaries_fill_and_conservation(spark, sf_dir, registry):
+    rows = sorted(
+        registry["pack_concat_chunk_boundaries"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.seq_id,
+    )
+    # contiguous sequence ids from 0
+    assert [r.seq_id for r in rows] == list(range(len(rows)))
+    # every sequence but the final ragged one is exactly full
+    for r in rows[:-1]:
+        assert r.filled_tokens == 256
+    assert 0 < rows[-1].filled_tokens <= 256
+    # token conservation: fills sum to the corpus token count
+    from weather_analysis_bigdata__spark.functions.textops import tokens
+    from weather_analysis_bigdata__spark.sources.files import load_table
+    from pyspark.sql import functions as F
+
+    total = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.sum(F.size(tokens(F.col("text")))).alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert sum(r.filled_tokens for r in rows) == total
+    # docs straddle sequences: more fragments than distinct docs overall
+    assert sum(r.n_segments for r in rows) > max(
+        r.n_docs for r in rows
+    )
+
+
+def test_postings_compact_decision_branches(spark, sf_dir, registry):
+    rows = registry["postings_index_compact"].fn(spark, sf_dir).collect()
+    assert rows
+    flags = {r.compacted for r in rows}
+    assert flags == {0, 1}  # both maintenance branches execute
+    for r in rows:
+        assert r.df_after == r.df_before + r.df_delta - r.df_removed
+        assert r.df_after >= 0 and r.tf_after >= 0
+        assert r.df_delta + r.df_removed >= 1  # touched terms only
+        if r.df_before == 0:
+            # brand-new terms always rewrite into the base
+            assert r.compacted == 1 and r.df_removed == 0

@@ -169,6 +169,17 @@ KNOWN_EXCEPTIONS = {
     "broadcast offsets (the 2 BNLJ steps are the 1-row bounds/offset "
     "attach), the bucket-partitioned rank window, and the final "
     "O(epochs)-row audit aggregate",
+    "pack_concat_chunk_boundaries": "the two_pass_prefix_sum TeraSort "
+    "recipe (same reviewed shape as shard_manifest_fixed_tokens): one "
+    "doc-key exchange, boundary sketch, O(parts) weight sums, "
+    "broadcast offsets (BNLJ), bucket-partitioned running window, "
+    "then the bounded doc→sequence fan-out and the per-sequence "
+    "fragment aggregate",
+    "postings_index_compact": "the delta ⋈ removed segment merge is a "
+    "FULL OUTER on the term key (neither side privileged; hash "
+    "full-outer spills worse — the full_outer_join class); both "
+    "sides are term-level segment summaries ≪ postings, and the "
+    "base-dictionary attach broadcasts the merged touched set",
     "curriculum_anneal_schedule": "two_pass_ordinals (same reviewed "
     "shape as perplexity_tertile_split, whose deployment this "
     "composes with the epoch axis): one doc exchange, boundary "
@@ -286,6 +297,8 @@ REVIEWED_FLAGS = {
     "shard_manifest_fixed_tokens": {"XCHG"},
     "curriculum_anneal_schedule": {"XCHG"},
     "loader_resume_window": {"XCHG"},
+    "pack_concat_chunk_boundaries": {"XCHG"},
+    "postings_index_compact": {"SORTMERGE"},
     "key_skew_profile": {"WINDOW_GLOBAL"},
     "chisq_independence": {"WINDOW_GLOBAL"},
     "pareto_frontier_2d": {"WINDOW_GLOBAL"},

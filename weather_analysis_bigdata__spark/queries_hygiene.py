@@ -912,3 +912,293 @@ def loader_resume_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ordinal") - lo).cast("long").alias("batch_pos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. Concat-and-chunk sequence boundaries (the attention-mask manifest)
+# ---------------------------------------------------------------------------
+
+#: Training sequence length for the concat-and-chunk packer.
+_SEQ_LEN = 256
+
+
+@register(
+    "pack_concat_chunk_boundaries",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS ntok,
+             md5('ep0:' || CAST(doc_id AS VARCHAR)) AS kh
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, ntok,
+             SUM(ntok) OVER (ORDER BY {sql_hex15_to_long('kh')}, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    ),
+    seg AS (
+      SELECT s.seq_id, doc_id,
+             GREATEST(cum - ntok, s.seq_id * {_SEQ_LEN})
+               - s.seq_id * {_SEQ_LEN} AS seg_start,
+             LEAST(cum, (s.seq_id + 1) * {_SEQ_LEN})
+               - s.seq_id * {_SEQ_LEN} AS seg_end
+      FROM o, UNNEST(generate_series(
+               CAST((cum - ntok) // {_SEQ_LEN} AS BIGINT),
+               CAST((cum - 1) // {_SEQ_LEN} AS BIGINT))) AS s(seq_id)
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(seg_end - seg_start) AS BIGINT) AS filled_tokens,
+           md5(string_agg(
+                 CAST(doc_id AS VARCHAR) || ':'
+                   || CAST(seg_start AS VARCHAR) || ':'
+                   || CAST(seg_end AS VARCHAR),
+                 ',' ORDER BY seg_start)) AS boundary_fp
+    FROM seg GROUP BY seq_id
+    """,
+    doc="CONCAT-AND-CHUNK packing boundaries — the attention-mask "
+    "manifest (the complement of pack_sequences_fixed_budget, which "
+    "packs whole docs): the GPT-pretraining packer concatenates the "
+    "token stream in epoch-0 shuffle order and chops it every "
+    f"{_SEQ_LEN} tokens, so documents STRADDLE sequences; what the "
+    "loader needs alongside the token shards is, per training "
+    "sequence, the within-sequence [start, end) span of every "
+    "document fragment — that is what cross-document attention "
+    "masking and loss-boundary bookkeeping consume. Each doc's global "
+    "token interval [cum−ntok, cum) comes from two_pass_prefix_sum "
+    "(no global window); the doc→sequence fan-out explodes only "
+    "ntok/seq_len + 1 rows per doc, and the per-sequence fingerprint "
+    "aggregates at most seq_len fragments. Output: per sequence, the "
+    "fragment/doc counts, fill (== seq_len except the final ragged "
+    "sequence — a tested invariant), and the md5 of the ordered "
+    "doc:start:end list. The oracle is the naive global SUM OVER "
+    "window + the same interval algebra.",
+)
+def pack_concat_chunk_boundaries(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("ntok"),
+        hex15_to_long(
+            md5s(F.concat(F.lit("ep0:"), F.col("doc_id").cast("string")))
+        ).alias("keynum"),
+    )
+    c = two_pass_prefix_sum(
+        d, ["keynum", "doc_id"], "ntok", _EP_PARTS, cum_col="cum"
+    )
+    lo = F.col("cum") - F.col("ntok")
+    s = c.select(
+        "doc_id",
+        lo.alias("lo"),
+        F.col("cum").alias("hi"),
+        F.explode(
+            F.sequence(
+                F.expr(f"(cum - ntok) DIV {_SEQ_LEN}"),
+                F.expr(f"(cum - 1) DIV {_SEQ_LEN}"),
+            )
+        ).alias("seq_id"),
+    )
+    seq_lo = F.col("seq_id") * _SEQ_LEN
+    seg_start = F.greatest(F.col("lo"), seq_lo) - seq_lo
+    seg_end = F.least(F.col("hi"), seq_lo + _SEQ_LEN) - seq_lo
+    seg = s.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "doc_id",
+        seg_start.cast("long").alias("seg_start"),
+        seg_end.cast("long").alias("seg_end"),
+    )
+    frag = F.struct(
+        F.col("seg_start").alias("s"),
+        F.concat_ws(
+            ":",
+            F.col("doc_id").cast("string"),
+            F.col("seg_start").cast("string"),
+            F.col("seg_end").cast("string"),
+        ).alias("f"),
+    )
+    return seg.groupBy("seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum(F.col("seg_end") - F.col("seg_start"))
+        .cast("long")
+        .alias("filled_tokens"),
+        md5s(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(frag)), lambda x: x["f"]
+                ),
+                ",",
+            )
+        ).alias("boundary_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. Postings compaction: merge upsert + tombstone segments into the base
+# ---------------------------------------------------------------------------
+@register(
+    "postings_index_compact",
+    oracle="""
+    WITH basetf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents)
+      GROUP BY doc_id, term
+    ),
+    basedf AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(tf) AS BIGINT) AS tf FROM basetf GROUP BY term
+    ),
+    batchtf AS (
+      SELECT doc_id + 1000000 AS doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(
+                 trim(text || ' nw' || CAST(doc_id AS VARCHAR)),
+                 '\\s+')) AS term
+        FROM documents WHERE doc_id % 25 = 4)
+      GROUP BY doc_id, term
+    ),
+    delta AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df_delta
+      FROM batchtf GROUP BY term
+    ),
+    removed AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df_removed
+      FROM basetf WHERE doc_id % 10 = 3 GROUP BY term
+    ),
+    touched AS (
+      SELECT term FROM delta UNION SELECT term FROM removed
+    ),
+    rebuild AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(tf) AS BIGINT) AS tf
+      FROM (SELECT * FROM basetf WHERE doc_id % 10 <> 3
+            UNION ALL SELECT * FROM batchtf)
+      GROUP BY term
+    )
+    SELECT t.term,
+           COALESCE(b.df, 0) AS df_before,
+           COALESCE(d.df_delta, 0) AS df_delta,
+           COALESCE(r.df_removed, 0) AS df_removed,
+           COALESCE(rb.df, 0) AS df_after,
+           COALESCE(rb.tf, 0) AS tf_after,
+           CAST(4 * (COALESCE(d.df_delta, 0) + COALESCE(r.df_removed, 0))
+                > COALESCE(b.df, 0) AS INT) AS compacted
+    FROM touched t
+    LEFT JOIN basedf b USING (term)
+    LEFT JOIN delta d USING (term)
+    LEFT JOIN removed r USING (term)
+    LEFT JOIN rebuild rb USING (term)
+    """,
+    doc="Inverted-index COMPACTION — the maintenance step completing "
+    "the text-side lifecycle exactly as ivf_index_compact completed "
+    "the vector side (build → upsert → delete → COMPACT): after the "
+    "upsert segment (postings_index_upsert's batch, every 25th doc "
+    "re-id'd, plus one novel per-doc token so the new-term branch "
+    "executes at every SF) and the tombstone segment (postings_index_delete's set, "
+    "every 10th doc — mod-5-disjoint from the batch by construction), "
+    "each touched term is either REWRITTEN into the base (merged "
+    "stats, segments dropped) when segment churn crosses the integer "
+    "threshold 4·(df_delta + df_removed) > df_base — brand-new terms "
+    "always rewrite — or left as base + segments below it. The "
+    "Spark side computes post-compaction stats by SEGMENT ARITHMETIC "
+    "against the persisted raw index (base + delta − removed, the "
+    "corpus never re-tokenized); the oracle computes them by "
+    "FROM-SCRATCH REBUILD over (corpus − deleted) ∪ batch — the hash "
+    "match is the proof that compaction preserves every served "
+    "statistic, the same merge ≡ rebuild algebra the upsert/delete "
+    "queries pinned, now with both segment kinds live at once. "
+    "Per-compaction cost: O(touched terms) joins on the term "
+    "dictionary; output = the decision log (which terms rewrote, "
+    "df/tf before and after).",
+)
+def postings_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.queries_round4 import (
+        _raw_postings,
+        _UP_MOD,
+        _UP_REM,
+    )
+    from weather_analysis_bigdata__spark.queries_round5 import (
+        _PDEL_MOD,
+        _PDEL_REM,
+    )
+
+    raw = _raw_postings(spark, sf_dir)
+    base = raw.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_before"),
+        F.sum("tf").cast("long").alias("tf_base"),
+    )
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _UP_MOD == _UP_REM)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.explode(
+                tokens(
+                    F.concat(
+                        F.col("text"),
+                        F.lit(" nw"),
+                        F.col("doc_id").cast("string"),
+                    )
+                )
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    delta = batch.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_delta"),
+        F.sum("tf").cast("long").alias("tf_delta"),
+    )
+    removed = (
+        raw.filter(F.col("doc_id") % _PDEL_MOD == _PDEL_REM)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df_removed"),
+            F.sum("tf").cast("long").alias("tf_removed"),
+        )
+    )
+    touched = (
+        delta.join(removed, "term", "full")
+        .select(
+            "term",
+            F.coalesce("df_delta", F.lit(0)).alias("df_delta"),
+            F.coalesce("tf_delta", F.lit(0)).alias("tf_delta"),
+            F.coalesce("df_removed", F.lit(0)).alias("df_removed"),
+            F.coalesce("tf_removed", F.lit(0)).alias("tf_removed"),
+        )
+    )
+    return (
+        F.broadcast(touched)
+        .join(base, "term", "left")
+        .select(
+            "term",
+            F.coalesce("df_before", F.lit(0)).alias("df_before"),
+            "df_delta",
+            "df_removed",
+            (
+                F.coalesce("df_before", F.lit(0))
+                + F.col("df_delta")
+                - F.col("df_removed")
+            )
+            .cast("long")
+            .alias("df_after"),
+            (
+                F.coalesce("tf_base", F.lit(0))
+                + F.col("tf_delta")
+                - F.col("tf_removed")
+            )
+            .cast("long")
+            .alias("tf_after"),
+            (
+                4 * (F.col("df_delta") + F.col("df_removed"))
+                > F.coalesce("df_before", F.lit(0))
+            )
+            .cast("int")
+            .alias("compacted"),
+        )
+    )

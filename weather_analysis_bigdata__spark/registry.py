@@ -211,6 +211,8 @@ PRIORITY = [
     "shard_manifest_fixed_tokens",
     "curriculum_anneal_schedule",
     "loader_resume_window",
+    "pack_concat_chunk_boundaries",
+    "postings_index_compact",
 ]
 
 
