@@ -113,6 +113,17 @@ HEADLINE = [
     "training_corpus_manifest",
     "perplexity_filter_bigram",
     "perplexity_tertile_split",
+    # round 5 (hygiene batch): paragraph-granular dedup, the
+    # training-loader manifests (epoch shuffle / shards / packing
+    # boundaries / resume), curriculum anneal, postings compaction
+    "dedup_paragraph_corpus",
+    "dedup_paragraph_incremental",
+    "epoch_shuffle_order",
+    "shard_manifest_fixed_tokens",
+    "pack_concat_chunk_boundaries",
+    "loader_resume_window",
+    "curriculum_anneal_schedule",
+    "postings_index_compact",
 ]
 
 

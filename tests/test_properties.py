@@ -200,3 +200,68 @@ def test_grouped_topk_matches_python_reference(spark, rows, k):
         for rank, (v, uid) in enumerate(sorted(vs)[:k], start=1):
             expect[(key, rank)] = (v, uid)
     assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-1000, max_value=1000),  # key
+            st.integers(min_value=0, max_value=50),  # weight
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    n_parts=st.sampled_from([1, 3, 8]),
+)
+@SET
+def test_two_pass_prefix_sum_matches_python_reference(spark, rows, n_parts):
+    """The weighted offset algebra == a sequential running sum, at any
+    bucket count, including duplicate keys (tie-broken by uid)."""
+    from weather_analysis_bigdata__spark.functions.distributed import (
+        two_pass_prefix_sum,
+    )
+
+    data = [(k, w, i) for i, (k, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, w long, uid long")
+    got = {
+        r.uid: r.cum_w
+        for r in two_pass_prefix_sum(
+            df, ["k", "uid"], "w", n_parts, cum_col="cum_w"
+        ).collect()
+    }
+    cum = 0
+    expect = {}
+    for k, w, uid in sorted(data, key=lambda t: (t[0], t[2])):
+        cum += w
+        expect[uid] = cum
+    assert got == expect
+
+
+@given(
+    toks=st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll", "Lu", "Nd")
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_paragraph_segmentation_reconstructs_token_stream(spark, toks):
+    """paragraphs() tiles the token stream exactly: windows of 8 plus
+    one ragged tail, concatenating back to the original tokens."""
+    from weather_analysis_bigdata__spark.queries_hygiene import paragraphs
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(text,)], "text string")
+    paras = df.select(paragraphs(F.col("text")).alias("p")).first().p
+    # reconstruction
+    assert " ".join(paras) == text
+    # every window but the last is exactly 8 tokens
+    sizes = [len(p.split(" ")) for p in paras]
+    assert all(s == 8 for s in sizes[:-1])
+    assert 1 <= sizes[-1] <= 8
