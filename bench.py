@@ -196,6 +196,15 @@ def main() -> None:
                 # streams the synthesized arriving batch: the two
                 # doc_id % 50 slices (see queries_round5._router_batch_df)
                 n_in = router_batch_rows
+            elif name == "streaming_paragraph_dedup_replay":
+                # streams the three planted slices of
+                # queries_hygiene._paragraph_batch (union, overlaps
+                # re-counted — each slice is its own arriving doc)
+                n_in = (
+                    docs.filter("doc_id % 7 = 3").count()
+                    + docs.filter("doc_id % 13 = 1").count()
+                    + docs.filter("doc_id % 11 = 5").count()
+                )
             else:
                 n_in = events_rows + (
                     redelivered if name == "streaming_dedup_replay" else 0
