@@ -213,6 +213,11 @@ PRIORITY = [
     "loader_resume_window",
     "pack_concat_chunk_boundaries",
     "postings_index_compact",
+    # trained classifier + ranking-quality eval (queries_eval.py)
+    "lang_classifier_nb",
+    "lang_classifier_confusion",
+    "retrieval_eval_rank_metrics",
+    "retrieval_eval_macro",
 ]
 
 
@@ -236,6 +241,7 @@ def all_queries() -> dict[str, Query]:
     import weather_analysis_bigdata__spark.queries_round5  # noqa: F401
     import weather_analysis_bigdata__spark.queries_serving  # noqa: F401
     import weather_analysis_bigdata__spark.queries_hygiene  # noqa: F401
+    import weather_analysis_bigdata__spark.queries_eval  # noqa: F401
 
     # A typo'd / renamed PRIORITY entry would silently demote a flagship
     # query out of the sampled-first set — fail loudly instead.
