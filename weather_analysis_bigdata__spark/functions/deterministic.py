@@ -54,8 +54,24 @@ def sql_dec(expr: str, scale: int = 2, precision: int = 18) -> str:
     return f"CAST({expr} AS DECIMAL({precision},{scale}))"
 
 
+def sql_dec2dbl(expr: str) -> str:
+    """Correctly-rounded DECIMAL→DOUBLE for the DuckDB oracle.
+
+    DuckDB's direct ``CAST(dec AS DOUBLE)`` converts the stored
+    int64/int128 unscaled value to double and THEN divides by 10^scale
+    — two roundings, which diverges from the correctly rounded value
+    (and from Spark's BigDecimal.doubleValue, which is single-rounded)
+    once the unscaled magnitude exceeds 2^53. Measured at sf0.1:
+    SUM(l_extendedprice²) = 2224071148386123.1690 → direct cast gives
+    …123.0, correct rounding gives …123.2 (the a8_pearson_corr
+    last-ulp mismatch). The VARCHAR round-trip forces DuckDB through
+    its correctly rounded string→double path, bit-matching Spark at
+    every magnitude."""
+    return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
+
 def sql_dsum(expr: str, scale: int = 2) -> str:
-    return f"CAST(SUM({sql_dec(expr, scale)}) AS DOUBLE)"
+    return sql_dec2dbl(f"SUM({sql_dec(expr, scale)})")
 
 
 def sql_davg(expr: str, scale: int = 2) -> str:

@@ -22,6 +22,7 @@ from weather_analysis_bigdata__spark.functions.deterministic import (
     dsum,
     sql_davg,
     sql_dec,
+    sql_dec2dbl,
     sql_dsum,
 )
 from weather_analysis_bigdata__spark.registry import register
@@ -352,11 +353,11 @@ def a3_scalar_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORR_SQL = f"""
     WITH s AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM({sql_dec('l_quantity')}) AS DOUBLE) AS sx,
-             CAST(SUM({sql_dec('l_extendedprice')}) AS DOUBLE) AS sy,
-             CAST(SUM({sql_dec('l_quantity')} * {sql_dec('l_quantity')}) AS DOUBLE) AS sxx,
-             CAST(SUM({sql_dec('l_extendedprice')} * {sql_dec('l_extendedprice')}) AS DOUBLE) AS syy,
-             CAST(SUM({sql_dec('l_quantity')} * {sql_dec('l_extendedprice')}) AS DOUBLE) AS sxy
+             {sql_dec2dbl(f"SUM({sql_dec('l_quantity')})")} AS sx,
+             {sql_dec2dbl(f"SUM({sql_dec('l_extendedprice')})")} AS sy,
+             {sql_dec2dbl(f"SUM({sql_dec('l_quantity')} * {sql_dec('l_quantity')})")} AS sxx,
+             {sql_dec2dbl(f"SUM({sql_dec('l_extendedprice')} * {sql_dec('l_extendedprice')})")} AS syy,
+             {sql_dec2dbl(f"SUM({sql_dec('l_quantity')} * {sql_dec('l_extendedprice')})")} AS sxy
       FROM lineitem
     )
     SELECT (n * sxy - sx * sy) /
@@ -400,9 +401,9 @@ TREND_SQL = f"""
     WITH s AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS n,
              CAST(SUM(year(o_orderdate)) AS DOUBLE) AS sx,
-             CAST(SUM({sql_dec('o_totalprice')}) AS DOUBLE) AS sy,
+             {sql_dec2dbl(f"SUM({sql_dec('o_totalprice')})")} AS sy,
              CAST(SUM(year(o_orderdate) * year(o_orderdate)) AS DOUBLE) AS sxx,
-             CAST(SUM(year(o_orderdate) * {sql_dec('o_totalprice')}) AS DOUBLE) AS sxy
+             {sql_dec2dbl(f"SUM(year(o_orderdate) * {sql_dec('o_totalprice')})")} AS sxy
       FROM orders
     )
     SELECT (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0) AS slope,

@@ -69,7 +69,12 @@ def _dsumn(col: F.Column, scale: int) -> F.Column:
 
 
 def _sql_dsumn(expr: str, scale: int) -> str:
-    return f"CAST(CAST(SUM({expr}) AS DECIMAL(18,{scale})) AS DOUBLE)"
+    # VARCHAR round-trip: see functions/deterministic.py:sql_dec2dbl —
+    # DuckDB's direct decimal→double double-rounds past 2^53 unscaled.
+    return (
+        f"CAST(CAST(CAST(SUM({expr}) AS DECIMAL(18,{scale}))"
+        " AS VARCHAR) AS DOUBLE)"
+    )
 
 
 # ---------------------------------------------------------------------------
