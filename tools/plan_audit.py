@@ -162,6 +162,15 @@ KNOWN_EXCEPTIONS = {
     "boundary-sketch, O(parts) counts, broadcast offsets (the BNLJ "
     "steps), and the bucket-partitioned rank window; the LM join is a "
     "256-row broadcast",
+    "rag_context_assembly": "all fact-scale work is the ONE cached "
+    "execution of the already-reviewed hybrid_search_rrf subplan (its "
+    "reviewed k-row full-outer SMJ included); the k+2-row candidate "
+    "set is .persist()ed and every post-top-k stage (near-dup theta "
+    "join, survivor prefix sum, final stitch) is a broadcast join "
+    "over ≤12 rows. The audit's counts are inflated ~5× because "
+    "toString() reprints the whole InMemoryRelation child under "
+    "every InMemoryTableScan reference — one retrieval execution, "
+    "printed five times",
     "epoch_shuffle_order": "the two_pass_ordinals TeraSort recipe once "
     "more (same reviewed shape as equi_depth_bins_twopass / "
     "training_mix_schedule): the 3-epoch×doc key exchange ONCE (24 "
@@ -325,6 +334,7 @@ REVIEWED_FLAGS = {
     "training_mix_schedule": {"XCHG"},
     "training_corpus_manifest": {"XCHG"},
     "perplexity_tertile_split": {"XCHG"},
+    "rag_context_assembly": {"XCHG", "SORTMERGE"},
 }
 
 

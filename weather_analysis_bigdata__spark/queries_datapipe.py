@@ -41,6 +41,42 @@ from weather_analysis_bigdata__spark.sources.files import (
 # ---------------------------------------------------------------------------
 # Gopher-style repetition filter
 # ---------------------------------------------------------------------------
+def repetition_feature_cols(text_col) -> dict:
+    """Row-local Gopher-repetition features as named Columns — shared
+    by :func:`repetition_topgram_filter` and the quality-ensemble
+    fusion (queries_quality.py)."""
+    toks = tokens(text_col)
+    sorted_b = F.array_sort(word_ngrams(toks, 2))
+    # One pass over the sorted bigram array: (prev, current-run, best-run).
+    top_c = F.aggregate(
+        sorted_b,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            (F.when(x == acc["prev"], acc["run"]).otherwise(F.lit(0)) + 1).alias(
+                "run"
+            ),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"]).otherwise(F.lit(0)) + 1,
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_tok = F.size(toks)
+    rep = top_c.cast("double") * 2 / F.nullif(n_tok, F.lit(0)).cast("double")
+    return {
+        "n_tokens": n_tok.cast("bigint"),
+        "top_bigram_count": top_c.cast("bigint"),
+        "rep_fraction": rep,
+        "keep": rep < 0.125,
+    }
+
+
 @register(
     "repetition_topgram_filter",
     oracle=f"""
@@ -77,36 +113,9 @@ def repetition_topgram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOT spread_small_scan: this op's thesis (and plan contract) is the
     # shuffle-free in-place scan — see the docstring
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    sorted_b = F.array_sort(word_ngrams(toks, 2))
-    # One pass over the sorted bigram array: (prev, current-run, best-run).
-    top_c = F.aggregate(
-        sorted_b,
-        F.struct(
-            F.lit("").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            (F.when(x == acc["prev"], acc["run"]).otherwise(F.lit(0)) + 1).alias(
-                "run"
-            ),
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["run"]).otherwise(F.lit(0)) + 1,
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
-    n_tok = F.size(toks)
-    rep = top_c.cast("double") * 2 / F.nullif(n_tok, F.lit(0)).cast("double")
+    c = repetition_feature_cols(F.col("text"))
     return d.select(
-        "doc_id",
-        n_tok.cast("bigint").alias("n_tokens"),
-        top_c.cast("bigint").alias("top_bigram_count"),
-        rep.alias("rep_fraction"),
-        (rep < 0.125).alias("keep"),
+        "doc_id", *[v.alias(k) for k, v in c.items()]
     )
 
 
@@ -1217,6 +1226,28 @@ def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # C4 boilerplate filter (stop-phrases + code heuristic)
 # ---------------------------------------------------------------------------
+def c4_feature_cols(text_col) -> dict:
+    """Row-local C4-boilerplate features as named Columns — shared by
+    :func:`c4_boilerplate_filter` and the quality-ensemble fusion
+    (queries_quality.py)."""
+    low = F.lower(text_col)
+    has_lorem = low.contains("lorem ipsum")
+    has_web = (
+        low.contains("javascript")
+        | low.contains("cookie policy")
+        | low.contains("terms of use")
+    )
+    n_braces = F.length(F.regexp_replace(text_col, "[^{}]", "")).cast("bigint")
+    brace_ratio = n_braces.cast("double") / F.length(text_col)
+    return {
+        "has_lorem": has_lorem,
+        "has_web_boilerplate": has_web,
+        "n_braces": n_braces,
+        "brace_ratio": brace_ratio,
+        "keep": ~has_lorem & ~has_web & (brace_ratio < 0.01),
+    }
+
+
 @register(
     "c4_boilerplate_filter",
     oracle="""
@@ -1249,20 +1280,5 @@ def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c4_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    low = F.lower(F.col("text"))
-    has_lorem = low.contains("lorem ipsum")
-    has_web = (
-        low.contains("javascript")
-        | low.contains("cookie policy")
-        | low.contains("terms of use")
-    )
-    n_braces = F.length(F.regexp_replace("text", "[^{}]", "")).cast("bigint")
-    brace_ratio = n_braces.cast("double") / F.length("text")
-    return d.select(
-        "doc_id",
-        has_lorem.alias("has_lorem"),
-        has_web.alias("has_web_boilerplate"),
-        n_braces.alias("n_braces"),
-        brace_ratio.alias("brace_ratio"),
-        (~has_lorem & ~has_web & (brace_ratio < 0.01)).alias("keep"),
-    )
+    c = c4_feature_cols(F.col("text"))
+    return d.select("doc_id", *[v.alias(k) for k, v in c.items()])

@@ -1193,6 +1193,27 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_feature_cols(text_col) -> dict:
+    """Row-local quality features as named Column expressions — the
+    single source of truth shared by :func:`text_quality_filter` and
+    the quality-ensemble fusion (queries_quality.py), which runs all
+    heuristic filters in ONE scan."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
+        / n_tok
+    )
+    score = ttr * (F.lit(1.0) - stop_ratio)
+    return {
+        "n_tokens": n_tok.cast("bigint"),
+        "quality_score": score,
+        "keep": (n_tok.cast("bigint") >= 20) & (score > 0.05),
+    }
+
+
 @register(
     "text_quality_filter",
     oracle=f"""
@@ -1218,20 +1239,12 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    n_tok = F.size(toks)
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
-    stop_ratio = (
-        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
-        / n_tok
-    )
-    score = ttr * (F.lit(1.0) - stop_ratio)
+    c = quality_feature_cols(F.col("text"))
     return (
         d.select(
             "doc_id",
-            n_tok.cast("bigint").alias("n_tokens"),
-            score.alias("quality_score"),
+            c["n_tokens"].alias("n_tokens"),
+            c["quality_score"].alias("quality_score"),
         )
         .filter((F.col("n_tokens") >= 20) & (F.col("quality_score") > 0.05))
     )

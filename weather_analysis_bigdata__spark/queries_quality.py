@@ -1,0 +1,728 @@
+"""Quality-ensemble + serving-economics batch (round 5 continuation).
+
+Five operators a production training-data pipeline runs around the
+individual filters the registry already has:
+
+1. ``quality_ensemble_vote`` — FILTER FUSION: all four registered
+   quality rungs (heuristic TTR/stopword gate, Gopher repetition,
+   C4 boilerplate, CCNet bigram-LM perplexity) evaluated for every
+   document in ONE pass — the three row-local filters as fused
+   expressions over a single scan plus one join against the
+   perplexity scores (which ride the PERSISTED 256-bucket LM) —
+   with per-filter votes and majority/unanimous decisions. The
+   oracle composes the four REGISTERED oracle strings VERBATIM as
+   derived tables, so the hash match proves fusion ≡ composition.
+2. ``quality_filter_agreement`` — the FineWeb-style filter-ablation
+   table: for each of the 6 filter pairs, both-keep / both-drop /
+   one-sided-drop counts and the Jaccard overlap of the DROP sets
+   (ppm, exact integer floor-division). One global aggregate pass
+   (24 partial-aggregable counters), then a 6-row inline unpivot —
+   no shuffle beyond the ensemble itself.
+3. ``rag_context_assembly`` — the serving capstone downstream of
+   retrieval: hybrid RRF hits (hybrid_search_rrf's registered
+   pipeline and oracle, embedded verbatim) + two PLANTED echo
+   candidates (the rank-1/rank-2 texts minus their first token —
+   the near-identical chunks a real RAG index accumulates; planting
+   is rank-based, so every SF exercises every branch) are
+   near-dup-filtered against all higher-ranked hits (5-gram shingle
+   Jaccard ≥ 1/2, exact integer cross-multiplied comparison) and the
+   survivors are packed into a fixed token budget in rank order.
+   Each candidate gets a status: 'context', 'near_dup' (with the
+   doc_id it duplicates), or 'over_budget'.
+4. ``pack_sequences_bestfit`` — best-fit-decreasing shard packing
+   with an efficiency audit: documents (plus two planted oversize
+   sequences) are sharded across independent packers by pmod(doc_id)
+   and each packer runs the sequential BFD heuristic inside one
+   Arrow-batched applyInPandas group — the canonical way to run an
+   inherently sequential algorithm at cluster scale: the state is
+   one packer's open-bin list, never the corpus. The audit reports
+   bins used vs the ceil(total/budget) lower bound and exact fill
+   ppm. Complements pack_sequences_fixed_budget (contiguous packing,
+   fully declarative) with the bin-quality-optimal variant loaders
+   use when document order is free.
+5. ``streaming_quality_gate_replay`` — the ensemble RUN BY THE
+   STREAMING ENGINE: documents replay as a 4-micro-batch file
+   stream; foreachBatch applies the SAME fused kernel against the
+   SAME persisted LM and publishes batch-keyed decision segments.
+   Registered oracle = the ensemble's SQL VERBATIM — valid because
+   the kernel is doc-local plus a static-index join, and the hash
+   match proves quality gating COMMUTES with micro-batching.
+
+Reference parity note: the reference notebook (Weather_API.py) has
+none of this — the batch extends the charter LLM-data-pipeline
+surface (SURVEY.md §7.2 M4) along the quality-curation axis.
+
+Determinism: booleans/integer counters everywhere; the only doubles
+are passthroughs already proven deterministic (rrf) and exact integer
+ratios are kept as ppm via floor division; BFD is fully tie-broken
+and its audit code is SHARED between the Spark path and the oracle
+generator (the _plm_lp / _dsir_llr pattern).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_analysis_bigdata__spark.registry import register
+from weather_analysis_bigdata__spark.sources.files import load_table
+from weather_analysis_bigdata__spark.functions.textops import (
+    SQL_TOKENS,
+    sql_word_ngrams,
+    tokens,
+    word_ngrams,
+)
+
+
+def _registered_oracle(name: str) -> str:
+    """A registered query's oracle SQL, verbatim (resolving deferred
+    callables) — composition building block for this module's meta
+    queries. Late import: the registry is fully populated by the time
+    any oracle text is resolved."""
+    from weather_analysis_bigdata__spark.registry import all_queries
+
+    return all_queries()[name].oracle_text()
+
+
+# ---------------------------------------------------------------------------
+# 1. Quality-ensemble vote (filter fusion)
+# ---------------------------------------------------------------------------
+
+#: The four quality rungs in the fixed ensemble order. Names are the
+#: public vocabulary of the agreement matrix below.
+_ENSEMBLE = ("quality", "repetition", "c4", "perplexity")
+
+
+def ensemble_decisions(d: DataFrame, lpt: DataFrame) -> DataFrame:
+    """Per-document keep/drop decisions from all four quality filters
+    for an arbitrary documents-shaped DataFrame — the kernel shared by
+    the batch query and the streaming replay (stream ≡ batch is a
+    property of ONE code path).
+
+    The whole ensemble is ONE subtree — no self-join of the documents
+    table anywhere: the three row-local keep flags (the same expression
+    helpers the individual registered queries select — drift is
+    impossible) are computed in the scan projection and CARRIED THROUGH
+    the perplexity aggregation as doc-constant group keys, so the plan
+    is scan → project(flags, bigrams) → explode_outer → broadcast-join
+    the 256-row LM → one doc-grained hash aggregate. explode_outer (not
+    explode) keeps zero-bigram documents in the output with
+    keep_perplexity = false, matching the composition oracle's
+    LEFT JOIN + COALESCE(kept, FALSE).
+    """
+    from weather_analysis_bigdata__spark.functions.textops import (
+        hex15_to_long,
+        md5s,
+        word_ngrams,
+    )
+    from weather_analysis_bigdata__spark.queries_datapipe import (
+        c4_feature_cols,
+        repetition_feature_cols,
+    )
+    from weather_analysis_bigdata__spark.queries_llmops import (
+        quality_feature_cols,
+    )
+    from weather_analysis_bigdata__spark.queries_serving import (
+        _PLM_BUCKETS,
+        _PLM_KEEP_NLL,
+        _PLM_SALT,
+    )
+
+    text = F.col("text")
+    ex = d.select(
+        "doc_id",
+        quality_feature_cols(text)["keep"].alias("keep_quality"),
+        repetition_feature_cols(text)["keep"].alias("keep_repetition"),
+        c4_feature_cols(text)["keep"].alias("keep_c4"),
+        F.explode_outer(word_ngrams(tokens(text), 2)).alias("g"),
+    ).withColumn(
+        "bucket",
+        hex15_to_long(md5s(F.concat(F.lit(_PLM_SALT), F.col("g"))))
+        % _PLM_BUCKETS,
+    )
+    scored = ex.join(F.broadcast(lpt), "bucket", "left").groupBy(
+        "doc_id", "keep_quality", "keep_repetition", "keep_c4"
+    ).agg(
+        F.count("lp_int").cast("long").alias("_n"),
+        (-F.sum("lp_int")).alias("_nll"),
+    )
+    s, n = F.col("_nll"), F.col("_n")
+    # Same exact remainder-adjusted floor division as plm_doc_scores
+    # (queries_serving.py) — guarded for the zero-bigram group.
+    avg = ((s - (((s % n) + n) % n)) / n).cast("long")
+    e = scored.withColumn(
+        "keep_perplexity",
+        F.when(n > 0, avg <= _PLM_KEEP_NLL).otherwise(F.lit(False)),
+    )
+    votes = sum(
+        F.col(f"keep_{f}").cast("int") for f in _ENSEMBLE
+    ).cast("bigint")
+    return e.select(
+        "doc_id",
+        *[f"keep_{f}" for f in _ENSEMBLE],
+        votes.alias("n_keep_votes"),
+        (votes >= 3).alias("keep_majority"),
+        (votes == 4).alias("keep_unanimous"),
+    )
+
+
+def _ensemble_oracle() -> str:
+    """Composes the four REGISTERED oracles verbatim as derived tables
+    (each keeps its own CTE scope inside the parens), so the ensemble's
+    hash match re-proves each member AND the fusion at once."""
+    tq = _registered_oracle("text_quality_filter")
+    rep = _registered_oracle("repetition_topgram_filter")
+    c4 = _registered_oracle("c4_boilerplate_filter")
+    plm = _registered_oracle("perplexity_filter_bigram")
+    votes = " + ".join(f"CAST(keep_{f} AS INT)" for f in _ENSEMBLE)
+    return f"""
+    WITH eq AS (SELECT doc_id FROM ({tq}) z),
+    er AS (SELECT doc_id, keep FROM ({rep}) z),
+    ec AS (SELECT doc_id, keep FROM ({c4}) z),
+    ep AS (SELECT doc_id, kept FROM ({plm}) z),
+    eflags AS (
+      SELECT d.doc_id,
+             (eq.doc_id IS NOT NULL) AS keep_quality,
+             er.keep AS keep_repetition,
+             ec.keep AS keep_c4,
+             COALESCE(ep.kept, FALSE) AS keep_perplexity
+      FROM documents d
+      LEFT JOIN eq ON eq.doc_id = d.doc_id
+      JOIN er ON er.doc_id = d.doc_id
+      JOIN ec ON ec.doc_id = d.doc_id
+      LEFT JOIN ep ON ep.doc_id = d.doc_id
+    )
+    SELECT doc_id, keep_quality, keep_repetition, keep_c4,
+           keep_perplexity,
+           CAST({votes} AS BIGINT) AS n_keep_votes,
+           ({votes}) >= 3 AS keep_majority,
+           ({votes}) = 4 AS keep_unanimous
+    FROM eflags
+    """
+
+
+def _prepare_plm_here(spark: SparkSession, sf_dir: str) -> None:
+    from weather_analysis_bigdata__spark.queries_serving import _prepare_plm
+
+    _prepare_plm(spark, sf_dir)
+
+
+@register(
+    "quality_ensemble_vote",
+    oracle=_ensemble_oracle,
+    doc="FILTER FUSION over the registry's four quality rungs — "
+    "heuristic TTR/stopword gate (text_quality_filter), Gopher "
+    "repetition (repetition_topgram_filter), C4 boilerplate "
+    "(c4_boilerplate_filter), and the CCNet bigram-LM perplexity "
+    "filter (perplexity_filter_bigram, reading the PERSISTED 256-row "
+    "LM) — every document gets all four votes, the vote count, and "
+    "majority/unanimous decisions. Plan: ONE subtree, ONE documents "
+    "scan, ONE shuffle — the three row-local keep flags (the same "
+    "Column expressions the individual queries select) are computed "
+    "in the scan projection and carried through the perplexity "
+    "aggregation as doc-constant group keys, so no documents⋈documents "
+    "stitch join exists at all (naive composition costs 5 scans and "
+    "4 joins; the first fused form still paid a fact⋈fact sort-merge "
+    "join, which the plan audit flagged). The oracle IS naive "
+    "composition (the four registered oracle strings verbatim as "
+    "derived tables), so the value-hash match proves fusion ≡ "
+    "composition end-to-end. At 100 TB: flags pipeline into the "
+    "scan, the 256-row LM join is broadcast, the doc-grained "
+    "aggregate is the single exchange.",
+    prepare=_prepare_plm_here,
+)
+def quality_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.queries_serving import _plm_table
+
+    return ensemble_decisions(
+        load_table(spark, sf_dir, "documents"), _plm_table(spark, sf_dir)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Filter-agreement matrix (FineWeb-style ablation table)
+# ---------------------------------------------------------------------------
+
+_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_ENSEMBLE)
+    for b in _ENSEMBLE[i + 1 :]
+]
+
+
+def _agreement_oracle() -> str:
+    counters = []
+    rows = []
+    for a, b in _PAIRS:
+        ka, kb = f"keep_{a}", f"keep_{b}"
+        p = f"{a[:4]}_{b[:4]}"
+        counters += [
+            f"SUM(CASE WHEN {ka} AND {kb} THEN 1 ELSE 0 END) AS {p}_bk",
+            f"SUM(CASE WHEN NOT {ka} AND NOT {kb} THEN 1 ELSE 0 END)"
+            f" AS {p}_bd",
+            f"SUM(CASE WHEN NOT {ka} AND {kb} THEN 1 ELSE 0 END)"
+            f" AS {p}_da",
+            f"SUM(CASE WHEN {ka} AND NOT {kb} THEN 1 ELSE 0 END)"
+            f" AS {p}_db",
+        ]
+        rows.append(
+            f"SELECT '{a}' AS filter_a, '{b}' AS filter_b,"
+            f" {p}_bk AS n_both_keep, {p}_bd AS n_both_drop,"
+            f" {p}_da AS n_drop_a_only, {p}_db AS n_drop_b_only FROM agg"
+        )
+    return f"""
+    WITH e AS ({_ensemble_oracle()}),
+    agg AS (SELECT {', '.join(counters)} FROM e),
+    pairs AS ({' UNION ALL '.join(rows)})
+    SELECT filter_a, filter_b,
+           CAST(n_both_keep AS BIGINT) AS n_both_keep,
+           CAST(n_both_drop AS BIGINT) AS n_both_drop,
+           CAST(n_drop_a_only AS BIGINT) AS n_drop_a_only,
+           CAST(n_drop_b_only AS BIGINT) AS n_drop_b_only,
+           CAST((1000000 * n_both_drop)
+                // NULLIF(n_both_drop + n_drop_a_only + n_drop_b_only, 0)
+             AS BIGINT) AS drop_jaccard_ppm
+    FROM pairs
+    """
+
+
+@register(
+    "quality_filter_agreement",
+    oracle=_agreement_oracle,
+    doc="The filter-ablation table quality-curation papers publish "
+    "(FineWeb's filter-overlap analysis): for each of the 6 pairs of "
+    "ensemble filters, both-keep / both-drop / one-sided-drop counts "
+    "and the Jaccard overlap of the two DROP sets in exact integer "
+    "ppm — high overlap means a filter is redundant, low overlap "
+    "means it catches a failure mode the others miss (the table that "
+    "decides which filters a 100 TB run actually pays for). Plan: "
+    "the ensemble subtree, then ONE global aggregate of 24 "
+    "partial-aggregable counters (map-side combine does almost all "
+    "the work) and a 6-row inline unpivot — the unpivot costs "
+    "nothing at any scale.",
+    prepare=_prepare_plm_here,
+)
+def quality_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = quality_ensemble_vote(spark, sf_dir)
+    aggs = []
+    for a, b in _PAIRS:
+        ka, kb = F.col(f"keep_{a}"), F.col(f"keep_{b}")
+        p = f"{a[:4]}_{b[:4]}"
+        for suf, cond in (
+            ("bk", ka & kb),
+            ("bd", ~ka & ~kb),
+            ("da", ~ka & kb),
+            ("db", ka & ~kb),
+        ):
+            aggs.append(
+                F.sum(F.when(cond, 1).otherwise(0))
+                .cast("long")
+                .alias(f"{p}_{suf}")
+            )
+    one = e.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(a).alias("filter_a"),
+            F.lit(b).alias("filter_b"),
+            F.col(f"{a[:4]}_{b[:4]}_bk").alias("n_both_keep"),
+            F.col(f"{a[:4]}_{b[:4]}_bd").alias("n_both_drop"),
+            F.col(f"{a[:4]}_{b[:4]}_da").alias("n_drop_a_only"),
+            F.col(f"{a[:4]}_{b[:4]}_db").alias("n_drop_b_only"),
+        )
+        for a, b in _PAIRS
+    ]
+    return one.select(F.inline(F.array(*structs))).select(
+        "*",
+        F.expr(
+            "CAST((1000000 * n_both_drop) DIV "
+            "NULLIF(n_both_drop + n_drop_a_only + n_drop_b_only, 0) "
+            "AS BIGINT)"
+        ).alias("drop_jaccard_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. RAG context assembly (retrieval serving capstone)
+# ---------------------------------------------------------------------------
+
+#: Token budget for the assembled context window. Small enough that
+#: the retrieved set always overflows it (both branches execute at
+#: every SF: top-10 totals are ~550-600 tokens on this corpus).
+_RAG_BUDGET = 384
+#: Near-dup rule between retrieved candidates: 5-gram shingle Jaccard
+#: ≥ 1/2, compared exactly as 2·|∩| ≥ |∪| (no division).
+_RAG_SHINGLE_N = 5
+#: Planted echoes: the rank-1/rank-2 texts minus their first token,
+#: appended at ranks 11/12 with rrf 0 — deterministic at every SF.
+_RAG_PLANT_RANKS = 2
+_RAG_PLANT_ID_OFFSET = 1_000_000
+
+
+def _rag_oracle() -> str:
+    hybrid = _registered_oracle("hybrid_search_rrf")
+    toks = SQL_TOKENS.format(c="text")
+    sh = sql_word_ngrams("toks", _RAG_SHINGLE_N)
+    return f"""
+    WITH hits AS (SELECT rank, doc_id, rrf FROM ({hybrid}) z),
+    base AS (
+      SELECT h.rank, h.doc_id, h.rrf, d.text
+      FROM hits h JOIN documents d ON d.doc_id = h.doc_id
+    ),
+    planted AS (
+      SELECT rank + 10 AS rank,
+             doc_id + {_RAG_PLANT_ID_OFFSET} AS doc_id,
+             0.0 AS rrf,
+             array_to_string(toks[2:], ' ') AS text
+      FROM (SELECT rank, doc_id, {toks} AS toks FROM base
+            WHERE rank <= {_RAG_PLANT_RANKS}) z
+    ),
+    cand AS (
+      SELECT * FROM base UNION ALL SELECT * FROM planted
+    ),
+    feat AS (
+      SELECT rank, doc_id, rrf,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             list_distinct({sh}) AS sh
+      FROM (SELECT rank, doc_id, rrf, {toks} AS toks FROM cand) z
+    ),
+    nd AS (
+      SELECT b.rank AS rank, arg_min(a.doc_id, a.rank) AS near_dup_of
+      FROM feat a JOIN feat b ON a.rank < b.rank
+       AND 2 * len(list_intersect(a.sh, b.sh))
+           >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+      GROUP BY b.rank
+    ),
+    surv AS (
+      SELECT f.rank, f.n_tokens FROM feat f
+      LEFT JOIN nd ON nd.rank = f.rank WHERE nd.rank IS NULL
+    ),
+    cum AS (
+      SELECT a.rank, SUM(b.n_tokens) AS cum_tokens
+      FROM surv a JOIN surv b ON b.rank <= a.rank GROUP BY a.rank
+    )
+    SELECT f.rank, f.doc_id, f.rrf, f.n_tokens,
+           CAST(nd.near_dup_of AS BIGINT) AS near_dup_of,
+           CAST(cum.cum_tokens AS BIGINT) AS cum_tokens,
+           CASE WHEN nd.near_dup_of IS NOT NULL THEN 'near_dup'
+                WHEN cum.cum_tokens <= {_RAG_BUDGET} THEN 'context'
+                ELSE 'over_budget' END AS status
+    FROM feat f
+    LEFT JOIN nd ON nd.rank = f.rank
+    LEFT JOIN cum ON cum.rank = f.rank
+    """
+
+
+@register(
+    "rag_context_assembly",
+    oracle=_rag_oracle,
+    doc="The serving step downstream of retrieval — what a RAG system "
+    "does BETWEEN top-k and the prompt: hybrid RRF hits "
+    "(hybrid_search_rrf's registered pipeline, composed verbatim) "
+    "plus two PLANTED echo candidates (rank-1/rank-2 texts minus "
+    "their first token, at ranks 11/12 — the near-identical chunks a "
+    "real index accumulates; rank-based planting exercises every "
+    "branch at every SF) are (a) near-dup-filtered against ALL "
+    "strictly-higher-ranked candidates (5-gram shingle Jaccard ≥ 1/2 "
+    "as an exact cross-multiplied integer test — non-recursive, so "
+    "both engines express it as one pairwise join over k+2 rows) and "
+    "(b) packed into a 384-token context budget in rank order via a "
+    "rank≤rank self-join prefix sum (no window). Statuses: 'context', "
+    "'near_dup' + the doc_id it duplicates, 'over_budget'. Scale: "
+    "everything after the (already-reviewed) retrieval subplans "
+    "touches k+2 ≈ 12 rows — the assembly costs nothing at any "
+    "corpus size, which is the point of doing it post-top-k.",
+)
+def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.queries_round2 import (
+        hybrid_search_rrf,
+    )
+
+    hits = hybrid_search_rrf(spark, sf_dir).select("rank", "doc_id", "rrf")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Broadcast the k hits against the documents scan (text lookup is a
+    # point-lookup join), then PERSIST the k+2-row candidate set: every
+    # downstream stage (near-dup pairing, survivor prefix sum, final
+    # stitch) re-references it, and without the cache each reference
+    # would replay the entire retrieval DAG (the plan audit counted 25
+    # exchanges before the persist).
+    base = (
+        F.broadcast(hits)
+        .join(docs, "doc_id")
+        .select("rank", "doc_id", "rrf", "text")
+    )
+    toks = tokens("text")
+    planted = base.filter(F.col("rank") <= _RAG_PLANT_RANKS).select(
+        (F.col("rank") + 10).alias("rank"),
+        (F.col("doc_id") + _RAG_PLANT_ID_OFFSET).alias("doc_id"),
+        F.lit(0.0).alias("rrf"),
+        F.array_join(F.slice(toks, 2, F.size(toks) - 1), " ").alias("text"),
+    )
+    feat = (
+        base.unionByName(planted)
+        .select(
+            "rank",
+            "doc_id",
+            "rrf",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            F.array_distinct(word_ngrams(toks, _RAG_SHINGLE_N)).alias("sh"),
+        )
+        .persist()
+    )
+    a = feat.select(
+        F.col("rank").alias("a_rank"),
+        F.col("doc_id").alias("a_doc"),
+        F.col("sh").alias("a_sh"),
+    )
+    b = feat.select(F.col("rank").alias("b_rank"), F.col("sh").alias("b_sh"))
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    uni = F.size("a_sh") + F.size("b_sh") - inter
+    # k+2-row theta joins: broadcast explicitly so the planner picks
+    # BroadcastNestedLoopJoin over CartesianProduct.
+    nd = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a_rank") < F.col("b_rank")) & (2 * inter >= uni),
+        )
+        .groupBy(F.col("b_rank").alias("rank"))
+        .agg(F.min_by("a_doc", "a_rank").alias("near_dup_of"))
+    )
+    withnd = feat.join(F.broadcast(nd), "rank", "left")
+    surv = withnd.filter(F.col("near_dup_of").isNull()).select(
+        F.col("rank").alias("s_rank"), F.col("n_tokens").alias("s_tokens")
+    )
+    cum = (
+        surv.select(F.col("s_rank").alias("rank"))
+        .join(F.broadcast(surv), F.col("s_rank") <= F.col("rank"))
+        .groupBy("rank")
+        .agg(F.sum("s_tokens").cast("bigint").alias("cum_tokens"))
+    )
+    out = withnd.join(F.broadcast(cum), "rank", "left")
+    status = (
+        F.when(F.col("near_dup_of").isNotNull(), "near_dup")
+        .when(F.col("cum_tokens") <= _RAG_BUDGET, "context")
+        .otherwise("over_budget")
+    )
+    return out.select(
+        "rank", "doc_id", "rrf", "n_tokens",
+        F.col("near_dup_of").cast("bigint").alias("near_dup_of"),
+        "cum_tokens",
+        status.alias("status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Best-fit-decreasing shard packing + efficiency audit
+# ---------------------------------------------------------------------------
+
+_BFD_BUDGET = 512
+_BFD_PACKERS = 8
+#: Planted oversize sequences (> budget): each must land in its own
+#: bin — the branch real corpora hit (books, long transcripts) that
+#: this synthetic corpus (≤100 tokens/doc) never would.
+_BFD_PLANTED = ((-1, 600), (-2, 700))
+
+
+def _bfd_pack(items: list, budget: int) -> dict:
+    """Best-fit-decreasing bin packing, fully tie-broken — shared by
+    the Spark applyInPandas path and the oracle generator (the
+    _plm_lp pattern: the sequential heuristic runs identically, in
+    CPython, on both sides).
+
+    ``items``: (doc_id, n_tokens) pairs. Returns doc_id -> bin_id.
+    Order: by (-n_tokens, doc_id). Placement: the open bin with the
+    SMALLEST remaining capacity that still fits (ties: lowest
+    bin_id); a new bin otherwise. An oversize item (> budget) opens
+    its own bin whose remaining capacity goes negative, so nothing
+    else ever joins it.
+    """
+    order = sorted(items, key=lambda t: (-t[1], t[0]))
+    rem: list[int] = []
+    out: dict = {}
+    for doc_id, n in order:
+        best = -1
+        for i, r in enumerate(rem):
+            if r >= n and (best < 0 or r < rem[best]):
+                best = i
+        if best < 0:
+            rem.append(budget - n)
+            out[doc_id] = len(rem) - 1
+        else:
+            rem[best] -= n
+            out[doc_id] = best
+    return out
+
+
+def _bfd_audit(packer_id: int, items: list, budget: int) -> dict:
+    """Per-packer packing-efficiency audit over :func:`_bfd_pack`'s
+    assignment — shared verbatim by both engines."""
+    bins = _bfd_pack(items, budget)
+    n_bins = (max(bins.values()) + 1) if bins else 0
+    total = sum(n for _, n in items)
+    lb = -(-total // budget) if total else 0
+    return {
+        "packer_id": packer_id,
+        "n_docs": len(items),
+        "n_oversize": sum(1 for _, n in items if n > budget),
+        "total_tokens": total,
+        "n_bins": n_bins,
+        "lb_bins": lb,
+        "extra_bins": n_bins - lb,
+        "fill_ppm": (1_000_000 * total) // (n_bins * budget)
+        if n_bins
+        else 0,
+    }
+
+
+_BFD_SCHEMA = (
+    "packer_id long, n_docs long, n_oversize long, total_tokens long, "
+    "n_bins long, lb_bins long, extra_bins long, fill_ppm long"
+)
+
+
+def _bfd_oracle() -> str:
+    """Generator oracle: DuckDB supplies the (doc_id, n_tokens) pairs
+    independently; the SAME _bfd_audit runs in CPython; the result is
+    emitted as a literal VALUES table (8 rows at any SF)."""
+    import duckdb
+
+    from weather_analysis_bigdata__spark.queries_llmops import _bpe_oracle_sf
+
+    sf = _bpe_oracle_sf()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    toks = SQL_TOKENS.format(c="text")
+    rows = con.execute(
+        f"SELECT doc_id, CAST(len({toks}) AS BIGINT) FROM documents"
+    ).fetchall()
+    con.close()
+    items = [(int(d), int(n)) for d, n in rows] + [
+        list(p) for p in _BFD_PLANTED
+    ]
+    by_packer: dict = {}
+    for d, n in items:
+        by_packer.setdefault(d % _BFD_PACKERS, []).append((d, n))
+    cols = [c.split()[0] for c in _BFD_SCHEMA.split(", ")]
+    vals = []
+    for p in sorted(by_packer):
+        audit = _bfd_audit(p, by_packer[p], _BFD_BUDGET)
+        vals.append("(" + ", ".join(str(audit[c]) for c in cols) + ")")
+    sel = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
+    return (
+        f"SELECT {sel} FROM (VALUES {', '.join(vals)}) "
+        f"v({', '.join(cols)})"
+    )
+
+
+@register(
+    "pack_sequences_bestfit",
+    oracle=_bfd_oracle,
+    doc="Best-fit-decreasing shard packing with an efficiency audit — "
+    "the bin-quality-optimal sibling of pack_sequences_fixed_budget "
+    "(contiguous packing keeps order; BFD minimizes bins when order "
+    f"is free, the loader's choice for context-window filling). Docs "
+    f"plus two planted oversize sequences shard across "
+    f"{_BFD_PACKERS} independent packers by pmod(doc_id); each "
+    "packer runs the inherently sequential BFD heuristic inside one "
+    "Arrow-batched applyInPandas group — the canonical distribution "
+    "of a sequential algorithm: per-group state is the open-bin "
+    "list, never the corpus, so 100 TB just means more packers. The "
+    "audit (one row per packer) prices the heuristic: bins used vs "
+    "the ceil(total/budget) lower bound, oversize count, exact "
+    "integer fill ppm. Oracle = the SAME shared _bfd_audit run in "
+    "CPython on DuckDB-supplied inputs, emitted as literals (the "
+    "BPE/_plm generator pattern).",
+)
+def pack_sequences_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sizes = d.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    ).unionByName(
+        spark.createDataFrame(
+            list(_BFD_PLANTED), "doc_id long, n_tokens long"
+        )
+    )
+    keyed = sizes.withColumn(
+        "packer_id", F.pmod(F.col("doc_id"), F.lit(_BFD_PACKERS))
+    )
+
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["packer_id"].iloc[0])
+        items = [
+            (int(r.doc_id), int(r.n_tokens)) for r in pdf.itertuples()
+        ]
+        return pd.DataFrame([_bfd_audit(pid, items, _BFD_BUDGET)])
+
+    return keyed.groupBy("packer_id").applyInPandas(
+        pack_group, schema=_BFD_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Streaming quality-gate replay (stream ≡ batch)
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_quality_gate_replay",
+    oracle=_ensemble_oracle,
+    doc="The quality ensemble RUN BY THE STREAMING ENGINE: documents "
+    "replay as a file stream in 4 micro-batches; foreachBatch applies "
+    "the SAME fused kernel (ensemble_decisions — three row-local "
+    "filters in one projection + the broadcast join against the SAME "
+    "persisted 256-row LM) and publishes batch_id-keyed overwrite "
+    "decision segments (idempotent under redelivery). Registered "
+    "oracle = quality_ensemble_vote's SQL VERBATIM, so the hash "
+    "match proves quality gating COMMUTES with micro-batching — "
+    "valid because the kernel is doc-local plus a static-index join, "
+    "and the proof pins exactly that. This is how a 100 TB ingest "
+    "actually gates: filters run on arrival, not in a nightly batch.",
+    prepare=_prepare_plm_here,
+)
+def streaming_quality_gate_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from weather_analysis_bigdata__spark.queries_serving import _plm_table
+
+    run = uuid.uuid4().hex[:10]
+    src_dir = tempfile.mkdtemp(prefix=f"qualgate_src_{run}_")
+    seg_dir = tempfile.mkdtemp(prefix=f"qualgate_seg_{run}_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        schema = docs.schema
+        docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+        lpt = _plm_table(spark, sf_dir)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+        def publish(bdf: DataFrame, batch_id: int) -> None:
+            ensemble_decisions(bdf, lpt).write.mode("overwrite").parquet(
+                os.path.join(seg_dir, f"seg_{batch_id}")
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(publish)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        out = spark.read.parquet(os.path.join(seg_dir, "seg_*"))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(seg_dir, ignore_errors=True)

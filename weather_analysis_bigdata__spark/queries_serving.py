@@ -1596,9 +1596,11 @@ def _plm_lp(counts: dict[int, int]) -> dict[int, int]:
     }
 
 
-def _plm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, source, bucket): one row per hashed bigram occurrence."""
-    d = load_table(spark, sf_dir, "documents")
+def _plm_features_df(d: DataFrame) -> DataFrame:
+    """(doc_id, source, bucket) for an arbitrary documents-shaped
+    DataFrame: one row per hashed bigram occurrence — the df-level
+    kernel shared with the quality-ensemble fusion and its streaming
+    replay (queries_quality.py)."""
     return d.select(
         "doc_id",
         "source",
@@ -1610,6 +1612,37 @@ def _plm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             hex15_to_long(md5s(F.concat(F.lit(_PLM_SALT), F.col("g"))))
             % _PLM_BUCKETS
         ).alias("bucket"),
+    )
+
+
+def _plm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, bucket): one row per hashed bigram occurrence."""
+    return _plm_features_df(load_table(spark, sf_dir, "documents"))
+
+
+def plm_doc_scores(d: DataFrame, lpt: DataFrame) -> DataFrame:
+    """Per-document LM scores (doc_id, source, n_bigrams,
+    nll_micro_avg, kept) for an arbitrary documents-shaped DataFrame
+    against a (bucket, lp_int) LM table — doc-local features plus a
+    broadcast join against the STATIC index, so it commutes with
+    micro-batching (the property streaming_quality_gate_replay pins)."""
+    scored = (
+        _plm_features_df(d)
+        .join(F.broadcast(lpt), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (-F.sum("lp_int")).alias("nll"),
+        )
+    )
+    s, n = F.col("nll"), F.col("n_bigrams")
+    avg = ((s - (((s % n) + n) % n)) / n).cast("long")
+    return scored.select(
+        "doc_id",
+        "source",
+        "n_bigrams",
+        avg.alias("nll_micro_avg"),
+        (avg <= _PLM_KEEP_NLL).alias("kept"),
     )
 
 
@@ -1721,24 +1754,8 @@ def _plm_oracle() -> str:
     prepare=_prepare_plm,
 )
 def perplexity_filter_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lpt = _plm_table(spark, sf_dir)
-    scored = (
-        _plm_features(spark, sf_dir)
-        .join(F.broadcast(lpt), "bucket")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            (-F.sum("lp_int")).alias("nll"),
-        )
-    )
-    s, n = F.col("nll"), F.col("n_bigrams")
-    avg = ((s - (((s % n) + n) % n)) / n).cast("long")
-    return scored.select(
-        "doc_id",
-        "source",
-        "n_bigrams",
-        avg.alias("nll_micro_avg"),
-        (avg <= _PLM_KEEP_NLL).alias("kept"),
+    return plm_doc_scores(
+        load_table(spark, sf_dir, "documents"), _plm_table(spark, sf_dir)
     )
 
 

@@ -218,6 +218,12 @@ PRIORITY = [
     "lang_classifier_confusion",
     "retrieval_eval_rank_metrics",
     "retrieval_eval_macro",
+    # quality-ensemble + serving-economics batch (queries_quality.py)
+    "quality_ensemble_vote",
+    "quality_filter_agreement",
+    "rag_context_assembly",
+    "pack_sequences_bestfit",
+    "streaming_quality_gate_replay",
 ]
 
 
@@ -242,6 +248,7 @@ def all_queries() -> dict[str, Query]:
     import weather_analysis_bigdata__spark.queries_serving  # noqa: F401
     import weather_analysis_bigdata__spark.queries_hygiene  # noqa: F401
     import weather_analysis_bigdata__spark.queries_eval  # noqa: F401
+    import weather_analysis_bigdata__spark.queries_quality  # noqa: F401
 
     # A typo'd / renamed PRIORITY entry would silently demote a flagship
     # query out of the sampled-first set — fail loudly instead.
