@@ -124,6 +124,13 @@ HEADLINE = [
     "loader_resume_window",
     "curriculum_anneal_schedule",
     "postings_index_compact",
+    # round 5 (quality batch): the four-filter ensemble fusion, its
+    # agreement matrix, RAG context assembly, best-fit shard packing
+    "quality_ensemble_vote",
+    "quality_filter_agreement",
+    "rag_context_assembly",
+    "pack_sequences_bestfit",
+    "rerank_mmr_diversify",
 ]
 
 

@@ -168,3 +168,52 @@ def test_rag_assembly_branches(spark, sf_dir) -> None:
             assert r["cum_tokens"] > _RAG_BUDGET
         else:
             assert r["cum_tokens"] is None
+
+
+# ---------------------------------------------------------------------------
+# MMR kernel: pure-Python positive controls + Spark-side contract
+# ---------------------------------------------------------------------------
+def test_mmr_defers_redundant_candidate() -> None:
+    """Two near-identical high-relevance vectors: pure relevance would
+    rank them 1-2; MMR must defer the duplicate below a less relevant
+    but orthogonal candidate."""
+    from weather_analysis_bigdata__spark.queries_quality import _mmr_select
+
+    q = [1.0, 0.0]
+    # all three equally relevant (rel = 0.9); 11 is an EXACT duplicate
+    # of 10 (pairwise sim 1.0), 12 mirrors it (sim to 10 = 0.62).
+    # With λ = 0.7: dup scores .7·.9 − .3·1 = .33, mirror scores
+    # .7·.9 − .3·.62 = .444 — the duplicate is deferred to last.
+    a = [0.9, 0.4358898943540673]
+    m = [0.9, -0.4358898943540673]
+    cands = [(1, 10, a), (2, 11, list(a)), (3, 12, m)]
+    picked = _mmr_select(q, cands, 700_000, 3)
+    order = [vid for _, vid, _, _ in picked]
+    assert order == [10, 12, 11]
+
+
+def test_mmr_ties_break_to_lower_vec_id() -> None:
+    from weather_analysis_bigdata__spark.queries_quality import _mmr_select
+
+    q = [1.0, 0.0]
+    cands = [(1, 7, [1.0, 0.0]), (2, 3, [1.0, 0.0])]
+    picked = _mmr_select(q, cands, 700_000, 2)
+    assert [vid for _, vid, _, _ in picked][0] == 3
+
+
+def test_mmr_spark_contract(spark, sf_dir) -> None:
+    from weather_analysis_bigdata__spark.queries_quality import (
+        _MMR_K_CAND,
+        _MMR_K_OUT,
+        rerank_mmr_diversify,
+    )
+
+    rows = rerank_mmr_diversify(spark, sf_dir).collect()
+    assert [r["mmr_rank"] for r in sorted(rows, key=lambda r: r["mmr_rank"])] == list(
+        range(1, _MMR_K_OUT + 1)
+    )
+    assert all(1 <= r["cand_rank"] <= _MMR_K_CAND for r in rows)
+    # the first pick is always the most relevant candidate
+    first = next(r for r in rows if r["mmr_rank"] == 1)
+    assert first["cand_rank"] == 1
+    assert first["rel_ppm"] == max(r["rel_ppm"] for r in rows)

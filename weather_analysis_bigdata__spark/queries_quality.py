@@ -40,7 +40,13 @@ individual filters the registry already has:
    ppm. Complements pack_sequences_fixed_budget (contiguous packing,
    fully declarative) with the bin-quality-optimal variant loaders
    use when document order is free.
-5. ``streaming_quality_gate_replay`` — the ensemble RUN BY THE
+5. ``rerank_mmr_diversify`` — Maximal Marginal Relevance re-ranking
+   (Carbonell & Goldstein 1998), the remaining standard post-top-k
+   serving step: the exact-cosine top-20 candidates greedily
+   re-ranked by λ·relevance − (1−λ)·max-similarity-to-selected;
+   the k-row sequential loop runs in one applyInPandas group and
+   the oracle runs the SAME kernel on DuckDB-supplied candidates.
+6. ``streaming_quality_gate_replay`` — the ensemble RUN BY THE
    STREAMING ENGINE: documents replay as a 4-micro-batch file
    stream; foreachBatch applies the SAME fused kernel against the
    SAME persisted LM and publishes batch-keyed decision segments.
@@ -663,7 +669,211 @@ def pack_sequences_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# 5. Streaming quality-gate replay (stream ≡ batch)
+# 5. MMR diversification (the other standard post-top-k serving step)
+# ---------------------------------------------------------------------------
+
+_MMR_K_CAND = 20
+_MMR_K_OUT = 10
+_MMR_LAMBDA_PPM = 700_000  # λ = 0.7: the usual relevance/diversity mix
+
+
+def _mmr_select(qvec: list, cands: list, lam_ppm: int, k_out: int) -> list:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) greedy
+    selection — shared verbatim by the Spark applyInPandas path and
+    the oracle generator (the _bfd_pack pattern: the sequential
+    algorithm runs identically, in CPython, on both sides, so even
+    its float arithmetic is bit-identical).
+
+    ``cands``: (cand_rank, vec_id, vec) sorted by cand_rank. Picks
+    argmax of λ·rel(q,c) − (1−λ)·max_sim(c, selected); ties break to
+    the lower vec_id. Returns (mmr_rank, vec_id, cand_rank, rel_ppm).
+    """
+    import math
+
+    def cos(a: list, b: list) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    lam = lam_ppm / 1_000_000.0
+    rel = {vid: cos(qvec, v) for _, vid, v in cands}
+    remaining = list(cands)
+    selected: list = []
+    out = []
+    while remaining and len(out) < k_out:
+        best = None
+        best_key = None
+        for rank, vid, v in remaining:
+            pen = max((cos(v, sv) for sv in selected), default=0.0)
+            score = lam * rel[vid] - (1.0 - lam) * pen
+            key = (score, -vid)
+            if best_key is None or key > best_key:
+                best_key = key
+                best = (rank, vid, v)
+        remaining.remove(best)
+        selected.append(best[2])
+        out.append(
+            (
+                len(out) + 1,
+                best[1],
+                best[0],
+                math.floor(1_000_000 * rel[best[1]]),
+            )
+        )
+    return out
+
+
+_MMR_SCHEMA = "mmr_rank long, vec_id long, cand_rank long, rel_ppm long"
+
+
+def _mmr_cand_sql() -> str:
+    """The exact-cosine top-``_MMR_K_CAND`` candidate CTE — the same
+    scaled-integer dot/norm expressions hybrid_search_rrf's dense side
+    uses (functions/vectorops.py), so the candidate SET is pinned by
+    machinery the driver already hash-verifies."""
+    from weather_analysis_bigdata__spark.functions.vectorops import (
+        sql_dot,
+        sql_norm,
+    )
+
+    return f"""nv AS (
+      SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm
+      FROM embeddings
+    ),
+    qv AS (SELECT embedding, nrm FROM nv WHERE vec_id = 0),
+    cand AS (
+      SELECT c.vec_id, c.embedding,
+             row_number() OVER (
+               ORDER BY {sql_dot('qv.embedding', 'c.embedding')}
+                        / (qv.nrm * c.nrm) DESC, c.vec_id ASC
+             ) AS cand_rank
+      FROM nv c, qv WHERE c.vec_id <> 0
+    )"""
+
+
+def _mmr_oracle() -> str:
+    """Generator oracle: DuckDB computes the candidate pool with the
+    shared SQL; the SAME _mmr_select runs in CPython; literals out."""
+    import duckdb
+
+    from weather_analysis_bigdata__spark.queries_llmops import _bpe_oracle_sf
+
+    sf = _bpe_oracle_sf()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    rows = con.execute(
+        f"""
+        WITH {_mmr_cand_sql()}
+        SELECT cand_rank, vec_id, embedding FROM cand
+        WHERE cand_rank <= {_MMR_K_CAND} ORDER BY cand_rank
+        """
+    ).fetchall()
+    qvec = con.execute(
+        "SELECT embedding FROM embeddings WHERE vec_id = 0"
+    ).fetchone()[0]
+    con.close()
+    cands = [
+        (int(r), int(v), [float(x) for x in e]) for r, v, e in rows
+    ]
+    picked = _mmr_select(
+        [float(x) for x in qvec], cands, _MMR_LAMBDA_PPM, _MMR_K_OUT
+    )
+    vals = ", ".join(f"({m}, {v}, {c}, {p})" for m, v, c, p in picked)
+    return (
+        "SELECT CAST(mmr_rank AS BIGINT) AS mmr_rank, "
+        "CAST(vec_id AS BIGINT) AS vec_id, "
+        "CAST(cand_rank AS BIGINT) AS cand_rank, "
+        "CAST(rel_ppm AS BIGINT) AS rel_ppm "
+        f"FROM (VALUES {vals}) v(mmr_rank, vec_id, cand_rank, rel_ppm)"
+    )
+
+
+@register(
+    "rerank_mmr_diversify",
+    oracle=_mmr_oracle,
+    doc="Maximal Marginal Relevance re-ranking (Carbonell & Goldstein "
+    "1998) — with near-dup filtering and budget packing "
+    "(rag_context_assembly) the third standard post-top-k serving "
+    f"step: the exact-cosine top-{_MMR_K_CAND} candidates (the same "
+    "scaled-integer dot/norm selection hybrid_search_rrf's dense side "
+    f"uses) are greedily re-ranked by λ·relevance − (1−λ)·max-"
+    f"similarity-to-already-selected (λ = 0.7), emitting the top-"
+    f"{_MMR_K_OUT} diversified context with each pick's original "
+    "candidate rank and relevance (ppm). The greedy loop is "
+    "inherently sequential OVER K ROWS ONLY, so it runs in one "
+    "Arrow-batched applyInPandas group downstream of the distributed "
+    "top-k — at 100 TB the candidate generation is the work and is "
+    "already index-served; the re-rank costs O(k²) floats. Oracle = "
+    "the SAME shared _mmr_select on DuckDB-supplied candidates "
+    "(the _bfd_pack generator pattern), so even the float scoring is "
+    "bit-identical by construction.",
+)
+def rerank_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.distributed import (
+        ranked_topk,
+    )
+    from weather_analysis_bigdata__spark.functions.vectorops import (
+        cosine,
+        norm,
+        scaled_vec,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(scaled_vec("embedding")).alias("nrm")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    sim = cosine(
+        scaled_vec(F.col("q_emb")),
+        scaled_vec(F.col("embedding")),
+        F.col("q_nrm"),
+        F.col("nrm"),
+    )
+    cand = ranked_topk(
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "embedding", sim.alias("_sim")),
+        [-F.col("_sim"), F.col("vec_id")],
+        _MMR_K_CAND,
+        rank_col="cand_rank",
+    ).select("cand_rank", "vec_id", "embedding")
+    grp = cand.unionByName(
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(
+            F.lit(0).cast("bigint").alias("cand_rank"),
+            "vec_id",
+            "embedding",
+        )
+    )
+
+    def mmr_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(
+            (
+                (int(r.cand_rank), int(r.vec_id), [float(x) for x in r.embedding])
+                for r in pdf.itertuples()
+            ),
+        )
+        qvec = rows[0][2]  # cand_rank 0 = the query row
+        picked = _mmr_select(
+            qvec, rows[1:], _MMR_LAMBDA_PPM, _MMR_K_OUT
+        )
+        return pd.DataFrame(
+            picked, columns=["mmr_rank", "vec_id", "cand_rank", "rel_ppm"]
+        )
+
+    return grp.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        mmr_group, schema=_MMR_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. Streaming quality-gate replay (stream ≡ batch)
 # ---------------------------------------------------------------------------
 @register(
     "streaming_quality_gate_replay",

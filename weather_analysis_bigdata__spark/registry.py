@@ -224,6 +224,7 @@ PRIORITY = [
     "rag_context_assembly",
     "pack_sequences_bestfit",
     "streaming_quality_gate_replay",
+    "rerank_mmr_diversify",
 ]
 
 
