@@ -259,3 +259,89 @@ def test_postings_compact_decision_branches(spark, sf_dir, registry):
         if r.df_before == 0:
             # brand-new terms always rewrite into the base
             assert r.compacted == 1 and r.df_removed == 0
+
+
+def test_bloom_paragraph_dedup_dominance_and_false_drops(
+    spark, sf_dir, registry
+):
+    """The Bloom form's guarantees, checked against the exact form at
+    the corpus level: (a) dominance — every paragraph the exact form
+    removes, the Bloom form removes too (no missed duplicates, per doc:
+    n_removed_bloom >= n_removed_exact); (b) the approximation is real
+    — the sketch is sized so false drops occur (audit n_false_drops >
+    0); (c) docs untouched by either form keep identical fingerprints."""
+    exact = {
+        r.doc_id: r
+        for r in registry["dedup_paragraph_corpus"].fn(spark, sf_dir).collect()
+    }
+    bloom = {
+        r.doc_id: r
+        for r in registry["dedup_paragraph_bloom"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(bloom)
+    for did, e in exact.items():
+        b = bloom[did]
+        assert b.n_paras == e.n_paras
+        assert b.n_removed >= e.n_removed, f"missed duplicate in doc {did}"
+        if b.n_removed == e.n_removed:
+            assert b.kept_fp == e.kept_fp
+    audit = registry["dedup_paragraph_bloom_audit"].fn(spark, sf_dir).collect()[0]
+    assert audit.no_missed_duplicates is True
+    assert audit.n_false_drops > 0  # non-vacuous approximation
+    assert audit.n_dropped_bloom == audit.n_dup_exact + audit.n_false_drops
+
+
+def test_bloom_sketch_positive_control_forced_collision(spark):
+    """Positive control for the false-drop mechanism itself: with a
+    planted corpus and the REAL kernel run at sketch positions derived
+    from the real hash, a duplicated paragraph must be dropped
+    (dominance) — and the estimate for every unique paragraph is >= 1
+    and >= its df (the invariant the audit's no_missed_duplicates
+    encodes)."""
+    from pyspark.sql import functions as F
+
+    from weather_analysis_bigdata__spark.functions.textops import md5s
+    from weather_analysis_bigdata__spark.queries_hygiene import (
+        _pb_estimates,
+        paragraphs,
+    )
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    docs = spark.createDataFrame(
+        [(0, f"{shared} a1 a2 a3"), (1, f"b1 b2 b3 b4 b5 b6 b7 b8 {shared}")],
+        "doc_id long, text string",
+    )
+    dp = (
+        docs.select(
+            "doc_id",
+            F.posexplode(paragraphs(F.col("text"))).alias("win_id", "para"),
+        )
+        .select("doc_id", "para", md5s(F.col("para")).alias("pid"))
+    )
+    from weather_analysis_bigdata__spark.queries_hygiene import _pb_pos
+
+    pcnt = (
+        dp.select("doc_id", "pid")
+        .distinct()
+        .select(
+            F.explode(
+                F.array(*[_pb_pos(F.col("pid"), i) for i in range(3)])
+            ).alias("pos")
+        )
+        .groupBy("pos")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    est = {r.pid: r.est_df for r in _pb_estimates(docs, pcnt).collect()}
+    df = {
+        r.pid: r.df
+        for r in dp.groupBy("pid")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .collect()
+    }
+    assert set(est) == set(df)
+    for pid, d in df.items():
+        assert est[pid] >= d  # dominance per paragraph
+    import hashlib
+
+    shared_pid = hashlib.md5(shared.encode()).hexdigest()
+    assert df[shared_pid] == 2 and est[shared_pid] >= 2

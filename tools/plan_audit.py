@@ -16,6 +16,14 @@ Red flags (printed with !!):
                         provably bounded reduction (O(days), O(k));
                         fatal over a fact table. The round-2 scale-flag
                         class, now machine-caught.
+- GENERATE_PROJ         a Project directly above a Generate that
+                        evaluates heavy expressions (tokenizers, array
+                        HOFs) over non-generated columns — Catalyst's
+                        ExtractGenerator re-evaluates them once per
+                        EXPLODED row. The round-5 quality_ensemble_vote
+                        defect class (12× constant on a linear plan),
+                        now machine-caught; positive control in
+                        tests/test_plan_flags.py.
 
 Queries that execute side effects at build time (streaming replays,
 file-format round-trips, MERGE materialization) are skipped — their
@@ -345,6 +353,7 @@ def main() -> None:
         sf_dir = args[args.index("--sf") + 1]
 
     from weather_analysis_bigdata__spark.plans.inspect import (
+        n_generate_hot_projects,
         n_global_windows as count_global_windows,
     )
     from weather_analysis_bigdata__spark.registry import all_queries
@@ -378,10 +387,13 @@ def main() -> None:
             "cart": n("CartesianProduct"),
             "sortagg": n("SortAggregate"),
             "gwin": count_global_windows(plan),
+            "genproj": n_generate_hot_projects(plan),
         }
         flags = []
         if stats["gwin"]:
             flags.append(f"WINDOW_GLOBAL={stats['gwin']}")
+        if stats["genproj"]:
+            flags.append(f"GENERATE_PROJ={stats['genproj']}")
         if stats["cart"]:
             flags.append("CARTESIAN")
         if stats["smj"]:
@@ -404,7 +416,8 @@ def main() -> None:
                 name,
                 f"xchg={stats['xchg']} bhj={stats['bhj']} "
                 f"smj={stats['smj']} bnlj={stats['bnlj']} "
-                f"sortagg={stats['sortagg']} gwin={stats['gwin']}{mark}",
+                f"sortagg={stats['sortagg']} gwin={stats['gwin']} "
+                f"genproj={stats['genproj']}{mark}",
             )
         )
     width = max(len(r[0]) for r in rows)

@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import sys
 import time
 
@@ -241,9 +242,17 @@ def main() -> None:
         }
     # "sf" stamp mirrors bench.py's BENCH_DETAIL sections (advice r5):
     # the probe's base is a fixed SF directory, recorded numerically.
+    # Tolerant parse (advice r5 again): a BASE_SF dir not named exactly
+    # 'sf<number>' stamps null instead of killing the probe after the
+    # measurements were already taken.
+    m = re.fullmatch(r"sf([0-9.]+)", os.path.basename(BASE_SF.rstrip("/")))
+    try:
+        sf_val = float(m.group(1)) if m else None
+    except ValueError:
+        sf_val = None
     record = {
         "base": BASE_SF,
-        "sf": float(os.path.basename(BASE_SF.rstrip("/")).replace("sf", "")),
+        "sf": sf_val,
         "mults": mults,
         "queries": out,
     }

@@ -125,6 +125,88 @@ def n_global_windows(plan: str) -> int:
     return n
 
 
+#: Expression functions expensive enough that re-evaluating them once
+#: per EXPLODED row (instead of once per input row) is a plan defect:
+#: tokenizers and array/lambda HOFs that walk whole strings or arrays.
+_HEAVY_FNS = (
+    "split(",
+    "zip_with(",
+    "transform(",
+    "aggregate(",
+    "filter(",
+    "exists(",
+    "forall(",
+    "array_distinct(",
+    "array_sort(",
+    "sort_array(",
+    "arrays_zip(",
+    "array_intersect(",
+    "array_union(",
+    "array_except(",
+    "flatten(",
+    "sentences(",
+    "regexp_replace(",
+    "regexp_extract(",
+)
+
+
+def _balanced_span(s: str, open_idx: int) -> str:
+    """The substring of ``s`` from the ``(`` at ``open_idx`` to its
+    matching ``)`` (whole string if unbalanced — plan text can elide)."""
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return s[open_idx : i + 1]
+    return s[open_idx:]
+
+
+def n_generate_hot_projects(plan: str) -> int:
+    """Count Project nodes sitting DIRECTLY ABOVE a Generate that
+    evaluate heavy expressions (tokenizers / array HOFs, ``_HEAVY_FNS``)
+    over NON-generated columns — the Catalyst ExtractGenerator shape
+    where a doc-grained expression lands in the projection applied to
+    every exploded row and is re-evaluated once per generated row
+    (~fan-out× too often). The round-5 ``quality_ensemble_vote`` defect
+    class: 12× constant-factor on a linear plan, invisible to exchange/
+    join-strategy counting.
+
+    Works on ``executedPlan().toString()`` trees, where a Project's
+    single child is printed on the next line:
+
+        *(2) Project [doc_id#1L, size(split(text#2, ...)) > 3, g#9]
+        +- *(2) Generate explode(...), [doc_id#1L, text#2], false, [g#9]
+
+    A heavy call is hot when its argument span references at least one
+    column id and NONE of them is a generator-OUTPUT id (the last
+    bracket group of the Generate line) — per-generated-row work over
+    the generated column is inherent, over anything else it belongs
+    below the Generate."""
+    lines = plan.splitlines()
+    n = 0
+    for i in range(len(lines) - 1):
+        pm = re.search(r"\bProject \[", lines[i])
+        gm = re.search(r"\bGenerate \w+\(", lines[i + 1])
+        if not pm or not gm:
+            continue
+        groups = _bracket_groups(lines[i + 1][gm.start() :])
+        gen_out_ids = set(re.findall(r"#(\d+)", groups[-1])) if groups else set()
+        proj = lines[i][pm.end() - 1 :]
+        hot = False
+        for fn in _HEAVY_FNS:
+            for m in re.finditer(re.escape(fn), proj):
+                span = _balanced_span(proj, m.end() - 1)
+                ids = set(re.findall(r"#(\d+)", span))
+                if ids and not (ids & gen_out_ids):
+                    hot = True
+        if hot:
+            n += 1
+    return n
+
+
 def scan_columns(plan: str) -> list[set[str]]:
     """Column-name sets per parquet scan (pruning check)."""
     out = []

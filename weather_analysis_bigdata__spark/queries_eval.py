@@ -415,12 +415,17 @@ def lang_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 #: Rank-position constants, quantized once at import and embedded as
 #: literals on BOTH engines (micro units): DCG discounts 1/log2(r+1),
-#: reciprocal ranks 1/r, and the ideal-DCG prefix sums.
+#: reciprocal ranks 1/r, and the ideal-DCG prefix sums. Table length
+#: and the IDCG cap are DERIVED from the serve depth (_BATCH_K) so the
+#: Spark path can never silently desync from the oracle if the depth
+#: changes (round-5 advice).
+from weather_analysis_bigdata__spark.queries_round4 import _BATCH_K as _EVAL_K
+
 _NDCG_W = [
-    math.floor(_NBC_SCALE / math.log2(r + 1)) for r in range(1, 11)
+    math.floor(_NBC_SCALE / math.log2(r + 1)) for r in range(1, _EVAL_K + 1)
 ]
-_RR_W = [math.floor(_NBC_SCALE / r) for r in range(1, 11)]
-_NDCG_PS = [sum(_NDCG_W[: i + 1]) for i in range(10)]
+_RR_W = [math.floor(_NBC_SCALE / r) for r in range(1, _EVAL_K + 1)]
+_NDCG_PS = [sum(_NDCG_W[: i + 1]) for i in range(_EVAL_K)]
 
 
 def _sql_lit_list(xs: list[int]) -> str:
@@ -524,7 +529,7 @@ def _eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idcg = F.when(n_rel < 1, F.lit(0).cast("long")).otherwise(
         F.element_at(
-            ps_arr, F.least(n_rel, F.lit(10).cast("long")).cast("int")
+            ps_arr, F.least(n_rel, F.lit(_EVAL_K).cast("long")).cast("int")
         )
     )
     scaled = F.col("dcg_micro") * _NBC_SCALE

@@ -380,9 +380,14 @@ def streaming_paragraph_dedup_replay(
     import tempfile
     import uuid
 
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        replay_segment_dir,
+    )
+
     run = uuid.uuid4().hex[:10]
     src_dir = tempfile.mkdtemp(prefix=f"paradedup_src_{run}_")
-    seg_dir = tempfile.mkdtemp(prefix=f"paradedup_seg_{run}_")
+    # Segments outlive this function — the result IS their scan.
+    seg_dir = replay_segment_dir("paradedup_seg")
     try:
         batch = _paragraph_batch(spark, sf_dir)
         schema = batch.schema
@@ -407,13 +412,10 @@ def streaming_paragraph_dedup_replay(
         )
         q.awaitTermination()
 
-        out = spark.read.parquet(os.path.join(seg_dir, "seg_*"))
-        # Materialize before the tempdirs vanish.
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # Distributed scan of the published segments — no collect().
+        return spark.read.parquet(os.path.join(seg_dir, "seg_*"))
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
-        shutil.rmtree(seg_dir, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -994,11 +996,19 @@ def pack_concat_chunk_boundaries(
         "doc_id",
         lo.alias("lo"),
         F.col("cum").alias("hi"),
+        # Guarded for ntok = 0: Spark's sequence(start, start-1) yields
+        # a DESCENDING 2-element array while DuckDB's generate_series is
+        # empty — an engine divergence. Unreachable today (the tokenizer
+        # yields >= 1 token for any text) but latent if the tokenizer
+        # changes (round-5 advice).
         F.explode(
-            F.sequence(
-                F.expr(f"(cum - ntok) DIV {_SEQ_LEN}"),
-                F.expr(f"(cum - 1) DIV {_SEQ_LEN}"),
-            )
+            F.when(
+                F.col("ntok") > 0,
+                F.sequence(
+                    F.expr(f"(cum - ntok) DIV {_SEQ_LEN}"),
+                    F.expr(f"(cum - 1) DIV {_SEQ_LEN}"),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
         ).alias("seq_id"),
     )
     seq_lo = F.col("seq_id") * _SEQ_LEN
@@ -1201,4 +1211,287 @@ def postings_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("compacted"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1c. Bloom-filter paragraph dedup (the Dolma production form) + audit
+# ---------------------------------------------------------------------------
+#: Sketch size (position space) for the paragraph Bloom/count-min side.
+#: Sized SMALL on purpose (the bloom_filter_membership convention) so
+#: false drops actually occur at test SFs and the audit prices a real
+#: approximation, not a vacuous fp=0. Production sizes m from the
+#: standard -n·ln(p)/ln(2)^2 formula; m is the ONLY memory the filter
+#: ever holds, independent of corpus size — that is Dolma's point.
+_PB_M = 32768
+#: Hash functions per paragraph.
+_PB_K = 3
+
+
+def _pb_pos(pid_col: F.Column, i: int) -> F.Column:
+    return (
+        hex15_to_long(md5s(F.concat(F.lit(f"pb{i}:"), pid_col))) % _PB_M
+    )
+
+
+def _pb_pos_sql(pid_expr: str, i: int) -> str:
+    h = sql_hex15_to_long(f"md5('pb{i}:' || {pid_expr})")
+    return f"({h} % {_PB_M})"
+
+
+def _pb_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED paragraph count-sketch: (pos, cnt) where cnt = number
+    of DISTINCT (doc, paragraph) pairs hashing a position — a counting
+    Bloom filter as data, ≤ _PB_M rows no matter the corpus size. The
+    estimate min over a paragraph's _PB_K positions is ≥ its true
+    document frequency (every distinct doc containing it incremented
+    each of its positions), so the Bloom decision NEVER misses a true
+    duplicate; collisions only over-estimate — i.e. false DROPS — which
+    is exactly the Bloom-dedup trade Dolma ships."""
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        persisted_index,
+    )
+
+    def build() -> DataFrame:
+        dp = (
+            load_table(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                F.posexplode(paragraphs(F.col("text"))).alias(
+                    "win_id", "para"
+                ),
+            )
+            .select("doc_id", md5s(F.col("para")).alias("pid"))
+            .distinct()
+        )
+        return (
+            dp.select(
+                F.explode(
+                    F.array(
+                        *[_pb_pos(F.col("pid"), i) for i in range(_PB_K)]
+                    )
+                ).alias("pos")
+            )
+            .groupBy("pos")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+
+    return persisted_index(
+        spark, sf_dir, f"paragraph_bloom_m{_PB_M}k{_PB_K}", build
+    )
+
+
+def _prepare_pb_sketch(spark: SparkSession, sf_dir: str) -> None:
+    _pb_sketch(spark, sf_dir)
+
+
+#: Shared SQL fragments: the sketch and per-paragraph df estimate,
+#: recomputed from scratch in the oracle (deterministic ≡ the persisted
+#: index). `para` CTE must already be in scope via _sql_paragraphs().
+_SQL_PB_EST = f"""dp AS (
+      SELECT DISTINCT doc_id, md5(para) AS pid FROM para
+    ),
+    pcnt AS (
+      SELECT pos, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        {' UNION ALL '.join(f"SELECT {_pb_pos_sql('pid', i)} AS pos FROM dp" for i in range(_PB_K))}
+      ) GROUP BY pos
+    ),
+    pids AS (SELECT DISTINCT md5(para) AS pid FROM para),
+    est AS (
+      SELECT pid, MIN(cnt) AS est_df FROM (
+        {' UNION ALL '.join(f"SELECT pid, {_pb_pos_sql('pid', i)} AS pos FROM pids" for i in range(_PB_K))}
+      ) p JOIN pcnt USING (pos) GROUP BY pid
+    )"""
+
+
+def _pb_estimates(docs: DataFrame, pcnt: DataFrame) -> DataFrame:
+    """(pid, est_df) for every distinct paragraph of ``docs`` via the
+    sketch: min over the _PB_K position counts. ``pcnt`` is ≤ _PB_M
+    rows — always broadcastable, the filter IS the only global state."""
+    pids = (
+        docs.select(
+            F.posexplode(paragraphs(F.col("text"))).alias("win_id", "para")
+        )
+        .select(md5s(F.col("para")).alias("pid"))
+        .distinct()
+    )
+    ppos = pids.select(
+        "pid",
+        F.explode(
+            F.array(*[_pb_pos(F.col("pid"), i) for i in range(_PB_K)])
+        ).alias("pos"),
+    )
+    return (
+        ppos.join(F.broadcast(pcnt), "pos")
+        .groupBy("pid")
+        .agg(F.min("cnt").cast("long").alias("est_df"))
+    )
+
+
+@register(
+    "dedup_paragraph_bloom",
+    oracle=f"""
+    WITH {_sql_paragraphs()},
+    {_SQL_PB_EST},
+    m AS (
+      SELECT p.doc_id, p.win_id, p.para,
+             (e.est_df >= {_PARA_MIN_DOCS}) AS is_dropped
+      FROM para p JOIN est e ON md5(p.para) = e.pid
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(COUNT(*) FILTER (is_dropped) AS BIGINT) AS n_removed,
+           CAST(COALESCE(SUM(len(regexp_split_to_array(trim(para), '\\s+')))
+                         FILTER (NOT is_dropped), 0) AS BIGINT)
+             AS kept_tokens,
+           md5(COALESCE(string_agg(para, ' ' ORDER BY win_id)
+                        FILTER (NOT is_dropped), '')) AS kept_fp
+    FROM m GROUP BY doc_id
+    """,
+    doc="BLOOM-FILTER paragraph dedup — the production form of "
+    "dedup_paragraph_corpus (the form Dolma actually runs at scale): "
+    "duplicate-paragraph decisions come from a COUNTING-BLOOM sketch "
+    f"(min over {_PB_K} hashed position counts, {_PB_M} positions "
+    "total) instead of exact per-paragraph document-frequency counts. "
+    "The min-estimate provably DOMINATES the true df (every distinct "
+    "doc containing a paragraph incremented all its positions), so no "
+    "true duplicate is ever missed; hash collisions only over-estimate "
+    "— unique paragraphs falsely dropped — the exact trade a Bloom "
+    "dedup accepts, priced by dedup_paragraph_bloom_audit against the "
+    "exact-count yardstick. Scale: the sketch is the ONLY global "
+    "state, ≤ m rows / m·8 B regardless of corpus size (vs a "
+    "16 B-per-distinct-paragraph exact index), persisted once "
+    "(prepare hook) and BROADCAST into the estimate join; the "
+    "remaining shuffles carry 16-byte pids (distinct, then the "
+    "pid-grained estimate join back to occurrences), never paragraph "
+    "text — the exact form's first shuffle moves paragraph STRINGS. "
+    "Same output contract as dedup_paragraph_corpus, so the two "
+    "results diff directly.",
+    prepare=_prepare_pb_sketch,
+)
+def dedup_paragraph_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    occ = docs.select(
+        "doc_id",
+        F.posexplode(paragraphs(F.col("text"))).alias("win_id", "para"),
+    ).withColumn("pid", md5s(F.col("para")))
+    est = _pb_estimates(docs, _pb_sketch(spark, sf_dir))
+    m = occ.join(est, "pid")
+    dropped = F.col("est_df") >= _PARA_MIN_DOCS
+    kept_struct = F.when(
+        ~dropped,
+        F.struct(F.col("win_id").alias("w"), F.col("para").alias("p")),
+    )
+    return m.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum(F.when(dropped, 1).otherwise(0)).cast("long").alias(
+            "n_removed"
+        ),
+        F.coalesce(
+            F.sum(F.when(~dropped, F.size(tokens(F.col("para"))))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("kept_tokens"),
+        md5s(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["p"],
+                ),
+                " ",
+            )
+        ).alias("kept_fp"),
+    )
+
+
+@register(
+    "dedup_paragraph_bloom_audit",
+    oracle=f"""
+    WITH {_sql_paragraphs()},
+    {_SQL_PB_EST},
+    exact AS (
+      SELECT md5(para) AS pid,
+             COUNT(DISTINCT doc_id) AS df,
+             COUNT(*) AS n_occ
+      FROM para GROUP BY md5(para)
+    ),
+    j AS (
+      SELECT x.pid, x.df, x.n_occ, e.est_df
+      FROM exact x JOIN est e USING (pid)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+           CAST(COUNT(*) FILTER (df >= {_PARA_MIN_DOCS}) AS BIGINT)
+             AS n_dup_exact,
+           CAST(COUNT(*) FILTER (est_df >= {_PARA_MIN_DOCS}) AS BIGINT)
+             AS n_dropped_bloom,
+           CAST(COUNT(*) FILTER (est_df >= {_PARA_MIN_DOCS}
+                                 AND df < {_PARA_MIN_DOCS}) AS BIGINT)
+             AS n_false_drops,
+           CAST(SUM(n_occ) FILTER (est_df >= {_PARA_MIN_DOCS}
+                                   AND df < {_PARA_MIN_DOCS}) AS BIGINT)
+             AS n_false_drop_occurrences,
+           COUNT(*) FILTER (df >= {_PARA_MIN_DOCS}
+                            AND est_df < {_PARA_MIN_DOCS}) = 0
+             AS no_missed_duplicates,
+           CAST((1000000 * COUNT(*) FILTER (est_df >= {_PARA_MIN_DOCS}
+                                            AND df < {_PARA_MIN_DOCS}))
+                // NULLIF(COUNT(*) FILTER (df < {_PARA_MIN_DOCS}), 0)
+             AS BIGINT) AS false_drop_ppm
+    FROM j
+    """,
+    doc="The false-drop-rate audit that prices dedup_paragraph_bloom's "
+    "approximation against the exact-count yardstick "
+    "(dedup_paragraph_corpus's df counts): per distinct paragraph, "
+    "exact df vs sketch estimate — unique paragraphs the Bloom "
+    "falsely drops (count, occurrence count, ppm of the unique set) "
+    "and the dominance guarantee no_missed_duplicates, which must be "
+    "TRUE by construction (min-estimate ≥ df) — a FALSE here means "
+    "the sketch kernel itself is broken, the same failing-gate role "
+    "the recall floors play for ANN serving. The sketch is sized "
+    "small deliberately so n_false_drops > 0 at bench SFs (a "
+    "non-vacuous audit); the audit runs BOTH forms by definition "
+    "(the lsh_recall_audit pattern), so its cost is the yardstick's, "
+    "not the production path's.",
+    prepare=_prepare_pb_sketch,
+)
+def dedup_paragraph_bloom_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    occ = docs.select(
+        "doc_id",
+        F.posexplode(paragraphs(F.col("text"))).alias("win_id", "para"),
+    ).select("doc_id", md5s(F.col("para")).alias("pid"))
+    exact = occ.groupBy("pid").agg(
+        F.countDistinct("doc_id").cast("long").alias("df"),
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+    )
+    est = _pb_estimates(docs, _pb_sketch(spark, sf_dir))
+    j = exact.join(est, "pid")
+    dup_exact = F.col("df") >= _PARA_MIN_DOCS
+    dropped = F.col("est_df") >= _PARA_MIN_DOCS
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_paragraphs"),
+        F.sum(F.when(dup_exact, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_exact"),
+        F.sum(F.when(dropped, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped_bloom"),
+        F.sum(F.when(dropped & ~dup_exact, 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_drops"),
+        F.sum(F.when(dropped & ~dup_exact, F.col("n_occ")).otherwise(0))
+        .cast("long")
+        .alias("n_false_drop_occurrences"),
+        (
+            F.sum(F.when(dup_exact & ~dropped, 1).otherwise(0)) == 0
+        ).alias("no_missed_duplicates"),
+        F.expr(
+            f"CAST((1000000 * SUM(CASE WHEN est_df >= {_PARA_MIN_DOCS} "
+            f"AND df < {_PARA_MIN_DOCS} THEN 1 ELSE 0 END)) DIV "
+            f"NULLIF(SUM(CASE WHEN df < {_PARA_MIN_DOCS} THEN 1 ELSE 0 "
+            f"END), 0) AS BIGINT)"
+        ).alias("false_drop_ppm"),
     )

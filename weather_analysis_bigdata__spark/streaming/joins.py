@@ -56,20 +56,35 @@ def _sink(joined: DataFrame, name: str) -> DataFrame:
 _JOIN_STATE_PARTITIONS = 8
 
 
-class _state_partitions:
-    """Scoped override of spark.sql.shuffle.partitions (which fixes a
-    streaming query's state-partition count at start) — restored on
-    exit so batch plans keep the session default."""
+class _scoped_conf:
+    """Scoped override of session confs — restored on exit so batch
+    plans keep the session defaults."""
 
-    def __init__(self, spark: SparkSession, n: int):
-        self.spark, self.n = spark, n
+    def __init__(self, spark: SparkSession, confs: dict):
+        self.spark, self.confs = spark, confs
 
     def __enter__(self):
-        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        # get(k, None): confs never set on the session (e.g.
+        # noDataMicroBatches at its engine default) have no value to
+        # read back — restore by unsetting instead.
+        self.old = {k: self.spark.conf.get(k, None) for k in self.confs}
+        for k, v in self.confs.items():
+            self.spark.conf.set(k, v)
 
     def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        for k, v in self.old.items():
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
+
+
+class _state_partitions(_scoped_conf):
+    """Scoped override of spark.sql.shuffle.partitions (which fixes a
+    streaming query's state-partition count at start)."""
+
+    def __init__(self, spark: SparkSession, n: int):
+        super().__init__(spark, {"spark.sql.shuffle.partitions": str(n)})
 
 
 def interval_join_replay(
@@ -180,7 +195,8 @@ def _interval_outer_join_replay(
     rows (user_id −1, +30d click and +60d purchase) as ONE extra
     micro-batch file: they push the watermark beyond every real
     click's horizon, and the engine's trailing no-data micro-batch
-    (spark.sql.streaming.noDataMicroBatches, on by default) then
+    (spark.sql.streaming.noDataMicroBatches, pinned true for the
+    replay's scope — never inherited from the session) then
     flushes all pending null-emissions before termination — the
     streaming analogue of an end-of-stream marker. Round 5: the
     sentinels previously arrived as TWO files/batches; one suffices
@@ -264,7 +280,18 @@ def _interval_outer_join_replay(
         ),
         join_type,
     )
-    with _state_partitions(spark, _JOIN_STATE_PARTITIONS):
+    # The single-sentinel flush depends on the trailing no-data
+    # micro-batch; pin the conf explicitly (scoped, like the state
+    # partitions) instead of relying on the engine default — a session
+    # that disabled it would silently swallow the pending null
+    # emissions the sentinel exists to flush (round-5 advice).
+    with _scoped_conf(
+        spark,
+        {
+            "spark.sql.shuffle.partitions": str(_JOIN_STATE_PARTITIONS),
+            "spark.sql.streaming.noDataMicroBatches": "true",
+        },
+    ):
         out = _sink(joined, name)
     try:
         # Sentinels carry user -1 on whichever side they came in on; a
