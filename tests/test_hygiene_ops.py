@@ -345,3 +345,62 @@ def test_bloom_sketch_positive_control_forced_collision(spark):
 
     shared_pid = hashlib.md5(shared.encode()).hexdigest()
     assert df[shared_pid] == 2 and est[shared_pid] >= 2
+
+
+def test_paragraph_near_dup_planted_edit_positive_control(
+    spark, sf_dir, registry
+):
+    """The verdict ladder on the planted batch: exact re-submissions
+    are 'exact' on every window; one-token-appended edits land 'near'
+    on rewritten tail windows (the rows the exact-hash ladder calls
+    'novel' — the whole point of the near rung); synthetic novel docs
+    never classify 'exact'; and for near hits the best match must be a
+    REAL corpus paragraph pid."""
+    rows = registry["dedup_paragraph_near"].fn(spark, sf_dir).collect()
+    by_slice = {"dup": [], "edited": [], "novel": []}
+    for r in rows:
+        if r.doc_id >= 3_000_000:
+            by_slice["edited"].append(r)
+        elif r.doc_id >= 2_000_000:
+            by_slice["novel"].append(r)
+        else:
+            by_slice["dup"].append(r)
+    assert all(r.verdict == "exact" for r in by_slice["dup"])
+    assert all(r.verdict != "exact" for r in by_slice["novel"])
+    # the edited docs' full windows are untouched -> exact
+    assert any(r.verdict == "exact" for r in by_slice["edited"])
+    near_hits = [r for r in by_slice["edited"] if r.verdict == "near"]
+    assert near_hits, "no edited tail window collided - near rung dead"
+    # near hits carry a deterministic best match with >= threshold votes
+    from weather_analysis_bigdata__spark.queries_hygiene import _PN_MIN_SIG
+
+    for r in near_hits:
+        assert r.best_pid is not None
+        assert r.best_shared_sig >= _PN_MIN_SIG
+        assert r.n_near >= 1
+    # cross-check one near hit against the original document's tail
+    # paragraph: the edited doc doc_id+3_000_000 appends one token, so
+    # its LAST window is a superset-edit of the original's last window.
+    import hashlib
+
+    from weather_analysis_bigdata__spark.queries_hygiene import paragraphs
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 13 == 1)
+        .select("doc_id", F.col("text"))
+        .withColumn("paras", paragraphs(F.col("text")))
+        .select("doc_id", F.element_at("paras", -1).alias("tail"))
+        .collect()
+    )
+    orig_tail_pid = {
+        r.doc_id + 3_000_000: hashlib.md5(r.tail.encode()).hexdigest()
+        for r in docs
+    }
+    matched = [
+        r
+        for r in near_hits
+        if orig_tail_pid.get(r.doc_id) == r.best_pid
+    ]
+    assert matched, "no near hit points at its own original tail window"

@@ -286,6 +286,16 @@ KNOWN_EXCEPTIONS = {
     "broadcast rate table statelessly (one pass, no doc shuffle)",
     "decile_stats_twopass": "same two-pass recipe over orders: one "
     "fact-scale exchange, rest O(parts)/scalar",
+    "dedup_paragraph_near": "the dedup_minhash_incremental shape one "
+    "granularity down: all five exchanges carry batch-sized "
+    "pid/band/decision rows (16 B keys + k×8 B signatures, never "
+    "paragraph text) — distinct pids, the signature aggregate, the "
+    "banded candidate pair aggregate, the per-pid best-match "
+    "aggregate, and the occurrence stitch (shuffle-hash hinted); the "
+    "SortAggregates are the deterministic argmin over a (vote, "
+    "32-char pid) struct — non-mutable buffer type plans SortAgg by "
+    "construction (the bitmap_exact_distinct_merge class), state one "
+    "pair per batch paragraph",
 }
 
 #: Flag KINDS covered by each review above (kind = flag text before any
@@ -343,6 +353,7 @@ REVIEWED_FLAGS = {
     "training_corpus_manifest": {"XCHG"},
     "perplexity_tertile_split": {"XCHG"},
     "rag_context_assembly": {"XCHG", "SORTMERGE"},
+    "dedup_paragraph_near": {"XCHG", "SORTAGG"},
 }
 
 
