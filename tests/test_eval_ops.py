@@ -213,3 +213,124 @@ def test_rank_metrics_no_global_window(spark, sf_dir, registry):
     df = registry["retrieval_eval_rank_metrics"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert n_global_windows(plan) == 0
+
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier (FineWeb-Edu pattern)
+# ---------------------------------------------------------------------------
+def test_qnb_output_contract_and_flag_consistency(spark, sf_dir, registry):
+    """Every doc is scored exactly once; keep_classifier is exactly
+    pred_label == 'keep'; margins are non-negative; the held-out split
+    is doc_id % 5 == 0."""
+    rows = registry["quality_classifier_nb"].fn(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    for r in rows:
+        assert r.pred_label in ("drop", "keep")
+        assert r.keep_classifier == (r.pred_label == "keep")
+        assert r.margin_micro >= 0
+        assert r.is_test == (r.doc_id % 5 == 0)
+
+
+def test_qnb_confusion_consistent_with_predictions(spark, sf_dir, registry):
+    """The confusion matrix is the held-out predictions re-aggregated
+    against the live ensemble labels."""
+    from pyspark.sql import functions as F
+
+    preds = {
+        r.doc_id: r.pred_label
+        for r in registry["quality_classifier_nb"]
+        .fn(spark, sf_dir)
+        .filter(F.col("is_test"))
+        .collect()
+    }
+    labels = {
+        r.doc_id: ("keep" if r.keep_majority else "drop")
+        for r in registry["quality_ensemble_vote"]
+        .fn(spark, sf_dir)
+        .filter(F.col("doc_id") % 5 == 0)
+        .collect()
+    }
+    expected: dict[tuple, int] = {}
+    for did, pl in preds.items():
+        k = (labels[did], pl)
+        expected[k] = expected.get(k, 0) + 1
+    cm = {
+        (r.label, r.pred_label): r.n
+        for r in registry["quality_classifier_confusion"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert cm == expected
+
+
+def test_qnb_learns_planted_quality_signal(spark, tmp_path, registry):
+    """POSITIVE CONTROL for the whole weak-label/train/score path: on
+    a corpus whose junk documents carry a real token signature (the
+    repeated-token spam the ensemble votes to drop), the SAME query
+    machinery must reach high held-out accuracy — proving the real
+    corpus's majority-class collapse is a data property, not a bug
+    (the lang_classifier planted-signal precedent)."""
+    clean_vocab = (
+        "the of and to in is was for on with as by at from this that "
+        "it he she they we you all one two new time people way day"
+    ).split()
+    rows = []
+    for i in range(300):
+        if i % 2 == 0:
+            text = " ".join(
+                clean_vocab[(i * 7 + j * 3) % len(clean_vocab)]
+                for j in range(40)
+            )
+        else:
+            junk = f"buy{i % 7}"
+            text = " ".join([junk] * 40)
+        rows.append((i, text, "en", f"src{i % 3}", len(text)))
+    corpus = str(tmp_path / "planted_q")
+    spark.createDataFrame(
+        rows,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    ).coalesce(1).write.parquet(f"{corpus}/documents.parquet")
+
+    from pyspark.sql import functions as F
+
+    labels = {
+        r.doc_id: ("keep" if r.keep_majority else "drop")
+        for r in registry["quality_ensemble_vote"].fn(spark, corpus).collect()
+    }
+    # the planted corpus must actually produce both label classes
+    assert {"keep", "drop"} == set(labels.values())
+    preds = (
+        registry["quality_classifier_nb"]
+        .fn(spark, corpus)
+        .filter(F.col("is_test"))
+        .collect()
+    )
+    assert preds
+    acc = sum(
+        1 for r in preds if r.pred_label == labels[r.doc_id]
+    ) / len(preds)
+    assert acc >= 0.9, f"planted-signal held-out accuracy {acc:.3f} < 0.9"
+
+
+def test_qnb_5way_vote_algebra(spark, sf_dir, registry):
+    """The 5-way vote is exactly the 4-way vote + the classifier flag."""
+    four = {
+        r.doc_id: r
+        for r in registry["quality_ensemble_vote"].fn(spark, sf_dir).collect()
+    }
+    clf = {
+        r.doc_id: r.keep_classifier
+        for r in registry["quality_classifier_nb"].fn(spark, sf_dir).collect()
+    }
+    five = registry["quality_ensemble_vote_5way"].fn(spark, sf_dir).collect()
+    assert len(five) == len(four)
+    for r in five:
+        f = four[r.doc_id]
+        assert r.keep_classifier == clf[r.doc_id]
+        expected = f.n_keep_votes + (1 if clf[r.doc_id] else 0)
+        assert r.n_keep_votes5 == expected
+        assert r.keep_majority5 == (expected >= 3)
+        assert r.keep_unanimous5 == (expected == 5)

@@ -286,6 +286,14 @@ KNOWN_EXCEPTIONS = {
     "broadcast rate table statelessly (one pass, no doc shuffle)",
     "decile_stats_twopass": "same two-pass recipe over orders: one "
     "fact-scale exchange, rest O(parts)/scalar",
+    "quality_classifier_confusion": "the audit composes BOTH sides by "
+    "definition (the lsh_recall_audit pattern): the serving scorer "
+    "(one feature aggregate + model broadcast) AND the live ensemble "
+    "label kernel (its own audited 2-scan shape) — each exchange "
+    "belongs to one of the two already-reviewed subplans or to the "
+    "final ≤4-row confusion aggregate; the production path is "
+    "quality_classifier_nb (xchg=2), which exists precisely so this "
+    "composition never runs at serving time",
     "dedup_paragraph_near": "the dedup_minhash_incremental shape one "
     "granularity down: all five exchanges carry batch-sized "
     "pid/band/decision rows (16 B keys + k×8 B signatures, never "
@@ -354,6 +362,7 @@ REVIEWED_FLAGS = {
     "perplexity_tertile_split": {"XCHG"},
     "rag_context_assembly": {"XCHG", "SORTMERGE"},
     "dedup_paragraph_near": {"XCHG", "SORTAGG"},
+    "quality_classifier_confusion": {"XCHG"},
 }
 
 

