@@ -131,6 +131,15 @@ HEADLINE = [
     "rag_context_assembly",
     "pack_sequences_bestfit",
     "rerank_mmr_diversify",
+    # round 6: Bloom paragraph dedup (+false-drop audit), paragraph
+    # near-dup, the distilled quality classifier rung (+confusion
+    # audit) and the 5-way ensemble it joins
+    "dedup_paragraph_bloom",
+    "dedup_paragraph_bloom_audit",
+    "dedup_paragraph_near",
+    "quality_classifier_nb",
+    "quality_classifier_confusion",
+    "quality_ensemble_vote_5way",
 ]
 
 

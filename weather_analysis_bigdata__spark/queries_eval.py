@@ -761,21 +761,27 @@ def _prepare_qnb(spark: SparkSession, sf_dir: str) -> None:
     _qnb_table(spark, sf_dir)
 
 
-def _qnb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, is_test, pred_label, margin_micro, keep_classifier):
-    the SERVING path — scoring touches ONLY the persisted 514-row
-    model, never the ensemble (that is the point of distillation).
-    Same plan shape as _nbc_scores: broadcast model join below one
-    doc-grained conditional aggregate, 2-row prior collect embedded
-    as literals, shuffle-hash doc stitch."""
-    lpt = _qnb_table(spark, sf_dir)
-    priors = {
-        r["label"]: int(r["lp_int"])
-        for r in lpt.filter(F.col("bucket") == -1).collect()
-    }
+def qnb_score_docs(
+    d: DataFrame, lpt: DataFrame, priors: dict[str, int]
+) -> DataFrame:
+    """Score an arbitrary documents-shaped frame against the persisted
+    quality model — the kernel shared by the batch query and the
+    streaming gate replay (stream ≡ batch is a property of ONE code
+    path). Plan shape as _nbc_scores: broadcast model join below one
+    doc-grained conditional aggregate, priors embedded as literals,
+    shuffle-hash doc stitch."""
+    feats = d.select(
+        "doc_id",
+        F.explode(tokens(F.col("text"))).alias("t"),
+    ).select(
+        "doc_id",
+        (
+            hex15_to_long(md5s(F.concat(F.lit(_QNB_SALT), F.col("t"))))
+            % _QNB_BUCKETS
+        ).alias("bucket"),
+    )
     fsum = (
-        _qnb_features(spark, sf_dir)
-        .join(F.broadcast(lpt.filter(F.col("bucket") >= 0)), "bucket")
+        feats.join(F.broadcast(lpt.filter(F.col("bucket") >= 0)), "bucket")
         .groupBy("doc_id")
         .agg(
             *[
@@ -786,7 +792,6 @@ def _qnb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    d = load_table(spark, sf_dir, "documents")
     joined = d.select(
         "doc_id",
         (F.col("doc_id") % _QNB_MOD == _QNB_TEST_REM).alias("is_test"),
@@ -802,6 +807,23 @@ def _qnb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("margin_micro"),
         (pred == F.lit("keep")).alias("keep_classifier"),
+    )
+
+
+def _qnb_priors(lpt: DataFrame) -> dict[str, int]:
+    return {
+        r["label"]: int(r["lp_int"])
+        for r in lpt.filter(F.col("bucket") == -1).collect()
+    }
+
+
+def _qnb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, is_test, pred_label, margin_micro, keep_classifier):
+    the SERVING path — scoring touches ONLY the persisted 514-row
+    model, never the ensemble (that is the point of distillation)."""
+    lpt = _qnb_table(spark, sf_dir)
+    return qnb_score_docs(
+        load_table(spark, sf_dir, "documents"), lpt, _qnb_priors(lpt)
     )
 
 
@@ -1063,3 +1085,79 @@ def quality_ensemble_vote_5way(
         (votes5 >= 3).alias("keep_majority5"),
         (votes5 == 5).alias("keep_unanimous5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming classifier gate (the distilled model AT INGEST)
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_classifier_gate_replay",
+    oracle=lambda: f"""
+    WITH {_qnb_score_sql()}
+    SELECT doc_id, is_test, pred_label, margin_micro,
+           pred_label = 'keep' AS keep_classifier
+    FROM qpred WHERE q_rn = 1
+    """,
+    doc="The distilled quality classifier RUN BY THE STREAMING ENGINE "
+    "— the deployment the FineWeb-Edu pattern exists for: documents "
+    "replay as a 4-micro-batch file stream; foreachBatch scores each "
+    "batch with the SAME kernel (qnb_score_docs) against the SAME "
+    "persisted 514-row model and publishes batch_id-keyed overwrite "
+    "decision segments (idempotent under redelivery). Registered "
+    "oracle = quality_classifier_nb's SQL VERBATIM, so the hash match "
+    "proves model-based gating COMMUTES with micro-batching — valid "
+    "because the kernel is doc-local plus a static broadcast model. "
+    "Where streaming_quality_gate_replay runs the full 4-filter "
+    "ensemble per arriving batch, this gate costs ONE tokenize + one "
+    "broadcast join — the cheap rung a 100 TB ingest actually runs "
+    "on every document, with the ensemble reserved for periodic "
+    "re-labeling.",
+    prepare=_prepare_qnb,
+)
+def streaming_classifier_gate_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        replay_segment_dir,
+    )
+
+    run = uuid.uuid4().hex[:10]
+    src_dir = tempfile.mkdtemp(prefix=f"clfgate_src_{run}_")
+    # Segments outlive this function — the result IS their scan.
+    seg_dir = replay_segment_dir("clfgate_seg")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        schema = docs.schema
+        docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+        lpt = _qnb_table(spark, sf_dir)
+        priors = _qnb_priors(lpt)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+        def publish(bdf: DataFrame, batch_id: int) -> None:
+            qnb_score_docs(bdf, lpt, priors).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(seg_dir, f"seg_{batch_id}"))
+
+        q = (
+            stream.writeStream.foreachBatch(publish)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        # Distributed scan of the published segments — no collect().
+        return spark.read.parquet(os.path.join(seg_dir, "seg_*"))
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
