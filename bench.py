@@ -140,6 +140,7 @@ HEADLINE = [
     "quality_classifier_nb",
     "quality_classifier_confusion",
     "quality_ensemble_vote_5way",
+    "corpus_datasheet",
 ]
 
 

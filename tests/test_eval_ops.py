@@ -334,3 +334,22 @@ def test_qnb_5way_vote_algebra(spark, sf_dir, registry):
         assert r.n_keep_votes5 == expected
         assert r.keep_majority5 == (expected >= 3)
         assert r.keep_unanimous5 == (expected == 5)
+
+
+def test_corpus_datasheet_invariants(spark, sf_dir, registry):
+    """Per-source datasheet algebra: counts bound each other, token
+    shares sum to ~1e6 (floor division loses < n_sources ppm), and
+    the doc/token totals match direct counts."""
+    rows = registry["corpus_datasheet"].fn(spark, sf_dir).collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 0 < r.n_unique_fp <= r.n_docs
+        assert 0 <= r.n_keep <= r.n_docs
+        assert 0 < r.n_langs <= 5
+        assert r.unique_ppm == (1_000_000 * r.n_unique_fp) // r.n_docs
+        assert r.keep_ppm == (1_000_000 * r.n_keep) // r.n_docs
+        assert r.mean_tokens == r.total_tokens // r.n_docs
+    share = sum(r.token_share_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= share <= 1_000_000

@@ -286,6 +286,13 @@ KNOWN_EXCEPTIONS = {
     "broadcast rate table statelessly (one pass, no doc shuffle)",
     "decile_stats_twopass": "same two-pass recipe over orders: one "
     "fact-scale exchange, rest O(parts)/scalar",
+    "corpus_datasheet": "composition capstone (the "
+    "training_corpus_manifest class): the 5-way ensemble subtree "
+    "(ensemble 2-scan stitch + classifier scorer, both audited) feeds "
+    "one documents-projection join, an O(sources) aggregate, and a "
+    "1-row total broadcast (the BNLJ) — every exchange is one of the "
+    "component kernels' linear doc-grained shuffles or carries "
+    "O(sources) rows; nothing here is quadratic or re-executed",
     "quality_classifier_confusion": "the audit composes BOTH sides by "
     "definition (the lsh_recall_audit pattern): the serving scorer "
     "(one feature aggregate + model broadcast) AND the live ensemble "
@@ -363,6 +370,7 @@ REVIEWED_FLAGS = {
     "rag_context_assembly": {"XCHG", "SORTMERGE"},
     "dedup_paragraph_near": {"XCHG", "SORTAGG"},
     "quality_classifier_confusion": {"XCHG"},
+    "corpus_datasheet": {"XCHG"},
 }
 
 

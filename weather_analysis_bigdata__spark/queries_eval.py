@@ -1161,3 +1161,113 @@ def streaming_classifier_gate_replay(
         return spark.read.parquet(os.path.join(seg_dir, "seg_*"))
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Corpus datasheet (the per-source summary a curation team publishes)
+# ---------------------------------------------------------------------------
+def _datasheet_oracle() -> str:
+    from weather_analysis_bigdata__spark.functions.textops import (
+        SQL_NORMALIZED,
+    )
+
+    toks = SQL_TOKENS.format(c="text")
+    nt = SQL_NORMALIZED.format(c="text")
+    return f"""
+    WITH v AS ({_qnb_5way_oracle()}),
+    base AS (
+      SELECT d.source, d.doc_id, d.lang,
+             CAST(len({toks}) AS BIGINT) AS n_tokens,
+             md5({nt}) AS fp,
+             v.keep_majority5
+      FROM documents d JOIN v ON v.doc_id = d.doc_id
+    ),
+    agg AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_fp,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(CASE WHEN keep_majority5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_keep
+      FROM base GROUP BY source
+    ),
+    tot AS (SELECT SUM(total_tokens) AS corpus_tokens FROM agg)
+    SELECT a.source, a.n_docs, a.total_tokens, a.n_unique_fp, a.n_langs,
+           a.n_keep,
+           CAST((1000000 * a.n_unique_fp) // a.n_docs AS BIGINT)
+             AS unique_ppm,
+           CAST((1000000 * a.n_keep) // a.n_docs AS BIGINT) AS keep_ppm,
+           CAST((a.total_tokens - (a.total_tokens % a.n_docs))
+                / a.n_docs AS BIGINT) AS mean_tokens,
+           CAST((1000000 * a.total_tokens) // t.corpus_tokens AS BIGINT)
+             AS token_share_ppm
+    FROM agg a CROSS JOIN tot t
+    """
+
+
+@register(
+    "corpus_datasheet",
+    oracle=_datasheet_oracle,
+    doc="The per-source CORPUS DATASHEET (Gebru et al., 'Datasheets "
+    "for Datasets' — the summary table a curation team publishes with "
+    "a training corpus): per source, document and token counts, "
+    "distinct-fingerprint count (exact-dedup uniqueness in ppm), "
+    "language spread, the 5-way quality-ensemble keep rate in ppm, "
+    "mean tokens per doc (exact floor), and the source's share of the "
+    "corpus token budget in ppm — every number integer-exact. "
+    "Composes the 5-way ensemble (and therefore every quality rung "
+    "plus the distilled classifier) with the fingerprint and token "
+    "kernels in ONE plan: the fact-scale work is one documents scan "
+    "projected to (source, tokens, fp) plus the already-audited "
+    "ensemble subtree, then an O(sources) aggregate and a 1-row "
+    "total broadcast — the crosstab_share scale shape. At 100 TB "
+    "this is the table that decides which sources are worth their "
+    "storage before any training run.",
+    prepare=_prepare_qnb,
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = quality_ensemble_vote_5way(spark, sf_dir).select(
+        "doc_id", "keep_majority5"
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        md5s(normalized_text("text")).alias("fp"),
+    )
+    base = d.hint("shuffle_hash").join(v, "doc_id")
+    agg = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("fp").cast("long").alias("n_unique_fp"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum(F.when(F.col("keep_majority5"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_keep"),
+    )
+    tot = agg.agg(
+        F.sum("total_tokens").cast("long").alias("corpus_tokens")
+    )
+    t = F.col("total_tokens")
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "n_unique_fp",
+        "n_langs",
+        "n_keep",
+        F.expr("CAST((1000000 * n_unique_fp) DIV n_docs AS BIGINT)").alias(
+            "unique_ppm"
+        ),
+        F.expr("CAST((1000000 * n_keep) DIV n_docs AS BIGINT)").alias(
+            "keep_ppm"
+        ),
+        ((t - (t % F.col("n_docs"))) / F.col("n_docs"))
+        .cast("long")
+        .alias("mean_tokens"),
+        F.expr(
+            "CAST((1000000 * total_tokens) DIV corpus_tokens AS BIGINT)"
+        ).alias("token_share_ppm"),
+    )

@@ -131,19 +131,26 @@ def _sql_paragraphs(src: str = "documents", prefix: str = "") -> str:
 
 def paragraph_dedup(docs: DataFrame) -> DataFrame:
     """Core paragraph-dedup plan over (doc_id, text) — factored out so
-    tests can feed a planted corpus. See dedup_paragraph_corpus."""
+    tests can feed a planted corpus. See dedup_paragraph_corpus.
+
+    The duplicate-detection shuffle is keyed on pid = md5(para) (16
+    bytes), not the paragraph STRING — round-6 constant-factor fix:
+    the df-count exchange carries fixed-width keys instead of ~50-byte
+    text, exactly the economy the incremental/bloom forms already had.
+    Only the doc-side regroup still carries text (inherent: the
+    reconstruction fingerprint needs the surviving paragraphs)."""
     d = docs.select(
         "doc_id", F.posexplode(paragraphs(F.col("text"))).alias(
             "win_id", "para"
         )
-    )
+    ).withColumn("pid", md5s(F.col("para")))
     dup = (
-        d.groupBy("para")
+        d.groupBy("pid")
         .agg(F.countDistinct("doc_id").alias("para_docs"))
         .filter(F.col("para_docs") >= _PARA_MIN_DOCS)
-        .select("para", F.lit(1).alias("_dup"))
+        .select("pid", F.lit(1).alias("_dup"))
     )
-    m = d.join(dup, "para", "left")
+    m = d.join(dup, "pid", "left")
     kept = F.col("_dup").isNull()
     kept_struct = F.when(
         kept, F.struct(F.col("win_id").alias("w"), F.col("para").alias("p"))
