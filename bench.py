@@ -141,6 +141,7 @@ HEADLINE = [
     "quality_classifier_confusion",
     "quality_ensemble_vote_5way",
     "corpus_datasheet",
+    "corpus_drift_tv",
 ]
 
 

@@ -404,3 +404,32 @@ def test_paragraph_near_dup_planted_edit_positive_control(
         if orig_tail_pid.get(r.doc_id) == r.best_pid
     ]
     assert matched, "no near hit points at its own original tail window"
+
+
+def test_corpus_drift_tv_controls(spark, sf_dir, registry):
+    """Negative control: a distribution has zero TV distance against
+    itself (shares are deterministic floor-div ppm). Positive: the
+    planted arriving batch (with its synthetic 'nv…' vocabulary)
+    genuinely drifts, and the summary algebra is consistent."""
+    from pyspark.sql import functions as F
+
+    from weather_analysis_bigdata__spark.queries_hygiene import (
+        _drift_shares,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    a = _drift_shares(docs).select("bucket", F.col("share_ppm").alias("x"))
+    b = _drift_shares(docs).select("bucket", F.col("share_ppm").alias("y"))
+    self_tv = (
+        a.join(b, "bucket", "full")
+        .agg(F.sum(F.abs(F.col("x") - F.col("y"))).alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert self_tv == 0
+
+    row = registry["corpus_drift_tv"].fn(spark, sf_dir).collect()[0]
+    assert row.tv_ppm > 0, "planted batch must register drift"
+    assert 0 < row.n_buckets <= 256
+    assert 0 <= row.n_drifted_buckets <= row.n_buckets
+    assert row.max_drift_ppm >= row.tv_ppm // row.n_buckets

@@ -286,6 +286,12 @@ KNOWN_EXCEPTIONS = {
     "broadcast rate table statelessly (one pass, no doc shuffle)",
     "decile_stats_twopass": "same two-pass recipe over orders: one "
     "fact-scale exchange, rest O(parts)/scalar",
+    "corpus_drift_tv": "both sides reduce to ≤256-row bucket tables "
+    "at their FIRST map-side-combined aggregate; the SMJ is the "
+    "bucket-table FULL OUTER (the full_outer_join class — cannot "
+    "broadcast), sorting ≤256 rows; remaining exchanges are the two "
+    "fact-scale token-count reductions, 1-row totals, and the final "
+    "4-column summary aggregate",
     "corpus_datasheet": "composition capstone (the "
     "training_corpus_manifest class): the 5-way ensemble subtree "
     "(ensemble 2-scan stitch + classifier scorer, both audited) feeds "
@@ -371,6 +377,7 @@ REVIEWED_FLAGS = {
     "dedup_paragraph_near": {"XCHG", "SORTAGG"},
     "quality_classifier_confusion": {"XCHG"},
     "corpus_datasheet": {"XCHG"},
+    "corpus_drift_tv": {"XCHG", "SORTMERGE"},
 }
 
 

@@ -1797,3 +1797,114 @@ def dedup_paragraph_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("novel")
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 1e. Token-distribution drift between corpus and arriving batch
+# ---------------------------------------------------------------------------
+#: Hashed token-bucket space for the drift monitor. 256 buckets keeps
+#: the distribution table broadcast-sized at any corpus size; the salt
+#: decorrelates it from the classifier/LM bucket spaces.
+_DRIFT_BUCKETS = 256
+_DRIFT_SALT = "drift:"
+
+
+def _drift_shares(docs: DataFrame) -> DataFrame:
+    """(bucket, share_ppm, n) for a documents-shaped frame: each token
+    occurrence hashed to one of _DRIFT_BUCKETS buckets, per-bucket
+    share of all tokens in exact floor-division ppm."""
+    cnt = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .select(
+            (
+                hex15_to_long(
+                    md5s(F.concat(F.lit(_DRIFT_SALT), F.col("t")))
+                )
+                % _DRIFT_BUCKETS
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = cnt.agg(F.sum("n").cast("long").alias("tot"))
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n",
+        F.expr("CAST((1000000 * n) DIV tot AS BIGINT)").alias("share_ppm"),
+    )
+
+
+def _sql_drift_shares(src_cte: str, prefix: str) -> str:
+    toks = SQL_TOKENS.format(c="text")
+    h = sql_hex15_to_long(f"md5('{_DRIFT_SALT}' || t.g)")
+    p = prefix
+    return f"""{p}cnt AS (
+      SELECT {h} % {_DRIFT_BUCKETS} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT {toks} AS toks FROM {src_cte}) z, UNNEST(toks) AS t(g)
+      GROUP BY 1
+    ),
+    {p}sh AS (
+      SELECT bucket, n,
+             CAST((1000000 * n) // (SELECT SUM(n) FROM {p}cnt) AS BIGINT)
+               AS share_ppm
+      FROM {p}cnt
+    )"""
+
+
+@register(
+    "corpus_drift_tv",
+    oracle=f"""
+    WITH {_SQL_PARA_BATCH},
+    {_sql_drift_shares("documents", "c")},
+    {_sql_drift_shares("batch", "b")},
+    j AS (
+      SELECT COALESCE(c.bucket, b.bucket) AS bucket,
+             COALESCE(c.share_ppm, 0) AS c_share,
+             COALESCE(b.share_ppm, 0) AS b_share
+      FROM csh c FULL OUTER JOIN bsh b ON c.bucket = b.bucket
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(ABS(c_share - b_share)) // 2 AS BIGINT) AS tv_ppm,
+           CAST(COUNT(*) FILTER (ABS(c_share - b_share) > 1000)
+                AS BIGINT) AS n_drifted_buckets,
+           CAST(MAX(ABS(c_share - b_share)) AS BIGINT) AS max_drift_ppm
+    FROM j
+    """,
+    doc="DATA-DRIFT monitor for ingest: total-variation distance (in "
+    "exact integer ppm — TV needs no logs, unlike KL, so both engines "
+    "compute it bit-identically with floor-division shares) between "
+    "the corpus token distribution and an arriving batch's, over "
+    f"{_DRIFT_BUCKETS} hashed token buckets, plus the count of "
+    "buckets drifted > 1000 ppm and the worst bucket. The planted "
+    "batch (the paragraph-dedup arriving batch: exact re-submissions "
+    "+ edits + synthetic novel docs with an 'nv…' vocabulary) "
+    "genuinely drifts, so the monitor reads non-zero — the alarm a "
+    "100 TB ingest wires before letting a crawl snapshot into the "
+    "mix. Scale: both sides reduce to a ≤256-row bucket table at the "
+    "FIRST map-side-combined aggregate; the totals are 1-row "
+    "broadcasts; the full-outer join touches ≤256 rows (SMJ over "
+    "buckets is free at that size).",
+)
+def corpus_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _drift_shares(
+        load_table(spark, sf_dir, "documents").select("text")
+    ).select("bucket", F.col("share_ppm").alias("c_share"))
+    b = _drift_shares(_paragraph_batch(spark, sf_dir)).select(
+        "bucket", F.col("share_ppm").alias("b_share")
+    )
+    j = c.join(b, "bucket", "full").select(
+        F.coalesce("c_share", F.lit(0)).alias("c_share"),
+        F.coalesce("b_share", F.lit(0)).alias("b_share"),
+    )
+    diff = F.abs(F.col("c_share") - F.col("b_share"))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.expr(
+            "CAST(SUM(ABS(c_share - b_share)) DIV 2 AS BIGINT)"
+        ).alias("tv_ppm"),
+        F.sum(F.when(diff > 1000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_drifted_buckets"),
+        F.max(diff).cast("long").alias("max_drift_ppm"),
+    )
