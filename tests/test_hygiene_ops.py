@@ -433,3 +433,17 @@ def test_corpus_drift_tv_controls(spark, sf_dir, registry):
     assert 0 < row.n_buckets <= 256
     assert 0 <= row.n_drifted_buckets <= row.n_buckets
     assert row.max_drift_ppm >= row.tv_ppm // row.n_buckets
+
+
+def test_streaming_drift_monitor_slice_ordering(spark, sf_dir, registry):
+    """Per-batch drift is keyed to slice identity (the oracle proves
+    the values; this pins the reading): the exact-resubmission slice
+    drifts least, the novel-vocabulary slice most — by a wide margin."""
+    rows = sorted(
+        registry["streaming_drift_monitor_replay"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.batch_id,
+    )
+    assert [r.batch_id for r in rows] == [0, 1, 2]
+    resub, edited, novel = rows
+    assert resub.tv_ppm < edited.tv_ppm < novel.tv_ppm
+    assert novel.tv_ppm > 10 * resub.tv_ppm

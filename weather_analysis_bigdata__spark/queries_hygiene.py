@@ -254,11 +254,13 @@ def _prepare_paragraph_index(spark: SparkSession, sf_dir: str) -> None:
     _paragraph_index(spark, sf_dir)
 
 
-def _paragraph_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic arriving batch exercising all three decision
-    branches: exact re-submissions (every paragraph already indexed),
-    one-token-appended edits (full windows known, the tail novel), and
-    synthetic novel docs (no paragraph indexed)."""
+def _paragraph_batch_slices(
+    spark: SparkSession, sf_dir: str
+) -> list[DataFrame]:
+    """The three deterministic arriving-batch slices, separately (the
+    streaming drift monitor replays them as ordered micro-batches):
+    exact re-submissions, one-token-appended edits, synthetic novel
+    docs."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ids = F.col("doc_id").cast("string")
     dup = d.filter(F.col("doc_id") % 7 == 3).select(
@@ -273,6 +275,15 @@ def _paragraph_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.concat(F.repeat(F.concat(nv, F.lit(" ")), 9), nv).alias("text"),
     )
+    return [dup, edited, novel]
+
+
+def _paragraph_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic arriving batch exercising all three decision
+    branches: exact re-submissions (every paragraph already indexed),
+    one-token-appended edits (full windows known, the tail novel), and
+    synthetic novel docs (no paragraph indexed)."""
+    dup, edited, novel = _paragraph_batch_slices(spark, sf_dir)
     return dup.unionByName(edited).unionByName(novel)
 
 
@@ -1908,3 +1919,173 @@ def corpus_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_drifted_buckets"),
         F.max(diff).cast("long").alias("max_drift_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 1f. Streaming drift monitor (per-micro-batch TV vs the corpus)
+# ---------------------------------------------------------------------------
+def _drift_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED corpus token-bucket shares (bucket, n, share_ppm) —
+    ≤ _DRIFT_BUCKETS rows, the reference distribution an ingest
+    monitor compares every arriving batch against without re-reading
+    the corpus."""
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        persisted_index,
+    )
+
+    def build() -> DataFrame:
+        return _drift_shares(
+            load_table(spark, sf_dir, "documents").select("text")
+        )
+
+    return persisted_index(
+        spark, sf_dir, f"drift_shares{_DRIFT_BUCKETS}", build
+    )
+
+
+def _prepare_drift_index(spark: SparkSession, sf_dir: str) -> None:
+    _drift_index(spark, sf_dir)
+
+
+def _drift_tv_summary(batch_docs: DataFrame, cshares: DataFrame) -> DataFrame:
+    """One summary row of TV drift for an arriving batch against the
+    (persisted) corpus shares — the kernel shared by the batch-slice
+    oracle mirror and the streaming monitor."""
+    b = _drift_shares(batch_docs).select(
+        "bucket", F.col("share_ppm").alias("b_share")
+    )
+    c = cshares.select("bucket", F.col("share_ppm").alias("c_share"))
+    j = c.join(b, "bucket", "full").select(
+        F.coalesce("c_share", F.lit(0)).alias("c_share"),
+        F.coalesce("b_share", F.lit(0)).alias("b_share"),
+    )
+    diff = F.abs(F.col("c_share") - F.col("b_share"))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.expr("CAST(SUM(ABS(c_share - b_share)) DIV 2 AS BIGINT)").alias(
+            "tv_ppm"
+        ),
+        F.sum(F.when(diff > 1000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_drifted_buckets"),
+        F.max(diff).cast("long").alias("max_drift_ppm"),
+    )
+
+
+def _drift_replay_oracle() -> str:
+    slices = [
+        "SELECT doc_id + 1000000 AS doc_id, text FROM documents "
+        "WHERE doc_id % 7 = 3",
+        "SELECT doc_id + 3000000 AS doc_id, "
+        "text || ' px' || CAST(doc_id AS VARCHAR) AS text "
+        "FROM documents WHERE doc_id % 13 = 1",
+        "SELECT doc_id + 2000000 AS doc_id, "
+        "repeat('nv' || CAST(doc_id AS VARCHAR) || ' ', 9) "
+        "|| 'nv' || CAST(doc_id AS VARCHAR) AS text "
+        "FROM documents WHERE doc_id % 11 = 5",
+    ]
+    ctes = [_sql_drift_shares("documents", "c")]
+    rows = []
+    for i, sl in enumerate(slices):
+        ctes.append(f"slice{i} AS ({sl})")
+        ctes.append(_sql_drift_shares(f"slice{i}", f"s{i}"))
+        rows.append(f"""
+      SELECT CAST({i} AS BIGINT) AS batch_id,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             CAST(SUM(ABS(c_share - b_share)) // 2 AS BIGINT) AS tv_ppm,
+             CAST(COUNT(*) FILTER (ABS(c_share - b_share) > 1000)
+                  AS BIGINT) AS n_drifted_buckets,
+             CAST(MAX(ABS(c_share - b_share)) AS BIGINT) AS max_drift_ppm
+      FROM (
+        SELECT COALESCE(c.share_ppm, 0) AS c_share,
+               COALESCE(b.share_ppm, 0) AS b_share
+        FROM csh c FULL OUTER JOIN s{i}sh b ON c.bucket = b.bucket
+      ) j{i}""")
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(rows)
+    )
+
+
+@register(
+    "streaming_drift_monitor_replay",
+    oracle=_drift_replay_oracle,
+    doc="The drift monitor RUN BY THE STREAMING ENGINE — per-micro-"
+    "batch total-variation drift against the PERSISTED corpus bucket "
+    "shares: the three deterministic arriving-batch slices (exact "
+    "re-submissions / one-token edits / synthetic novel docs) replay "
+    "as THREE ORDERED micro-batches (one mtime-ordered file each, "
+    "maxFilesPerTrigger=1 — the interval-join sentinel's file-ordering "
+    "device reused for batch identity); foreachBatch computes the "
+    "SAME _drift_tv_summary kernel and publishes batch_id-keyed "
+    "segments. The oracle is the three per-slice TV computations "
+    "UNION ALL'd with literal batch ids, so the hash match proves "
+    "per-batch drift is exactly per-slice drift — batch identity "
+    "included, not just the multiset of rows. Expected reading: the "
+    "re-submission slice drifts least, the novel-vocabulary slice "
+    "most. At 100 TB the monitor costs one ≤256-row join per "
+    "micro-batch against a broadcast index — the alarm runs at "
+    "ingest line rate.",
+    prepare=_prepare_drift_index,
+)
+def streaming_drift_monitor_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        replay_segment_dir,
+    )
+
+    run = uuid.uuid4().hex[:10]
+    src_dir = tempfile.mkdtemp(prefix=f"driftmon_src_{run}_")
+    stage_dir = tempfile.mkdtemp(prefix=f"driftmon_stage_{run}_")
+    seg_dir = replay_segment_dir("driftmon_seg")
+    try:
+        slices = _paragraph_batch_slices(spark, sf_dir)
+        schema = slices[0].schema
+        # one FILE per slice, mtimes strictly increasing so the file
+        # stream delivers slice i as micro-batch i (FileStreamSource
+        # orders by modification time, oldest first)
+        for i, sl in enumerate(slices):
+            d = os.path.join(stage_dir, f"s{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(d)
+            part = next(
+                f for f in os.listdir(d)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            dst = os.path.join(src_dir, f"{i:03d}.parquet")
+            shutil.copy(os.path.join(d, part), dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+        cshares = _drift_index(spark, sf_dir)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+        def publish(bdf: DataFrame, batch_id: int) -> None:
+            _drift_tv_summary(bdf, cshares).select(
+                F.lit(batch_id).cast("long").alias("batch_id"), "*"
+            ).write.mode("overwrite").parquet(
+                os.path.join(seg_dir, f"seg_{batch_id}")
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(publish)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        return spark.read.parquet(os.path.join(seg_dir, "seg_*"))
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(stage_dir, ignore_errors=True)
