@@ -208,13 +208,21 @@ def main() -> None:
             prep = registry[name].prepare
             if prep is not None:
                 prep(spark, sf_dir)
-            if name == "streaming_minhash_index_replay":
+            if name in (
+                "streaming_minhash_index_replay",
+                # these gate/score the documents table as the stream
+                "streaming_quality_gate_replay",
+                "streaming_classifier_gate_replay",
+            ):
                 n_in = docs_rows  # documents stream, not events
             elif name == "streaming_multimodal_router_replay":
                 # streams the synthesized arriving batch: the two
                 # doc_id % 50 slices (see queries_round5._router_batch_df)
                 n_in = router_batch_rows
-            elif name == "streaming_paragraph_dedup_replay":
+            elif name in (
+                "streaming_paragraph_dedup_replay",
+                "streaming_drift_monitor_replay",
+            ):
                 # streams the three planted slices of
                 # queries_hygiene._paragraph_batch (union, overlaps
                 # re-counted — each slice is its own arriving doc)
