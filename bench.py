@@ -283,6 +283,13 @@ def main() -> None:
                     file=sys.stderr,
                 )
     detail.pop("streaming_throughput_error", None)
+    # Record the serve depth the eval weight tables derive from, so a
+    # depth change is visible as a diff against this record instead of
+    # a silent metric shift (round-6 advice; guarded by the _EVAL_K
+    # assert in queries_eval.py).
+    from weather_analysis_bigdata__spark.queries_eval import _EVAL_K
+
+    detail["eval_k"] = _EVAL_K
     if streaming_error is not None:
         detail["streaming_throughput_error"] = streaming_error
     detail.update(
@@ -324,8 +331,19 @@ def main() -> None:
             },
             separators=(",", ":"),
         )
+    # The JSON record must be the LAST output the driver's 2000-char
+    # tail capture sees (round-6 verdict: a post-line JVM stack trace
+    # would lose the round record). Stop Spark FIRST so the JVM — the
+    # only writer we don't control — has already flushed and exited its
+    # logging before the line prints; then flush both streams and emit
+    # the line as the final act.
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    sys.stderr.flush()
     sys.stdout.flush()
-    print(line)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

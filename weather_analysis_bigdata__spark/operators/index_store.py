@@ -20,6 +20,7 @@ regenerating testdata (see .claude/skills/verify gotchas).
 
 from __future__ import annotations
 
+import atexit
 import glob
 import hashlib
 import os
@@ -33,7 +34,15 @@ _ROOT = "/tmp/spark_graft_index"
 _REPLAY_ROOT = "/tmp/spark_graft_replay"
 
 
-def replay_segment_dir(prefix: str, max_age_sec: int = 3600) -> str:
+_OWN_REPLAY_DIRS: list[str] = []
+
+
+def _cleanup_own_replay_dirs() -> None:
+    for d in _OWN_REPLAY_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def replay_segment_dir(prefix: str, max_age_sec: int = 6 * 3600) -> str:
     """Run-scoped segment dir for foreachBatch replays whose RESULT is a
     scan of the published segments. The dir must OUTLIVE the query
     function — the returned DataFrame is lazy and the caller (driver
@@ -44,20 +53,50 @@ def replay_segment_dir(prefix: str, max_age_sec: int = 3600) -> str:
     returning the scan keeps the output distributed at any SF.
 
     A fresh uuid dir per run keeps concurrent runs (pytest workers,
-    bench, a driver sweep) isolated; sibling dirs older than
-    ``max_age_sec`` are swept on entry so disk stays bounded without
-    ever racing a live run (replays finish in seconds)."""
+    bench, a driver sweep) isolated. Disk stays bounded two ways
+    (round-6 advice: the old 1h mtime sweep could delete another LIVE
+    run's segments if its lazy result was consumed >1h later, and dirs
+    leaked forever when no future run swept):
+
+    - dirs THIS process created are removed at interpreter exit
+      (atexit), so every run cleans up after itself deterministically;
+    - foreign leftovers (a killed process that never reached atexit)
+      are swept only past ``max_age_sec`` = 6h — far beyond any
+      plausible gap between publishing segments and consuming the lazy
+      scan (replays finish in seconds; even a paused large-SF bench
+      session consumes within minutes)."""
     os.makedirs(_REPLAY_ROOT, exist_ok=True)
     now = time.time()
     for d in glob.glob(os.path.join(_REPLAY_ROOT, "*")):
         try:
-            if now - os.path.getmtime(d) > max_age_sec:
+            if d not in _OWN_REPLAY_DIRS and (
+                now - os.path.getmtime(d) > max_age_sec
+            ):
                 shutil.rmtree(d, ignore_errors=True)
         except OSError:
             pass
     path = os.path.join(_REPLAY_ROOT, f"{prefix}-{uuid.uuid4().hex[:10]}")
     os.makedirs(path)
+    if not _OWN_REPLAY_DIRS:
+        atexit.register(_cleanup_own_replay_dirs)
+    _OWN_REPLAY_DIRS.append(path)
     return path
+
+
+def read_replay_segments(spark: SparkSession, seg_dir: str) -> DataFrame:
+    """Distributed scan of every ``seg_N`` segment under ``seg_dir``.
+
+    Uses ``recursiveFileLookup`` on the (existing) parent dir instead of
+    a ``seg_*`` glob: reading a glob path makes FileStreamSink's
+    metadata probe stat the literal glob string, which throws a logged
+    FileNotFoundException whose ~1.4 KB stack trace polluted the driver
+    bench tail window (round-6 verdict "what's wrong" #2). The parent
+    dir always exists, so the probe resolves cleanly; hidden files
+    (``_SUCCESS``) are filtered by Spark's default path filter either
+    way."""
+    return (
+        spark.read.option("recursiveFileLookup", "true").parquet(seg_dir)
+    )
 
 
 def corpus_fingerprint(sf_dir: str) -> str:

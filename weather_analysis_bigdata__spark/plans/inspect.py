@@ -150,6 +150,14 @@ _HEAVY_FNS = (
 )
 
 
+def _tree_prefix_len(line: str) -> int:
+    """Length of the tree-drawing prefix (``: ``/``  ``/``+- ``/``:- ``
+    runs) before a plan line's node text. A node's direct child prints
+    at parent prefix + 3 (one more ``+- `` hop)."""
+    m = re.match(r"(?:[+:]- |:  |   )*", line)
+    return m.end() if m else 0
+
+
 def _balanced_span(s: str, open_idx: int) -> str:
     """The substring of ``s`` from the ``(`` at ``open_idx`` to its
     matching ``)`` (whole string if unbalanced — plan text can elide)."""
@@ -184,7 +192,15 @@ def n_generate_hot_projects(plan: str) -> int:
     column id and NONE of them is a generator-OUTPUT id (the last
     bracket group of the Generate line) — per-generated-row work over
     the generated column is inherent, over anything else it belongs
-    below the Generate."""
+    below the Generate.
+
+    Precision guards (round-6 advice): the Generate on the next line
+    must be the Project's DIRECT child — confirmed by tree-prefix
+    indentation (child prefix = parent prefix + 3, i.e. one more
+    ``+- ``/``:- `` hop), not mere line adjacency, so a sibling
+    subtree's Generate printed on the following line can't
+    false-positive. Heavy-fn matches anchor on a word boundary so
+    ``filter(`` can't match inside ``bloom_filter_agg(``."""
     lines = plan.splitlines()
     n = 0
     for i in range(len(lines) - 1):
@@ -192,12 +208,15 @@ def n_generate_hot_projects(plan: str) -> int:
         gm = re.search(r"\bGenerate \w+\(", lines[i + 1])
         if not pm or not gm:
             continue
+        if _tree_prefix_len(lines[i + 1]) != _tree_prefix_len(lines[i]) + 3:
+            continue  # adjacent line is not the Project's direct child
         groups = _bracket_groups(lines[i + 1][gm.start() :])
         gen_out_ids = set(re.findall(r"#(\d+)", groups[-1])) if groups else set()
         proj = lines[i][pm.end() - 1 :]
         hot = False
         for fn in _HEAVY_FNS:
-            for m in re.finditer(re.escape(fn), proj):
+            pat = r"(?<![\w.])" + re.escape(fn)
+            for m in re.finditer(pat, proj):
                 span = _balanced_span(proj, m.end() - 1)
                 ids = set(re.findall(r"#(\d+)", span))
                 if ids and not (ids & gen_out_ids):

@@ -400,6 +400,7 @@ def streaming_paragraph_dedup_replay(
     import uuid
 
     from weather_analysis_bigdata__spark.operators.index_store import (
+        read_replay_segments,
         replay_segment_dir,
     )
 
@@ -432,7 +433,7 @@ def streaming_paragraph_dedup_replay(
         q.awaitTermination()
 
         # Distributed scan of the published segments — no collect().
-        return spark.read.parquet(os.path.join(seg_dir, "seg_*"))
+        return read_replay_segments(spark, seg_dir)
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
 
@@ -1326,7 +1327,16 @@ _SQL_PB_EST = f"""dp AS (
 def _pb_estimates(docs: DataFrame, pcnt: DataFrame) -> DataFrame:
     """(pid, est_df) for every distinct paragraph of ``docs`` via the
     sketch: min over the _PB_K position counts. ``pcnt`` is ≤ _PB_M
-    rows — always broadcastable, the filter IS the only global state."""
+    rows — always broadcastable, the filter IS the only global state.
+
+    LEFT join + coalesce-to-0 (round-6 advice): a probed position
+    absent from the sketch means its count is 0, so the min — and the
+    paragraph's estimated df — is 0. An inner join would silently
+    inflate the min (or drop the pid entirely). Unreachable when
+    probing the corpus that built the sketch (every position was
+    incremented), but load-bearing the moment an ARRIVING batch is
+    probed against a prior corpus's sketch — the incremental direction
+    the near-dup rung already takes."""
     pids = (
         docs.select(
             F.posexplode(paragraphs(F.col("text"))).alias("win_id", "para")
@@ -1341,9 +1351,13 @@ def _pb_estimates(docs: DataFrame, pcnt: DataFrame) -> DataFrame:
         ).alias("pos"),
     )
     return (
-        ppos.join(F.broadcast(pcnt), "pos")
+        ppos.join(F.broadcast(pcnt), "pos", "left")
         .groupBy("pid")
-        .agg(F.min("cnt").cast("long").alias("est_df"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("est_df")
+        )
     )
 
 
@@ -2039,6 +2053,7 @@ def streaming_drift_monitor_replay(
     import uuid
 
     from weather_analysis_bigdata__spark.operators.index_store import (
+        read_replay_segments,
         replay_segment_dir,
     )
 
@@ -2085,7 +2100,7 @@ def streaming_drift_monitor_replay(
         )
         q.awaitTermination()
 
-        return spark.read.parquet(os.path.join(seg_dir, "seg_*"))
+        return read_replay_segments(spark, seg_dir)
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(stage_dir, ignore_errors=True)

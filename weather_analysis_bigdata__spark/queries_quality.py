@@ -933,6 +933,7 @@ def streaming_quality_gate_replay(
     import uuid
 
     from weather_analysis_bigdata__spark.operators.index_store import (
+        read_replay_segments,
         replay_segment_dir,
     )
     from weather_analysis_bigdata__spark.queries_serving import _plm_table
@@ -968,6 +969,6 @@ def streaming_quality_gate_replay(
         q.awaitTermination()
 
         # Distributed scan of the published segments — no collect().
-        return spark.read.parquet(os.path.join(seg_dir, "seg_*"))
+        return read_replay_segments(spark, seg_dir)
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)

@@ -1479,9 +1479,17 @@ def streaming_multimodal_router_replay(
     import tempfile
     import uuid
 
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        read_replay_segments,
+        replay_segment_dir,
+    )
+
     run = uuid.uuid4().hex[:10]
     src_dir = tempfile.mkdtemp(prefix=f"mmrt_src_{run}_")
-    seg_dir = tempfile.mkdtemp(prefix=f"mmrt_seg_{run}_")
+    # Segments outlive this function — the result IS their scan (the
+    # round-6 replay_segment_dir pattern; this was the last replay that
+    # froze its output via collect()+createDataFrame).
+    seg_dir = replay_segment_dir("mmrouter_seg")
     try:
         batch = _router_batch_df(spark, sf_dir)
         schema = batch.schema
@@ -1505,17 +1513,10 @@ def streaming_multimodal_router_replay(
         )
         q.awaitTermination()
 
-        rows = spark.read.parquet(os.path.join(seg_dir, "seg_*")).collect()
-        return spark.createDataFrame(
-            rows,
-            "new_doc_id long, decision string, modality string, "
-            "matched_doc_id long, match_distance long, text_doc_id long, "
-            "image_hamming long, audio_hamming long, "
-            "video_shared_frames long",
-        )
+        # Distributed scan of the published segments — no collect().
+        return read_replay_segments(spark, seg_dir)
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
-        shutil.rmtree(seg_dir, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

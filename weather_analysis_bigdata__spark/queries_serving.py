@@ -1322,6 +1322,10 @@ def streaming_ann_serve_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        read_replay_segments,
+    )
+
     run = uuid.uuid4().hex[:10]
     src_dir = tempfile.mkdtemp(prefix=f"annserve_src_{run}_")
     seg_dir = tempfile.mkdtemp(prefix=f"annserve_seg_{run}_")
@@ -1392,7 +1396,7 @@ def streaming_ann_serve_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sq.awaitTermination()
         rows = (
-            spark.read.parquet(os.path.join(seg_dir, "seg_*"))
+            read_replay_segments(spark, seg_dir)
             .select(
                 "query_id",
                 F.col("cand_id").alias("neighbor_id"),

@@ -610,6 +610,10 @@ def streaming_minhash_index_replay(spark: SparkSession, sf_dir: str) -> DataFram
     import tempfile
     import uuid
 
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        read_replay_segments,
+    )
+
     from pyspark.sql import functions as F
 
     from weather_analysis_bigdata__spark.functions.textops import (
@@ -649,7 +653,7 @@ def streaming_minhash_index_replay(spark: SparkSession, sf_dir: str) -> DataFram
         )
         q.awaitTermination()
 
-        built = spark.read.parquet(os.path.join(seg_dir, "seg_*"))
+        built = read_replay_segments(spark, seg_dir)
         item = (
             hex15_to_long(
                 md5s(
