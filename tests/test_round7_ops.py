@@ -1,0 +1,88 @@
+"""Round-7 operator tests: maximal-span substring dedup positive
+controls (planted duplicates with known extents), plus invariants the
+oracle compare can't express directly."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _span_pairs_on(spark, docs_rows):
+    """Run the REAL span-merge kernel on a synthetic docs table."""
+    from weather_analysis_bigdata__spark import queries_round7 as r7
+
+    d = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    return r7._span_pairs_from(d).collect()
+
+
+def _words(prefix, n, start=0):
+    return " ".join(f"{prefix}{i}" for i in range(start, start + n))
+
+
+def test_span_planted_long_duplicate_exact_extents(spark):
+    """A planted 25-token duplicate must surface as ONE maximal span
+    with exact start positions and length on both sides."""
+    shared = _words("dup", 25)
+    # doc 0: 5 unique tokens, then the shared span (a_start = 6)
+    # doc 1: 11 unique tokens, then the shared span (b_start = 12)
+    rows = [
+        (0, _words("ua", 5) + " " + shared + " " + _words("ta", 4)),
+        (1, _words("ub", 11) + " " + shared + " " + _words("tb", 7)),
+    ]
+    spans = _span_pairs_on(spark, rows)
+    assert len(spans) == 1
+    s = spans[0]
+    assert (s.da, s.db) == (0, 1)
+    assert s.a_start == 6
+    assert s.a_start + s.diag == 12  # b_start
+    assert s.span_tokens == 25
+
+
+def test_span_below_threshold_excluded(spark):
+    """A duplicate shorter than _SPAN_MIN_TOKENS (but >= the gram
+    width, so it DOES share grams) must not be reported."""
+    from weather_analysis_bigdata__spark import queries_round7 as r7
+
+    short = _words("dup", r7._SPAN_MIN_TOKENS - 1)
+    rows = [
+        (0, _words("ua", 6) + " " + short),
+        (1, _words("ub", 6) + " " + short),
+    ]
+    assert _span_pairs_on(spark, rows) == []
+
+
+def test_span_non_adjacent_recurrence_splits(spark):
+    """Two separate 20-token duplicated regions with unique text
+    between them merge into TWO spans, not one."""
+    s1, s2 = _words("one", 20), _words("two", 20)
+    rows = [
+        (0, s1 + " " + _words("ga", 9) + " " + s2),
+        (1, s1 + " " + _words("gb", 13) + " " + s2),
+    ]
+    spans = sorted(_span_pairs_on(spark, rows), key=lambda r: r.a_start)
+    assert [s.span_tokens for s in spans] == [20, 20]
+    assert spans[0].a_start == 1 and spans[0].diag == 0
+    # second span: doc0 pos 30, doc1 pos 34 → diag 4
+    assert spans[1].a_start == 30 and spans[1].diag == 4
+
+
+def test_removal_report_union_of_overlapping_spans(spark, sf_dir):
+    """dup_tokens is the size of the UNION of a doc's span intervals:
+    never exceeds total_tokens, and any doc appearing in the pairs
+    output has dup_tokens >= _SPAN_MIN_TOKENS."""
+    from weather_analysis_bigdata__spark import queries_round7 as r7
+
+    rep = {
+        r.doc_id: r
+        for r in r7.dedup_span_removal_report(spark, sf_dir).collect()
+    }
+    pairs = r7.dedup_span_maximal_pairs(spark, sf_dir).collect()
+    assert all(r.dup_tokens <= r.total_tokens for r in rep.values())
+    for p in pairs:
+        for d in (p.doc_id_a, p.doc_id_b):
+            assert rep[d].dup_tokens >= r7._SPAN_MIN_TOKENS
+    flagged = {d for p in pairs for d in (p.doc_id_a, p.doc_id_b)}
+    for doc_id, r in rep.items():
+        if doc_id not in flagged:
+            assert r.dup_tokens == 0 and r.n_dup_regions == 0
