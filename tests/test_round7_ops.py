@@ -86,3 +86,64 @@ def test_removal_report_union_of_overlapping_spans(spark, sf_dir):
     for doc_id, r in rep.items():
         if doc_id not in flagged:
             assert r.dup_tokens == 0 and r.n_dup_regions == 0
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer
+# ---------------------------------------------------------------------------
+def test_unigram_trainer_matches_independent_reference(spark):
+    """EXACT equality of the Spark EM trainer against the independent
+    pure-Python implementation (operators/unigram_reference.py) on the
+    sf0.001 corpus: same pieces, same use counts, same quantized costs
+    — the BPE-style cross-implementation gate."""
+    from weather_analysis_bigdata__spark.operators import (
+        unigram_reference as ref,
+    )
+    from weather_analysis_bigdata__spark.operators.unigram import (
+        train_unigram,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    sf = "/root/testdata/sf0.001"
+    expected = ref.train(ref._read_documents(sf))
+    got = train_unigram(spark, load_table(spark, sf, "documents"))
+    assert sorted(got) == sorted(expected)
+
+
+def _tokenize_one(spark, word, vocab):
+    """Viterbi-tokenize one word with an explicit (piece, cost) vocab
+    through the REAL Spark kernel."""
+    from weather_analysis_bigdata__spark.operators.unigram import (
+        _viterbi_pieces,
+    )
+
+    words = spark.createDataFrame([(word, 1)], "word string, freq long")
+    vocab_df = spark.createDataFrame(
+        [(p, 0, c) for p, c in vocab.items()],
+        "piece STRING, count BIGINT, cost BIGINT",
+    )
+    [row] = _viterbi_pieces(words, vocab_df).collect()
+    return list(row.pieces)
+
+
+def test_unigram_viterbi_beats_greedy_longest_match(spark):
+    """'abcd' with cheap 'ab'+'cd' vs an attractive 'abc' prefix:
+    greedy longest-match takes abc|d (cost 5+9=14), Viterbi must find
+    ab|cd (cost 4). Proves the DP is a true min-cost segmentation, not
+    a greedy scan."""
+    vocab = {"a": 9, "b": 9, "c": 9, "d": 9, "abc": 5, "ab": 2, "cd": 2}
+    assert _tokenize_one(spark, "abcd", vocab) == ["ab", "cd"]
+
+
+def test_unigram_viterbi_tie_prefers_longer_piece(spark):
+    """Equal total cost (xy = 6 = x+y) resolves to the LONGER piece —
+    the deterministic tie-break both implementations share."""
+    vocab = {"x": 3, "y": 3, "xy": 6}
+    assert _tokenize_one(spark, "xy", vocab) == ["xy"]
+
+
+def test_unigram_char_fallback_covers_oov(spark):
+    """A word with no multi-char coverage falls back to single chars
+    (every corpus char is in-vocab, so segmentation never fails)."""
+    vocab = {"q": 5, "z": 5, "w": 5}
+    assert _tokenize_one(spark, "qzw", vocab) == ["q", "z", "w"]

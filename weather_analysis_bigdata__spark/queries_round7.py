@@ -14,6 +14,14 @@ admission.
   consecutive) — a gaps-and-islands window per (pair, diagonal), never
   a per-token alignment.
 
+- **Unigram-LM tokenizer** (Kudo 2018; the SentencePiece default):
+  operators/unigram.py trains by EM over the candidate-piece lattice
+  (Viterbi E-step as integer DP, driver-quantized prune M-step) and
+  tokenizes by the same DP; the trained vocabulary persists as an
+  index (operators/index_store.py). Exact-equality-gated against the
+  independent pure-Python operators/unigram_reference.py, which also
+  generates the lazy literal-VALUES oracles (the BPE pattern).
+
 Reference parity note: the reference (Weather_API.py) has no substring
 dedup at all — this is charter-extension breadth on the `documents`
 table, same as the rest of the dedup ladder.
@@ -293,4 +301,159 @@ def dedup_span_removal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("dup_tokens", F.lit(0)).cast("double")
             / F.nullif(F.col("total_tokens"), F.lit(0))
         ).alias("dup_fraction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece-style)
+# ---------------------------------------------------------------------------
+#: Bounded train-query output: top pieces by (use_count DESC, piece ASC).
+_UNI_TOP = 64
+
+
+def _unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED trained vocabulary (piece, count, cost): built once
+    per corpus by operators/unigram.py's EM trainer (2 Viterbi E-steps
+    over the distinct-word table, driver-quantized M-steps) and
+    published via operators/index_store.py — consumers pay a small
+    parquet scan, not a retrain."""
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        persisted_index,
+    )
+    from weather_analysis_bigdata__spark.operators.unigram import (
+        train_unigram,
+    )
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        vocab = train_unigram(spark, docs)
+        return spark.createDataFrame(
+            vocab, "piece STRING, count BIGINT, cost BIGINT"
+        )
+
+    return persisted_index(spark, sf_dir, "unigram_vocab", build)
+
+
+def _prepare_unigram(spark: SparkSession, sf_dir: str) -> None:
+    _unigram_vocab(spark, sf_dir)
+
+
+def _unigram_train_oracle() -> str:
+    from weather_analysis_bigdata__spark.operators.unigram_reference import (
+        train_oracle_sql,
+    )
+    from weather_analysis_bigdata__spark.queries_llmops import _bpe_oracle_sf
+
+    return train_oracle_sql(_bpe_oracle_sf())
+
+
+def _unigram_apply_oracle() -> str:
+    from weather_analysis_bigdata__spark.operators.unigram_reference import (
+        apply_oracle_sql,
+    )
+    from weather_analysis_bigdata__spark.queries_llmops import _bpe_oracle_sf
+
+    return apply_oracle_sql(_bpe_oracle_sf())
+
+
+@register(
+    "unigram_train_vocab",
+    oracle=_unigram_train_oracle,
+    prepare=_prepare_unigram,
+    doc="Unigram-LM (SentencePiece-style) tokenizer TRAINING (Kudo "
+    "2018) — the prune-down counterpart of bpe_train_merges' "
+    "merge-up: seed the vocabulary with the corpus charset + top "
+    "substrings by weighted occurrence, then alternate a Viterbi "
+    "E-step (min-integer-cost segmentation of every DISTINCT word — "
+    "substring explode joined to the broadcast vocab, then one "
+    "row-local DP fold; one shuffle per iteration) with a driver-side "
+    "M-step (exact usage counts -> shared micro-nat quantizer -> "
+    "count-ranked prune; single chars never pruned). The corpus "
+    "collapses to the distinct-word table first — the 100 TB trick "
+    "shared with the BPE trainer. Returns the top multi-char pieces "
+    "by (use_count DESC, piece ASC). The EM applies a data-dependent "
+    "rewrite per step no single SQL statement expresses, so the "
+    "oracle is a lazy literal-VALUES table from the INDEPENDENT "
+    "pure-Python operators/unigram_reference.py (regenerated from the "
+    "current corpus on first use; exact-equality test gate in "
+    "tests/test_round7_ops.py). Trained vocab persists as an index "
+    "(operators/index_store.py).",
+)
+def unigram_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [
+        (r["piece"], int(r["count"]), int(r["cost"]))
+        for r in _unigram_vocab(spark, sf_dir).collect()
+        if len(r["piece"]) > 1
+    ]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    out = [
+        (i + 1, p, len(p), c, q)
+        for i, (p, c, q) in enumerate(rows[:_UNI_TOP])
+    ]
+    return spark.createDataFrame(
+        out,
+        "piece_rank INT, piece STRING, piece_len INT, "
+        "use_count BIGINT, cost_micronat BIGINT",
+    ).orderBy("piece_rank")
+
+
+@register(
+    "unigram_apply_tokenize",
+    oracle=_unigram_apply_oracle,
+    prepare=_prepare_unigram,
+    doc="Unigram-LM tokenizer APPLICATION — the inference side of "
+    "unigram_train_vocab: Viterbi-tokenize every DISTINCT word once "
+    "under the persisted vocabulary (the same integer DP as training, "
+    "so train/apply can never disagree), then fan the per-word token "
+    "counts back over the corpus with a word join and aggregate per "
+    "source (chars before vs unigram tokens after, compression "
+    "ratio). Tokenizing distinct words instead of occurrences is the "
+    "production-scale move (Heaps' law: the DP runs orders of "
+    "magnitude fewer times than a per-occurrence tokenizer). Oracle: "
+    "lazy literal VALUES from the independent pure-Python reference "
+    "(see unigram_train_vocab).",
+)
+def unigram_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.operators.bpe import _word_freqs
+    from weather_analysis_bigdata__spark.operators.unigram import (
+        tokenize_words,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab_df = _unigram_vocab(spark, sf_dir)
+    words = _word_freqs(docs, "text")
+    per_word = tokenize_words(words, vocab_df).select(
+        "word",
+        F.length("word").cast("long").alias("w_chars"),
+        F.col("n_pieces").cast("long").alias("w_tokens"),
+    )
+    occurrences = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda w: w != "",
+            )
+        ).alias("word"),
+    )
+    per_source = (
+        occurrences.join(per_word, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("w_chars").alias("chars_total"),
+            F.sum("w_tokens").alias("unigram_tokens"),
+        )
+    )
+    n_docs = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return n_docs.join(per_source, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("chars_total", F.lit(0)).alias("chars_total"),
+        F.coalesce("unigram_tokens", F.lit(0)).alias("unigram_tokens"),
+        (
+            F.col("unigram_tokens").cast("double")
+            / F.nullif(F.col("chars_total"), F.lit(0)).cast("double")
+        ).alias("compression"),
     )
