@@ -147,3 +147,33 @@ def test_unigram_char_fallback_covers_oov(spark):
     (every corpus char is in-vocab, so segmentation never fails)."""
     vocab = {"q": 5, "z": 5, "w": 5}
     assert _tokenize_one(spark, "qzw", vocab) == ["q", "z", "w"]
+
+
+# ---------------------------------------------------------------------------
+# Classifier threshold sweep
+# ---------------------------------------------------------------------------
+def test_threshold_sweep_monotone_invariants(spark, sf_dir):
+    """Raising the margin threshold can only shrink the kept set:
+    n_keep / keep_rate / recall_keep are monotone NONINCREASING in
+    threshold_rank; the grid is dense (41 rows, ranks 0..40), the
+    lowest threshold keeps every held-out doc, and counts are
+    internally consistent."""
+    from weather_analysis_bigdata__spark import queries_round7 as r7
+
+    rows = sorted(
+        r7.quality_classifier_threshold_sweep(spark, sf_dir).collect(),
+        key=lambda r: r.threshold_rank,
+    )
+    assert [r.threshold_rank for r in rows] == list(
+        range(r7._SWEEP_POINTS + 1)
+    )
+    assert rows[0].keep_rate == 1.0 and rows[0].recall_keep == 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_keep <= a.n_keep
+        assert b.recall_keep <= a.recall_keep
+        assert b.threshold_micro > a.threshold_micro
+    for r in rows:
+        if r.n_keep == 0:
+            assert r.precision_keep is None
+        else:
+            assert 0.0 <= r.precision_keep <= 1.0

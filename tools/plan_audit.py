@@ -317,6 +317,18 @@ KNOWN_EXCEPTIONS = {
     "32-char pid) struct — non-mutable buffer type plans SortAgg by "
     "construction (the bitmap_exact_distinct_merge class), state one "
     "pair per batch paragraph",
+    "dedup_span_removal_report": "linear chain of strictly-shrinking "
+    "per-doc reductions over the audited dedup_span_maximal_pairs "
+    "subtree (xchg=3): span-interval distinct, the per-doc interval-"
+    "union window (partitioned by doc_id, O(spans-per-doc) rows), and "
+    "the doc-spine stitch (shuffle-hash hinted) — every exchange past "
+    "the dotplot carries O(spans), not O(tokens), rows",
+    "unigram_apply_tokenize": "the distinct-word fan-out shape: the "
+    "word-frequency reduction, the candidate-match regroup (the "
+    "trainer's audited E-step shuffle), the occurrence-to-word stitch "
+    "(shuffle-hash hinted, carries one long per occurrence), and the "
+    "O(sources) aggregate + stitch — one linear pass over the corpus, "
+    "everything else keyed on the Heaps-law distinct-word table",
 }
 
 #: Flag KINDS covered by each review above (kind = flag text before any
@@ -378,6 +390,8 @@ REVIEWED_FLAGS = {
     "quality_classifier_confusion": {"XCHG"},
     "corpus_datasheet": {"XCHG"},
     "corpus_drift_tv": {"XCHG", "SORTMERGE"},
+    "dedup_span_removal_report": {"XCHG"},
+    "unigram_apply_tokenize": {"XCHG"},
 }
 
 

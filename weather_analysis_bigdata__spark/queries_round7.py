@@ -250,21 +250,34 @@ def dedup_span_maximal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_span_removal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = _span_pairs(spark, sf_dir)
+    # Both sides' intervals from ONE pass over the spans subtree (an
+    # explode of a 2-element struct array) — a unionAll of two selects
+    # would re-execute the whole dotplot pipeline per branch.
     iv = (
         spans.select(
-            F.col("da").alias("doc_id"),
-            F.col("a_start").alias("s"),
-            (F.col("a_start") + F.col("span_tokens") - 1).alias("e"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("da").alias("doc_id"),
+                        F.col("a_start").alias("s"),
+                        (F.col("a_start") + F.col("span_tokens") - 1).alias(
+                            "e"
+                        ),
+                    ),
+                    F.struct(
+                        F.col("db").alias("doc_id"),
+                        (F.col("a_start") + F.col("diag")).alias("s"),
+                        (
+                            F.col("a_start")
+                            + F.col("diag")
+                            + F.col("span_tokens")
+                            - 1
+                        ).alias("e"),
+                    ),
+                )
+            ).alias("x")
         )
-        .unionAll(
-            spans.select(
-                F.col("db").alias("doc_id"),
-                (F.col("a_start") + F.col("diag")).alias("s"),
-                (
-                    F.col("a_start") + F.col("diag") + F.col("span_tokens") - 1
-                ).alias("e"),
-            )
-        )
+        .select("x.doc_id", "x.s", "x.e")
         .distinct()
     )
     w = Window.partitionBy("doc_id").orderBy("s", "e")
@@ -290,7 +303,7 @@ def dedup_span_removal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(tokens("text")).cast("long").alias("total_tokens")
     )
-    return d.join(per_doc, "doc_id", "left").select(
+    return d.join(per_doc.hint("shuffle_hash"), "doc_id", "left").select(
         "doc_id",
         "total_tokens",
         F.coalesce("n_dup_regions", F.lit(0)).cast("long").alias(
@@ -437,7 +450,7 @@ def unigram_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("word"),
     )
     per_source = (
-        occurrences.join(per_word, "word")
+        occurrences.join(per_word.hint("shuffle_hash"), "word")
         .groupBy("source")
         .agg(
             F.sum("w_chars").alias("chars_total"),
@@ -447,7 +460,7 @@ def unigram_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    return n_docs.join(per_source, "source", "left").select(
+    return n_docs.join(per_source.hint("shuffle_hash"), "source", "left").select(
         "source",
         "n_docs",
         F.coalesce("chars_total", F.lit(0)).alias("chars_total"),
@@ -456,4 +469,202 @@ def unigram_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("unigram_tokens").cast("double")
             / F.nullif(F.col("chars_total"), F.lit(0)).cast("double")
         ).alias("compression"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classifier operating-point sweep
+# ---------------------------------------------------------------------------
+#: Threshold grid resolution: _SWEEP_POINTS + 1 thresholds from the
+#: min to the max held-out signed margin (integer micro-nats).
+_SWEEP_POINTS = 40
+
+
+def _prepare_sweep(spark: SparkSession, sf_dir: str) -> None:
+    from weather_analysis_bigdata__spark.queries_eval import _prepare_qnb
+
+    _prepare_qnb(spark, sf_dir)
+
+
+def _sweep_oracle() -> str:
+    from weather_analysis_bigdata__spark.queries_eval import _qnb_score_sql
+    from weather_analysis_bigdata__spark.queries_quality import (
+        _ensemble_oracle,
+    )
+
+    return f"""
+    WITH {_qnb_score_sql()},
+    lab AS (
+      SELECT doc_id, CASE WHEN keep_majority THEN 'keep' ELSE 'drop' END
+               AS label
+      FROM ({_ensemble_oracle()}) z
+    ),
+    held AS (
+      SELECT CASE WHEN p.pred_label = 'keep' THEN p.margin_micro
+                  ELSE -p.margin_micro END AS m,
+             l.label
+      FROM qpred p JOIN lab l USING (doc_id)
+      WHERE p.q_rn = 1 AND p.is_test
+    ),
+    bounds AS (
+      SELECT MIN(m) AS mn, MAX(m) AS mx,
+             GREATEST(1, (MAX(m) - MIN(m) + {_SWEEP_POINTS} - 1)
+                         // {_SWEEP_POINTS}) AS step
+      FROM held
+    ),
+    hist AS (
+      SELECT LEAST((h.m - b.mn) // b.step, {_SWEEP_POINTS}) AS cell,
+             h.label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM held h CROSS JOIN bounds b
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_held,
+             CAST(SUM(CASE WHEN label = 'keep' THEN n ELSE 0 END)
+                  AS BIGINT) AS n_pos
+      FROM hist
+    ),
+    per_k AS (
+      SELECT g.k,
+             CAST(SUM(CASE WHEN h.label = 'keep' THEN h.n END) AS BIGINT)
+               AS tp,
+             CAST(SUM(CASE WHEN h.label = 'drop' THEN h.n END) AS BIGINT)
+               AS fp
+      FROM range(0, {_SWEEP_POINTS + 1}) AS g(k)
+      LEFT JOIN hist h ON h.cell >= g.k
+      GROUP BY g.k
+    )
+    SELECT CAST(p.k AS INT) AS threshold_rank,
+           CAST(b.mn + p.k * b.step AS BIGINT) AS threshold_micro,
+           CAST(COALESCE(p.tp, 0) + COALESCE(p.fp, 0) AS BIGINT) AS n_keep,
+           CAST(COALESCE(p.tp, 0) + COALESCE(p.fp, 0) AS DOUBLE)
+             / NULLIF(t.n_held, 0) AS keep_rate,
+           CAST(p.tp AS DOUBLE)
+             / NULLIF(COALESCE(p.tp, 0) + COALESCE(p.fp, 0), 0)
+             AS precision_keep,
+           CAST(COALESCE(p.tp, 0) AS DOUBLE) / NULLIF(t.n_pos, 0)
+             AS recall_keep
+    FROM per_k p CROSS JOIN bounds b CROSS JOIN tot t
+    """
+
+
+@register(
+    "quality_classifier_threshold_sweep",
+    oracle=_sweep_oracle,
+    doc="Operating-point sweep for the distilled quality classifier — "
+    "the step that prices the FineWeb-Edu rung: held-out "
+    "precision/recall/keep-rate of 'keep iff signed margin >= t' at "
+    f"{_SWEEP_POINTS + 1} integer thresholds spanning the observed "
+    "held-out margin range (signed margin = keep score - drop score "
+    "in micro-nats, so argmax = threshold 'm >= 0'). Scale shape: "
+    "each held-out doc maps to its highest-passed grid cell with "
+    "integer arithmetic (floor-div by the grid step), the corpus "
+    "reduces to a <= 2x(grid+1)-row histogram at the first map-side-"
+    "combined aggregate, and every suffix-sum/ratio after that runs "
+    "on grid-sized tables — the PR curve costs one linear pass at "
+    "100 TB, never a global sort (the corpus_drift_tv reduction "
+    "pattern). Oracle re-derives labels by running the registered "
+    "ensemble oracle and the persisted-model scoring chain "
+    "(generator-oracle pattern); invariants (keep_rate and "
+    "recall monotone nonincreasing in t) are pytest-gated in "
+    "tests/test_round7_ops.py. Serving reads ONLY the persisted "
+    "514-row model — the sweep prices thresholds, it does not "
+    "retrain.",
+    prepare=_prepare_sweep,
+)
+def quality_classifier_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from weather_analysis_bigdata__spark.queries_eval import (
+        _qnb_labels,
+        _qnb_scores,
+    )
+
+    scores = _qnb_scores(spark, sf_dir)
+    labels = _qnb_labels(spark, sf_dir)
+    held = (
+        scores.filter(F.col("is_test"))
+        .join(labels.hint("shuffle_hash"), "doc_id")
+        .select(
+            F.when(
+                F.col("pred_label") == "keep", F.col("margin_micro")
+            )
+            .otherwise(-F.col("margin_micro"))
+            .alias("m"),
+            "label",
+        )
+    )
+    # Two-pass grid statistic (the equi_depth_bins_twopass shape):
+    # pass 1 reduces the held-out chain to a 1-row bounds table, pass 2
+    # to the <= 2x(grid+1)-row histogram. Both reductions are eagerly
+    # checkpointed so the downstream grid algebra — which references
+    # them repeatedly — reuses the materialized rows instead of
+    # re-executing the scoring+labeling subtree per reference.
+    bounds = held.agg(
+        F.min("m").alias("mn"),
+        F.max("m").alias("mx"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(
+                f"(max(m) - min(m) + {_SWEEP_POINTS} - 1)"
+                f" div {_SWEEP_POINTS}"
+            ),
+        ).alias("step"),
+    ).localCheckpoint(eager=True)
+    hist = (
+        held.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.expr("(m - mn) div step"), F.lit(_SWEEP_POINTS).cast("long")
+            ).alias("cell"),
+            "label",
+        )
+        .groupBy("cell", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tot = hist.agg(
+        F.sum("n").cast("long").alias("n_held"),
+        F.sum(F.when(F.col("label") == "keep", F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+    )
+    grid = spark.range(0, _SWEEP_POINTS + 1).select(F.col("id").alias("k"))
+    per_k = (
+        grid.join(F.broadcast(hist), F.col("cell") >= F.col("k"), "left")
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("label") == "keep", F.col("n")))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when(F.col("label") == "drop", F.col("n")))
+            .cast("long")
+            .alias("fp"),
+        )
+    )
+    n_keep = F.coalesce(F.col("tp"), F.lit(0)) + F.coalesce(
+        F.col("fp"), F.lit(0)
+    )
+    return (
+        per_k.crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("int").alias("threshold_rank"),
+            (F.col("mn") + F.col("k") * F.col("step"))
+            .cast("long")
+            .alias("threshold_micro"),
+            n_keep.cast("long").alias("n_keep"),
+            (
+                n_keep.cast("double")
+                / F.nullif(F.col("n_held"), F.lit(0))
+            ).alias("keep_rate"),
+            (
+                F.col("tp").cast("double")
+                / F.nullif(n_keep, F.lit(0))
+            ).alias("precision_keep"),
+            (
+                F.coalesce(F.col("tp"), F.lit(0)).cast("double")
+                / F.nullif(F.col("n_pos"), F.lit(0))
+            ).alias("recall_keep"),
+        )
     )
