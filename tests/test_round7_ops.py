@@ -177,3 +177,32 @@ def test_threshold_sweep_monotone_invariants(spark, sf_dir):
             assert r.precision_keep is None
         else:
             assert 0.0 <= r.precision_keep <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Drift-gated admission
+# ---------------------------------------------------------------------------
+def test_drift_gate_quarantines_planted_drift_slice(spark, sf_dir):
+    """The planted novel-vocabulary slice (batch 2) must quarantine
+    WHOLE; the re-submission slice (batch 0) must pass the gate and
+    route every doc to 'link' (all paragraphs known); the edit slice
+    (batch 1) must pass the gate with no 'quarantine' routes. The
+    positive control for both gate outcomes."""
+    from weather_analysis_bigdata__spark import queries_round7 as r7
+
+    rows = r7.corpus_drift_gated_admission(spark, sf_dir).collect()
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r.batch_id, []).append(r)
+    assert set(by_batch) == {0, 1, 2}
+    assert all(not r.admitted and r.route == "quarantine"
+               for r in by_batch[2])
+    assert all(r.admitted and r.route == "link" for r in by_batch[0])
+    assert all(r.admitted and r.route != "quarantine"
+               for r in by_batch[1])
+    # per-slice TV is constant within a slice and ordered as planted:
+    # re-submissions drift least, novel vocabulary most
+    tv = {b: rs[0].tv_ppm for b, rs in by_batch.items()}
+    assert all(len({r.tv_ppm for r in rs}) == 1
+               for rs in by_batch.values())
+    assert tv[0] < tv[1] < tv[2]

@@ -668,3 +668,243 @@ def quality_classifier_threshold_sweep(
             ).alias("recall_keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Drift-gated admission (corpus_drift_tv ∘ ingest routing)
+# ---------------------------------------------------------------------------
+#: An arriving slice whose token-distribution TV drift against the
+#: corpus exceeds this routes to quarantine WHOLE — no document of a
+#: distribution-shifted crawl snapshot reaches the dedup arms until a
+#: human (or a re-submission) clears it. Margins at every test SF:
+#: admitted slices measure <= 56k ppm, the planted novel-vocabulary
+#: slice >= 866k.
+_ADMIT_TV_PPM = 150_000
+
+
+def _admission_route(
+    batch_docs: DataFrame,
+    cshares: DataFrame,
+    pidx: DataFrame,
+    batch_id: int,
+) -> DataFrame:
+    """The drift-gated admission kernel — shared by the batch query
+    and the streaming replay (stream ≡ batch is a property of ONE code
+    path, the _route_batch pattern): the arriving slice reduces to a
+    1-row TV summary against the persisted corpus shares; per-doc
+    paragraph-dedup decisions come from the shared
+    _incremental_decisions kernel against the persisted paragraph
+    index; the gate composes them — drifted slice => every doc
+    'quarantine', admitted slice => decision-mapped arm."""
+    from weather_analysis_bigdata__spark.queries_hygiene import (
+        _drift_tv_summary,
+        _incremental_decisions,
+    )
+
+    tv = _drift_tv_summary(batch_docs, cshares).select("tv_ppm")
+    dec = _incremental_decisions(batch_docs, pidx)
+    admitted = F.col("tv_ppm") <= _ADMIT_TV_PPM
+    return dec.crossJoin(F.broadcast(tv)).select(
+        F.lit(batch_id).cast("long").alias("batch_id"),
+        "doc_id",
+        "tv_ppm",
+        admitted.alias("admitted"),
+        F.when(~admitted, "quarantine")
+        .when(F.col("verdict") == "duplicate", "link")
+        .when(F.col("verdict") == "partial", "partial_dedup")
+        .otherwise("keep")
+        .alias("route"),
+    )
+
+
+def _admission_oracle() -> str:
+    from weather_analysis_bigdata__spark.queries_hygiene import (
+        _SQL_PARA_BATCH,
+        _sql_drift_shares,
+        _sql_paragraphs,
+    )
+
+    # slice i of the arriving batch, recovered from its doc_id band
+    # (+1000000 = re-submissions, +3000000 = edits, +2000000 = novel)
+    bands = [1, 3, 2]
+    ctes = [
+        _sql_paragraphs("documents", prefix="c"),
+        "cidx AS (SELECT md5(para) AS pid FROM cpara GROUP BY md5(para))",
+        _SQL_PARA_BATCH,
+        _sql_paragraphs("batch", prefix="b"),
+        """m AS (
+      SELECT b.doc_id, (c.pid IS NOT NULL) AS known
+      FROM (SELECT doc_id, md5(para) AS pid FROM bpara) b
+      LEFT JOIN cidx c USING (pid)
+    )""",
+        """dec AS (
+      SELECT doc_id,
+             CASE WHEN COUNT(*) FILTER (known) = COUNT(*) THEN 'duplicate'
+                  WHEN COUNT(*) FILTER (known) > 0 THEN 'partial'
+                  ELSE 'novel' END AS verdict
+      FROM m GROUP BY doc_id
+    )""",
+        _sql_drift_shares("documents", "c"),
+    ]
+    tv_rows = []
+    for i, band in enumerate(bands):
+        ctes.append(
+            f"slice{i} AS (SELECT * FROM batch "
+            f"WHERE doc_id // 1000000 = {band})"
+        )
+        ctes.append(_sql_drift_shares(f"slice{i}", f"s{i}"))
+        tv_rows.append(
+            f"""
+      SELECT CAST({i} AS BIGINT) AS batch_id,
+             CAST(SUM(ABS(COALESCE(c.share_ppm, 0)
+                          - COALESCE(b.share_ppm, 0))) // 2 AS BIGINT)
+               AS tv_ppm
+      FROM csh c FULL OUTER JOIN s{i}sh b ON c.bucket = b.bucket"""
+        )
+    ctes.append("tv AS (" + "\n      UNION ALL".join(tv_rows) + "\n    )")
+    band_case = (
+        "CASE d.doc_id // 1000000 WHEN 1 THEN 0 WHEN 3 THEN 1 ELSE 2 END"
+    )
+    joined_ctes = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined_ctes}
+    SELECT t.batch_id, d.doc_id, t.tv_ppm,
+           t.tv_ppm <= {_ADMIT_TV_PPM} AS admitted,
+           CASE WHEN t.tv_ppm > {_ADMIT_TV_PPM} THEN 'quarantine'
+                WHEN d.verdict = 'duplicate' THEN 'link'
+                WHEN d.verdict = 'partial' THEN 'partial_dedup'
+                ELSE 'keep' END AS route
+    FROM dec d JOIN tv t ON t.batch_id = {band_case}
+    """
+
+
+def _prepare_admission(spark: SparkSession, sf_dir: str) -> None:
+    from weather_analysis_bigdata__spark.queries_hygiene import (
+        _prepare_drift_index,
+        _prepare_paragraph_index,
+    )
+
+    _prepare_drift_index(spark, sf_dir)
+    _prepare_paragraph_index(spark, sf_dir)
+
+
+@register(
+    "corpus_drift_gated_admission",
+    oracle=_admission_oracle,
+    doc="DRIFT-GATED ADMISSION — the governance capstone composing "
+    "corpus_drift_tv with the ingest-routing arms: each arriving "
+    "slice first faces the distribution gate (token-bucket TV vs the "
+    "PERSISTED corpus shares, integer ppm); a slice drifted past "
+    f"{_ADMIT_TV_PPM} ppm routes to 'quarantine' WHOLE — its docs "
+    "never reach the dedup arms — while an admitted slice's docs "
+    "route by the shared paragraph-decision kernel (duplicate -> "
+    "'link', partial -> 'partial_dedup', novel -> 'keep'). The "
+    "planted three-slice batch exercises both gate outcomes: "
+    "re-submissions and edits pass (<= 56k ppm at every test SF), "
+    "the novel-vocabulary slice quarantines (>= 866k). Scale: per "
+    "slice, one map-side-combined reduction to a <= 256-row share "
+    "table + a 1-row TV broadcast, and the 16-byte-pid index join — "
+    "the gate adds O(buckets) work per admitted terabyte. Both "
+    "indexes persist (prepare hook); the streaming twin "
+    "(streaming_drift_gate_replay) runs THIS kernel per micro-batch "
+    "against the same oracle, proving stream ≡ batch.",
+    prepare=_prepare_admission,
+)
+def corpus_drift_gated_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from weather_analysis_bigdata__spark.queries_hygiene import (
+        _drift_index,
+        _paragraph_batch_slices,
+        _paragraph_index,
+    )
+
+    cshares = _drift_index(spark, sf_dir)
+    pidx = _paragraph_index(spark, sf_dir)
+    slices = _paragraph_batch_slices(spark, sf_dir)
+    out = _admission_route(slices[0], cshares, pidx, 0)
+    for i, sl in enumerate(slices[1:], start=1):
+        out = out.unionByName(_admission_route(sl, cshares, pidx, i))
+    return out
+
+
+@register(
+    "streaming_drift_gate_replay",
+    oracle=_admission_oracle,
+    doc="The drift-gated admission kernel RUN BY THE STREAMING "
+    "ENGINE: the three arriving slices replay as three ORDERED "
+    "micro-batches (one mtime-ordered file each, maxFilesPerTrigger=1 "
+    "— the drift monitor's batch-identity device); foreachBatch runs "
+    "the SAME _admission_route kernel per micro-batch against the "
+    "persisted corpus-share and paragraph indexes and publishes "
+    "batch_id-keyed segments (idempotent overwrite, at-least-once "
+    "safe). Registered oracle = corpus_drift_gated_admission's SQL "
+    "VERBATIM, so the hash match proves the admission table commutes "
+    "with micro-batching INCLUDING batch identity — the gate an "
+    "ingest pipeline actually wires: each crawl snapshot is admitted "
+    "or quarantined as a unit at line rate, before any dedup "
+    "spending.",
+    prepare=_prepare_admission,
+)
+def streaming_drift_gate_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        read_replay_segments,
+        replay_segment_dir,
+    )
+    from weather_analysis_bigdata__spark.queries_hygiene import (
+        _drift_index,
+        _paragraph_batch_slices,
+        _paragraph_index,
+    )
+
+    run = uuid.uuid4().hex[:10]
+    src_dir = tempfile.mkdtemp(prefix=f"driftgate_src_{run}_")
+    stage_dir = tempfile.mkdtemp(prefix=f"driftgate_stage_{run}_")
+    seg_dir = replay_segment_dir("driftgate_seg")
+    try:
+        slices = _paragraph_batch_slices(spark, sf_dir)
+        schema = slices[0].schema
+        for i, sl in enumerate(slices):
+            d = os.path.join(stage_dir, f"s{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(d)
+            part = next(
+                f
+                for f in os.listdir(d)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            dst = os.path.join(src_dir, f"{i:03d}.parquet")
+            shutil.copy(os.path.join(d, part), dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+        cshares = _drift_index(spark, sf_dir)
+        pidx = _paragraph_index(spark, sf_dir)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+        def publish(bdf: DataFrame, batch_id: int) -> None:
+            _admission_route(bdf, cshares, pidx, batch_id).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(seg_dir, f"seg_{batch_id}"))
+
+        q = (
+            stream.writeStream.foreachBatch(publish)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        return read_replay_segments(spark, seg_dir)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(stage_dir, ignore_errors=True)
