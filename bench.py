@@ -142,6 +142,18 @@ HEADLINE = [
     "quality_ensemble_vote_5way",
     "corpus_datasheet",
     "corpus_drift_tv",
+    # round 7: maximal-span substring dedup (ExactSubstr full form),
+    # the unigram-LM tokenizer pair, the classifier operating-point
+    # sweep, drift-gated admission
+    "dedup_span_maximal_pairs",
+    "dedup_span_removal_report",
+    "unigram_train_vocab",
+    "unigram_apply_tokenize",
+    "quality_classifier_threshold_sweep",
+    "corpus_drift_gated_admission",
+    "dedup_span_incremental",
+    "sample_stratified_quota",
+    "tokenizer_fertility_compare",
 ]
 
 
@@ -222,6 +234,7 @@ def main() -> None:
             elif name in (
                 "streaming_paragraph_dedup_replay",
                 "streaming_drift_monitor_replay",
+                "streaming_drift_gate_replay",
             ):
                 # streams the three planted slices of
                 # queries_hygiene._paragraph_batch (union, overlaps

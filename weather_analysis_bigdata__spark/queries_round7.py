@@ -36,6 +36,7 @@ from weather_analysis_bigdata__spark.functions.textops import (
     SQL_TOKENS,
     hex15_to_long,
     md5s,
+    sql_hex15_to_long,
     tokens,
     word_ngrams,
 )
@@ -908,3 +909,395 @@ def streaming_drift_gate_replay(
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Incremental maximal-span dedup (arriving batch vs persisted postings)
+# ---------------------------------------------------------------------------
+def _span_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED corpus gram-postings index (gh, doc_id, pos): every
+    8-gram occurrence of the corpus under the occurrence cap, keyed by
+    its 60-bit hash — 12 bytes of payload per corpus gram, the
+    substring analogue of the paragraph-pid index. Grams hotter than
+    _SPAN_OCC_CAP corpus occurrences are excluded at build time (the
+    stopword-gram skew guard, same trade as the batch form)."""
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        persisted_index,
+    )
+
+    def build() -> DataFrame:
+        p = (
+            load_table(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                F.posexplode(word_ngrams(tokens("text"), _SPAN_N)).alias(
+                    "pos0", "gram"
+                ),
+            )
+            .select(
+                "doc_id",
+                (F.col("pos0") + 1).alias("pos"),
+                hex15_to_long(md5s(F.col("gram"))).alias("gh"),
+            )
+        )
+        keep = (
+            p.groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("occ"))
+            .filter(F.col("occ") <= _SPAN_OCC_CAP)
+        )
+        return p.join(keep.select("gh"), "gh").select("gh", "doc_id", "pos")
+
+    return persisted_index(
+        spark, sf_dir, f"span_postings{_SPAN_OCC_CAP}", build
+    )
+
+
+def _prepare_span_postings(spark: SparkSession, sf_dir: str) -> None:
+    _span_postings_index(spark, sf_dir)
+
+
+# the arriving-batch CTE shared with the paragraph/drift family — the
+# incremental span oracle probes the same planted batch
+from weather_analysis_bigdata__spark.queries_hygiene import (  # noqa: E402
+    _SQL_PARA_BATCH as _SQL_PB_R7,
+)
+
+
+@register(
+    "dedup_span_incremental",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_TOKENS.format(c='text')} AS toks FROM documents
+    ),
+    p AS (
+      SELECT doc_id, i AS pos, {_SQL_GRAM_CAT} AS gram
+      FROM t, unnest(generate_series(1, len(toks) - {_SPAN_N - 1})) AS u(i)
+    ),
+    capped AS (
+      SELECT gram FROM p GROUP BY gram HAVING COUNT(*) <= {_SPAN_OCC_CAP}
+    ),
+    pidx AS (SELECT p.* FROM p JOIN capped USING (gram)),
+    {_SQL_PB_R7},
+    bt AS (
+      SELECT doc_id, {SQL_TOKENS.format(c='text')} AS toks FROM batch
+    ),
+    bp AS (
+      SELECT doc_id, i AS pos, {_SQL_GRAM_CAT} AS gram
+      FROM bt, unnest(generate_series(1, len(toks) - {_SPAN_N - 1})) AS u(i)
+    ),
+    pairs AS (
+      SELECT b.doc_id AS dbat, c.doc_id AS dcorp, c.pos AS pc,
+             b.pos - c.pos AS diag
+      FROM bp b JOIN pidx c USING (gram)
+    ),
+    isl AS (
+      SELECT dbat, dcorp, diag, pc,
+             pc - row_number() OVER (
+               PARTITION BY dbat, dcorp, diag ORDER BY pc) AS isl
+      FROM pairs
+    ),
+    spans AS (
+      SELECT dbat, dcorp, diag, MIN(pc) AS c_start,
+             CAST(MAX(pc) - MIN(pc) + {_SPAN_N} AS BIGINT) AS span_tokens
+      FROM isl GROUP BY dbat, dcorp, diag, isl
+      HAVING MAX(pc) - MIN(pc) + {_SPAN_N} >= {_SPAN_MIN_TOKENS}
+    )
+    SELECT dbat AS batch_doc_id, dcorp AS corpus_doc_id,
+           CAST(c_start + diag AS BIGINT) AS b_start,
+           CAST(c_start AS BIGINT) AS c_start,
+           span_tokens
+    FROM spans
+    """,
+    doc="INCREMENTAL maximal-span substring dedup — the production "
+    "direction of dedup_span_maximal_pairs (the "
+    "dedup_paragraph_incremental pattern one granularity down): an "
+    "arriving batch's 8-gram occurrences probe the PERSISTED corpus "
+    "gram-postings index (gh, doc_id, pos — 60-bit hashed grams under "
+    f"the {_SPAN_OCC_CAP}-occurrence cap, corpus text never re-read), "
+    "matches merge along dotplot diagonals per (arriving doc, corpus "
+    f"doc), and spans ≥ {_SPAN_MIN_TOKENS} tokens are reported with "
+    "both extents. The planted batch exercises every outcome: exact "
+    "re-submissions surface full-length spans against their corpus "
+    "originals, one-token-appended edits surface their entire "
+    "original text as one span, novel-vocabulary docs match nothing. "
+    "Scale: batch-side work is one hash join against the index "
+    "(index build is the prepare-time cost, exactly like the "
+    "paragraph-pid index), window partitions per (pair, diagonal); "
+    "this is how ExactSubstr dedup actually deploys — each crawl "
+    "shard checks against the corpus, not all-pairs.",
+    prepare=_prepare_span_postings,
+)
+def dedup_span_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.queries_hygiene import (
+        _paragraph_batch,
+    )
+
+    bp = (
+        _paragraph_batch(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.posexplode(word_ngrams(tokens("text"), _SPAN_N)).alias(
+                "pos0", "gram"
+            ),
+        )
+        .select(
+            F.col("doc_id").alias("dbat"),
+            (F.col("pos0") + 1).alias("pb"),
+            hex15_to_long(md5s(F.col("gram"))).alias("gh"),
+        )
+    )
+    idx = _span_postings_index(spark, sf_dir)
+    pairs = bp.hint("shuffle_hash").join(idx, "gh").select(
+        "dbat",
+        F.col("doc_id").alias("dcorp"),
+        F.col("pos").alias("pc"),
+        (F.col("pb") - F.col("pos")).alias("diag"),
+    )
+    w = Window.partitionBy("dbat", "dcorp", "diag").orderBy("pc")
+    isl = pairs.withColumn("isl", F.col("pc") - F.row_number().over(w))
+    return (
+        isl.groupBy("dbat", "dcorp", "diag", "isl")
+        .agg(
+            F.min("pc").alias("c_start"),
+            (F.max("pc") - F.min("pc") + _SPAN_N)
+            .cast("long")
+            .alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= _SPAN_MIN_TOKENS)
+        .select(
+            F.col("dbat").alias("batch_doc_id"),
+            F.col("dcorp").alias("corpus_doc_id"),
+            (F.col("c_start") + F.col("diag")).cast("long").alias("b_start"),
+            F.col("c_start").cast("long").alias("c_start"),
+            "span_tokens",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified exact-quota sampling
+# ---------------------------------------------------------------------------
+#: Total sample budget — NOT divisible into the language strata
+#: evenly, so the largest-remainder leftover distribution and its
+#: tie-break both execute at every test SF.
+_SSQ_N = 100
+_SSQ_SALT = "ssq:"
+
+
+def _ssq_quotas(spark: SparkSession, sf_dir: str) -> list[tuple[str, int]]:
+    """Largest-remainder (Hamilton) apportionment of _SSQ_N over the
+    language strata from EXACT integer counts: floor((N*n_s)/n_tot)
+    each, leftovers to the largest (N*n_s) mod n_tot, ties broken by
+    stratum name ASC. The strata table is O(langs) — a bounded driver
+    collect, the BPE-merge-table precedent."""
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    )
+    counts = sorted((r["lang"], int(r["n"])) for r in rows)
+    tot = sum(n for _, n in counts)
+    floors = {g: (_SSQ_N * n) // tot for g, n in counts}
+    rems = {g: (_SSQ_N * n) % tot for g, n in counts}
+    leftover = _SSQ_N - sum(floors.values())
+    for g, _ in sorted(rems.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :leftover
+    ]:
+        floors[g] += 1
+    return sorted(floors.items())
+
+
+@register(
+    "sample_stratified_quota",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+      GROUP BY lang
+    ),
+    t AS (SELECT SUM(n) AS tot FROM c),
+    q0 AS (
+      SELECT lang, ({_SSQ_N} * n) // t.tot AS fl,
+             ({_SSQ_N} * n) % t.tot AS rem
+      FROM c CROSS JOIN t
+    ),
+    lo AS (SELECT {_SSQ_N} - SUM(fl) AS n_left FROM q0),
+    q AS (
+      SELECT lang,
+             fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+                       <= (SELECT n_left FROM lo) THEN 1 ELSE 0 END
+               AS quota
+      FROM q0
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {sql_hex15_to_long(
+                   f"md5('{_SSQ_SALT}' || CAST(doc_id AS VARCHAR))")},
+                        doc_id) AS rk
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS sel_rank,
+           CAST(q.quota AS BIGINT) AS quota
+    FROM r JOIN q USING (lang)
+    WHERE r.rk <= q.quota
+    """,
+    doc="STRATIFIED exact-quota sampling — the data-mixture primitive "
+    f"behind eval-set construction and pilot corpora: exactly {_SSQ_N} "
+    "documents drawn proportionally across the language strata via "
+    "largest-remainder (Hamilton) apportionment on exact integer "
+    "counts (floor quotas, leftovers to the largest remainders, ties "
+    "by stratum name — the en/es remainder tie executes at sf0.01), "
+    "then the intra-stratum sample = the quota-prefix of a "
+    "deterministic salted-hash ranking (retry/partitioning-"
+    "independent, the epoch_shuffle keying discipline; doc_id "
+    "tie-break). Scale: the apportionment table is O(strata) rows "
+    "(bounded driver quantization, the BPE-table precedent; the "
+    "oracle computes the identical integers with 5-row windows); "
+    "selection is ONE partitioned window per stratum — each "
+    "executor sorts only its stratum slice, never a global order. "
+    "Sum of quotas = the budget EXACTLY, pytest-gated.",
+)
+def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    quotas = _ssq_quotas(spark, sf_dir)
+    qdf = spark.createDataFrame(quotas, "lang STRING, quota BIGINT")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        hex15_to_long(
+            md5s(F.concat(F.lit(_SSQ_SALT), F.col("doc_id").cast("string")))
+        ).alias("hk"),
+    )
+    w = Window.partitionBy("lang").orderBy("hk", "doc_id")
+    r = d.select(
+        "doc_id", "lang", F.row_number().over(w).cast("long").alias(
+            "sel_rank"
+        )
+    )
+    return r.join(F.broadcast(qdf), "lang").filter(
+        F.col("sel_rank") <= F.col("quota")
+    ).select("doc_id", "lang", "sel_rank", "quota")
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility comparison (BPE vs unigram-LM)
+# ---------------------------------------------------------------------------
+def _fertility_oracle() -> str:
+    """Literal VALUES built by BOTH independent pure-Python tokenizer
+    references over the current corpus (the lazy BPE-oracle pattern):
+    per source, word/char totals and each tokenizer's token count."""
+    from weather_analysis_bigdata__spark.operators import (
+        bpe_reference as bref,
+    )
+    from weather_analysis_bigdata__spark.operators import (
+        unigram_reference as uref,
+    )
+    from weather_analysis_bigdata__spark.queries_llmops import _bpe_oracle_sf
+
+    sf = _bpe_oracle_sf()
+    docs = uref._read_documents(sf)
+    merges = bref.train_merges(docs)
+    bpe = bref.apply_stats(docs, merges)  # src -> (n_docs, before, after)
+    uni = uref.apply_stats(docs, uref.train(docs))
+    words: dict[str, int] = {}
+    for _, source, text in docs:
+        words[source] = words.get(source, 0) + len(uref._words(text))
+    vals = ",\n      ".join(
+        f"('{s}', {words[s]}, {bpe[s][1]}, {bpe[s][2]}, {uni[s][2]})"
+        for s in sorted(words)
+    )
+    return f"""
+    SELECT source,
+           CAST(words_total AS BIGINT) AS words_total,
+           CAST(chars_total AS BIGINT) AS chars_total,
+           CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+           CAST(unigram_tokens AS BIGINT) AS unigram_tokens,
+           CAST(bpe_tokens AS DOUBLE) / NULLIF(words_total, 0)
+             AS bpe_per_word,
+           CAST(unigram_tokens AS DOUBLE) / NULLIF(words_total, 0)
+             AS unigram_per_word
+    FROM (VALUES
+      {vals})
+      AS t(source, words_total, chars_total, bpe_tokens, unigram_tokens)
+    """
+
+
+@register(
+    "tokenizer_fertility_compare",
+    oracle=_fertility_oracle,
+    prepare=_prepare_unigram,
+    doc="TOKENIZER FERTILITY audit — the table a pipeline reads before "
+    "committing to a tokenizer (fertility = tokens emitted per word; "
+    "lower = cheaper training at the same corpus): per source, the "
+    "word/char totals and the token counts of BOTH trained "
+    "tokenizers — the 10-merge BPE (bpe_apply_tokenize's fold) and "
+    "the EM-trained unigram-LM (the persisted vocabulary's Viterbi "
+    "DP) — with per-word fertility for each. Both tokenizers run "
+    "their REAL kernels; the unigram side tokenizes DISTINCT words "
+    "once and fans counts back by a word join (Heaps-law trick), the "
+    "BPE side folds row-locally. Oracle: one literal VALUES table "
+    "built by BOTH independent pure-Python references over the "
+    "current corpus — a hash match certifies the full train+apply "
+    "path of each tokenizer family simultaneously.",
+)
+def tokenizer_fertility_compare(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from weather_analysis_bigdata__spark.operators.bpe import (
+        _word_freqs,
+        apply_bpe,
+        train_bpe_merges,
+    )
+    from weather_analysis_bigdata__spark.operators.unigram import (
+        tokenize_words,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, n_merges=10)
+    bpe = (
+        apply_bpe(docs.select("doc_id", "source", "text"), merges)
+        .groupBy("source")
+        .agg(
+            F.sum("n_chars_sym").cast("long").alias("chars_total"),
+            F.sum("n_bpe_tokens").cast("long").alias("bpe_tokens"),
+        )
+    )
+    per_word = tokenize_words(
+        _word_freqs(docs, "text"), _unigram_vocab(spark, sf_dir)
+    ).select(
+        "word",
+        F.col("n_pieces").cast("long").alias("w_tokens"),
+    )
+    occ = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda w: w != "",
+            )
+        ).alias("word"),
+    )
+    uni = (
+        occ.join(per_word.hint("shuffle_hash"), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("words_total"),
+            F.sum("w_tokens").cast("long").alias("unigram_tokens"),
+        )
+    )
+    return bpe.join(uni.hint("shuffle_hash"), "source").select(
+        "source",
+        "words_total",
+        "chars_total",
+        "bpe_tokens",
+        "unigram_tokens",
+        (
+            F.col("bpe_tokens").cast("double")
+            / F.nullif(F.col("words_total"), F.lit(0))
+        ).alias("bpe_per_word"),
+        (
+            F.col("unigram_tokens").cast("double")
+            / F.nullif(F.col("words_total"), F.lit(0))
+        ).alias("unigram_per_word"),
+    )

@@ -225,6 +225,18 @@ PRIORITY = [
     "pack_sequences_bestfit",
     "streaming_quality_gate_replay",
     "rerank_mmr_diversify",
+    # round 7: span-granular exact substring dedup, the unigram-LM
+    # tokenizer, the classifier operating point, drift-gated admission
+    "dedup_span_maximal_pairs",
+    "dedup_span_removal_report",
+    "unigram_train_vocab",
+    "unigram_apply_tokenize",
+    "quality_classifier_threshold_sweep",
+    "corpus_drift_gated_admission",
+    "streaming_drift_gate_replay",
+    "dedup_span_incremental",
+    "sample_stratified_quota",
+    "tokenizer_fertility_compare",
 ]
 
 
