@@ -235,6 +235,7 @@ def main() -> None:
                 "streaming_paragraph_dedup_replay",
                 "streaming_drift_monitor_replay",
                 "streaming_drift_gate_replay",
+                "streaming_span_dedup_replay",
             ):
                 # streams the three planted slices of
                 # queries_hygiene._paragraph_batch (union, overlaps

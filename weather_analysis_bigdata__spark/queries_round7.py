@@ -963,9 +963,49 @@ from weather_analysis_bigdata__spark.queries_hygiene import (  # noqa: E402
 )
 
 
-@register(
-    "dedup_span_incremental",
-    oracle=f"""
+def _span_probe(batch_docs: DataFrame, idx: DataFrame) -> DataFrame:
+    """The incremental span kernel — shared by the batch query and
+    the streaming replay (stream ≡ batch is a property of ONE code
+    path): arriving docs' gram occurrences probe the persisted
+    postings, matches merge along dotplot diagonals."""
+    bp = batch_docs.select(
+        "doc_id",
+        F.posexplode(word_ngrams(tokens("text"), _SPAN_N)).alias(
+            "pos0", "gram"
+        ),
+    ).select(
+        F.col("doc_id").alias("dbat"),
+        (F.col("pos0") + 1).alias("pb"),
+        hex15_to_long(md5s(F.col("gram"))).alias("gh"),
+    )
+    pairs = bp.hint("shuffle_hash").join(idx, "gh").select(
+        "dbat",
+        F.col("doc_id").alias("dcorp"),
+        F.col("pos").alias("pc"),
+        (F.col("pb") - F.col("pos")).alias("diag"),
+    )
+    w = Window.partitionBy("dbat", "dcorp", "diag").orderBy("pc")
+    isl = pairs.withColumn("isl", F.col("pc") - F.row_number().over(w))
+    return (
+        isl.groupBy("dbat", "dcorp", "diag", "isl")
+        .agg(
+            F.min("pc").alias("c_start"),
+            (F.max("pc") - F.min("pc") + _SPAN_N)
+            .cast("long")
+            .alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= _SPAN_MIN_TOKENS)
+        .select(
+            F.col("dbat").alias("batch_doc_id"),
+            F.col("dcorp").alias("corpus_doc_id"),
+            (F.col("c_start") + F.col("diag")).cast("long").alias("b_start"),
+            F.col("c_start").cast("long").alias("c_start"),
+            "span_tokens",
+        )
+    )
+
+
+_SPAN_INC_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, {SQL_TOKENS.format(c='text')} AS toks FROM documents
     ),
@@ -1007,7 +1047,12 @@ from weather_analysis_bigdata__spark.queries_hygiene import (  # noqa: E402
            CAST(c_start AS BIGINT) AS c_start,
            span_tokens
     FROM spans
-    """,
+    """
+
+
+@register(
+    "dedup_span_incremental",
+    oracle=_SPAN_INC_ORACLE,
     doc="INCREMENTAL maximal-span substring dedup — the production "
     "direction of dedup_span_maximal_pairs (the "
     "dedup_paragraph_incremental pattern one granularity down): an "
@@ -1032,46 +1077,75 @@ def dedup_span_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         _paragraph_batch,
     )
 
-    bp = (
-        _paragraph_batch(spark, sf_dir)
-        .select(
-            "doc_id",
-            F.posexplode(word_ngrams(tokens("text"), _SPAN_N)).alias(
-                "pos0", "gram"
-            ),
-        )
-        .select(
-            F.col("doc_id").alias("dbat"),
-            (F.col("pos0") + 1).alias("pb"),
-            hex15_to_long(md5s(F.col("gram"))).alias("gh"),
-        )
+    return _span_probe(
+        _paragraph_batch(spark, sf_dir), _span_postings_index(spark, sf_dir)
     )
-    idx = _span_postings_index(spark, sf_dir)
-    pairs = bp.hint("shuffle_hash").join(idx, "gh").select(
-        "dbat",
-        F.col("doc_id").alias("dcorp"),
-        F.col("pos").alias("pc"),
-        (F.col("pb") - F.col("pos")).alias("diag"),
+
+
+@register(
+    "streaming_span_dedup_replay",
+    oracle=_SPAN_INC_ORACLE,
+    doc="The incremental span-dedup kernel RUN BY THE STREAMING "
+    "ENGINE: the arriving batch replays as a file stream in 4 "
+    "micro-batches; foreachBatch probes each micro-batch's gram "
+    "occurrences against the same PERSISTED gram-postings index via "
+    "the shared _span_probe kernel and publishes batch_id-keyed "
+    "overwrite segments (idempotent under redelivery — the "
+    "streaming_paragraph_dedup_replay pattern at substring "
+    "granularity). Registered oracle = dedup_span_incremental's SQL "
+    "VERBATIM, so the hash match proves the span table COMMUTES with "
+    "micro-batching — valid because the kernel is doc-local plus a "
+    "static index probe, and the proof pins exactly that. This is "
+    "ExactSubstr dedup AT INGEST: each crawl shard's duplicated "
+    "spans are known before the shard lands.",
+    prepare=_prepare_span_postings,
+)
+def streaming_span_dedup_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        read_replay_segments,
+        replay_segment_dir,
     )
-    w = Window.partitionBy("dbat", "dcorp", "diag").orderBy("pc")
-    isl = pairs.withColumn("isl", F.col("pc") - F.row_number().over(w))
-    return (
-        isl.groupBy("dbat", "dcorp", "diag", "isl")
-        .agg(
-            F.min("pc").alias("c_start"),
-            (F.max("pc") - F.min("pc") + _SPAN_N)
-            .cast("long")
-            .alias("span_tokens"),
-        )
-        .filter(F.col("span_tokens") >= _SPAN_MIN_TOKENS)
-        .select(
-            F.col("dbat").alias("batch_doc_id"),
-            F.col("dcorp").alias("corpus_doc_id"),
-            (F.col("c_start") + F.col("diag")).cast("long").alias("b_start"),
-            F.col("c_start").cast("long").alias("c_start"),
-            "span_tokens",
-        )
+    from weather_analysis_bigdata__spark.queries_hygiene import (
+        _paragraph_batch,
     )
+
+    run = uuid.uuid4().hex[:10]
+    src_dir = tempfile.mkdtemp(prefix=f"spandedup_src_{run}_")
+    seg_dir = replay_segment_dir("spandedup_seg")
+    try:
+        batch = _paragraph_batch(spark, sf_dir)
+        schema = batch.schema
+        batch.repartition(4).write.mode("overwrite").parquet(src_dir)
+        idx = _span_postings_index(spark, sf_dir)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+        def publish(bdf: DataFrame, batch_id: int) -> None:
+            _span_probe(bdf, idx).write.mode("overwrite").parquet(
+                os.path.join(seg_dir, f"seg_{batch_id}")
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(publish)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        return read_replay_segments(spark, seg_dir)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

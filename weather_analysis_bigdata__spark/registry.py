@@ -235,6 +235,7 @@ PRIORITY = [
     "corpus_drift_gated_admission",
     "streaming_drift_gate_replay",
     "dedup_span_incremental",
+    "streaming_span_dedup_replay",
     "sample_stratified_quota",
     "tokenizer_fertility_compare",
 ]
