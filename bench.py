@@ -154,6 +154,7 @@ HEADLINE = [
     "dedup_span_incremental",
     "sample_stratified_quota",
     "tokenizer_fertility_compare",
+    "dedup_ladder_audit",
 ]
 
 

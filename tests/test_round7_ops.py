@@ -289,3 +289,30 @@ def test_fertility_bounds(spark, sf_dir):
         assert r.words_total <= r.bpe_tokens <= r.chars_total
         assert r.words_total <= r.unigram_tokens <= r.chars_total
         assert r.bpe_per_word >= 1.0 and r.unigram_per_word >= 1.0
+
+
+def test_ladder_containment(spark, sf_dir):
+    """Ladder containment: an exact-copy document (coarsest rung
+    'document') necessarily has EVERY paragraph window removed by the
+    paragraph rung (identical text in >= 2 distinct docs duplicates
+    every window); span exposure never exceeds the doc length; the
+    rung labels follow the priority definition."""
+    from weather_analysis_bigdata__spark import queries_round7 as r7
+
+    rows = r7.dedup_ladder_audit(spark, sf_dir).collect()
+    assert len(rows) > 0
+    seen_rungs = set()
+    for r in rows:
+        assert r.span_dup_tokens <= r.total_tokens
+        if r.is_exact_dup:
+            assert r.para_removed == r.n_paras
+            assert r.coarsest_dup_rung == "document"
+        elif r.para_removed > 0:
+            assert r.coarsest_dup_rung == "paragraph"
+        elif r.span_dup_tokens > 0:
+            assert r.coarsest_dup_rung == "span"
+        else:
+            assert r.coarsest_dup_rung == "clean"
+        seen_rungs.add(r.coarsest_dup_rung)
+    # the planted corpus exercises multiple rungs
+    assert "clean" in seen_rungs and len(seen_rungs) >= 2

@@ -338,6 +338,13 @@ KNOWN_EXCEPTIONS = {
     "paragraph-decision kernel's pid join + doc aggregate — every "
     "exchange is slice-linear or bucket-bounded, nothing re-executes "
     "across slices",
+    "dedup_ladder_audit": "composition capstone (the corpus_datasheet "
+    "class): the exact-fingerprint groupBy+stitch (2), the audited "
+    "paragraph_dedup subtree (2), the audited span dotplot subtree "
+    "(xchg=3 + interval distinct + per-doc window), and three "
+    "doc-keyed shuffle-hash stitches carrying one row per doc — "
+    "every exchange belongs to one of the three already-audited "
+    "kernels or to a doc-grained stitch; nothing re-executes",
     "tokenizer_fertility_compare": "composes BOTH tokenizer families "
     "by definition (the quality_classifier_confusion pattern): the "
     "BPE fold's O(sources) aggregate plus the unigram side's audited "
@@ -410,6 +417,7 @@ REVIEWED_FLAGS = {
     "unigram_apply_tokenize": {"XCHG"},
     "corpus_drift_gated_admission": {"XCHG", "SORTMERGE"},
     "tokenizer_fertility_compare": {"XCHG"},
+    "dedup_ladder_audit": {"XCHG"},
 }
 
 

@@ -190,11 +190,9 @@ def dedup_span_maximal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_span_removal_report",
-    oracle=f"""
-    WITH {_SQL_SPAN_BASE},
-    iv AS (
+#: Interval-union CTE chain (spans -> per-doc merged dup regions) —
+#: shared by the removal report and the dedup_ladder_audit capstone.
+_SQL_SPAN_IV_CTES = """iv AS (
       SELECT DISTINCT doc_id, s, e FROM (
         SELECT da AS doc_id, a_start AS s,
                a_start + span_tokens - 1 AS e FROM spans
@@ -226,34 +224,17 @@ def dedup_span_maximal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_regions,
              CAST(SUM(me - ms + 1) AS BIGINT) AS dup_tokens
       FROM merged GROUP BY doc_id
-    )
-    SELECT d.doc_id,
-           CAST(len({SQL_TOKENS.format(c='d.text')}) AS BIGINT)
-             AS total_tokens,
-           CAST(COALESCE(p.n_dup_regions, 0) AS BIGINT) AS n_dup_regions,
-           CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
-           CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
-             / NULLIF(len({SQL_TOKENS.format(c='d.text')}), 0)
-             AS dup_fraction
-    FROM documents d LEFT JOIN per_doc p USING (doc_id)
-    """,
-    doc="Span-removal accounting — what ExactSubstr dedup would CUT: "
-    "per document, the union of all its maximal duplicated spans "
-    "(participating as either side of any pair) merged into disjoint "
-    "token regions, with removable token counts and fraction. Interval "
-    "union is the classic sort + running-max gaps-and-islands, "
-    "partitioned per doc_id (windows over a handful of span rows per "
-    "doc — never token-exploded). Every document survives via the "
-    "left join from the doc spine; dup_tokens 0 for clean docs. "
-    "This is the report a removal pass acts on (cut these extents, "
-    "keep one canonical copy), sized so a 100 TB corpus's report is "
-    "O(spans), not O(tokens).",
-)
-def dedup_span_removal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    )"""
+
+
+def _span_removal_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_dup_regions, dup_tokens): the interval UNION of each
+    doc's maximal duplicated spans — shared by the removal report and
+    the dedup_ladder_audit capstone. Both sides' intervals come from
+    ONE pass over the spans subtree (an explode of a 2-element struct
+    array) — a unionAll of two selects would re-execute the whole
+    dotplot pipeline per branch."""
     spans = _span_pairs(spark, sf_dir)
-    # Both sides' intervals from ONE pass over the spans subtree (an
-    # explode of a 2-element struct array) — a unionAll of two selects
-    # would re-execute the whole dotplot pipeline per branch.
     iv = (
         spans.select(
             F.explode(
@@ -297,10 +278,41 @@ def dedup_span_removal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = grouped.groupBy("doc_id", "grp").agg(
         F.min("s").alias("ms"), F.max("e").alias("me")
     )
-    per_doc = merged.groupBy("doc_id").agg(
+    return merged.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_dup_regions"),
         F.sum(F.col("me") - F.col("ms") + 1).cast("long").alias("dup_tokens"),
     )
+
+
+@register(
+    "dedup_span_removal_report",
+    oracle=f"""
+    WITH {_SQL_SPAN_BASE},
+    {_SQL_SPAN_IV_CTES}
+    SELECT d.doc_id,
+           CAST(len({SQL_TOKENS.format(c='d.text')}) AS BIGINT)
+             AS total_tokens,
+           CAST(COALESCE(p.n_dup_regions, 0) AS BIGINT) AS n_dup_regions,
+           CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+             / NULLIF(len({SQL_TOKENS.format(c='d.text')}), 0)
+             AS dup_fraction
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="Span-removal accounting — what ExactSubstr dedup would CUT: "
+    "per document, the union of all its maximal duplicated spans "
+    "(participating as either side of any pair) merged into disjoint "
+    "token regions, with removable token counts and fraction. Interval "
+    "union is the classic sort + running-max gaps-and-islands, "
+    "partitioned per doc_id (windows over a handful of span rows per "
+    "doc — never token-exploded). Every document survives via the "
+    "left join from the doc spine; dup_tokens 0 for clean docs. "
+    "This is the report a removal pass acts on (cut these extents, "
+    "keep one canonical copy), sized so a 100 TB corpus's report is "
+    "O(spans), not O(tokens).",
+)
+def dedup_span_removal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = _span_removal_per_doc(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(tokens("text")).cast("long").alias("total_tokens")
     )
@@ -1410,4 +1422,117 @@ def tokenizer_fertility_compare(
                 / F.nullif(F.col("words_total"), F.lit(0))
             ).alias("unigram_per_word"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-ladder audit capstone (document -> paragraph -> span)
+# ---------------------------------------------------------------------------
+def _ladder_oracle() -> str:
+    from weather_analysis_bigdata__spark.queries_hygiene import (
+        _PARA_MIN_DOCS,
+        _sql_paragraphs,
+    )
+
+    toks = SQL_TOKENS.format(c="d.text")
+    return f"""
+    WITH ex AS (SELECT doc_id, md5(text) AS fp FROM documents),
+    exc AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM ex GROUP BY fp),
+    {_sql_paragraphs()},
+    pdup AS (
+      SELECT para FROM para GROUP BY para
+      HAVING COUNT(DISTINCT doc_id) >= {_PARA_MIN_DOCS}
+    ),
+    pm AS (
+      SELECT p2.doc_id, (d2.para IS NOT NULL) AS is_dup
+      FROM para p2 LEFT JOIN pdup d2 ON p2.para = d2.para
+    ),
+    pd AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+             CAST(COUNT(*) FILTER (is_dup) AS BIGINT) AS para_removed
+      FROM pm GROUP BY doc_id
+    ),
+    {_SQL_SPAN_BASE},
+    {_SQL_SPAN_IV_CTES}
+    SELECT d.doc_id,
+           CAST(len({toks}) AS BIGINT) AS total_tokens,
+           exc.n_copies AS exact_copies,
+           exc.n_copies >= 2 AS is_exact_dup,
+           pd.n_paras,
+           pd.para_removed,
+           CAST(COALESCE(sp.dup_tokens, 0) AS BIGINT) AS span_dup_tokens,
+           CASE WHEN exc.n_copies >= 2 THEN 'document'
+                WHEN pd.para_removed > 0 THEN 'paragraph'
+                WHEN COALESCE(sp.dup_tokens, 0) > 0 THEN 'span'
+                ELSE 'clean' END AS coarsest_dup_rung
+    FROM documents d
+    JOIN ex USING (doc_id)
+    JOIN exc USING (fp)
+    JOIN pd USING (doc_id)
+    LEFT JOIN per_doc sp USING (doc_id)
+    """
+
+
+@register(
+    "dedup_ladder_audit",
+    oracle=_ladder_oracle,
+    doc="DEDUP-LADDER AUDIT capstone — the per-document table that "
+    "prices the exact-match granularity ladder as a WHOLE (the "
+    "corpus_datasheet pattern for dedup): for every document, its "
+    "exact-copy count (md5 fingerprint groups), its paragraph-dedup "
+    "exposure (windows removed by the >= 2-doc rule), its span-dedup "
+    "exposure (interval-union tokens from the maximal-span kernel), "
+    "and the COARSEST rung that catches it — document > paragraph > "
+    "span > clean. This is the table that answers 'what does each "
+    "additional dedup layer buy on this corpus': every doc a finer "
+    "rung catches that coarser rungs miss is that layer's marginal "
+    "value. Composes three already-audited kernels (fingerprint "
+    "groupBy, paragraph_dedup, _span_removal_per_doc) with doc-keyed "
+    "shuffle-hash stitches; the fact-scale work is the three linear "
+    "kernels themselves — the stitches carry one row per doc. "
+    "Ladder containment (document-dup implies full-token span "
+    "exposure) is pytest-gated.",
+)
+def dedup_ladder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.queries_hygiene import (
+        paragraph_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ex = docs.select("doc_id", md5s(F.col("text")).alias("fp"))
+    exc = ex.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_copies")
+    )
+    exact = ex.join(exc.hint("shuffle_hash"), "fp").select(
+        "doc_id", "exact_copies"
+    )
+    pd_ = paragraph_dedup(docs).select(
+        "doc_id", "n_paras", F.col("n_removed").alias("para_removed")
+    )
+    sp = _span_removal_per_doc(spark, sf_dir).select(
+        "doc_id", F.col("dup_tokens").alias("span_dup_tokens")
+    )
+    spine = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("total_tokens")
+    )
+    out = (
+        spine.join(exact.hint("shuffle_hash"), "doc_id")
+        .join(pd_.hint("shuffle_hash"), "doc_id")
+        .join(sp.hint("shuffle_hash"), "doc_id", "left")
+    )
+    span_tok = F.coalesce("span_dup_tokens", F.lit(0)).cast("long")
+    return out.select(
+        "doc_id",
+        "total_tokens",
+        "exact_copies",
+        (F.col("exact_copies") >= 2).alias("is_exact_dup"),
+        "n_paras",
+        "para_removed",
+        span_tok.alias("span_dup_tokens"),
+        F.when(F.col("exact_copies") >= 2, "document")
+        .when(F.col("para_removed") > 0, "paragraph")
+        .when(span_tok > 0, "span")
+        .otherwise("clean")
+        .alias("coarsest_dup_rung"),
     )

@@ -238,6 +238,7 @@ PRIORITY = [
     "streaming_span_dedup_replay",
     "sample_stratified_quota",
     "tokenizer_fertility_compare",
+    "dedup_ladder_audit",
 ]
 
 
