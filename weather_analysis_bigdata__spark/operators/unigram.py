@@ -171,7 +171,14 @@ def _viterbi_pieces(words: DataFrame, vocab_df: DataFrame) -> DataFrame:
     segmentations forward (O(n²) strings per word, words are short)
     avoids a separate backpointer-walk fold, which CollapseProject
     would inline into an O(n)× re-evaluation of the forward DP (the
-    PERF.md recompute trap)."""
+    PERF.md recompute trap).
+
+    Deployment note: the per-word DP state is O(len²), so a web-scale
+    corpus with pathological 'words' (long URLs, base64 blobs) should
+    pre-split or cap word length before this kernel — the analogue of
+    SentencePiece's max-sentence-length guard. The whitespace word
+    model here bounds len at the corpus's longest token, which the
+    distinct-word table makes cheap to audit first (one MAX(length))."""
     cand = (
         words.select(
             "word",
