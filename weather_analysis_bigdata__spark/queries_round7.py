@@ -1536,3 +1536,43 @@ def dedup_ladder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("clean")
         .alias("coarsest_dup_rung"),
     )
+
+
+def _ladder_summary_oracle() -> str:
+    return f"""
+    WITH audit AS ({_ladder_oracle()})
+    SELECT coarsest_dup_rung,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(total_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(span_dup_tokens) AS BIGINT) AS span_dup_tokens,
+           CAST(SUM(para_removed) AS BIGINT) AS para_windows_removed
+    FROM audit GROUP BY coarsest_dup_rung
+    """
+
+
+@register(
+    "dedup_ladder_summary",
+    oracle=_ladder_summary_oracle,
+    doc="The dedup-ladder ECONOMICS table — dedup_ladder_audit rolled "
+    "up per coarsest rung: how many documents (and how many tokens of "
+    "span-level exposure / paragraph windows) each additional dedup "
+    "layer is the FIRST to catch. A 'paragraph' row counts docs the "
+    "document rung misses; a 'span' row counts docs both coarser "
+    "rungs miss — the marginal-value figures a pipeline owner reads "
+    "before paying for a finer (more expensive) rung at 100 TB. One "
+    "O(rungs)-row aggregate over the audited composition; oracle = "
+    "the audit oracle as a derived table.",
+)
+def dedup_ladder_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        dedup_ladder_audit(spark, sf_dir)
+        .groupBy("coarsest_dup_rung")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("total_tokens").cast("long").alias("total_tokens"),
+            F.sum("span_dup_tokens").cast("long").alias("span_dup_tokens"),
+            F.sum("para_removed").cast("long").alias(
+                "para_windows_removed"
+            ),
+        )
+    )

@@ -239,6 +239,7 @@ PRIORITY = [
     "sample_stratified_quota",
     "tokenizer_fertility_compare",
     "dedup_ladder_audit",
+    "dedup_ladder_summary",
 ]
 
 
