@@ -352,6 +352,14 @@ KNOWN_EXCEPTIONS = {
     "regroup, shuffle-hash occurrence stitch) and two O(sources) "
     "stitches — each exchange belongs to one of the two audited "
     "tokenizer subplans",
+    "dedup_ladder_summary": "dedup_ladder_audit's 12 reviewed "
+    "exchanges (the exact-fingerprint groupBy+stitch, the audited "
+    "paragraph and span subtrees, three doc-grained stitches — see "
+    "that entry) plus ONE final O(rungs)-row rollup aggregate. The "
+    "chain is linear: each kernel runs once and the rollup adds one "
+    "partial+final agg over the one-row-per-doc audit output; the "
+    "sibling audit query is the reviewed baseline and this is "
+    "baseline+1 by construction",
 }
 
 #: Flag KINDS covered by each review above (kind = flag text before any
@@ -418,6 +426,7 @@ REVIEWED_FLAGS = {
     "corpus_drift_gated_admission": {"XCHG", "SORTMERGE"},
     "tokenizer_fertility_compare": {"XCHG"},
     "dedup_ladder_audit": {"XCHG"},
+    "dedup_ladder_summary": {"XCHG"},
 }
 
 
@@ -426,6 +435,9 @@ def main() -> None:
     args = sys.argv[1:]
     if "--sf" in args:
         sf_dir = args[args.index("--sf") + 1]
+    only: set[str] | None = None
+    if "--only" in args:
+        only = set(args[args.index("--only") + 1].split(","))
 
     from weather_analysis_bigdata__spark.plans.inspect import (
         n_generate_hot_projects,
@@ -439,6 +451,8 @@ def main() -> None:
     rows = []
     for name, q in all_queries().items():
         if name.startswith(SKIP_PREFIXES):
+            continue
+        if only is not None and name not in only:
             continue
         try:
             plan = (

@@ -61,7 +61,43 @@ def get_spark(
             "-Dderby.system.home=/tmp/spark_graft_derby",
         )
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _quiet_streaming_loggers(spark)
+    return spark
+
+
+def _quiet_streaming_loggers(spark: SparkSession) -> None:
+    """Raise the log level of the two chronically-WARNing streaming
+    loggers to ERROR so bench/driver stderr carries signal, not noise.
+
+    The replay queries use in-memory sinks with per-run temp checkpoints
+    (correct for bounded replays — there is no state to recover), which
+    makes ``ResolveWriteToStream`` WARN about the temp checkpoint and
+    about AQE being unsupported, and ``MicroBatchExecution`` WARN about
+    AQE again, once per started query — ~60 WARN lines per bench run
+    that drowned the one JSON record the driver tails (round-7 verdict
+    item 6). Scoped to exactly these loggers: every other WARN (memory
+    pressure, speculative retry, correctness warnings) still surfaces.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        level = jvm.org.apache.logging.log4j.Level.ERROR
+        for name in (
+            # Spark 4.1 package (…streaming.runtime); pre-4.1 names kept
+            # too so a version bump in either direction stays quiet.
+            "org.apache.spark.sql.execution.streaming.runtime"
+            ".ResolveWriteToStream",
+            "org.apache.spark.sql.execution.streaming.runtime"
+            ".MicroBatchExecution",
+            "org.apache.spark.sql.execution.streaming.ResolveWriteToStream",
+            "org.apache.spark.sql.execution.streaming.MicroBatchExecution",
+        ):
+            configurator.setLevel(name, level)
+    except Exception:
+        # Non-log4j2 deployments (or a future repackaging) just keep the
+        # default log level — this is a cosmetics shim, never load-bearing.
+        pass
 
 
 def configure_for_oracle_parity(spark: SparkSession) -> None:
