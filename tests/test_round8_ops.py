@@ -1,0 +1,61 @@
+"""Round-8 operator tests: the span-cap loss audit's positive control
+and cap-blindness invariants the oracle compare can't express directly."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _words(prefix, n, start=0):
+    return " ".join(f"{prefix}{i}" for i in range(start, start + n))
+
+
+def test_span_cap_audit_planted_control(spark, sf_dir):
+    """The planted 24-copy boilerplate must be (a) invisible to the
+    production cap, (b) fully priced by the yardstick: exactly
+    copies × block tokens missed, every planted doc counted."""
+    from weather_analysis_bigdata__spark import queries_round8 as r8
+
+    row = {
+        r.is_planted: r
+        for r in r8.dedup_span_cap_audit(spark, sf_dir).collect()
+    }[True]
+    assert row.n_docs == r8._PLANT_COPIES
+    assert row.dup_tokens_capped == 0  # cap-blind by construction
+    expected = r8._PLANT_COPIES * r8._PLANT_BOILER_TOKENS
+    assert row.dup_tokens_yardstick == expected
+    assert row.missed_span_tokens == expected
+    assert row.n_docs_missed == r8._PLANT_COPIES
+    assert row.missed_ppm > 0
+    # Yardstick exhaustive on this corpus: no gram above _CAP_AUDIT_HI.
+    assert row.overcap_occurrences == 0
+
+
+def test_span_cap_blindness_on_synthetic_kernel(spark):
+    """Directly on the kernel: a block duplicated in MORE docs than the
+    cap yields zero spans at the production cap but full spans at a
+    cap above the copy count — the exact mechanism the audit prices."""
+    from weather_analysis_bigdata__spark import queries_round7 as r7
+
+    copies = r7._SPAN_OCC_CAP + 3
+    shared = _words("boiler", 24)
+    rows = [
+        (i, _words(f"u{i}x", 3) + " " + shared) for i in range(copies)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    assert r7._span_pairs_from(d, r7._SPAN_OCC_CAP).count() == 0
+    hi = r7._span_pairs_from(d, copies).collect()
+    assert len(hi) == copies * (copies - 1) // 2
+    assert all(s.span_tokens == 24 for s in hi)
+
+
+def test_span_cap_audit_missed_nonnegative(spark, sf_dir):
+    """Capped grams ⊆ yardstick grams ⟹ capped dup coverage can never
+    exceed the yardstick's, organic rows included."""
+    from weather_analysis_bigdata__spark import queries_round8 as r8
+
+    for r in r8.dedup_span_cap_audit(spark, sf_dir).collect():
+        assert r.dup_tokens_yardstick >= r.dup_tokens_capped
+        assert r.missed_span_tokens == (
+            r.dup_tokens_yardstick - r.dup_tokens_capped
+        )

@@ -352,6 +352,13 @@ KNOWN_EXCEPTIONS = {
     "regroup, shuffle-hash occurrence stitch) and two O(sources) "
     "stitches — each exchange belongs to one of the two audited "
     "tokenizer subplans",
+    "dedup_span_cap_audit": "audit runs the span kernel at BOTH caps "
+    "by definition (the lsh_recall_audit pattern): two audited "
+    "dotplot+interval-union subtrees (~6 exchanges each, the "
+    "dedup_span_removal_report shape) over the planted-union corpus, "
+    "plus the overcap-residual count and two O(groups) stitches — "
+    "every exchange belongs to one of the two cap levels' audited "
+    "chains; nothing re-executes within a level",
     "dedup_ladder_summary": "dedup_ladder_audit's 12 reviewed "
     "exchanges (the exact-fingerprint groupBy+stitch, the audited "
     "paragraph and span subtrees, three doc-grained stitches — see "
@@ -427,6 +434,7 @@ REVIEWED_FLAGS = {
     "tokenizer_fertility_compare": {"XCHG"},
     "dedup_ladder_audit": {"XCHG"},
     "dedup_ladder_summary": {"XCHG"},
+    "dedup_span_cap_audit": {"XCHG"},
 }
 
 

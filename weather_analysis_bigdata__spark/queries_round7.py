@@ -103,14 +103,10 @@ def _span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _span_pairs_from(d: DataFrame) -> DataFrame:
-    """Maximal duplicated spans per (doc_a, doc_b) pair: the dotplot
-    diagonal-run merge. Distributed shape: postings shuffle once on the
-    60-bit gram hash (never the gram string); the run-merge window
-    partitions by (pair, diagonal) — thousands of small partitions, no
-    global order. Factored on a (doc_id, text) DataFrame so the planted
-    positive controls (tests/test_round7_ops.py) drive the REAL kernel."""
-    p = d.select(
+def _span_postings(d: DataFrame) -> DataFrame:
+    """Gram postings (doc_id, pos, gh) — positions 1-based, grams
+    carried as 60-bit hashes (never strings) past the explode."""
+    return d.select(
         "doc_id",
         F.posexplode(word_ngrams(tokens("text"), _SPAN_N)).alias(
             "pos0", "gram"
@@ -120,10 +116,24 @@ def _span_pairs_from(d: DataFrame) -> DataFrame:
         (F.col("pos0") + 1).alias("pos"),  # 1-based, mirrors the oracle
         hex15_to_long(md5s(F.col("gram"))).alias("gh"),
     )
+
+
+def _span_pairs_from(
+    d: DataFrame, occ_cap: int = _SPAN_OCC_CAP
+) -> DataFrame:
+    """Maximal duplicated spans per (doc_a, doc_b) pair: the dotplot
+    diagonal-run merge. Distributed shape: postings shuffle once on the
+    60-bit gram hash (never the gram string); the run-merge window
+    partitions by (pair, diagonal) — thousands of small partitions, no
+    global order. Factored on a (doc_id, text) DataFrame so the planted
+    positive controls (tests/test_round7_ops.py) drive the REAL kernel;
+    ``occ_cap`` parameterized so dedup_span_cap_audit can run the SAME
+    kernel at the production cap and at its audit yardstick."""
+    p = _span_postings(d)
     # Pair only grams occurring 2..cap times corpus-wide: singletons
     # can't form a duplicated span; hot grams are capped (skew guard).
     keep = p.groupBy("gh").agg(F.count(F.lit(1)).alias("occ")).filter(
-        (F.col("occ") >= 2) & (F.col("occ") <= _SPAN_OCC_CAP)
+        (F.col("occ") >= 2) & (F.col("occ") <= occ_cap)
     )
     pc = p.join(keep.select("gh"), "gh")
     a, b = pc.alias("a"), pc.alias("b")
@@ -230,11 +240,17 @@ _SQL_SPAN_IV_CTES = """iv AS (
 def _span_removal_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_dup_regions, dup_tokens): the interval UNION of each
     doc's maximal duplicated spans — shared by the removal report and
-    the dedup_ladder_audit capstone. Both sides' intervals come from
-    ONE pass over the spans subtree (an explode of a 2-element struct
-    array) — a unionAll of two selects would re-execute the whole
-    dotplot pipeline per branch."""
-    spans = _span_pairs(spark, sf_dir)
+    the dedup_ladder_audit capstone."""
+    return _span_iv_union(_span_pairs(spark, sf_dir))
+
+
+def _span_iv_union(spans: DataFrame) -> DataFrame:
+    """Per-doc merged-dup-region accounting for a spans DataFrame.
+    Both sides' intervals come from ONE pass over the spans subtree (an
+    explode of a 2-element struct array) — a unionAll of two selects
+    would re-execute the whole dotplot pipeline per branch. Factored on
+    the spans input so the cap audit can union both cap levels through
+    the identical interval algebra."""
     iv = (
         spans.select(
             F.explode(
