@@ -59,3 +59,41 @@ def test_span_cap_audit_missed_nonnegative(spark, sf_dir):
         assert r.missed_span_tokens == (
             r.dup_tokens_yardstick - r.dup_tokens_capped
         )
+
+
+def test_decontaminate_semantic_planted_paraphrases(spark, sf_dir):
+    """Every planted paraphrase source must be semantic-flagged at
+    ~0.99 cosine while staying n-gram-clean — the leak class the
+    verbatim rung cannot see."""
+    from weather_analysis_bigdata__spark import queries_round8 as r8
+
+    rows = {r.doc_id: r for r in
+            r8.decontaminate_semantic(spark, sf_dir).collect()}
+    planted = [
+        d for d in rows
+        if d % 97 != 0 and d % r8._DECON_PLANT_MOD == 1 and d >= 0
+        and rows[d].has_embedding
+    ]
+    assert planted, "no planted sources in this SF's vec_id range"
+    for d in planted:
+        r = rows[d]
+        assert r.semantic_contaminated, f"planted source {d} not flagged"
+        assert r.max_cosine >= 0.98
+        assert r.contamination_rung in ("semantic", "both")
+
+
+def test_decontaminate_semantic_rung_consistency(spark, sf_dir):
+    """Rung labels must agree with the two flags, and semantic flags
+    require an embedding (the rung is vacuous without one)."""
+    from weather_analysis_bigdata__spark import queries_round8 as r8
+
+    for r in r8.decontaminate_semantic(spark, sf_dir).collect():
+        expect = (
+            "both" if r.ngram_contaminated and r.semantic_contaminated
+            else "ngram" if r.ngram_contaminated
+            else "semantic" if r.semantic_contaminated
+            else "clean"
+        )
+        assert r.contamination_rung == expect
+        if r.semantic_contaminated:
+            assert r.has_embedding and r.max_cosine >= r8._DECON_TAU

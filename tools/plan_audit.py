@@ -359,6 +359,14 @@ KNOWN_EXCEPTIONS = {
     "plus the overcap-residual count and two O(groups) stitches — "
     "every exchange belongs to one of the two cap levels' audited "
     "chains; nothing re-executes within a level",
+    "decontaminate_semantic": "two-rung composition by definition "
+    "(the dedup_ladder_audit pattern): the audited n-gram gate "
+    "subtree (eval-gram broadcast semi-join + per-doc regroup), the "
+    "IVF probe side (persisted index scans; candidates bounded by "
+    "probed lists; the tiny eval/probe tables broadcast), the "
+    "cand-keyed cosine regroup, and doc-grained report stitches — "
+    "every exchange belongs to one audited rung or carries one row "
+    "per train doc; the train corpus itself never shuffles",
     "dedup_ladder_summary": "dedup_ladder_audit's 12 reviewed "
     "exchanges (the exact-fingerprint groupBy+stitch, the audited "
     "paragraph and span subtrees, three doc-grained stitches — see "
@@ -435,6 +443,7 @@ REVIEWED_FLAGS = {
     "dedup_ladder_audit": {"XCHG"},
     "dedup_ladder_summary": {"XCHG"},
     "dedup_span_cap_audit": {"XCHG"},
+    "decontaminate_semantic": {"XCHG"},
 }
 
 

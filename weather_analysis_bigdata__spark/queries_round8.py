@@ -25,12 +25,17 @@ dedup at all — charter-extension breadth on the `documents` table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from weather_analysis_bigdata__spark.functions.textops import (
     SQL_TOKENS,
     tokens,
+)
+from weather_analysis_bigdata__spark.functions.vectorops import (
+    dot,
+    norm,
+    scaled_vec,
 )
 from weather_analysis_bigdata__spark.queries_round7 import (
     _SPAN_MIN_TOKENS,
@@ -293,4 +298,285 @@ def dedup_span_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("overcap_occurrences", F.lit(0))
         .cast("long")
         .alias("overcap_occurrences"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic benchmark decontamination (the paraphrase rung)
+# ---------------------------------------------------------------------------
+#: Cosine threshold for a semantic contamination flag. Paraphrase-grade
+#: similarity: the organic eval↔train cosine maximum on this corpus is
+#: ~0.50 (measured at sf0.01/sf0.1), the planted perturbed vectors sit
+#: at ~0.99 — τ = 0.8 separates "reworded benchmark item" from
+#: topical-similarity noise the way the 8-gram rung separates verbatim
+#: overlap from shared phrases.
+_DECON_TAU = 0.8
+#: Nearest centroid lists probed per eval query (the candidate bound).
+_DECON_PROBES = 2
+#: Planted paraphrase sources: train vectors with vec_id % 250 == 1
+#: become synthetic eval queries (2 at sf0.01, 8 at sf0.1).
+_DECON_PLANT_MOD = 250
+#: The perturbation: q = floor((7·v + rotate(v, 1)) / 8) in SCALED-
+#: INTEGER space — a deterministic "paraphrase" whose cosine with its
+#: source is ≈ 7/√50 ≈ 0.99 (rotation of a near-isotropic vector is
+#: ~orthogonal to it). Integer mix keeps every engine bit-exact: no
+#: float arithmetic enters until the one dot→double boundary cast.
+_DECON_MIX_NUM = 7
+_DECON_MIX_DEN = 8
+
+
+def _prepare_ivf_decon(spark: SparkSession, sf_dir: str) -> None:
+    """Bench prepare hook: the persisted IVF centroid + assignment
+    indexes this gate probes (fn self-prepares regardless)."""
+    from weather_analysis_bigdata__spark.queries_llmops import _prepare_ivf
+
+    _prepare_ivf(spark, sf_dir)
+
+
+def _decon_sql_idot(a: str, b: str) -> str:
+    """DuckDB: exact dot of two already-scaled BIGINT[] vectors →
+    DOUBLE (the sql_dot contract minus the quantization step)."""
+    return (
+        f"(CAST(CAST(list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> {a}[i] * {b}[i])) AS BIGINT) AS DOUBLE) / 1e16)"
+    )
+
+
+def _decon_oracle() -> str:
+    from weather_analysis_bigdata__spark.queries_llmops import (
+        _SQL_FLOORDIV,
+        _SQL_SVA,
+        _SQL_VPOS,
+        _sql_sqdist,
+    )
+    from weather_analysis_bigdata__spark.registry import all_queries
+
+    ng_sql = all_queries()["decontaminate_train_test"].oracle_text()
+    mix = _SQL_FLOORDIV.format(
+        s=f"{_DECON_MIX_NUM} * sva[i] + (sva[2:] || sva[1:1])[i]",
+        n=str(_DECON_MIX_DEN),
+    )
+    idot = _decon_sql_idot
+    return f"""
+    WITH ng AS ({ng_sql}),
+    {_SQL_VPOS.strip()},
+    cent AS (
+      SELECT label AS c_label, pos,
+             CAST({_SQL_FLOORDIV.format(s='SUM(v_int)', n='COUNT(*)')} AS BIGINT)
+               AS c_int
+      FROM vpos GROUP BY label, pos
+    ),
+    cent_arr AS (
+      SELECT c_label, list(c_int ORDER BY pos) AS c_arr
+      FROM cent GROUP BY c_label
+    ),
+    sv AS (SELECT vec_id, {_SQL_SVA} AS sva FROM embeddings),
+    ascored AS (
+      SELECT s.vec_id, c.c_label,
+             {_sql_sqdist('s.sva', 'c.c_arr')} AS dist
+      FROM sv s CROSS JOIN cent_arr c
+    ),
+    assign AS (
+      SELECT vec_id AS cand_id, c_label AS part_label FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+        FROM ascored) WHERE rn = 1
+    ),
+    planted AS (
+      SELECT CAST(-1 - vec_id AS BIGINT) AS query_id,
+             list_transform(generate_series(1, len(sva)),
+               i -> CAST({mix} AS BIGINT)) AS qsva
+      FROM sv
+      WHERE vec_id % 97 <> 0 AND vec_id % {_DECON_PLANT_MOD} = 1
+    ),
+    qset AS (
+      SELECT vec_id AS query_id, sva AS qsva FROM sv WHERE vec_id % 97 = 0
+      UNION ALL SELECT query_id, qsva FROM planted
+    ),
+    qscored AS (
+      SELECT q.query_id, q.qsva, c.c_label,
+             {_sql_sqdist('q.qsva', 'c.c_arr')} AS dist
+      FROM qset q CROSS JOIN cent_arr c
+    ),
+    qprobes AS (
+      SELECT query_id, c_label AS probe_label FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY dist, c_label) AS rn
+        FROM qscored) WHERE rn <= {_DECON_PROBES}
+    ),
+    cands AS (
+      SELECT p.query_id, a.cand_id
+      FROM qprobes p JOIN assign a ON p.probe_label = a.part_label
+      WHERE a.cand_id % 97 <> 0
+    ),
+    qn AS (
+      SELECT query_id, qsva,
+             sqrt({idot('qsva', 'qsva')}) AS qnrm
+      FROM qset
+    ),
+    cn AS (
+      SELECT vec_id, sva, sqrt({idot('sva', 'sva')}) AS cnrm
+      FROM sv WHERE vec_id % 97 <> 0
+    ),
+    hits AS (
+      SELECT c.cand_id,
+             {idot('q.qsva', 'x.sva')} / (q.qnrm * x.cnrm) AS cosine
+      FROM cands c
+      JOIN qn q USING (query_id)
+      JOIN cn x ON x.vec_id = c.cand_id
+    ),
+    sem AS (
+      SELECT cand_id AS doc_id,
+             CAST(COUNT(*) FILTER (cosine >= {_DECON_TAU}) AS BIGINT)
+               AS n_semantic_hits,
+             MAX(cosine) AS max_cosine
+      FROM hits GROUP BY cand_id
+    )
+    SELECT n.doc_id,
+           n.is_contaminated AS ngram_contaminated,
+           CAST(n.n_contaminated AS BIGINT) AS ngram_hits,
+           (e.vec_id IS NOT NULL) AS has_embedding,
+           CAST(COALESCE(s.n_semantic_hits, 0) AS BIGINT)
+             AS n_semantic_hits,
+           s.max_cosine,
+           COALESCE(s.n_semantic_hits, 0) > 0 AS semantic_contaminated,
+           CASE
+             WHEN n.is_contaminated
+                  AND COALESCE(s.n_semantic_hits, 0) > 0 THEN 'both'
+             WHEN n.is_contaminated THEN 'ngram'
+             WHEN COALESCE(s.n_semantic_hits, 0) > 0 THEN 'semantic'
+             ELSE 'clean'
+           END AS contamination_rung
+    FROM ng n
+    LEFT JOIN (SELECT vec_id FROM embeddings) e ON e.vec_id = n.doc_id
+    LEFT JOIN sem s ON s.doc_id = n.doc_id
+    """
+
+
+@register(
+    "decontaminate_semantic",
+    oracle=_decon_oracle,
+    doc="SEMANTIC benchmark decontamination — the paraphrase rung "
+    "decontaminate_train_test's verbatim 8-gram scan misses (reworded "
+    "or re-formatted benchmark items survive n-gram matching; this is "
+    "the leak class that actually reaches modern corpora). Eval-set "
+    f"embeddings (vec_id % 97, the n-gram rung's split) probe the "
+    f"PERSISTED IVF index ({_DECON_PROBES} nearest centroid lists per "
+    "query — candidates bounded by probed lists, the ann_batch_* "
+    f"serving shape), and train candidates with cosine ≥ {_DECON_TAU} "
+    "are flagged; composed with the n-gram gate into ONE per-train-doc "
+    "report (rung = ngram | semantic | both | clean; the n-gram "
+    "oracle is embedded VERBATIM as a CTE, so the two rungs can never "
+    "drift). Positive control: train vectors with vec_id % "
+    f"{_DECON_PLANT_MOD} = 1 spawn planted eval queries perturbed in "
+    "scaled-integer space (q = (7v + rotate(v))/8, cosine ≈ 0.99 to "
+    "the source, ~0.5 organic maximum) — each planted source MUST "
+    "come back semantic-flagged (pytest-gated), proving the rung "
+    "catches paraphrases no n-gram can. Exact integer dot products "
+    "end-to-end (vectorops contract); at 100 TB the eval side is tiny "
+    "(benchmarks are KBs, corpora are TBs), so the probe/cosine side "
+    "broadcasts and the train corpus never shuffles for this gate.",
+    prepare=_prepare_ivf_decon,
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.queries_llmops import (
+        _ivf_assign,
+        _ivf_centroids,
+        _sqdist_col,
+    )
+    from weather_analysis_bigdata__spark.queries_ops import (
+        decontaminate_train_test,
+    )
+
+    ng = decontaminate_train_test(spark, sf_dir)
+    cent_arr = _ivf_centroids(spark, sf_dir)
+    assign = _ivf_assign(spark, sf_dir)
+    sv = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", scaled_vec("embedding").alias("sva")
+    )
+    organic_q = sv.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("sva").alias("qsva")
+    )
+    src = sv.filter(
+        (F.col("vec_id") % 97 != 0)
+        & (F.col("vec_id") % _DECON_PLANT_MOD == 1)
+    )
+    rot = F.concat(
+        F.slice(F.col("sva"), 2, F.size(F.col("sva")) - 1),
+        F.slice(F.col("sva"), 1, 1),
+    )
+
+    def _mix(x, y):
+        s = F.lit(_DECON_MIX_NUM) * x + y
+        den = F.lit(_DECON_MIX_DEN)
+        return ((s - (((s % den) + den) % den)) / den).cast("long")
+
+    planted_q = src.select(
+        (F.lit(-1) - F.col("vec_id")).cast("long").alias("query_id"),
+        F.zip_with(F.col("sva"), rot, _mix).alias("qsva"),
+    )
+    qset = organic_q.unionByName(planted_q)
+    qscored = qset.crossJoin(F.broadcast(cent_arr)).select(
+        "query_id",
+        "qsva",
+        "c_label",
+        _sqdist_col(F.col("qsva"), F.col("c_arr")).alias("dist"),
+    )
+    w_q = Window.partitionBy("query_id").orderBy("dist", "c_label")
+    qprobes = (
+        qscored.select("query_id", "c_label", F.row_number().over(w_q).alias("rn"))
+        .filter(F.col("rn") <= _DECON_PROBES)
+        .select("query_id", F.col("c_label").alias("probe_label"))
+    )
+    cands = assign.join(
+        F.broadcast(qprobes),
+        F.col("part_label") == F.col("probe_label"),
+    ).filter(F.col("cand_id") % 97 != 0).select("query_id", "cand_id")
+    qn = qset.select("query_id", "qsva", norm(F.col("qsva")).alias("qnrm"))
+    cn = sv.filter(F.col("vec_id") % 97 != 0).select(
+        "vec_id", "sva", norm(F.col("sva")).alias("cnrm")
+    )
+    hits = (
+        cands.join(F.broadcast(qn), "query_id")
+        .join(cn.hint("shuffle_hash"), F.col("cand_id") == F.col("vec_id"))
+        .select(
+            "cand_id",
+            (
+                dot(F.col("qsva"), F.col("sva"))
+                / (F.col("qnrm") * F.col("cnrm"))
+            ).alias("cosine"),
+        )
+    )
+    sem = hits.groupBy(F.col("cand_id").alias("doc_id")).agg(
+        F.sum(F.when(F.col("cosine") >= _DECON_TAU, 1).otherwise(0))
+        .cast("long")
+        .alias("n_semantic_hits"),
+        F.max("cosine").alias("max_cosine"),
+    )
+    emb_ids = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.lit(True).alias("has_embedding")
+    )
+    out = (
+        ng.join(
+            emb_ids.hint("shuffle_hash"),
+            ng["doc_id"] == emb_ids["vec_id"],
+            "left",
+        )
+        .drop("vec_id")
+        .join(sem.hint("shuffle_hash"), "doc_id", "left")
+    )
+    n_sem = F.coalesce("n_semantic_hits", F.lit(0))
+    return out.select(
+        "doc_id",
+        F.col("is_contaminated").alias("ngram_contaminated"),
+        F.col("n_contaminated").cast("long").alias("ngram_hits"),
+        F.coalesce("has_embedding", F.lit(False)).alias("has_embedding"),
+        n_sem.cast("long").alias("n_semantic_hits"),
+        "max_cosine",
+        (n_sem > 0).alias("semantic_contaminated"),
+        F.when(F.col("is_contaminated") & (n_sem > 0), "both")
+        .when(F.col("is_contaminated"), "ngram")
+        .when(n_sem > 0, "semantic")
+        .otherwise("clean")
+        .alias("contamination_rung"),
     )
