@@ -97,3 +97,23 @@ def test_decontaminate_semantic_rung_consistency(spark, sf_dir):
         assert r.contamination_rung == expect
         if r.semantic_contaminated:
             assert r.has_embedding and r.max_cosine >= r8._DECON_TAU
+
+
+def test_tokenizer_coverage_planted_unseen_script(spark, sf_dir):
+    """The planted Greek-script source must show a non-zero unk rate
+    for BOTH families; every organic source must be fully covered
+    (its chars are the training charset by construction)."""
+    from weather_analysis_bigdata__spark import queries_round8 as r8
+
+    rows = r8.tokenizer_coverage_audit(spark, sf_dir).collect()
+    fams = {"bpe", "unigram"}
+    planted = [r for r in rows if r.source == r8._COVERAGE_PLANT_SOURCE]
+    assert {r.family for r in planted} == fams
+    for r in planted:
+        assert r.unk_chars > 0 and r.unk_words > 0
+        assert 0 < r.char_coverage_ppm < 1000000  # mixed, not all-unk
+        assert r.unk_word_ppm > 0
+    for r in rows:
+        if r.source != r8._COVERAGE_PLANT_SOURCE:
+            assert r.unk_chars == 0 and r.char_coverage_ppm == 1000000
+        assert r.vocab_chars > 0

@@ -580,3 +580,212 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("clean")
         .alias("contamination_rung"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer coverage / unk-rate audit (both families)
+# ---------------------------------------------------------------------------
+#: Planted unseen-script source: Greek-script words NO training doc
+#: contains (the corpus is ASCII), mixed with covered ASCII words so
+#: the planted source shows a PARTIAL coverage figure, not a trivial
+#: zero. The audit must report a non-zero unk rate here — the positive
+#: control that the coverage plumbing reads the trained charsets at
+#: all (round-7 verdict item 4).
+_COVERAGE_PLANT_SOURCE = "unseenscript"
+_COVERAGE_PLANT_TEXTS = (
+    "αλφα βητα γαμμα δελτα εψιλον ζητα the of",
+    "ηρα θητα ιωτα καππα λαμδα in a to",
+    "μυ νυ ξι ομικρον πι ρω σιγμα ταυ",
+)
+
+
+def _coverage_oracle() -> str:
+    """Literal VALUES built by BOTH independent pure-Python tokenizer
+    references (the fertility-oracle pattern): per (source, family),
+    word/char totals and unk counts against that family's trained
+    charset — unigram's from uref.train's single-char pieces, BPE's
+    from bref's word stream (the base alphabet merges never extend)."""
+    from weather_analysis_bigdata__spark.operators import (
+        bpe_reference as bref,
+    )
+    from weather_analysis_bigdata__spark.operators import (
+        unigram_reference as uref,
+    )
+    from weather_analysis_bigdata__spark.queries_llmops import _bpe_oracle_sf
+
+    docs = uref._read_documents(_bpe_oracle_sf())
+    uni_charset = {
+        p for p, _, _ in uref.train(docs) if len(p) == 1
+    }
+    bpe_charset: set[str] = set()
+    for _, _, text in docs:
+        for w in bref._words(text):
+            bpe_charset.update(w)
+    audit = list(docs) + [
+        (None, _COVERAGE_PLANT_SOURCE, t) for t in _COVERAGE_PLANT_TEXTS
+    ]
+    stats: dict[tuple[str, str], list[int]] = {}
+    for fam, charset in (("bpe", bpe_charset), ("unigram", uni_charset)):
+        for _, source, text in audit:
+            acc = stats.setdefault((source, fam), [0, 0, 0, 0])
+            for w in uref._words(text):
+                unk = sum(1 for c in w if c not in charset)
+                acc[0] += 1
+                acc[1] += len(w)
+                acc[2] += unk
+                acc[3] += 1 if unk else 0
+    vals = ",\n      ".join(
+        f"('{s}', '{f}', {a[0]}, {a[1]}, "
+        f"{len(bpe_charset) if f == 'bpe' else len(uni_charset)}, "
+        f"{a[2]}, {a[3]})"
+        for (s, f), a in sorted(stats.items())
+    )
+    return f"""
+    SELECT source, family,
+           CAST(words_total AS BIGINT) AS words_total,
+           CAST(chars_total AS BIGINT) AS chars_total,
+           CAST(vocab_chars AS BIGINT) AS vocab_chars,
+           CAST(unk_chars AS BIGINT) AS unk_chars,
+           CAST(unk_words AS BIGINT) AS unk_words,
+           CAST((CAST(1000000 AS BIGINT) * (chars_total - unk_chars))
+                // NULLIF(CAST(chars_total AS BIGINT), 0) AS BIGINT)
+             AS char_coverage_ppm,
+           CAST((CAST(1000000 AS BIGINT) * unk_words)
+                // NULLIF(CAST(words_total AS BIGINT), 0)
+             AS BIGINT) AS unk_word_ppm
+    FROM (VALUES
+      {vals})
+      AS t(source, family, words_total, chars_total, vocab_chars,
+           unk_chars, unk_words)
+    """
+
+
+def _prepare_coverage(spark: SparkSession, sf_dir: str) -> None:
+    from weather_analysis_bigdata__spark.queries_round7 import (
+        _prepare_unigram,
+    )
+
+    _prepare_unigram(spark, sf_dir)
+
+
+@register(
+    "tokenizer_coverage_audit",
+    oracle=_coverage_oracle,
+    doc="TOKENIZER COVERAGE audit — the vocab-size/byte-fallback gate a "
+    "real training run reads BEFORE tokenizer_fertility_compare's "
+    "efficiency comparison matters: per (source, tokenizer family), "
+    "character coverage and unk rates against the family's TRAINED "
+    "charset (unigram: single-char pieces of the persisted "
+    "unigram_vocab index; BPE: the training corpus's base alphabet, "
+    "which merges never extend). Words containing any out-of-charset "
+    "character are the byte-fallback demand — chars/words counted "
+    "exactly, reported in ppm. A planted Greek-script source (mixed "
+    "with covered ASCII words) is the positive control: its unk rate "
+    "MUST be non-zero for both families while every organic source "
+    "reads 1.0 coverage (pytest-gated). Scale shape: the charsets are "
+    "O(alphabet) driver state (the BPE-merges-collect precedent), the "
+    "per-word unk counts fold over the DISTINCT-word table (Heaps-law "
+    "trick) with charset membership as a broadcast literal, and one "
+    "word join fans the counts back over the corpus — no shuffle "
+    "carries more than (word, counts) rows. Oracle: literal VALUES "
+    "from BOTH independent pure-Python references, so a hash match "
+    "certifies each family's trained charset end-to-end.",
+    prepare=_prepare_coverage,
+)
+def tokenizer_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.operators.bpe import _word_freqs
+    from weather_analysis_bigdata__spark.queries_round7 import (
+        _unigram_vocab,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    planted = spark.range(len(_COVERAGE_PLANT_TEXTS)).select(
+        F.lit(_COVERAGE_PLANT_SOURCE).alias("source"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in _COVERAGE_PLANT_TEXTS]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    # Trained charsets: bounded driver state (≤ alphabet size), the
+    # BPE-merge-table precedent. Training inputs are the ORGANIC docs
+    # only — the planted source is eval-side by construction.
+    uni_charset = sorted(
+        r["piece"]
+        for r in _unigram_vocab(spark, sf_dir)
+        .filter(F.length("piece") == 1)
+        .collect()
+    )
+    bpe_charset = sorted(
+        r["ch"]
+        for r in _word_freqs(docs)
+        .select(F.explode(F.split("word", "")).alias("ch"))
+        .distinct()
+        .collect()
+    )
+    occ = corpus.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda w: w != "",
+            )
+        ).alias("word"),
+    )
+    chars = F.split(F.col("word"), "")
+
+    def n_unk(charset):
+        return F.size(
+            F.filter(chars, lambda c: ~c.isin(*charset))
+        ).cast("long")
+
+    per_word = occ.select("word").distinct().select(
+        "word",
+        F.length("word").cast("long").alias("wc"),
+        n_unk(bpe_charset).alias("unk_bpe"),
+        n_unk(uni_charset).alias("unk_uni"),
+    )
+    agg = (
+        occ.join(per_word.hint("shuffle_hash"), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("words_total"),
+            F.sum("wc").cast("long").alias("chars_total"),
+            F.sum("unk_bpe").cast("long").alias("unk_bpe"),
+            F.sum(F.when(F.col("unk_bpe") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("unk_words_bpe"),
+            F.sum("unk_uni").cast("long").alias("unk_uni"),
+            F.sum(F.when(F.col("unk_uni") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("unk_words_uni"),
+        )
+    )
+    long = agg.select(
+        "source",
+        "words_total",
+        "chars_total",
+        F.expr(
+            f"stack(2, 'bpe', CAST({len(bpe_charset)} AS BIGINT), "
+            "unk_bpe, unk_words_bpe, "
+            f"'unigram', CAST({len(uni_charset)} AS BIGINT), "
+            "unk_uni, unk_words_uni) "
+            "AS (family, vocab_chars, unk_chars, unk_words)"
+        ),
+    )
+    return long.select(
+        "source",
+        "family",
+        "words_total",
+        "chars_total",
+        "vocab_chars",
+        "unk_chars",
+        "unk_words",
+        F.expr(
+            "(1000000 * (chars_total - unk_chars)) div "
+            "nullif(chars_total, 0)"
+        ).alias("char_coverage_ppm"),
+        F.expr(
+            "(1000000 * unk_words) div nullif(words_total, 0)"
+        ).alias("unk_word_ppm"),
+    )
