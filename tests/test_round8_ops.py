@@ -117,3 +117,78 @@ def test_tokenizer_coverage_planted_unseen_script(spark, sf_dir):
         if r.source != r8._COVERAGE_PLANT_SOURCE:
             assert r.unk_chars == 0 and r.char_coverage_ppm == 1000000
         assert r.vocab_chars > 0
+
+
+def test_interleave_assembly_conservation(spark, sf_dir):
+    """Conservation law: every KEPT media fingerprint lands in exactly
+    one record, and nothing else does — media segment count equals the
+    number of distinct exact fingerprint groups per modality."""
+    import pyspark.sql.functions as F
+
+    from weather_analysis_bigdata__spark import queries_round8 as r8
+    from weather_analysis_bigdata__spark.operators.multimodal import (
+        ppm_phash,
+        synth_media,
+        wav_fingerprint,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    out = r8.multimodal_interleave_assembly(spark, sf_dir)
+    by_kind = {
+        r.kind: r.n
+        for r in out.groupBy("kind").agg(F.count("*").alias("n")).collect()
+    }
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    n_img_groups = (
+        ppm_phash(synth_media(ids, "ppm"))
+        .select("w", "h", "phash").distinct().count()
+    )
+    n_aud_groups = (
+        wav_fingerprint(synth_media(ids, "wav"))
+        .select("sample_rate", "n_frames", "afp").distinct().count()
+    )
+    assert by_kind["image"] == n_img_groups
+    assert by_kind["audio"] == n_aud_groups
+    # Exactly-one-record: the image segments' doc set IS the set of
+    # min-doc_id representatives per (w, h, phash) group, computed
+    # independently. (media_ref alone is NOT the group key — distinct
+    # (w, h) groups may share a phash value.)
+    img_docs = {
+        r.doc_id for r in out.filter("kind = 'image'").collect()
+    }
+    reps = {
+        r.rep
+        for r in ppm_phash(synth_media(ids, "ppm"))
+        .groupBy("w", "h", "phash")
+        .agg(F.min("doc_id").alias("rep"))
+        .collect()
+    }
+    assert img_docs == reps
+
+
+def test_interleave_assembly_sequence_shape(spark, sf_dir):
+    """Per record: seq is dense 0..n-1, media follows the paragraph its
+    hash addresses, and the accounting columns are internally
+    consistent on every row."""
+    from collections import defaultdict
+
+    from weather_analysis_bigdata__spark import queries_round8 as r8
+
+    rows = r8.multimodal_interleave_assembly(spark, sf_dir).collect()
+    recs = defaultdict(list)
+    for r in rows:
+        recs[r.doc_id].append(r)
+    for doc, rs in recs.items():
+        rs.sort(key=lambda r: r.seq)
+        assert [r.seq for r in rs] == list(range(len(rs)))
+        text_t = sum(r.token_cost for r in rs if r.kind == "text")
+        media_t = sum(r.token_cost for r in rs if r.kind != "text")
+        n_media = sum(1 for r in rs if r.kind != "text")
+        for r in rs:
+            assert r.rec_text_tokens == text_t
+            assert r.rec_media_tokens == media_t
+            assert r.rec_total_tokens == text_t + media_t
+            assert r.rec_media_segments == n_media
+        # text spans keep their original order
+        wins = [r.win_id for r in rs if r.kind == "text"]
+        assert wins == sorted(wins)

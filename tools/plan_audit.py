@@ -367,6 +367,14 @@ KNOWN_EXCEPTIONS = {
     "cand-keyed cosine regroup, and doc-grained report stitches — "
     "every exchange belongs to one audited rung or carries one row "
     "per train doc; the train corpus itself never shuffles",
+    "multimodal_interleave_assembly": "three-modality composition by "
+    "definition (the corpus_ingest_router_multimodal class): the "
+    "paragraph-count regroup, one fingerprint-keyed keep window per "
+    "media rung, two doc-grained placement stitches, and ONE final "
+    "doc-partitioned window that carries sequencing AND record "
+    "accounting on a single sort — each exchange belongs to one "
+    "modality's audited kernel or carries (doc, segment) rows; the "
+    "segment subtree executes once",
     "dedup_ladder_summary": "dedup_ladder_audit's 12 reviewed "
     "exchanges (the exact-fingerprint groupBy+stitch, the audited "
     "paragraph and span subtrees, three doc-grained stitches — see "
@@ -444,6 +452,7 @@ REVIEWED_FLAGS = {
     "dedup_ladder_summary": {"XCHG"},
     "dedup_span_cap_audit": {"XCHG"},
     "decontaminate_semantic": {"XCHG"},
+    "multimodal_interleave_assembly": {"XCHG"},
 }
 
 

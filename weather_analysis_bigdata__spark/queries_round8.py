@@ -789,3 +789,200 @@ def tokenizer_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000000 * unk_words) div nullif(words_total, 0)"
         ).alias("unk_word_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interleaved multimodal training-record assembly (MMC4-pattern capstone)
+# ---------------------------------------------------------------------------
+#: Per-media token costs in the assembled record: image cost = w·h
+#: decoded pixels (vision "patch tokens" scale with resolution), audio
+#: cost = decoded energy-frame count — both read from the REAL decode
+#: kernels, so the accounting is a function of media content, not a
+#: placeholder constant.
+_ASM_KIND_RANK = {"text": 0, "image": 1, "audio": 2}
+
+
+def _assembly_oracle() -> str:
+    from weather_analysis_bigdata__spark.queries_hygiene import (
+        _sql_paragraphs,
+    )
+    from weather_analysis_bigdata__spark.queries_round5 import (
+        _sql_audio_perdoc,
+        _sql_img_perdoc,
+    )
+
+    para_words = "len(regexp_split_to_array(trim(para), '\\s+'))"
+    return f"""
+    WITH {_sql_paragraphs()},
+    {_sql_img_perdoc()},
+    {_sql_audio_perdoc()},
+    np AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS np
+      FROM para GROUP BY doc_id
+    ),
+    ikeep AS (
+      SELECT doc_id, w, h, phash FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY w, h, phash) AS rep
+        FROM perdoc) WHERE doc_id = rep
+    ),
+    akeep AS (
+      SELECT doc_id, n_frames, afp FROM (
+        SELECT *, MIN(doc_id) OVER (
+          PARTITION BY sample_rate, n_frames, afp) AS rep
+        FROM afpd) WHERE doc_id = rep
+    ),
+    seg AS (
+      SELECT doc_id, CAST(2 * win_id AS BIGINT) AS slot, 0 AS kr,
+             'text' AS kind, CAST(win_id AS BIGINT) AS win_id,
+             CAST(NULL AS BIGINT) AS media_ref,
+             CAST({para_words} AS BIGINT) AS token_cost
+      FROM para
+      UNION ALL
+      SELECT i.doc_id, 2 * (i.phash % n.np) + 1, 1, 'image',
+             CAST(NULL AS BIGINT), i.phash, i.w * i.h
+      FROM ikeep i JOIN np n USING (doc_id)
+      UNION ALL
+      SELECT a.doc_id, 2 * (a.afp % n.np) + 1, 2, 'audio',
+             CAST(NULL AS BIGINT), a.afp, a.n_frames
+      FROM akeep a JOIN np n USING (doc_id)
+    ),
+    o AS (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY slot, kr) - 1 AS BIGINT) AS seq,
+             CAST(SUM(CASE WHEN kind = 'text' THEN token_cost ELSE 0 END)
+               OVER (PARTITION BY doc_id) AS BIGINT) AS rec_text_tokens,
+             CAST(SUM(CASE WHEN kind <> 'text' THEN token_cost ELSE 0 END)
+               OVER (PARTITION BY doc_id) AS BIGINT) AS rec_media_tokens,
+             CAST(SUM(CASE WHEN kind <> 'text' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id) AS BIGINT) AS rec_media_segments
+      FROM seg
+    )
+    SELECT doc_id, seq, kind, win_id, media_ref, token_cost,
+           rec_text_tokens, rec_media_tokens,
+           rec_text_tokens + rec_media_tokens AS rec_total_tokens,
+           rec_media_segments
+    FROM o
+    """
+
+
+@register(
+    "multimodal_interleave_assembly",
+    oracle=_assembly_oracle,
+    doc="INTERLEAVED multimodal training-record assembly — the "
+    "MMC4-pattern step between the ingest router's keep decisions and "
+    "pack_sequences_*: per document, text paragraph spans and kept "
+    "media placeholders are laid out in ONE deterministic sequence "
+    "(text span at slot 2·win_id; a media placeholder after the "
+    "paragraph its fingerprint addresses, slot 2·(hash mod n_paras)+1; "
+    "image-before-audio on slot ties), with per-segment token costs "
+    "read from the REAL decode kernels (image = w·h decoded pixels — "
+    "vision patch tokens scale with resolution; audio = energy-frame "
+    "count) and per-record modality/token accounting on every row. "
+    "Keep decisions are the dedup endgame: a doc carries its image/"
+    "audio iff it is the min-doc_id representative of that media's "
+    "exact fingerprint group — duplicated media lands in EXACTLY ONE "
+    "record corpus-wide (the conservation law, pytest-gated). Scale "
+    "shape: paragraph spans explode shuffle-free, each media rung is "
+    "one fingerprint-keyed window, the interleave is a per-doc window "
+    "over a handful of segments, and the accounting is one doc-keyed "
+    "regroup — no shuffle carries more than (doc, segment) rows. "
+    "Oracle recomputes the decode hashes in closed form, so the hash "
+    "match certifies decode + keep + interleave + accounting "
+    "end-to-end. Ref: Weather_API.py has no multimodal surface "
+    "(charter extension; MMC4 = Zhu et al. 2023).",
+)
+def multimodal_interleave_assembly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from weather_analysis_bigdata__spark.operators.multimodal import (
+        ppm_phash,
+        synth_media,
+        wav_fingerprint,
+    )
+    from weather_analysis_bigdata__spark.queries_hygiene import paragraphs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    para = docs.select(
+        "doc_id",
+        F.posexplode(paragraphs(F.col("text"))).alias("win_id", "para"),
+    )
+    np_ = para.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("np")
+    )
+    ids = docs.select("doc_id")
+    img = ppm_phash(synth_media(ids, "ppm"))
+    aud = wav_fingerprint(synth_media(ids, "wav"))
+    w_img = Window.partitionBy("w", "h", "phash")
+    ikeep = img.withColumn("rep", F.min("doc_id").over(w_img)).filter(
+        F.col("doc_id") == F.col("rep")
+    )
+    w_aud = Window.partitionBy("sample_rate", "n_frames", "afp")
+    akeep = aud.withColumn("rep", F.min("doc_id").over(w_aud)).filter(
+        F.col("doc_id") == F.col("rep")
+    )
+    null_l = F.lit(None).cast("long")
+    tseg = para.select(
+        "doc_id",
+        (2 * F.col("win_id")).cast("long").alias("slot"),
+        F.lit(0).alias("kr"),
+        F.lit("text").alias("kind"),
+        F.col("win_id").cast("long").alias("win_id"),
+        null_l.alias("media_ref"),
+        F.size(tokens("para")).cast("long").alias("token_cost"),
+    )
+    iseg = ikeep.join(np_.hint("shuffle_hash"), "doc_id").select(
+        "doc_id",
+        (2 * (F.col("phash") % F.col("np")) + 1).cast("long").alias("slot"),
+        F.lit(1).alias("kr"),
+        F.lit("image").alias("kind"),
+        null_l.alias("win_id"),
+        F.col("phash").alias("media_ref"),
+        (F.col("w") * F.col("h")).cast("long").alias("token_cost"),
+    )
+    aseg = akeep.join(np_.hint("shuffle_hash"), "doc_id").select(
+        "doc_id",
+        (2 * (F.col("afp") % F.col("np")) + 1).cast("long").alias("slot"),
+        F.lit(2).alias("kr"),
+        F.lit("audio").alias("kind"),
+        null_l.alias("win_id"),
+        F.col("afp").alias("media_ref"),
+        F.col("n_frames").cast("long").alias("token_cost"),
+    )
+    seg = tseg.unionByName(iseg).unionByName(aseg)
+    # The per-record accounting rides the SAME doc-partitioned sort the
+    # sequencing window needs (whole-partition frames): one shuffle,
+    # one sort, no acct regroup, no doc-keyed stitch — and the seg
+    # subtree (paragraph explode + two decode kernels) executes once.
+    w_doc = Window.partitionBy("doc_id").orderBy("slot", "kr")
+    w_rec = Window.partitionBy("doc_id")
+    is_media = F.col("kind") != "text"
+    o = seg.select(
+        "*",
+        (F.row_number().over(w_doc) - 1).cast("long").alias("seq"),
+        F.sum(F.when(~is_media, F.col("token_cost")).otherwise(0))
+        .over(w_rec)
+        .cast("long")
+        .alias("rec_text_tokens"),
+        F.sum(F.when(is_media, F.col("token_cost")).otherwise(0))
+        .over(w_rec)
+        .cast("long")
+        .alias("rec_media_tokens"),
+        F.sum(F.when(is_media, 1).otherwise(0))
+        .over(w_rec)
+        .cast("long")
+        .alias("rec_media_segments"),
+    )
+    return o.select(
+        "doc_id",
+        "seq",
+        "kind",
+        "win_id",
+        "media_ref",
+        "token_cost",
+        "rec_text_tokens",
+        "rec_media_tokens",
+        (F.col("rec_text_tokens") + F.col("rec_media_tokens")).alias(
+            "rec_total_tokens"
+        ),
+        "rec_media_segments",
+    )
