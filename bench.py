@@ -155,6 +155,14 @@ HEADLINE = [
     "sample_stratified_quota",
     "tokenizer_fertility_compare",
     "dedup_ladder_audit",
+    # round 8: cap-loss audit (runs the span kernel at both caps by
+    # definition), the semantic decontamination rung over the persisted
+    # IVF index, the tokenizer coverage gate, the MMC4-pattern
+    # interleaved-assembly capstone
+    "dedup_span_cap_audit",
+    "decontaminate_semantic",
+    "tokenizer_coverage_audit",
+    "multimodal_interleave_assembly",
 ]
 
 

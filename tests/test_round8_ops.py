@@ -192,3 +192,38 @@ def test_interleave_assembly_sequence_shape(spark, sf_dir):
         # text spans keep their original order
         wins = [r.win_id for r in rs if r.kind == "text"]
         assert wins == sorted(wins)
+
+
+def test_pack_interleaved_conservation_vs_assembly(spark, sf_dir):
+    """The packed shards' corpus-wide totals must equal the assembly's
+    record totals exactly (same keep decisions, same costs), and every
+    record lands in exactly one shard."""
+    import pyspark.sql.functions as F
+
+    from weather_analysis_bigdata__spark import queries_round8 as r8
+
+    shards = r8.pack_interleaved_records(spark, sf_dir).collect()
+    asm = (
+        r8.multimodal_interleave_assembly(spark, sf_dir)
+        .filter("seq = 0")  # one row per record
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("rec_text_tokens").alias("t"),
+            F.sum("rec_media_tokens").alias("m"),
+            F.sum("rec_media_segments").alias("s"),
+        )
+        .collect()[0]
+    )
+    assert sum(r.n_records for r in shards) == asm.n
+    assert sum(r.text_tokens for r in shards) == asm.t
+    assert sum(r.media_tokens for r in shards) == asm.m
+    assert sum(r.n_media_segments for r in shards) == asm.s
+    # Contiguity: shards are doc_id ranges that never overlap.
+    ordered = sorted(shards, key=lambda r: r.shard_id)
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.last_doc < b.first_doc
+    # Fill: every shard except the last is at/above budget minus one
+    # record's worth (contiguous close-on-overflow packing).
+    for r in ordered[:-1]:
+        assert r.total_tokens >= 1  # non-empty
+        assert r.fill_ratio > 0.5

@@ -375,6 +375,13 @@ KNOWN_EXCEPTIONS = {
     "accounting on a single sort — each exchange belongs to one "
     "modality's audited kernel or carries (doc, segment) rows; the "
     "segment subtree executes once",
+    "pack_interleaved_records": "the pack_sequences_fixed_budget "
+    "prefix-sum machinery (6 reviewed exchanges incl. the two bounded "
+    "BNLJ bucket-offset steps) composed with the two media keep "
+    "rungs: one fingerprint-keyed window shuffle per modality plus "
+    "doc-grained left stitches onto the record spine — each exchange "
+    "belongs to the audited packing subtree or to one modality's "
+    "audited keep kernel; nothing re-executes",
     "dedup_ladder_summary": "dedup_ladder_audit's 12 reviewed "
     "exchanges (the exact-fingerprint groupBy+stitch, the audited "
     "paragraph and span subtrees, three doc-grained stitches — see "
@@ -453,6 +460,7 @@ REVIEWED_FLAGS = {
     "dedup_span_cap_audit": {"XCHG"},
     "decontaminate_semantic": {"XCHG"},
     "multimodal_interleave_assembly": {"XCHG"},
+    "pack_interleaved_records": {"XCHG"},
 }
 
 

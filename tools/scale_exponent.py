@@ -62,6 +62,52 @@ def _probe_names() -> list[str]:
     return names + [n for n in _EXTRA_PROBE if n not in names]
 
 
+# --------------------------------------------------------------------------
+# Zipf-skew mode (round-7 verdict item 5): the uniform replication above
+# is shingle-disjoint by construction, so the cap-guarded families never
+# see a hot key grow with N — precisely the regime their caps exist for.
+# --skew plants power-law duplication whose head key count grows
+# LINEARLY with the multiplier:
+# - documents: 2% of every replica's docs (doc_id % 50 == 3) are padded
+#   to an 8-token paragraph boundary with doc-unique filler, then a
+#   fixed UNSUFFIXED 24-token hot block is appended — one hot paragraph
+#   pid (df ≈ 0.02·N·m, 3 identical windows/doc) and 17 hot 8-grams
+#   (occ far above the span cap), shared across replicas.
+# - embeddings: ~1% of every replica's vectors ((vec_id-37) % 100 == 0,
+#   vec_id ≥ 137 — never a query vector) are replaced by one fixed hot
+#   vector with a 1e-6 row-unique perturbation — one hot LSH bucket /
+#   centroid list growing with m.
+# The probe then records wall-time exponents for the CAP-GUARDED
+# families AND DuckDB value-hash checks on the skewed corpus itself:
+# a capped family is healthy iff its skew exponent ≤ its uniform
+# exponent and its results stay oracle-exact under the hot key.
+_SKEW_PROBE = [
+    "dedup_span_maximal_pairs",      # gram-occurrence cap
+    "dedup_minhash_bucket_capped",   # band-bucket cap
+    "sim_search_lsh_capped",         # hyperplane-bucket cap
+    "dedup_paragraph_bloom",         # m-bounded sketch
+    "dedup_paragraph_bloom_audit",   # dominance gate under skew
+]
+_HOT_BLOCK = " ".join(f"hotblk{j:02d}" for j in range(24))
+_HOT_DOC_MOD, _HOT_DOC_RES = 50, 3
+_HOT_VEC_BASE = 537  # the donor vector every hot row copies
+_PARA_W_SKEW = 8  # mirrors queries_hygiene._PARA_W
+
+
+def _plant_hot_docs(doc_ids, texts):
+    """Append the hot block (paragraph-aligned) to the chosen docs."""
+    out = []
+    for d, t in zip(doc_ids, texts):
+        if d % _HOT_DOC_MOD != _HOT_DOC_RES:
+            out.append(t)
+            continue
+        toks = t.split()
+        pad = (-len(toks)) % _PARA_W_SKEW
+        toks += [f"p{k}z{d}" for k in range(pad)]
+        out.append(" ".join(toks) + " " + _HOT_BLOCK)
+    return out
+
+
 #: Fact tables replicated ×m with id-shifted keys (replicas reference
 #: replica-local parents, so per-key structure grows linearly — the
 #: honest null model for "more independent data"); dimension tables
@@ -84,13 +130,13 @@ def _all_tables() -> tuple:
     return TABLES + tuple(_SHIFT_COLS) + _DIM_TABLES
 
 
-def build_corpus(mult: int) -> str:
+def build_corpus(mult: int, skew: bool = False) -> str:
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import shutil
 
-    out_dir = os.path.join(ROOT, f"x{mult}")
+    out_dir = os.path.join(ROOT, f"skew_x{mult}" if skew else f"x{mult}")
     if all(
         os.path.exists(os.path.join(out_dir, f"{t}.parquet"))
         for t in _all_tables()
@@ -130,19 +176,23 @@ def build_corpus(mult: int) -> str:
     sources = docs["source"].to_pylist()
     d_chunks = []
     for r in range(mult):
+        rep_ids = [d + r * SHIFT for d in doc_ids]
         if r == 0:
-            d_chunks.append(docs)
-            continue
-        suff = f"q{r}"
-        new_text = [
-            " ".join(w + suff for w in t.split()) for t in texts
-        ]
+            if not skew:
+                d_chunks.append(docs)
+                continue
+            new_text = list(texts)
+        else:
+            suff = f"q{r}"
+            new_text = [
+                " ".join(w + suff for w in t.split()) for t in texts
+            ]
+        if skew:
+            new_text = _plant_hot_docs(rep_ids, new_text)
         d_chunks.append(
             pa.table(
                 {
-                    "doc_id": pa.array(
-                        [d + r * SHIFT for d in doc_ids], type=pa.int64()
-                    ),
+                    "doc_id": pa.array(rep_ids, type=pa.int64()),
                     "text": pa.array(new_text),
                     "lang": pa.array(langs),
                     "source": pa.array(sources),
@@ -164,15 +214,28 @@ def build_corpus(mult: int) -> str:
     vec_ids = emb["vec_id"].to_pylist()
     vecs = emb["embedding"].to_pylist()
     labels = emb["label"].to_pylist()
+    hot_vec = None
+    if skew:
+        hot_vec = list(vecs[vec_ids.index(_HOT_VEC_BASE)])
     e_chunks = []
     for r in range(mult):
-        if r == 0:
+        if r == 0 and not skew:
             e_chunks.append(emb)
             continue
         new_vecs = []
         for i, v in enumerate(vecs):
             w = list(v)
-            w[(i + r) % len(w)] += 0.001 * r  # deterministic perturbation
+            if r > 0:
+                w[(i + r) % len(w)] += 0.001 * r  # deterministic perturbation
+            if (
+                skew
+                and vec_ids[i] >= 137
+                and (vec_ids[i] - 37) % 100 == 0
+            ):
+                # The hot cluster: one fixed vector, 1e-6 row-unique
+                # nudge (same bucket/list everywhere, never identical).
+                w = list(hot_vec)
+                w[vec_ids[i] % len(w)] += 1e-6 * (r * 1000 + i % 997 + 1)
             new_vecs.append(w)
         e_chunks.append(
             pa.table(
@@ -202,6 +265,7 @@ def main() -> None:
     only = None
     if "--only" in sys.argv:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+    skew = "--skew" in sys.argv
 
     from weather_analysis_bigdata__spark.registry import all_queries
     from weather_analysis_bigdata__spark.session import get_spark
@@ -210,12 +274,13 @@ def main() -> None:
     registry = all_queries()
     spark.range(1).count()
 
-    probe = [n for n in _probe_names() if n in registry]
+    base_probe = _SKEW_PROBE if skew else _probe_names()
+    probe = [n for n in base_probe if n in registry]
     if only is not None:
         probe = [n for n in probe if n in only] + [
             n for n in only if n in registry and n not in probe
         ]
-    dirs = {m: build_corpus(m) for m in mults}
+    dirs = {m: build_corpus(m, skew=skew) for m in mults}
     times: dict[str, dict[int, float]] = {q: {} for q in probe}
     for m in mults:
         sf_dir = dirs[m]
@@ -240,6 +305,10 @@ def main() -> None:
             **{f"x{m}": ts[m] for m in mults},
             "exponent": round(exp, 2) if exp is not None else None,
         }
+
+    if skew:
+        _finish_skew(spark, registry, probe, dirs, mults, out)
+        return
     # "sf" stamp mirrors bench.py's BENCH_DETAIL sections (advice r5):
     # the probe's base is a fixed SF directory, recorded numerically.
     # Tolerant parse (advice r5 again): a BASE_SF dir not named exactly
@@ -275,6 +344,65 @@ def main() -> None:
         detail["scale_exponents"] = prev
     else:
         detail["scale_exponents"] = record
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(record, indent=1))
+
+
+def _finish_skew(spark, registry, probe, dirs, mults, out) -> None:
+    """Skew-mode tail: DuckDB value-hash checks on the skewed corpus at
+    the second-largest mult (compute-dominated but oracle-affordable),
+    uniform-exponent comparison, and the BENCH_DETAIL skew_exponents
+    merge-write."""
+    from tools.check_oracle import compare, duck_conn
+
+    hash_mult = sorted(mults)[-2] if len(mults) > 1 else mults[0]
+    hash_dir = dirs[hash_mult]
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = hash_dir
+    con = duck_conn(hash_dir)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_DETAIL.json",
+    )
+    try:
+        with open(detail_path) as f:
+            detail = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        detail = {}
+    uniform = detail.get("scale_exponents", {}).get("queries", {})
+    for name in probe:
+        q = registry[name]
+        try:
+            spark_pdf = q.fn(spark, hash_dir).toPandas()
+            duck_pdf = con.execute(q.oracle_text()).df()
+            res = compare(name, spark_pdf, duck_pdf)
+            out[name]["hash_status"] = res["status"]
+            out[name]["hash_rows"] = res.get("rows")
+        except Exception as e:  # noqa: BLE001
+            out[name]["hash_status"] = f"ERROR: {type(e).__name__}: {e}"[:200]
+        u = uniform.get(name, {}).get("exponent")
+        out[name]["uniform_exponent"] = u
+        e = out[name]["exponent"]
+        out[name]["le_uniform"] = (
+            None if (u is None or e is None) else bool(e <= u + 0.05)
+        )
+    record = {
+        "base": BASE_SF,
+        "mults": mults,
+        "hash_mult": hash_mult,
+        "hot_doc_rule": f"doc_id % {_HOT_DOC_MOD} == {_HOT_DOC_RES} "
+        f"(+{len(_HOT_BLOCK.split())}-token unsuffixed hot block, "
+        "paragraph-aligned)",
+        "hot_vec_rule": "(vec_id - 37) % 100 == 0 AND vec_id >= 137 "
+        f"(copies of vec {_HOT_VEC_BASE} + 1e-6 nudge)",
+        "queries": out,
+    }
+    prev = detail.get("skew_exponents", {})
+    if prev.get("mults") == mults and "--only" in sys.argv:
+        prev.setdefault("queries", {}).update(out)
+        detail["skew_exponents"] = prev
+    else:
+        detail["skew_exponents"] = record
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     print(json.dumps(record, indent=1))

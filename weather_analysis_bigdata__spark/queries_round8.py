@@ -986,3 +986,179 @@ def multimodal_interleave_assembly(
         ),
         "rec_media_segments",
     )
+
+
+# ---------------------------------------------------------------------------
+# Packing the interleaved records (assembly → loader shards)
+# ---------------------------------------------------------------------------
+#: Shard token budget for interleaved records — the text packers'
+#: budget (queries_ops._PACK_BUDGET), reused so the multimodal shards
+#: drop into the same loader manifest machinery.
+_PACK_MM_BUDGET = 8192
+
+
+def _pack_mm_oracle() -> str:
+    from weather_analysis_bigdata__spark.queries_round5 import (
+        _sql_audio_perdoc,
+        _sql_img_perdoc,
+    )
+
+    return f"""
+    WITH {_sql_img_perdoc()},
+    {_sql_audio_perdoc()},
+    ikeep AS (
+      SELECT doc_id, w, h FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY w, h, phash) AS rep
+        FROM perdoc) WHERE doc_id = rep
+    ),
+    akeep AS (
+      SELECT doc_id, n_frames FROM (
+        SELECT *, MIN(doc_id) OVER (
+          PARTITION BY sample_rate, n_frames, afp) AS rep
+        FROM afpd) WHERE doc_id = rep
+    ),
+    rec AS (
+      SELECT d.doc_id,
+             CAST(len({SQL_TOKENS.format(c='d.text')}) AS BIGINT)
+               AS text_tokens,
+             CAST(COALESCE(i.w * i.h, 0) + COALESCE(a.n_frames, 0)
+               AS BIGINT) AS media_tokens,
+             CAST((CASE WHEN i.doc_id IS NULL THEN 0 ELSE 1 END)
+                + (CASE WHEN a.doc_id IS NULL THEN 0 ELSE 1 END)
+               AS BIGINT) AS n_media
+      FROM documents d
+      LEFT JOIN ikeep i USING (doc_id)
+      LEFT JOIN akeep a USING (doc_id)
+    ),
+    packed AS (
+      SELECT *, text_tokens + media_tokens AS rec_total,
+             COALESCE(SUM(text_tokens + media_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM rec
+    )
+    SELECT CAST(cum_before // {_PACK_MM_BUDGET} AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(text_tokens) AS BIGINT) AS text_tokens,
+           CAST(SUM(media_tokens) AS BIGINT) AS media_tokens,
+           CAST(SUM(rec_total) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_media) AS BIGINT) AS n_media_segments,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+           CAST(SUM(rec_total) AS DOUBLE) / {_PACK_MM_BUDGET}
+             AS fill_ratio
+    FROM packed GROUP BY 1
+    """
+
+
+@register(
+    "pack_interleaved_records",
+    oracle=_pack_mm_oracle,
+    doc="PACK the interleaved multimodal records into loader shards — "
+    "the step that closes the router → assembly → pack loop: each "
+    "record's budget demand is its FULL interleaved cost "
+    "(text tokens + media patch/frame tokens from the same keep "
+    "decisions as multimodal_interleave_assembly; records are ATOMIC "
+    "— a media placeholder never splits across shards because the "
+    f"whole record never does), packed contiguously by doc_id via "
+    f"exclusive running total div {_PACK_MM_BUDGET} (the "
+    "pack_sequences_fixed_budget scheme). Per shard: record/token/"
+    "media accounting and fill ratio — what a multimodal loader "
+    "needs to budget vision tokens per context window. Scale shape: "
+    "the prefix sum is the two-pass window-free form "
+    "(functions/distributed.py — range buckets, per-bucket sums, "
+    "broadcast exclusive offsets, partitioned local cumsum), so no "
+    "single-partition WindowExec exists anywhere in the plan; the "
+    "media sides are one fingerprint-keyed window each.",
+)
+def pack_interleaved_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.distributed import (
+        exclusive_prefix_offsets,
+        range_bucketed,
+    )
+    from weather_analysis_bigdata__spark.operators.multimodal import (
+        ppm_phash,
+        synth_media,
+        wav_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ids = docs.select("doc_id")
+    w_img = Window.partitionBy("w", "h", "phash")
+    ikeep = (
+        ppm_phash(synth_media(ids, "ppm"))
+        .withColumn("rep", F.min("doc_id").over(w_img))
+        .filter(F.col("doc_id") == F.col("rep"))
+        .select("doc_id", (F.col("w") * F.col("h")).alias("img_tokens"))
+    )
+    w_aud = Window.partitionBy("sample_rate", "n_frames", "afp")
+    akeep = (
+        wav_fingerprint(synth_media(ids, "wav"))
+        .withColumn("rep", F.min("doc_id").over(w_aud))
+        .filter(F.col("doc_id") == F.col("rep"))
+        .select("doc_id", F.col("n_frames").alias("aud_tokens"))
+    )
+    rec = (
+        docs.select(
+            "doc_id",
+            F.size(tokens("text")).cast("long").alias("text_tokens"),
+        )
+        .join(ikeep.hint("shuffle_hash"), "doc_id", "left")
+        .join(akeep.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "text_tokens",
+            (
+                F.coalesce("img_tokens", F.lit(0))
+                + F.coalesce("aud_tokens", F.lit(0))
+            )
+            .cast("long")
+            .alias("media_tokens"),
+            (
+                F.when(F.col("img_tokens").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("aud_tokens").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_media"),
+        )
+        .withColumn(
+            "rec_total", F.col("text_tokens") + F.col("media_tokens")
+        )
+    )
+    t = range_bucketed(rec, "doc_id", 16)
+    psums = t.groupBy("_pid").agg(F.sum("rec_total").alias("_n"))
+    offsets = exclusive_prefix_offsets(psums, "_pid", "_n", "_off")
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = t.join(F.broadcast(offsets), "_pid").select(
+        "doc_id",
+        "text_tokens",
+        "media_tokens",
+        "n_media",
+        "rec_total",
+        F.floor(
+            (
+                F.col("_off")
+                + F.coalesce(F.sum("rec_total").over(wloc), F.lit(0))
+            )
+            / _PACK_MM_BUDGET
+        )
+        .cast("long")
+        .alias("shard_id"),
+    )
+    return packed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.sum("text_tokens").cast("long").alias("text_tokens"),
+        F.sum("media_tokens").cast("long").alias("media_tokens"),
+        F.sum("rec_total").cast("long").alias("total_tokens"),
+        F.sum("n_media").cast("long").alias("n_media_segments"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+        (F.sum("rec_total").cast("double") / _PACK_MM_BUDGET).alias(
+            "fill_ratio"
+        ),
+    )

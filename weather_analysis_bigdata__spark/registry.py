@@ -240,6 +240,12 @@ PRIORITY = [
     "tokenizer_fertility_compare",
     "dedup_ladder_audit",
     "dedup_ladder_summary",
+    # round 8: the cap-loss audit, the semantic decontamination rung,
+    # the tokenizer coverage gate, the MMC4 interleave capstone
+    "dedup_span_cap_audit",
+    "decontaminate_semantic",
+    "tokenizer_coverage_audit",
+    "multimodal_interleave_assembly",
 ]
 
 
