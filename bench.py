@@ -163,6 +163,7 @@ HEADLINE = [
     "decontaminate_semantic",
     "tokenizer_coverage_audit",
     "multimodal_interleave_assembly",
+    "pack_interleaved_records",
 ]
 
 

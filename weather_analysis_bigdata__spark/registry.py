@@ -246,6 +246,7 @@ PRIORITY = [
     "decontaminate_semantic",
     "tokenizer_coverage_audit",
     "multimodal_interleave_assembly",
+    "pack_interleaved_records",
 ]
 
 
