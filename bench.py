@@ -241,6 +241,18 @@ def main() -> None:
                 # streams the synthesized arriving batch: the two
                 # doc_id % 50 slices (see queries_round5._router_batch_df)
                 n_in = router_batch_rows
+            elif name == "streaming_decontaminate_semantic_replay":
+                # streams the eval query set: organic eval vectors plus
+                # the planted paraphrases (queries_round8._decon_qset)
+                emb = spark.read.parquet(
+                    os.path.join(sf_dir, "embeddings.parquet")
+                )
+                n_in = (
+                    emb.filter("vec_id % 97 = 0").count()
+                    + emb.filter(
+                        "vec_id % 97 <> 0 AND vec_id % 250 = 1"
+                    ).count()
+                )
             elif name in (
                 "streaming_paragraph_dedup_replay",
                 "streaming_drift_monitor_replay",

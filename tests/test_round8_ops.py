@@ -227,3 +227,21 @@ def test_pack_interleaved_conservation_vs_assembly(spark, sf_dir):
     for r in ordered[:-1]:
         assert r.total_tokens >= 1  # non-empty
         assert r.fill_ratio > 0.5
+
+
+def test_streaming_decon_replay_equals_batch(spark, sf_dir):
+    """Stream ≡ batch for the semantic decontamination gate: the
+    3-micro-batch replay must reproduce the batch report verbatim."""
+    from weather_analysis_bigdata__spark import queries_round8 as r8
+
+    batch = {
+        r.doc_id: r for r in
+        r8.decontaminate_semantic(spark, sf_dir).collect()
+    }
+    replay = {
+        r.doc_id: r for r in
+        r8.streaming_decontaminate_semantic_replay(spark, sf_dir).collect()
+    }
+    assert batch.keys() == replay.keys()
+    for d, b in batch.items():
+        assert replay[d] == b

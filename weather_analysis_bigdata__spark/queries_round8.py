@@ -479,18 +479,20 @@ def _decon_oracle() -> str:
     prepare=_prepare_ivf_decon,
 )
 def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from weather_analysis_bigdata__spark.queries_llmops import (
-        _ivf_assign,
-        _ivf_centroids,
-        _sqdist_col,
+    qset = _decon_qset(spark, sf_dir)
+    hits = _decon_hits(spark, sf_dir, qset)
+    sem = hits.groupBy(F.col("cand_id").alias("doc_id")).agg(
+        F.sum(F.when(F.col("cosine") >= _DECON_TAU, 1).otherwise(0))
+        .cast("long")
+        .alias("n_semantic_hits"),
+        F.max("cosine").alias("max_cosine"),
     )
-    from weather_analysis_bigdata__spark.queries_ops import (
-        decontaminate_train_test,
-    )
+    return _decon_report(spark, sf_dir, sem)
 
-    ng = decontaminate_train_test(spark, sf_dir)
-    cent_arr = _ivf_centroids(spark, sf_dir)
-    assign = _ivf_assign(spark, sf_dir)
+
+def _decon_qset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval request side: organic eval vectors + the planted
+    perturbed paraphrases, as (query_id, qsva)."""
     sv = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", scaled_vec("embedding").alias("sva")
     )
@@ -515,7 +517,27 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(-1) - F.col("vec_id")).cast("long").alias("query_id"),
         F.zip_with(F.col("sva"), rot, _mix).alias("qsva"),
     )
-    qset = organic_q.unionByName(planted_q)
+    return organic_q.unionByName(planted_q)
+
+
+def _decon_hits(
+    spark: SparkSession, sf_dir: str, qset: DataFrame
+) -> DataFrame:
+    """The probe kernel — shared by the batch gate and the streaming
+    replay (stream ≡ batch is a property of ONE code path): an eval
+    query set probes the persisted IVF index and returns (cand_id,
+    cosine) for every probed train candidate."""
+    from weather_analysis_bigdata__spark.queries_llmops import (
+        _ivf_assign,
+        _ivf_centroids,
+        _sqdist_col,
+    )
+
+    cent_arr = _ivf_centroids(spark, sf_dir)
+    assign = _ivf_assign(spark, sf_dir)
+    sv = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", scaled_vec("embedding").alias("sva")
+    )
     qscored = qset.crossJoin(F.broadcast(cent_arr)).select(
         "query_id",
         "qsva",
@@ -536,7 +558,7 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = sv.filter(F.col("vec_id") % 97 != 0).select(
         "vec_id", "sva", norm(F.col("sva")).alias("cnrm")
     )
-    hits = (
+    return (
         cands.join(F.broadcast(qn), "query_id")
         .join(cn.hint("shuffle_hash"), F.col("cand_id") == F.col("vec_id"))
         .select(
@@ -547,12 +569,18 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    sem = hits.groupBy(F.col("cand_id").alias("doc_id")).agg(
-        F.sum(F.when(F.col("cosine") >= _DECON_TAU, 1).otherwise(0))
-        .cast("long")
-        .alias("n_semantic_hits"),
-        F.max("cosine").alias("max_cosine"),
+
+
+def _decon_report(
+    spark: SparkSession, sf_dir: str, sem: DataFrame
+) -> DataFrame:
+    """Compose per-train-doc semantic flags with the n-gram gate into
+    the two-rung report — shared verbatim by batch and replay."""
+    from weather_analysis_bigdata__spark.queries_ops import (
+        decontaminate_train_test,
     )
+
+    ng = decontaminate_train_test(spark, sf_dir)
     emb_ids = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.lit(True).alias("has_embedding")
     )
@@ -1162,3 +1190,94 @@ def pack_interleaved_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fill_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin: the semantic decontamination gate at line rate
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_decontaminate_semantic_replay",
+    oracle=_decon_oracle,  # the batch gate's oracle VERBATIM
+    doc="The semantic decontamination gate RUN BY THE STREAMING ENGINE "
+    "— eval/benchmark batches arrive over time in production (every "
+    "new benchmark release re-screens the training corpus), so the "
+    "gate must commute with micro-batching: the eval query set "
+    "replays as 3 ORDERED micro-batches (one mtime-ordered file each, "
+    "maxFilesPerTrigger=1), foreachBatch runs the SAME _decon_hits "
+    "kernel per micro-batch against the PERSISTED IVF indexes and "
+    "publishes batch_id-keyed hit segments (idempotent overwrite, "
+    "at-least-once safe); the per-candidate regroup and the n-gram "
+    "composition run once over the segment scan. Registered oracle = "
+    "decontaminate_semantic's SQL VERBATIM: the hash match proves the "
+    "two-rung report commutes with micro-batching (count/max over "
+    "hits are associative — the algebraic fact the replay certifies "
+    "end-to-end). Planted paraphrases ride whichever micro-batch "
+    "their query_id hashes into, so the positive control crosses the "
+    "stream boundary too.",
+    prepare=_prepare_ivf_decon,
+)
+def streaming_decontaminate_semantic_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        read_replay_segments,
+        replay_segment_dir,
+    )
+
+    run = uuid.uuid4().hex[:10]
+    src_dir = tempfile.mkdtemp(prefix=f"decon_src_{run}_")
+    stage_dir = tempfile.mkdtemp(prefix=f"decon_stage_{run}_")
+    seg_dir = replay_segment_dir("decon_seg")
+    try:
+        qset = _decon_qset(spark, sf_dir)
+        schema = qset.schema
+        # 3 deterministic arrival slices (query_id mod), mtime-ordered.
+        for i in range(3):
+            sl = qset.filter(
+                (F.abs(F.col("query_id")) % 3).cast("int") == i
+            )
+            d = os.path.join(stage_dir, f"s{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(d)
+            part = next(
+                f
+                for f in os.listdir(d)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            dst = os.path.join(src_dir, f"{i:03d}.parquet")
+            shutil.copy(os.path.join(d, part), dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+        def publish(bdf: DataFrame, batch_id: int) -> None:
+            _decon_hits(spark, sf_dir, bdf).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(seg_dir, f"seg_{batch_id}"))
+
+        q = (
+            stream.writeStream.foreachBatch(publish)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        hits = read_replay_segments(spark, seg_dir)
+        sem = hits.groupBy(F.col("cand_id").alias("doc_id")).agg(
+            F.sum(F.when(F.col("cosine") >= _DECON_TAU, 1).otherwise(0))
+            .cast("long")
+            .alias("n_semantic_hits"),
+            F.max("cosine").alias("max_cosine"),
+        )
+        return _decon_report(spark, sf_dir, sem)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(stage_dir, ignore_errors=True)

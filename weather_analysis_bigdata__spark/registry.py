@@ -244,6 +244,7 @@ PRIORITY = [
     # the tokenizer coverage gate, the MMC4 interleave capstone
     "dedup_span_cap_audit",
     "decontaminate_semantic",
+    "streaming_decontaminate_semantic_replay",
     "tokenizer_coverage_audit",
     "multimodal_interleave_assembly",
     "pack_interleaved_records",
