@@ -78,9 +78,20 @@ def _probe_names() -> list[str]:
 #   vector with a 1e-6 row-unique perturbation — one hot LSH bucket /
 #   centroid list growing with m.
 # The probe then records wall-time exponents for the CAP-GUARDED
-# families AND DuckDB value-hash checks on the skewed corpus itself:
-# a capped family is healthy iff its skew exponent ≤ its uniform
-# exponent and its results stay oracle-exact under the hot key.
+# families AND DuckDB value-hash checks on the skewed corpus itself.
+# Health gates (measured, round 8): a capped family is healthy iff
+# (a) hash_status OK — results stay oracle-exact under the hot key,
+# (b) le_linear — the skew exponent stays ≤ ~1 (no super-linear
+#     response to a linearly-growing head key), and
+# (c) the skew/uniform wall-time ratio at each mult stays a small
+#     constant factor (skew_overhead_*: the hot key's linear occupancy
+#     share, ~1.1-1.35× here — a broken cap would give multiples).
+# NOTE: skew exponent ≤ UNIFORM exponent is NOT a sound gate — the
+# uniform exponents are deflated by the fixed scheduling/overhead
+# floor (e.g. sim_search_lsh_capped reads 0.12 uniform), so adding any
+# real linear work raises the measured exponent toward its true ~1
+# even when the cap is doing its job. le_uniform is still recorded
+# for transparency, with this confound documented.
 _SKEW_PROBE = [
     "dedup_span_maximal_pairs",      # gram-occurrence cap
     "dedup_minhash_bucket_capped",   # band-bucket cap
@@ -386,6 +397,13 @@ def _finish_skew(spark, registry, probe, dirs, mults, out) -> None:
         out[name]["le_uniform"] = (
             None if (u is None or e is None) else bool(e <= u + 0.05)
         )
+        out[name]["le_linear"] = None if e is None else bool(e <= 1.05)
+        for m in mults:
+            ut = uniform.get(name, {}).get(f"x{m}")
+            st = out[name].get(f"x{m}")
+            out[name][f"skew_overhead_x{m}"] = (
+                round(st / ut, 2) if (ut and st) else None
+            )
     record = {
         "base": BASE_SF,
         "mults": mults,
