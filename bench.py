@@ -164,6 +164,7 @@ HEADLINE = [
     "tokenizer_coverage_audit",
     "multimodal_interleave_assembly",
     "pack_interleaved_records",
+    "decontaminate_semantic_threshold_sweep",
 ]
 
 

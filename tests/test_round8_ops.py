@@ -245,3 +245,32 @@ def test_streaming_decon_replay_equals_batch(spark, sf_dir):
     assert batch.keys() == replay.keys()
     for d, b in batch.items():
         assert replay[d] == b
+
+
+def test_decon_sweep_monotone_and_plateau(spark, sf_dir):
+    """Flag counts must be nonincreasing in τ; the planted positives
+    must hold a full plateau that includes the production τ; and the
+    τ = production-threshold row must agree with the gate itself."""
+    from weather_analysis_bigdata__spark import queries_round8 as r8
+
+    rows = sorted(
+        r8.decontaminate_semantic_threshold_sweep(spark, sf_dir).collect(),
+        key=lambda r: r.threshold_rank,
+    )
+    n_planted = rows[-1].n_planted_flagged
+    assert n_planted > 0  # the known positives survive the top of grid
+    prev = None
+    for r in rows:
+        assert r.n_flagged == r.n_planted_flagged + r.n_organic_flagged
+        if prev is not None:
+            assert r.n_flagged <= prev
+        prev = r.n_flagged
+        if abs(r.tau - r8._DECON_TAU) < 1e-9:
+            gate = (
+                r8.decontaminate_semantic(spark, sf_dir)
+                .filter("semantic_contaminated")
+                .count()
+            )
+            assert r.n_flagged == gate
+        if r.tau >= 0.55:
+            assert r.n_planted_flagged == n_planted  # plateau

@@ -342,24 +342,22 @@ def _decon_sql_idot(a: str, b: str) -> str:
     )
 
 
-def _decon_oracle() -> str:
+def _decon_sql_hits_ctes() -> str:
+    """The probe-kernel CTE chain (vpos … hits) without a leading WITH
+    — shared by the two-rung report's oracle and the τ-sweep's."""
     from weather_analysis_bigdata__spark.queries_llmops import (
         _SQL_FLOORDIV,
         _SQL_SVA,
         _SQL_VPOS,
         _sql_sqdist,
     )
-    from weather_analysis_bigdata__spark.registry import all_queries
 
-    ng_sql = all_queries()["decontaminate_train_test"].oracle_text()
     mix = _SQL_FLOORDIV.format(
         s=f"{_DECON_MIX_NUM} * sva[i] + (sva[2:] || sva[1:1])[i]",
         n=str(_DECON_MIX_DEN),
     )
     idot = _decon_sql_idot
-    return f"""
-    WITH ng AS ({ng_sql}),
-    {_SQL_VPOS.strip()},
+    return f"""{_SQL_VPOS.strip()},
     cent AS (
       SELECT label AS c_label, pos,
              CAST({_SQL_FLOORDIV.format(s='SUM(v_int)', n='COUNT(*)')} AS BIGINT)
@@ -424,7 +422,16 @@ def _decon_oracle() -> str:
       FROM cands c
       JOIN qn q USING (query_id)
       JOIN cn x ON x.vec_id = c.cand_id
-    ),
+    )"""
+
+
+def _decon_oracle() -> str:
+    from weather_analysis_bigdata__spark.registry import all_queries
+
+    ng_sql = all_queries()["decontaminate_train_test"].oracle_text()
+    return f"""
+    WITH ng AS ({ng_sql}),
+    {_decon_sql_hits_ctes()},
     sem AS (
       SELECT cand_id AS doc_id,
              CAST(COUNT(*) FILTER (cosine >= {_DECON_TAU}) AS BIGINT)
@@ -1281,3 +1288,104 @@ def streaming_decontaminate_semantic_replay(
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Semantic-decontamination τ sweep (the gate's operating-point curve)
+# ---------------------------------------------------------------------------
+#: τ grid: k/20 for k in 6..19 → 0.30 … 0.95, bracketing both the
+#: organic cosine ceiling (~0.50) and the planted paraphrases (~0.99).
+_DECON_SWEEP_LO, _DECON_SWEEP_HI = 6, 19
+
+
+def _decon_sweep_oracle() -> str:
+    return f"""
+    WITH {_decon_sql_hits_ctes()},
+    perdoc AS (
+      SELECT cand_id, MAX(cosine) AS mc FROM hits GROUP BY cand_id
+    ),
+    hist AS (
+      SELECT CAST(floor(mc * 20) AS BIGINT) AS bucket,
+             (cand_id % {_DECON_PLANT_MOD} = 1) AS is_src,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM perdoc GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT CAST(k AS BIGINT) AS k
+      FROM unnest(generate_series({_DECON_SWEEP_LO},
+                                  {_DECON_SWEEP_HI})) AS g(k)
+    )
+    SELECT g.k AS threshold_rank,
+           CAST(g.k AS DOUBLE) / 20 AS tau,
+           CAST(COALESCE(SUM(h.n), 0) AS BIGINT) AS n_flagged,
+           CAST(COALESCE(SUM(h.n) FILTER (h.is_src), 0) AS BIGINT)
+             AS n_planted_flagged,
+           CAST(COALESCE(SUM(h.n) FILTER (NOT h.is_src), 0) AS BIGINT)
+             AS n_organic_flagged
+    FROM grid g LEFT JOIN hist h ON h.bucket >= g.k
+    GROUP BY g.k
+    """
+
+
+@register(
+    "decontaminate_semantic_threshold_sweep",
+    oracle=_decon_sweep_oracle,
+    doc="The semantic gate's OPERATING-POINT curve — the "
+    "quality_classifier_threshold_sweep pattern applied to the "
+    "paraphrase rung: per τ on a 14-point grid (0.30…0.95, bracketing "
+    "the measured ~0.50 organic ceiling and the ~0.99 planted "
+    "paraphrases), how many train docs the gate would flag, split "
+    "into planted paraphrase sources (the known positives — a recall "
+    "proxy) and organic flags (the precision cost a curator weighs). "
+    "The table that justifies τ = 0.8 as the production point: every "
+    "τ in [0.55, 0.95] flags exactly the planted set and nothing "
+    "else on this corpus, i.e. the gate is threshold-robust across a "
+    "0.4-wide plateau. Shape: the probe kernel runs ONCE; per-doc "
+    "max-cosines reduce to a ≤ 2×21-row bucket histogram "
+    "(floor(20·cos) — the two-pass bounded-grid trick), and the grid "
+    "algebra is a ≤ 14×42-row broadcast join. At 100 TB the sweep "
+    "costs the same one probe pass as the gate itself.",
+    prepare=_prepare_ivf_decon,
+)
+def decontaminate_semantic_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    hits = _decon_hits(spark, sf_dir, _decon_qset(spark, sf_dir))
+    perdoc = hits.groupBy("cand_id").agg(F.max("cosine").alias("mc"))
+    hist = (
+        perdoc.select(
+            F.floor(F.col("mc") * 20).cast("long").alias("bucket"),
+            ((F.col("cand_id") % _DECON_PLANT_MOD) == 1).alias("is_src"),
+        )
+        .groupBy("bucket", "is_src")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    grid = spark.range(_DECON_SWEEP_LO, _DECON_SWEEP_HI + 1).select(
+        F.col("id").cast("long").alias("k")
+    )
+    j = grid.join(
+        F.broadcast(hist), F.col("bucket") >= F.col("k"), "left"
+    )
+    return (
+        j.groupBy("k")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0))
+            .cast("long")
+            .alias("n_flagged"),
+            F.coalesce(F.sum(F.when(F.col("is_src"), F.col("n"))), F.lit(0))
+            .cast("long")
+            .alias("n_planted_flagged"),
+            F.coalesce(
+                F.sum(F.when(~F.col("is_src"), F.col("n"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_organic_flagged"),
+        )
+        .select(
+            F.col("k").alias("threshold_rank"),
+            (F.col("k").cast("double") / 20).alias("tau"),
+            "n_flagged",
+            "n_planted_flagged",
+            "n_organic_flagged",
+        )
+    )

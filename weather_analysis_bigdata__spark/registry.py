@@ -248,6 +248,7 @@ PRIORITY = [
     "tokenizer_coverage_audit",
     "multimodal_interleave_assembly",
     "pack_interleaved_records",
+    "decontaminate_semantic_threshold_sweep",
 ]
 
 
