@@ -165,6 +165,11 @@ HEADLINE = [
     "multimodal_interleave_assembly",
     "pack_interleaved_records",
     "decontaminate_semantic_threshold_sweep",
+    # round-8 continuation: the privacy ladder's distribution rung and
+    # the spectral pair (distributed moment pass + projection scan)
+    "t_closeness_audit",
+    "embedding_pca_top_component",
+    "embedding_pca_outlier_scores",
 ]
 
 

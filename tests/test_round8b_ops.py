@@ -1,0 +1,176 @@
+"""Round-8 continuation tests: t-closeness invariants the oracle
+compare can't express, and semantic controls for the PCA solver."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+
+def test_t_closeness_matches_bruteforce(spark, sf_dir):
+    """Independent recomputation: collect the raw customer rows and
+    rebuild every class TVD with a direct per-distribution algorithm
+    (no common-denominator trick) — the exact integer numerator and
+    the flag must match the query's output row for row."""
+    import math
+
+    from weather_analysis_bigdata__spark.queries_round8b import (
+        t_closeness_audit,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    raw = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_acctbal", "c_mktsegment"
+    ).collect()
+    global_counts: Counter = Counter()
+    classes: dict = defaultdict(Counter)
+    for r in raw:
+        band = math.floor(r.c_acctbal / 1000.0)
+        classes[(r.c_nationkey, band)][r.c_mktsegment] += 1
+        global_counts[r.c_mktsegment] += 1
+    n_total = sum(global_counts.values())
+
+    out = {
+        (r.c_nationkey, r.balance_band): r
+        for r in t_closeness_audit(spark, sf_dir).collect()
+    }
+    assert set(out) == set(classes)
+    for key, seg_counts in classes.items():
+        k = sum(seg_counts.values())
+        num = sum(
+            abs(seg_counts.get(s, 0) * n_total - gs * k)
+            for s, gs in global_counts.items()
+        )
+        row = out[key]
+        assert row.k == k
+        assert row.tvd_num_scaled == num
+        assert row.t_risk == (5 * num > 4 * k * n_total)
+        assert abs(row.tvd - num / (2 * k * n_total)) < 1e-12
+        assert 0.0 <= row.tvd <= 1.0
+
+
+def test_t_closeness_identical_class_is_zero(spark, sf_dir):
+    """A class whose distribution equals the global one has TVD 0; the
+    audit's minimum must be ≥ 0 and the flag must be monotone in tvd
+    (every flagged class has strictly larger tvd than every unflagged
+    one is NOT required — the flag is a fixed threshold — but no class
+    may be flagged at tvd ≤ 0.4 or unflagged at tvd > 0.4)."""
+    from weather_analysis_bigdata__spark.queries_round8b import (
+        t_closeness_audit,
+    )
+
+    for r in t_closeness_audit(spark, sf_dir).collect():
+        if r.t_risk:
+            assert r.tvd > 0.4
+        else:
+            assert r.tvd <= 0.4 + 1e-15
+
+
+def test_pca_solver_finds_planted_dominant_direction():
+    """Semantic control for the power iteration: moments of a corpus
+    whose variance is concentrated on one axis must yield loadings
+    concentrated on that axis with variance-explained ≈ 1e6 ppm."""
+    from weather_analysis_bigdata__spark.queries_round8b import (
+        _PCA_DIM,
+        _PCA_VSCALE,
+        _pca_power_solve,
+    )
+
+    d = _PCA_DIM
+    axis = 5
+    # 200 synthetic vectors: x = ±1000·e_axis plus a small deterministic
+    # ripple on the other coordinates (so no moment is exactly zero).
+    vecs = []
+    for t in range(200):
+        v = [((t * 7 + i) % 3) - 1 for i in range(d)]
+        v[axis] = 1000 if t % 2 == 0 else -1000
+        vecs.append(v)
+    n = len(vecs)
+    s = [sum(v[i] for v in vecs) for i in range(d)]
+    gram = [
+        [sum(v[i] * v[j] for v in vecs) for j in range(d)] for i in range(d)
+    ]
+    loadings, lam_q, var_ppm, _k = _pca_power_solve(gram, s, n)
+    top = max(range(d), key=lambda i: abs(loadings[i]))
+    assert top == axis
+    assert abs(loadings[axis]) >= _PCA_VSCALE  # the renormalized peak
+    others = max(abs(loadings[i]) for i in range(d) if i != axis)
+    assert others < abs(loadings[axis]) // 100
+    assert lam_q > 0
+    assert var_ppm > 990_000  # essentially all variance on the axis
+
+
+def test_pca_solver_sign_canonicalization():
+    """Negating every input vector must produce the SAME loadings —
+    the sign rule (first nonzero component positive) makes the
+    eigenvector orientation deterministic."""
+    from weather_analysis_bigdata__spark.queries_round8b import (
+        _PCA_DIM,
+        _pca_power_solve,
+    )
+
+    d = _PCA_DIM
+    vecs = [[((t + i) % 5) - 2 + (3 if i == 9 else 0) for i in range(d)]
+            for t in range(50)]
+    neg = [[-x for x in v] for v in vecs]
+
+    def moments(vs):
+        n = len(vs)
+        s = [sum(v[i] for v in vs) for i in range(d)]
+        g = [[sum(v[i] * v[j] for v in vs) for j in range(d)]
+             for i in range(d)]
+        return g, s, n
+
+    la, lam_a, ppm_a, _ = _pca_power_solve(*moments(vecs))
+    lb, lam_b, ppm_b, _ = _pca_power_solve(*moments(neg))
+    assert la == lb  # covariance is negation-invariant; sign rule pins v
+    assert lam_a == lam_b
+    assert ppm_a == ppm_b
+    first = next((x for x in la if x != 0), 0)
+    assert first >= 0
+
+
+def test_pca_query_output_invariants(spark, sf_dir):
+    """Corpus-level invariants: one row per dimension, a non-zero
+    loading vector at the fixed-point scale, positive eigenvalue, ppm
+    within (0, 1e6], and the sign canonicalization applied."""
+    from weather_analysis_bigdata__spark.queries_round8b import (
+        _PCA_DIM,
+        embedding_pca_top_component,
+    )
+
+    rows = sorted(
+        embedding_pca_top_component(spark, sf_dir).collect(),
+        key=lambda r: r.pos,
+    )
+    assert [r.pos for r in rows] == list(range(_PCA_DIM))
+    assert len({r.eigenvalue_q for r in rows}) == 1
+    assert rows[0].eigenvalue_q > 0
+    assert 0 < rows[0].var_explained_ppm <= 1_000_000
+    loadings = [r.loading_q for r in rows]
+    assert any(x != 0 for x in loadings)
+    first = next((x for x in loadings if x != 0), 0)
+    assert first > 0
+    assert len({r.n_vectors for r in rows}) == 1 and rows[0].n_vectors > 0
+
+
+def test_pca_outlier_scores_invariants(spark, sf_dir):
+    """Scorer invariants: one row per vector, cos² in [0, 1e6] ppm,
+    flag exactly mirrors the threshold, and the flagged tail is
+    strictly above every unflagged score."""
+    from weather_analysis_bigdata__spark.queries_round8b import (
+        _PCA_ALIGN_PPM,
+        embedding_pca_outlier_scores,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    rows = embedding_pca_outlier_scores(spark, sf_dir).collect()
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_vec
+    assert len({r.vec_id for r in rows}) == n_vec
+    flagged = [r.cos2_ppm for r in rows if r.axis_aligned]
+    clean = [r.cos2_ppm for r in rows if not r.axis_aligned]
+    assert flagged and clean  # the threshold discriminates
+    assert min(flagged) > _PCA_ALIGN_PPM >= max(clean)
+    for r in rows:
+        assert 0 <= r.cos2_ppm <= 1_000_000
+        assert r.axis_aligned == (r.cos2_ppm > _PCA_ALIGN_PPM)

@@ -1,0 +1,556 @@
+"""Round-8 continuation batch: the governance family's third rung and
+a distributed spectral operator.
+
+- **t-closeness audit** (`t_closeness_audit`): k_anonymity_audit
+  bounds equivalence-class SIZE, l_diversity_audit bounds class
+  CONTENT cardinality — but a class can be large AND diverse yet still
+  leak if its sensitive-attribute *distribution* is skewed far from
+  the corpus baseline (the skewness attack t-closeness was introduced
+  for). This completes the privacy-audit ladder with the
+  distribution-distance rung: per QI class, the total-variation
+  distance between the class's sensitive distribution and the global
+  one, computed in EXACT integer arithmetic.
+
+- **PCA top component** (`embedding_pca_top_component`): the one
+  linear-algebra primitive every embedding-curation pipeline reaches
+  for (drift directions, whitening, matryoshka truncation decisions)
+  that the ANN/centroid family does not cover. Spark-first shape: ONE
+  distributed pass builds the exact d×d second-moment matrix by
+  map-side partial aggregation of per-row outer products (the shuffle
+  carries O(d²·partitions) rows, never O(N)); the O(d²) eigensolve then
+  runs driver-side — the same bounded-driver-state split the unigram
+  trainer and BPE merge table use, and exactly how a 1000-executor
+  PCA over 100 TB is built (d=64 here; the Gram pass is the only part
+  that sees the data). Exactness: a fixed-point integer power
+  iteration (floor-division renormalization) over an integer moment
+  matrix — bit-identical in pure-Python ints and DuckDB HUGEINT
+  arithmetic, so the oracle match is exact, not tolerance-based.
+
+Reference parity note: the reference (Weather_API.py) has neither
+privacy audits nor spectral ops — charter-extension breadth on the
+`customer` and `embeddings` tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from weather_analysis_bigdata__spark.functions.vectorops import scaled_vec
+from weather_analysis_bigdata__spark.registry import register
+from weather_analysis_bigdata__spark.sources.files import load_table
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (sensitive-distribution distance per QI class)
+# ---------------------------------------------------------------------------
+#: t threshold = 0.4. Measured on this corpus: class TVDs span
+#: 0.009–0.81 with median ≈ 0.39 (sf0.01), so 0.4 splits the classes
+#: rather than rubber-stamping them. The flag compares in exact
+#: integers: tvd = Σ|c_s·N − g_s·k| / (2kN) > 0.4 ⇔ 5·num > 4·k·N.
+_TCLOSE_FLAG_NUM = 5
+_TCLOSE_FLAG_DEN = 4
+
+
+@register(
+    "t_closeness_audit",
+    oracle="""
+    WITH q AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS balance_band,
+             c_mktsegment AS s
+      FROM customer
+    ),
+    g AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS gs FROM q GROUP BY s),
+    n AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM q),
+    cs AS MATERIALIZED (
+      SELECT c_nationkey, balance_band, s, CAST(COUNT(*) AS BIGINT) AS c
+      FROM q GROUP BY c_nationkey, balance_band, s
+    ),
+    kk AS (
+      SELECT c_nationkey, balance_band, CAST(SUM(c) AS BIGINT) AS k
+      FROM cs GROUP BY c_nationkey, balance_band
+    ),
+    fl AS (
+      SELECT kk.c_nationkey, kk.balance_band, kk.k, g.gs, n.nn,
+             COALESCE(cs.c, 0) AS c
+      FROM kk CROSS JOIN g CROSS JOIN n
+      LEFT JOIN cs ON cs.c_nationkey = kk.c_nationkey
+                  AND cs.balance_band = kk.balance_band
+                  AND cs.s = g.s
+    )
+    SELECT c_nationkey, balance_band,
+           MAX(k) AS k,
+           CAST(SUM(ABS(c * nn - gs * k)) AS BIGINT) AS tvd_num_scaled,
+           CAST(CAST(SUM(ABS(c * nn - gs * k)) AS BIGINT) AS DOUBLE)
+             / CAST(2 * MAX(k) * MAX(nn) AS DOUBLE) AS tvd,
+           5 * CAST(SUM(ABS(c * nn - gs * k)) AS BIGINT)
+             > 4 * MAX(k) * MAX(nn) AS t_risk
+    FROM fl GROUP BY c_nationkey, balance_band
+    """,
+    doc="t-closeness audit — the privacy ladder's third rung "
+    "(k_anonymity_audit bounds class SIZE, l_diversity_audit bounds "
+    "distinct sensitive values; this bounds the class's sensitive "
+    "DISTRIBUTION): per (nation, balance-band) QI class, the total-"
+    "variation distance between the class's market-segment "
+    "distribution and the global one, flagged at t = 0.4 (measured "
+    "class-TVD spread on this corpus: 0.009-0.81, median 0.39 — the "
+    "threshold discriminates). Exactness contract: TVD numerator "
+    "Σ_s |c_s·N − g_s·k| is pure 64-bit integer arithmetic (common "
+    "denominator 2kN; the one double division of identical integers "
+    "is correctly rounded on both engines) and the flag compares "
+    "integers only. Plan shape: one shuffle on the QI tuple for class "
+    "counts; the global segment distribution is O(segments) rows and "
+    "broadcasts, and classes missing a segment are restored by "
+    "crossing the class list with the broadcast segment dimension — "
+    "at 100 TB the fact table is touched once, everything after is "
+    "O(classes·segments).",
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    q = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("balance_band"),
+        F.col("c_mktsegment").alias("s"),
+    )
+    # ONE exchange on the class key: the (class, segment) counts, the
+    # per-class size window, and the final per-class aggregate all ride
+    # hash(c_nationkey, balance_band) — Spark plans no further shuffle
+    # for group keys that are supersets of the partitioning.
+    base = q.repartition("c_nationkey", "balance_band")
+    cs = base.groupBy("c_nationkey", "balance_band", "s").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cls = Window.partitionBy("c_nationkey", "balance_band")
+    # O(classes·segments) rows, pinned once (localCheckpoint, the
+    # threshold-sweep idiom) so the three consumers below — per-class
+    # terms, the global segment distribution, and N — share ONE
+    # execution of the fact scan instead of Spark re-planning the
+    # subtree per reference.
+    csk = cs.select("*", F.sum("c").over(w_cls).alias("k")).localCheckpoint(
+        eager=True
+    )
+    # Global segment distribution derives from the pinned table —
+    # the fact table is never rescanned; N folds from g.
+    g = csk.groupBy("s").agg(F.sum("c").alias("gs"))
+    n = g.agg(F.sum("gs").alias("nn"))
+    # Missing-segment terms fold analytically: Σ_{s∉class} g_s·k =
+    # k·N − Σ_{s∈class} g_s·k, so only observed (class, segment) rows
+    # are ever materialized.
+    t = csk.join(F.broadcast(g), "s").crossJoin(F.broadcast(n))
+
+    term = F.abs(F.col("c") * F.col("nn") - F.col("gs") * F.col("k")) - F.col(
+        "gs"
+    ) * F.col("k")
+    agg = t.groupBy("c_nationkey", "balance_band").agg(
+        F.max("k").alias("k"),
+        F.sum(term).alias("part"),
+        F.max("nn").alias("nn"),
+    )
+    agg = agg.select(
+        "c_nationkey",
+        "balance_band",
+        "k",
+        "nn",
+        (F.col("part") + F.col("k") * F.col("nn"))
+        .cast("long")
+        .alias("tvd_num_scaled"),
+    )
+    return agg.select(
+        "c_nationkey",
+        "balance_band",
+        "k",
+        "tvd_num_scaled",
+        (
+            F.col("tvd_num_scaled").cast("double")
+            / (F.lit(2) * F.col("k") * F.col("nn")).cast("double")
+        ).alias("tvd"),
+        (
+            F.lit(_TCLOSE_FLAG_NUM) * F.col("tvd_num_scaled")
+            > F.lit(_TCLOSE_FLAG_DEN) * F.col("k") * F.col("nn")
+        ).alias("t_risk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCA top component: distributed exact moment matrix + integer power iteration
+# ---------------------------------------------------------------------------
+#: Per-element quantization for the moment pass. Coarser than the
+#: vectorops 1e8 contract ON PURPOSE: Gram entries are Σ_N x_i·x_j, so
+#: the element scale is squared and multiplied by N — at 1e4 the
+#: per-row product is ≤ (0.6·1e4)² ≈ 3.6e7 and the sum stays exact in
+#: 64 bits past N = 1e11 rows (at the 1e8 contract it would overflow
+#: by N ≈ 200). Derived from the verified-identical 1e8 quantization
+#: by floor division, so both engines still agree bit-for-bit.
+_PCA_DOWN = 10_000  # 1e8 / 1e4
+_PCA_DIM = 64
+_PCA_ITERS = 8
+_PCA_VSCALE = 1 << 20  # fixed-point scale of the iterated eigvector
+_PCA_GBOUND = 1 << 30  # moment entries floor-shifted until |m| < this
+
+
+def _fd(s: str, n: str) -> str:
+    """Exact FLOOR division for DuckDB at any integer magnitude.
+    DuckDB's `//` TRUNCATES toward zero on negatives (measured: -15461234
+    // 10000 = -1546, Python floors to -1547), and the shared
+    _SQL_FLOORDIV macro routes through `/`, which DuckDB evaluates as
+    DOUBLE — inexact past 2^53. This form subtracts the positive
+    remainder first, so the `//` divides exactly and trunc == floor,
+    keeping every step in (HUGE)integer arithmetic."""
+    return f"((({s}) - (((({s}) % ({n})) + ({n})) % ({n}))) // ({n}))"
+
+
+def _pca_sql() -> str:
+    """DuckDB mirror of the full pipeline: quantize → upper-triangle
+    Gram + column sums (the distributed pass) → centered integer
+    moment matrix M = N·G − s·sᵀ → floor-shift → fixed-point power
+    iteration → sign-canonicalized loadings + integer Rayleigh
+    quotient. All divisions go through :func:`_fd` (exact floor
+    division), and DuckDB's integer SUM promotes to HUGEINT, so every
+    step is exact."""
+    v = _PCA_VSCALE
+    d = _PCA_DIM
+    # Powers-of-two lookup for the shift search: literal rows keep every
+    # comparison in exact BIGINT (ma < 2^48 at test SFs; 32 covers 2^62).
+    pows = ", ".join(f"({k}, {1 << k})" for k in range(33))
+    its = []
+    prev = "it0"
+    for t in range(1, _PCA_ITERS + 1):
+        its.append(
+            f"""w{t} AS MATERIALIZED (
+      SELECT mq.i AS pos, CAST(SUM(mq.m * {prev}.v) AS BIGINT) AS w
+      FROM mq JOIN {prev} ON mq.j = {prev}.pos GROUP BY mq.i
+    ),
+    d{t} AS MATERIALIZED (
+      SELECT GREATEST(CAST(1 AS BIGINT),
+                      CAST({_fd('MAX(ABS(w))', str(v))} AS BIGINT)) AS dd
+      FROM w{t}
+    ),
+    it{t} AS MATERIALIZED (
+      SELECT pos, CAST({_fd('w', 'dd')} AS BIGINT) AS v FROM w{t}, d{t}
+    )"""
+        )
+        prev = f"it{t}"
+    its_sql = ",\n    ".join(its)
+    return f"""
+    WITH sv AS MATERIALIZED (
+      SELECT list_transform(embedding,
+               x -> {_fd('CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,8)) '
+                         f'* 100000000 AS BIGINT)', str(_PCA_DOWN))}) AS qa
+      FROM embeddings
+    ),
+    n AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM sv),
+    pr AS MATERIALIZED (
+      SELECT CAST(ti.i AS INT) AS i, CAST(tj.j AS INT) AS j,
+             CAST(SUM(qa[ti.i + 1] * qa[tj.j + 1]) AS BIGINT) AS g
+      FROM sv, range(0, {d}) ti(i), range(0, {d}) tj(j)
+      WHERE tj.j >= ti.i GROUP BY ti.i, tj.j
+    ),
+    cs AS MATERIALIZED (
+      SELECT CAST(ti.i AS INT) AS i, CAST(SUM(qa[ti.i + 1]) AS BIGINT) AS s
+      FROM sv, range(0, {d}) ti(i) GROUP BY ti.i
+    ),
+    mfull AS MATERIALIZED (
+      SELECT i, j, g FROM pr
+      UNION ALL SELECT j AS i, i AS j, g FROM pr WHERE i <> j
+    ),
+    mm AS MATERIALIZED (
+      SELECT f.i, f.j,
+             CAST(n.nn AS HUGEINT) * f.g
+               - CAST(a.s AS HUGEINT) * b.s AS m
+      FROM mfull f, n, cs a, cs b WHERE a.i = f.i AND b.i = f.j
+    ),
+    mx AS MATERIALIZED (SELECT MAX(ABS(m)) AS ma FROM mm),
+    sh AS MATERIALIZED (
+      SELECT MIN(p.k) AS k, MIN_BY(p.p2, p.k) AS p2
+      FROM (VALUES {pows}) p(k, p2), mx
+      WHERE mx.ma < p.p2 * {_PCA_GBOUND}
+    ),
+    mq AS MATERIALIZED (
+      SELECT i, j, CAST({_fd('m', 'sh.p2')} AS BIGINT) AS m FROM mm, sh
+    ),
+    it0 AS MATERIALIZED (
+      SELECT CAST(t.k AS INT) AS pos, CAST({v} AS BIGINT) AS v
+      FROM range(0, {d}) t(k)
+    ),
+    {its_sql},
+    sg AS MATERIALIZED (
+      SELECT CASE WHEN COALESCE((SELECT v FROM {prev} WHERE v <> 0
+                                 ORDER BY pos LIMIT 1), 0) < 0
+                  THEN -1 ELSE 1 END AS sg
+    ),
+    u AS MATERIALIZED (
+      SELECT mq.i AS pos, CAST(SUM(mq.m * fv.v) AS BIGINT) AS u
+      FROM mq JOIN {prev} fv ON mq.j = fv.pos GROUP BY mq.i
+    ),
+    ray AS MATERIALIZED (
+      SELECT CAST(SUM(CAST(fv.v AS HUGEINT) * u.u) AS HUGEINT) AS num,
+             GREATEST(CAST(SUM(CAST(fv.v AS HUGEINT) * fv.v) AS HUGEINT),
+                      CAST(1 AS HUGEINT)) AS den
+      FROM {prev} fv JOIN u USING (pos)
+    ),
+    tr AS MATERIALIZED (
+      SELECT GREATEST(CAST(SUM(m) AS HUGEINT), CAST(1 AS HUGEINT)) AS trq
+      FROM mq WHERE i = j
+    )
+    SELECT CAST(fv.pos AS BIGINT) AS pos,
+           CAST(sg.sg * fv.v AS BIGINT) AS loading_q,
+           CAST({_fd('ray.num', 'ray.den')} AS BIGINT) AS eigenvalue_q,
+           CAST({_fd('1000000 * ray.num', 'ray.den * tr.trq')} AS BIGINT)
+             AS var_explained_ppm,
+           n.nn AS n_vectors,
+           CAST(sh.k AS BIGINT) AS shift_bits
+    FROM {prev} fv, sg, ray, tr, n, sh
+    """
+
+
+@register(
+    "embedding_pca_top_component",
+    oracle=_pca_sql,
+    doc="Distributed PCA, top principal component of the embedding "
+    "covariance — the spectral primitive embedding curation needs "
+    "(drift directions, whitening, matryoshka truncation audits) that "
+    "the centroid/ANN family doesn't cover. Spark-first split: ONE "
+    "pass over the vectors builds the exact upper-triangle second-"
+    "moment matrix G and column sums s via map-side partial "
+    "aggregation of per-row outer products (flatten/transform "
+    "generates the d(d+1)/2 products row-locally; the exchange "
+    "carries O(d²·partitions) partial rows, never O(N) — the "
+    "canonical 100 TB moment-matrix pattern), then the O(d²) = 64×64 "
+    "eigensolve runs driver-side in pure-Python integers (bounded "
+    "driver state, the unigram-trainer precedent). Exactness "
+    "contract: elements quantize to scale 1e4 (floor-derived from the "
+    "verified 1e8 vectorops quantization; squared-scale headroom to "
+    "N ≈ 1e11 rows), the centered moment matrix M = N·G − s·sᵀ is "
+    "exact integers, and the power iteration renormalizes by floor "
+    "division at fixed point 2^20 for "
+    f"{_PCA_ITERS} iterations — every step bit-identical between "
+    "Python ints and the oracle's HUGEINT arithmetic, so the value "
+    "hash is exact with NO float tolerance. Output: sign-"
+    "canonicalized integer loadings, integer Rayleigh quotient "
+    "(eigenvalue), and variance-explained ppm vs the moment trace.",
+)
+def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    down = F.lit(_PCA_DOWN)
+    qa = F.transform(
+        scaled_vec("embedding"),
+        lambda x: ((x - (((x % down) + down) % down)) / down).cast("long"),
+    )
+    sv = load_table(spark, sf_dir, "embeddings").select(qa.alias("qa"))
+
+    idx = F.sequence(F.lit(0), F.lit(_PCA_DIM - 1))
+    pairs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, F.lit(_PCA_DIM - 1)),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (F.get(F.col("qa"), i) * F.get(F.col("qa"), j)).alias("p"),
+                ),
+            ),
+        )
+    )
+    gram_rows = (
+        sv.select(F.explode(pairs).alias("e"))
+        .select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("g"))
+        .collect()
+    )
+    cs_rows = (
+        sv.select(F.posexplode("qa").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+
+    d = _PCA_DIM
+    s = [0] * d
+    n_vec = 0
+    for r in cs_rows:
+        s[r["i"]] = r["s"]
+        n_vec = r["n"]
+    gram = [[0] * d for _ in range(d)]
+    for r in gram_rows:
+        gram[r["i"]][r["j"]] = r["g"]
+        gram[r["j"]][r["i"]] = r["g"]
+    loadings, lam_q, var_ppm, k = _pca_power_solve(gram, s, n_vec)
+
+    schema = T.StructType(
+        [
+            T.StructField("pos", T.LongType()),
+            T.StructField("loading_q", T.LongType()),
+            T.StructField("eigenvalue_q", T.LongType()),
+            T.StructField("var_explained_ppm", T.LongType()),
+            T.StructField("n_vectors", T.LongType()),
+            T.StructField("shift_bits", T.LongType()),
+        ]
+    )
+    rows = [
+        (pos, loadings[pos], lam_q, var_ppm, n_vec, k) for pos in range(d)
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+#: Axis-alignment flag threshold for the outlier/alignment scorer, in
+#: ppm of squared cosine against the top principal component. A
+#: direction-free corpus concentrates cos² around 1/d ≈ 15625 ppm
+#: (d = 64); measured spread on this corpus is ~200–80000 ppm, so
+#: 40000 (2.56× the isotropic expectation) flags the aligned tail
+#: without rubber-stamping either side.
+_PCA_ALIGN_PPM = 40_000
+
+
+def _pca_outlier_oracle() -> str:
+    """The PCA oracle embedded VERBATIM as a CTE (the decontaminate_
+    semantic pattern — composed rungs can never drift), then one
+    scan scoring every vector against the solved component in exact
+    HUGEINT arithmetic."""
+    fd = _fd
+    return f"""
+    WITH pca AS MATERIALIZED ({_pca_sql()}),
+    lv AS MATERIALIZED (
+      SELECT list(loading_q ORDER BY pos) AS lq,
+             CAST(list_sum(list_transform(list(loading_q), x ->
+               CAST(x AS HUGEINT) * x)) AS HUGEINT) AS v2
+      FROM pca
+    ),
+    sq AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> {fd('CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,8)) '
+                        f'* 100000000 AS BIGINT)', str(_PCA_DOWN))}) AS qa
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT s.vec_id,
+             CAST(list_sum(list_transform(generate_series(1, len(s.qa)),
+               i -> s.qa[i] * lv.lq[i])) AS BIGINT) AS proj_q,
+             CAST(list_sum(list_transform(s.qa, x -> x * x)) AS BIGINT)
+               AS x2,
+             lv.v2 AS v2
+      FROM sq s, lv
+    )
+    SELECT vec_id, proj_q,
+           CAST({fd('1000000 * CAST(proj_q AS HUGEINT) * proj_q',
+                    'GREATEST(CAST(x2 AS HUGEINT) * v2, 1)')} AS BIGINT)
+             AS cos2_ppm,
+           CAST({fd('1000000 * CAST(proj_q AS HUGEINT) * proj_q',
+                    'GREATEST(CAST(x2 AS HUGEINT) * v2, 1)')} AS BIGINT)
+             > {_PCA_ALIGN_PPM} AS axis_aligned
+    FROM scored
+    """
+
+
+@register(
+    "embedding_pca_outlier_scores",
+    oracle=_pca_outlier_oracle,
+    doc="PCA-projection scoring — the curation use of the top "
+    "component: every vector's squared cosine against the solved "
+    "principal direction, in exact integer ppm (1e6·proj² div "
+    "(‖x‖²·‖v‖²); floor division of identical integers on both "
+    "engines, no float tolerance), with the axis-aligned tail flagged "
+    f"at {_PCA_ALIGN_PPM} ppm ≈ 2.6× the isotropic 1/d expectation. "
+    "Composition contract: the PCA oracle is embedded VERBATIM as a "
+    "CTE (the decontaminate_semantic pattern), so scorer and solver "
+    "can never drift. Plan shape: the 64-long loading vector is a "
+    "LocalRelation the scorer crossJoins as a broadcast — ONE "
+    "map-only scan over the vectors, no shuffle at all; at 100 TB "
+    "this is the cheapest possible full-corpus pass (the moment "
+    "pass already paid the only aggregation).",
+)
+def embedding_pca_outlier_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pca = embedding_pca_top_component(spark, sf_dir)
+    lv = pca.agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "loading_q"))
+        ).alias("pl"),
+    ).select(
+        F.transform(F.col("pl"), lambda e: e["loading_q"]).alias("lq"),
+    ).select(
+        "lq",
+        F.aggregate(
+            F.transform(
+                F.col("lq"), lambda x: (x.cast("decimal(38,0)") * x)
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, x: acc + x,
+        ).alias("v2"),
+    )
+    down = F.lit(_PCA_DOWN)
+    qa = F.transform(
+        scaled_vec("embedding"),
+        lambda x: ((x - (((x % down) + down) % down)) / down).cast("long"),
+    )
+    sq = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", qa.alias("qa")
+    )
+    scored = sq.crossJoin(F.broadcast(lv)).select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("qa"), F.col("lq"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("proj_q"),
+        F.aggregate(
+            F.transform(F.col("qa"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("x2"),
+        "v2",
+    )
+    # proj² needs 128-bit headroom (proj ≤ ~2^40 squared) — DECIMAL(38,0)
+    # in Spark mirrors the oracle's HUGEINT; `div` truncates and both
+    # numerator and denominator are non-negative, so trunc == floor.
+    cos2 = F.expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * CAST(proj_q AS DECIMAL(38,0))"
+        " * CAST(proj_q AS DECIMAL(38,0))) div"
+        " GREATEST(CAST(x2 AS DECIMAL(38,0)) * v2, CAST(1 AS DECIMAL(38,0)))"
+        " AS LONG)"
+    )
+    return scored.select(
+        "vec_id",
+        "proj_q",
+        cos2.alias("cos2_ppm"),
+        (cos2 > F.lit(_PCA_ALIGN_PPM)).alias("axis_aligned"),
+    )
+
+
+def _pca_power_solve(
+    gram: list[list[int]], s: list[int], n_vec: int
+) -> tuple[list[int], int, int, int]:
+    """The O(d²) driver-side eigensolve on the exact integer moments:
+    center (M = N·G − s·sᵀ), floor-shift to the iteration range,
+    fixed-point power iteration, sign-canonicalize. Pure-Python ints
+    end to end — bit-identical to the oracle's HUGEINT arithmetic.
+    Returns (loadings, eigenvalue_q, var_explained_ppm, shift_bits)."""
+    d = len(s)
+    m = [[n_vec * gram[i][j] - s[i] * s[j] for j in range(d)] for i in range(d)]
+
+    ma = max(abs(m[i][j]) for i in range(d) for j in range(d))
+    k = 0
+    while ma >= (_PCA_GBOUND << k):
+        k += 1
+    p2 = 1 << k
+    mq = [[m[i][j] // p2 for j in range(d)] for i in range(d)]
+
+    v = [_PCA_VSCALE] * d
+    for _ in range(_PCA_ITERS):
+        w = [sum(mq[i][j] * v[j] for j in range(d)) for i in range(d)]
+        dd = max(1, max(abs(x) for x in w) // _PCA_VSCALE)
+        v = [x // dd for x in w]
+
+    first = next((x for x in v if x != 0), 0)
+    sg = -1 if first < 0 else 1
+    u = [sum(mq[i][j] * v[j] for j in range(d)) for i in range(d)]
+    num = sum(v[i] * u[i] for i in range(d))
+    den = max(1, sum(x * x for x in v))
+    trq = max(1, sum(mq[i][i] for i in range(d)))
+    lam_q = num // den
+    var_ppm = (1_000_000 * num) // (den * trq)
+    return [sg * x for x in v], lam_q, var_ppm, k

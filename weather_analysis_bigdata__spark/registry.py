@@ -249,6 +249,11 @@ PRIORITY = [
     "multimodal_interleave_assembly",
     "pack_interleaved_records",
     "decontaminate_semantic_threshold_sweep",
+    # round-8 continuation: t-closeness (the privacy ladder's
+    # distribution rung) and the PCA pair (moment pass + scorer)
+    "t_closeness_audit",
+    "embedding_pca_top_component",
+    "embedding_pca_outlier_scores",
 ]
 
 
@@ -276,6 +281,7 @@ def all_queries() -> dict[str, Query]:
     import weather_analysis_bigdata__spark.queries_quality  # noqa: F401
     import weather_analysis_bigdata__spark.queries_round7  # noqa: F401
     import weather_analysis_bigdata__spark.queries_round8  # noqa: F401
+    import weather_analysis_bigdata__spark.queries_round8b  # noqa: F401
 
     # A typo'd / renamed PRIORITY entry would silently demote a flagship
     # query out of the sampled-first set — fail loudly instead.
