@@ -170,6 +170,7 @@ HEADLINE = [
     "t_closeness_audit",
     "embedding_pca_top_component",
     "embedding_pca_outlier_scores",
+    "embedding_pca_drift_direction",
 ]
 
 

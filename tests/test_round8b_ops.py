@@ -174,3 +174,24 @@ def test_pca_outlier_scores_invariants(spark, sf_dir):
     for r in rows:
         assert 0 <= r.cos2_ppm <= 1_000_000
         assert r.axis_aligned == (r.cos2_ppm > _PCA_ALIGN_PPM)
+
+
+def test_pca_drift_controls(spark, sf_dir):
+    """The built-in controls must hold: the same-distribution resample
+    slice passes, the label-shifted slice is flagged, and each row's
+    flag mirrors the threshold exactly."""
+    from weather_analysis_bigdata__spark.queries_round8b import (
+        _PCA_DRIFT_PPM,
+        embedding_pca_drift_direction,
+    )
+
+    rows = {r.slice: r for r in
+            embedding_pca_drift_direction(spark, sf_dir).collect()}
+    assert set(rows) == {"resample", "shifted"}
+    assert not rows["resample"].direction_drifted
+    assert rows["shifted"].direction_drifted
+    assert rows["resample"].cos2_ppm > rows["shifted"].cos2_ppm
+    for r in rows.values():
+        assert 0 <= r.cos2_ppm <= 1_000_000
+        assert r.direction_drifted == (r.cos2_ppm < _PCA_DRIFT_PPM)
+        assert 0 < r.n_vectors

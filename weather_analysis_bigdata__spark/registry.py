@@ -254,6 +254,7 @@ PRIORITY = [
     "t_closeness_audit",
     "embedding_pca_top_component",
     "embedding_pca_outlier_scores",
+    "embedding_pca_drift_direction",
 ]
 
 
