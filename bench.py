@@ -260,6 +260,11 @@ def main() -> None:
                         "vec_id % 97 <> 0 AND vec_id % 250 = 1"
                     ).count()
                 )
+            elif name == "streaming_embedding_pca_score_replay":
+                # streams the full embeddings table in 3 slices
+                n_in = spark.read.parquet(
+                    os.path.join(sf_dir, "embeddings.parquet")
+                ).count()
             elif name in (
                 "streaming_paragraph_dedup_replay",
                 "streaming_drift_monitor_replay",

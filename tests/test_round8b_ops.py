@@ -195,3 +195,25 @@ def test_pca_drift_controls(spark, sf_dir):
         assert 0 <= r.cos2_ppm <= 1_000_000
         assert r.direction_drifted == (r.cos2_ppm < _PCA_DRIFT_PPM)
         assert 0 < r.n_vectors
+
+
+def test_pca_replay_equals_batch(spark, sf_dir):
+    """Stream ≡ batch as a row-set equality, not just the oracle hash:
+    the 3-micro-batch replay must reproduce the batch scorer's rows
+    exactly (same persisted component, same kernel)."""
+    from weather_analysis_bigdata__spark.queries_round8b import (
+        embedding_pca_outlier_scores,
+        streaming_embedding_pca_score_replay,
+    )
+
+    batch = {
+        r.vec_id: (r.proj_q, r.cos2_ppm, r.axis_aligned)
+        for r in embedding_pca_outlier_scores(spark, sf_dir).collect()
+    }
+    replay = {
+        r.vec_id: (r.proj_q, r.cos2_ppm, r.axis_aligned)
+        for r in streaming_embedding_pca_score_replay(
+            spark, sf_dir
+        ).collect()
+    }
+    assert replay == batch

@@ -466,47 +466,62 @@ def _pca_outlier_oracle() -> str:
     """
 
 
-@register(
-    "embedding_pca_outlier_scores",
-    oracle=_pca_outlier_oracle,
-    doc="PCA-projection scoring — the curation use of the top "
-    "component: every vector's squared cosine against the solved "
-    "principal direction, in exact integer ppm (1e6·proj² div "
-    "(‖x‖²·‖v‖²); floor division of identical integers on both "
-    "engines, no float tolerance), with the axis-aligned tail flagged "
-    f"at {_PCA_ALIGN_PPM} ppm ≈ 2.6× the isotropic 1/d expectation. "
-    "Composition contract: the PCA oracle is embedded VERBATIM as a "
-    "CTE (the decontaminate_semantic pattern), so scorer and solver "
-    "can never drift. Plan shape: the 64-long loading vector is a "
-    "LocalRelation the scorer crossJoins as a broadcast — ONE "
-    "map-only scan over the vectors, no shuffle at all; at 100 TB "
-    "this is the cheapest possible full-corpus pass (the moment "
-    "pass already paid the only aggregation).",
-)
-def embedding_pca_outlier_scores(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    pca = embedding_pca_top_component(spark, sf_dir)
-    lv = pca.agg(
-        F.array_sort(
-            F.collect_list(F.struct("pos", "loading_q"))
-        ).alias("pl"),
-    ).select(
-        F.transform(F.col("pl"), lambda e: e["loading_q"]).alias("lq"),
-    ).select(
-        "lq",
-        F.aggregate(
-            F.transform(
-                F.col("lq"), lambda x: (x.cast("decimal(38,0)") * x)
-            ),
-            F.lit(0).cast("decimal(38,0)"),
-            lambda acc, x: acc + x,
-        ).alias("v2"),
+def _pca_component_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The solved top component as a PERSISTED parquet index (the IVF
+    'build once, probe many' split): 64 rows of
+    (pos, loading_q, eigenvalue_q, …). Deterministic function of the
+    corpus, so every consumer — batch scorer, streaming replay —
+    serves from the same artifact."""
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        persisted_index,
     )
-    sq = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _pca_qa_col().alias("qa")
+
+    return persisted_index(
+        spark,
+        sf_dir,
+        "pca_top_component",
+        lambda: embedding_pca_top_component(spark, sf_dir),
     )
-    scored = sq.crossJoin(F.broadcast(lv)).select(
+
+
+def _prepare_pca_component(spark: SparkSession, sf_dir: str) -> None:
+    """Bench prepare hook: the persisted component this scorer serves
+    from (fn self-prepares regardless)."""
+    _pca_component_index(spark, sf_dir)
+
+
+def _pca_component_lv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted component folded to ONE broadcastable row:
+    (lq = loadings ordered by pos, v2 = Σ loading² as DECIMAL(38,0))."""
+    return (
+        _pca_component_index(spark, sf_dir)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "loading_q"))
+            ).alias("pl"),
+        )
+        .select(
+            F.transform(F.col("pl"), lambda e: e["loading_q"]).alias("lq"),
+        )
+        .select(
+            "lq",
+            F.aggregate(
+                F.transform(
+                    F.col("lq"), lambda x: (x.cast("decimal(38,0)") * x)
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, x: acc + x,
+            ).alias("v2"),
+        )
+    )
+
+
+def _pca_score_kernel(vec_df: DataFrame, lv: DataFrame) -> DataFrame:
+    """The scoring kernel SHARED by the batch scorer and the streaming
+    replay (stream ≡ batch is a property of one code path): rows of
+    (vec_id, qa) × the 1-row broadcast component → exact integer
+    cos²-ppm scores with the axis-aligned flag."""
+    scored = vec_df.crossJoin(F.broadcast(lv)).select(
         "vec_id",
         F.aggregate(
             F.zip_with(F.col("qa"), F.col("lq"), lambda x, y: x * y),
@@ -535,6 +550,35 @@ def embedding_pca_outlier_scores(
         cos2.alias("cos2_ppm"),
         (cos2 > F.lit(_PCA_ALIGN_PPM)).alias("axis_aligned"),
     )
+
+
+@register(
+    "embedding_pca_outlier_scores",
+    oracle=_pca_outlier_oracle,
+    doc="PCA-projection scoring — the curation use of the top "
+    "component: every vector's squared cosine against the solved "
+    "principal direction, in exact integer ppm (1e6·proj² div "
+    "(‖x‖²·‖v‖²); floor division of identical integers on both "
+    "engines, no float tolerance), with the axis-aligned tail flagged "
+    f"at {_PCA_ALIGN_PPM} ppm ≈ 2.6× the isotropic 1/d expectation. "
+    "Composition contract: the PCA oracle is embedded VERBATIM as a "
+    "CTE (the decontaminate_semantic pattern), so scorer and solver "
+    "can never drift. Plan shape: the component is a PERSISTED "
+    "parquet index (operators/index_store.py — solve once, score "
+    "many, the IVF serving split) folded to a 1-row broadcast; "
+    "scoring is ONE map-only scan over the vectors, no shuffle at "
+    "all — at 100 TB the cheapest possible full-corpus pass (the "
+    "moment pass already paid the only aggregation).",
+    prepare=_prepare_pca_component,
+)
+def embedding_pca_outlier_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    lv = _pca_component_lv(spark, sf_dir)
+    sq = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _pca_qa_col().alias("qa")
+    )
+    return _pca_score_kernel(sq, lv)
 
 
 def _pca_power_solve(
@@ -729,3 +773,94 @@ def embedding_pca_drift_direction(
         ]
     )
     return spark.createDataFrame(out, schema)
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin: PCA scoring at ingest
+# ---------------------------------------------------------------------------
+def _pca_replay_oracle() -> str:
+    """The batch scorer's oracle VERBATIM: per-row scoring against a
+    fixed component commutes with micro-batching, and the hash match
+    proves it."""
+    from weather_analysis_bigdata__spark.registry import all_queries
+
+    return all_queries()["embedding_pca_outlier_scores"].oracle_text()
+
+
+@register(
+    "streaming_embedding_pca_score_replay",
+    oracle=_pca_replay_oracle,
+    doc="PCA-projection scoring AT INGEST — the streaming twin of "
+    "embedding_pca_outlier_scores (every quality/dedup/drift gate in "
+    "this repo ships one; this is the embedding-geometry gate's): the "
+    "vector corpus replays as 3 deterministic mtime-ordered arrival "
+    "slices (vec_id % 3), each micro-batch scored by the SHARED "
+    "_pca_score_kernel against the SAME persisted component index the "
+    "batch scorer serves from, published as batch_id-keyed idempotent "
+    "parquet segments. Registered oracle = the batch scorer's SQL "
+    "VERBATIM — per-row scoring against a fixed component commutes "
+    "with micro-batching, so the value hash proves stream ≡ batch. "
+    "At 100 TB this is how the gate actually deploys: the component "
+    "is solved nightly from the corpus moment pass; arriving vectors "
+    "are scored in-flight by a broadcast of 64 longs.",
+    prepare=_prepare_pca_component,
+)
+def streaming_embedding_pca_score_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        read_replay_segments,
+        replay_segment_dir,
+    )
+
+    run = uuid.uuid4().hex[:10]
+    src_dir = tempfile.mkdtemp(prefix=f"pcascore_src_{run}_")
+    stage_dir = tempfile.mkdtemp(prefix=f"pcascore_stage_{run}_")
+    seg_dir = replay_segment_dir("pcascore_seg")
+    try:
+        sq = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _pca_qa_col().alias("qa")
+        )
+        schema = sq.schema
+        lv = _pca_component_lv(spark, sf_dir)
+        for i in range(3):
+            sl = sq.filter((F.col("vec_id") % 3).cast("int") == i)
+            d = os.path.join(stage_dir, f"s{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(d)
+            part = next(
+                f
+                for f in os.listdir(d)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            dst = os.path.join(src_dir, f"{i:03d}.parquet")
+            shutil.copy(os.path.join(d, part), dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+        def publish(bdf: DataFrame, batch_id: int) -> None:
+            _pca_score_kernel(bdf, lv).write.mode("overwrite").parquet(
+                os.path.join(seg_dir, f"seg_{batch_id}")
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(publish)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return read_replay_segments(spark, seg_dir).select(
+            "vec_id", "proj_q", "cos2_ppm", "axis_aligned"
+        )
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(stage_dir, ignore_errors=True)

@@ -255,6 +255,7 @@ PRIORITY = [
     "embedding_pca_top_component",
     "embedding_pca_outlier_scores",
     "embedding_pca_drift_direction",
+    "streaming_embedding_pca_score_replay",
 ]
 
 
