@@ -171,6 +171,7 @@ HEADLINE = [
     "embedding_pca_top_component",
     "embedding_pca_outlier_scores",
     "embedding_pca_drift_direction",
+    "embedding_pca_top2_components",
 ]
 
 

@@ -217,3 +217,57 @@ def test_pca_replay_equals_batch(spark, sf_dir):
         ).collect()
     }
     assert replay == batch
+
+
+def test_pca_top2_planted_two_directions():
+    """Two planted variance directions at different strengths: the
+    solver must rank them (component 1 = the strong axis, component 2
+    = the medium axis), keep them orthogonal (self-audit ≈ 0), and
+    order the variance shares."""
+    from weather_analysis_bigdata__spark.queries_round8b import (
+        _PCA_DIM,
+        _pca_solve_top2,
+    )
+
+    d = _PCA_DIM
+    strong, medium = 7, 23
+    vecs = []
+    for t in range(300):
+        v = [((t * 11 + i) % 3) - 1 for i in range(d)]
+        v[strong] = 2000 if t % 2 == 0 else -2000
+        v[medium] = 800 if t % 3 == 0 else -400
+        vecs.append(v)
+    n = len(vecs)
+    s = [sum(v[i] for v in vecs) for i in range(d)]
+    gram = [
+        [sum(v[i] * v[j] for v in vecs) for j in range(d)] for i in range(d)
+    ]
+    comps = {c: (ld, lam, var, orth)
+             for c, ld, lam, var, orth in _pca_solve_top2(gram, s, n)}
+    l1, lam1, var1, _ = comps[1]
+    l2, lam2, var2, orth = comps[2]
+    assert max(range(d), key=lambda i: abs(l1[i])) == strong
+    assert max(range(d), key=lambda i: abs(l2[i])) == medium
+    assert lam1 > lam2 > 0
+    assert var1 > var2 > 0
+    assert orth < 1000  # cos² < 0.1% — deflation removed component 1
+
+
+def test_pca_top2_matches_top1_and_is_orthogonal(spark, sf_dir):
+    """Component 1 of the top-2 query must equal the standalone top-
+    component query's loadings (same solver path), and the shipped
+    orthogonality audit must be small on the real corpus."""
+    from weather_analysis_bigdata__spark.queries_round8b import (
+        embedding_pca_top2_components,
+        embedding_pca_top_component,
+    )
+
+    two = embedding_pca_top2_components(spark, sf_dir).collect()
+    one = {
+        r.pos: r.loading_q
+        for r in embedding_pca_top_component(spark, sf_dir).collect()
+    }
+    c1 = {r.pos: r.loading_q for r in two if r.component == 1}
+    assert c1 == one
+    orth = {r.ortho_to_prev_ppm for r in two if r.component == 2}
+    assert len(orth) == 1 and orth.pop() < 20_000  # cos² < 2%

@@ -201,41 +201,49 @@ def _fd(s: str, n: str) -> str:
     return f"((({s}) - (((({s}) % ({n})) + ({n})) % ({n}))) // ({n}))"
 
 
-def _pca_sql(where: str = "TRUE") -> str:
-    """DuckDB mirror of the full pipeline: quantize → upper-triangle
-    Gram + column sums (the distributed pass) → centered integer
-    moment matrix M = N·G − s·sᵀ → floor-shift → fixed-point power
-    iteration → sign-canonicalized loadings + integer Rayleigh
-    quotient. All divisions go through :func:`_fd` (exact floor
-    division), and DuckDB's integer SUM promotes to HUGEINT, so every
-    step is exact. ``where`` restricts the vector population (the
-    drift query solves per-slice components)."""
+def _pca_iter_ctes(mat: str, pref: str) -> tuple[str, str]:
+    """The fixed-point power-iteration CTE chain over matrix CTE
+    ``mat`` (columns i, j, m), names prefixed with ``pref`` so two
+    chains (component 1, deflated component 2) can share one WITH
+    block. Returns (cte_fragment, final_iterate_name)."""
     v = _PCA_VSCALE
-    d = _PCA_DIM
-    # Powers-of-two lookup for the shift search: literal rows keep every
-    # comparison in exact BIGINT (ma < 2^48 at test SFs; 32 covers 2^62).
-    pows = ", ".join(f"({k}, {1 << k})" for k in range(33))
     its = []
-    prev = "it0"
+    prev = f"it{pref}0"
     for t in range(1, _PCA_ITERS + 1):
         its.append(
-            f"""w{t} AS MATERIALIZED (
-      SELECT mq.i AS pos, CAST(SUM(mq.m * {prev}.v) AS BIGINT) AS w
-      FROM mq JOIN {prev} ON mq.j = {prev}.pos GROUP BY mq.i
+            f"""w{pref}{t} AS MATERIALIZED (
+      SELECT {mat}.i AS pos, CAST(SUM({mat}.m * {prev}.v) AS BIGINT) AS w
+      FROM {mat} JOIN {prev} ON {mat}.j = {prev}.pos GROUP BY {mat}.i
     ),
-    d{t} AS MATERIALIZED (
+    d{pref}{t} AS MATERIALIZED (
       SELECT GREATEST(CAST(1 AS BIGINT),
                       CAST({_fd('MAX(ABS(w))', str(v))} AS BIGINT)) AS dd
-      FROM w{t}
+      FROM w{pref}{t}
     ),
-    it{t} AS MATERIALIZED (
-      SELECT pos, CAST({_fd('w', 'dd')} AS BIGINT) AS v FROM w{t}, d{t}
+    it{pref}{t} AS MATERIALIZED (
+      SELECT pos, CAST({_fd('w', 'dd')} AS BIGINT) AS v
+      FROM w{pref}{t}, d{pref}{t}
     )"""
         )
-        prev = f"it{t}"
-    its_sql = ",\n    ".join(its)
-    return f"""
-    WITH sv AS MATERIALIZED (
+        prev = f"it{pref}{t}"
+    return ",\n    ".join(its), prev
+
+
+def _pca_pows(hi: int = 33) -> str:
+    """Powers-of-two VALUES rows for the shift search: literal rows
+    keep every comparison exact (the shift bound multiplies by 2^30,
+    so comparisons are cast to HUGEINT where the matrix is)."""
+    return ", ".join(f"({k}, {1 << k})" for k in range(hi))
+
+
+def _pca_base_ctes(where: str = "TRUE") -> str:
+    """The shared front of every PCA oracle: quantize → upper-triangle
+    Gram + column sums → centered integer moment matrix → floor-shift
+    into the iteration range (CTE ``mq``) → initial iterate ``it0``."""
+    v = _PCA_VSCALE
+    d = _PCA_DIM
+    pows = _pca_pows()
+    return f"""sv AS MATERIALIZED (
       SELECT list_transform(embedding,
                x -> {_fd('CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,8)) '
                          f'* 100000000 AS BIGINT)', str(_PCA_DOWN))}) AS qa
@@ -274,7 +282,21 @@ def _pca_sql(where: str = "TRUE") -> str:
     it0 AS MATERIALIZED (
       SELECT CAST(t.k AS INT) AS pos, CAST({v} AS BIGINT) AS v
       FROM range(0, {d}) t(k)
-    ),
+    )"""
+
+
+def _pca_sql(where: str = "TRUE") -> str:
+    """DuckDB mirror of the full pipeline: quantize → upper-triangle
+    Gram + column sums (the distributed pass) → centered integer
+    moment matrix M = N·G − s·sᵀ → floor-shift → fixed-point power
+    iteration → sign-canonicalized loadings + integer Rayleigh
+    quotient. All divisions go through :func:`_fd` (exact floor
+    division), and DuckDB's integer SUM promotes to HUGEINT, so every
+    step is exact. ``where`` restricts the vector population (the
+    drift query solves per-slice components)."""
+    its_sql, prev = _pca_iter_ctes("mq", "")
+    return f"""
+    WITH {_pca_base_ctes(where)},
     {its_sql},
     sg AS MATERIALIZED (
       SELECT CASE WHEN COALESCE((SELECT v FROM {prev} WHERE v <> 0
@@ -581,6 +603,54 @@ def embedding_pca_outlier_scores(
     return _pca_score_kernel(sq, lv)
 
 
+def _pca_center_shift(
+    gram: list[list[int]], s: list[int], n_vec: int
+) -> tuple[list[list[int]], int]:
+    """M = N·G − s·sᵀ, floor-shifted into the iteration range."""
+    d = len(s)
+    m = [[n_vec * gram[i][j] - s[i] * s[j] for j in range(d)] for i in range(d)]
+    return _pca_shift(m)
+
+
+def _pca_shift(m: list[list[int]]) -> tuple[list[list[int]], int]:
+    d = len(m)
+    ma = max(abs(m[i][j]) for i in range(d) for j in range(d))
+    k = 0
+    while ma >= (_PCA_GBOUND << k):
+        k += 1
+    p2 = 1 << k
+    return [[m[i][j] // p2 for j in range(d)] for i in range(d)], k
+
+
+def _pca_iterate(mq: list[list[int]]) -> list[int]:
+    """Fixed-point power iteration at scale 2^20 — the pre-canonical
+    iterate (sign applied separately, as the oracle does)."""
+    d = len(mq)
+    v = [_PCA_VSCALE] * d
+    for _ in range(_PCA_ITERS):
+        w = [sum(mq[i][j] * v[j] for j in range(d)) for i in range(d)]
+        dd = max(1, max(abs(x) for x in w) // _PCA_VSCALE)
+        v = [x // dd for x in w]
+    return v
+
+
+def _pca_canon(v: list[int]) -> list[int]:
+    first = next((x for x in v if x != 0), 0)
+    sg = -1 if first < 0 else 1
+    return [sg * x for x in v]
+
+
+def _pca_rayleigh(
+    mq: list[list[int]], v: list[int]
+) -> tuple[int, int]:
+    """(num, den) of the Rayleigh quotient vᵀMv / vᵀv (den ≥ 1)."""
+    d = len(v)
+    u = [sum(mq[i][j] * v[j] for j in range(d)) for i in range(d)]
+    num = sum(v[i] * u[i] for i in range(d))
+    den = max(1, sum(x * x for x in v))
+    return num, den
+
+
 def _pca_power_solve(
     gram: list[list[int]], s: list[int], n_vec: int
 ) -> tuple[list[int], int, int, int]:
@@ -590,30 +660,13 @@ def _pca_power_solve(
     end to end — bit-identical to the oracle's HUGEINT arithmetic.
     Returns (loadings, eigenvalue_q, var_explained_ppm, shift_bits)."""
     d = len(s)
-    m = [[n_vec * gram[i][j] - s[i] * s[j] for j in range(d)] for i in range(d)]
-
-    ma = max(abs(m[i][j]) for i in range(d) for j in range(d))
-    k = 0
-    while ma >= (_PCA_GBOUND << k):
-        k += 1
-    p2 = 1 << k
-    mq = [[m[i][j] // p2 for j in range(d)] for i in range(d)]
-
-    v = [_PCA_VSCALE] * d
-    for _ in range(_PCA_ITERS):
-        w = [sum(mq[i][j] * v[j] for j in range(d)) for i in range(d)]
-        dd = max(1, max(abs(x) for x in w) // _PCA_VSCALE)
-        v = [x // dd for x in w]
-
-    first = next((x for x in v if x != 0), 0)
-    sg = -1 if first < 0 else 1
-    u = [sum(mq[i][j] * v[j] for j in range(d)) for i in range(d)]
-    num = sum(v[i] * u[i] for i in range(d))
-    den = max(1, sum(x * x for x in v))
+    mq, k = _pca_center_shift(gram, s, n_vec)
+    v = _pca_iterate(mq)
+    num, den = _pca_rayleigh(mq, v)
     trq = max(1, sum(mq[i][i] for i in range(d)))
     lam_q = num // den
     var_ppm = (1_000_000 * num) // (den * trq)
-    return [sg * x for x in v], lam_q, var_ppm, k
+    return _pca_canon(v), lam_q, var_ppm, k
 
 
 # ---------------------------------------------------------------------------
@@ -864,3 +917,225 @@ def streaming_embedding_pca_score_replay(
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Top-2 components by exact integer deflation
+# ---------------------------------------------------------------------------
+#: Deflation re-quantizes the solved v1 from scale 2^20 down to 2^10
+#: before forming M₂ = a²·M − r·(v vᵀ) with a = vᵀv, r = vᵀMv — at
+#: 2^10 the deflated entries stay ≤ ~2^86, comfortably inside HUGEINT
+#: (at the full 2^20 scale they would graze the 2^127 ceiling).
+_PCA_DEFLATE_DOWN = 1 << 10
+
+
+def _pca_solve_top2(
+    gram: list[list[int]], s: list[int], n_vec: int
+) -> list[tuple[int, list[int], int, int, int]]:
+    """Top-2 eigensolve by exact integer deflation. For any w ⊥ v:
+    M₂w = a²·Mw (spectrum scaled, order preserved), while M₂v ≈ 0 —
+    so the second power iteration converges to the runner-up
+    direction. Every step floors identically in Python and HUGEINT.
+    Returns [(component, loadings, eigenvalue_q, var_ppm, ortho_ppm)]
+    with eigenvalues both measured against the SAME shifted M (so
+    they are comparable) and ortho_ppm = cos²(v₁, v₂) in ppm (the
+    orthogonality self-audit; ~0 when deflation worked)."""
+    d = len(s)
+    mq, _k1 = _pca_center_shift(gram, s, n_vec)
+    trq = max(1, sum(mq[i][i] for i in range(d)))
+
+    v1 = _pca_canon(_pca_iterate(mq))
+    num1, den1 = _pca_rayleigh(mq, v1)
+
+    vq = [x // _PCA_DEFLATE_DOWN for x in v1]
+    a = sum(x * x for x in vq)
+    u = [sum(mq[i][j] * vq[j] for j in range(d)) for i in range(d)]
+    r = sum(vq[i] * u[i] for i in range(d))
+    m2 = [
+        [a * a * mq[i][j] - r * vq[i] * vq[j] for j in range(d)]
+        for i in range(d)
+    ]
+    mq2, _k2 = _pca_shift(m2)
+    v2 = _pca_canon(_pca_iterate(mq2))
+    num2, den2 = _pca_rayleigh(mq, v2)
+
+    dot12 = sum(x * y for x, y in zip(v1, v2))
+    ortho = (1_000_000 * dot12 * dot12) // (
+        max(1, sum(x * x for x in v1)) * max(1, sum(x * x for x in v2))
+    )
+    return [
+        (
+            1,
+            v1,
+            num1 // den1,
+            (1_000_000 * num1) // (den1 * trq),
+            0,
+        ),
+        (
+            2,
+            v2,
+            num2 // den2,
+            (1_000_000 * num2) // (den2 * trq),
+            ortho,
+        ),
+    ]
+
+
+def _pca2_sql() -> str:
+    """Two chained power iterations in one WITH block: the shared base
+    CTEs solve component 1, exact-integer deflation (M₂ = a²M − r vvᵀ
+    over the 2^10-requantized v₁) feeds the second chain, both
+    Rayleigh quotients measured against the SAME shifted M."""
+    d = _PCA_DIM
+    v = _PCA_VSCALE
+    its1, last1 = _pca_iter_ctes("mq", "")
+    its2, last2 = _pca_iter_ctes("mq2", "b")
+    pows2 = _pca_pows(63)
+    return f"""
+    WITH {_pca_base_ctes()},
+    {its1},
+    sg AS MATERIALIZED (
+      SELECT CASE WHEN COALESCE((SELECT v FROM {last1} WHERE v <> 0
+                                 ORDER BY pos LIMIT 1), 0) < 0
+                  THEN -1 ELSE 1 END AS sg
+    ),
+    v1c AS MATERIALIZED (
+      SELECT fv.pos, CAST(sg.sg * fv.v AS BIGINT) AS v FROM {last1} fv, sg
+    ),
+    u1 AS MATERIALIZED (
+      SELECT mq.i AS pos, CAST(SUM(mq.m * v1c.v) AS BIGINT) AS u
+      FROM mq JOIN v1c ON mq.j = v1c.pos GROUP BY mq.i
+    ),
+    ray1 AS MATERIALIZED (
+      SELECT CAST(SUM(CAST(v1c.v AS HUGEINT) * u1.u) AS HUGEINT) AS num,
+             GREATEST(CAST(SUM(CAST(v1c.v AS HUGEINT) * v1c.v) AS HUGEINT),
+                      CAST(1 AS HUGEINT)) AS den
+      FROM v1c JOIN u1 USING (pos)
+    ),
+    tr AS MATERIALIZED (
+      SELECT GREATEST(CAST(SUM(m) AS HUGEINT), CAST(1 AS HUGEINT)) AS trq
+      FROM mq WHERE i = j
+    ),
+    vq AS MATERIALIZED (
+      SELECT pos, CAST({_fd('v', str(_PCA_DEFLATE_DOWN))} AS BIGINT) AS v
+      FROM v1c
+    ),
+    aa AS MATERIALIZED (
+      SELECT CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS a FROM vq
+    ),
+    uq AS MATERIALIZED (
+      SELECT mq.i AS pos, CAST(SUM(mq.m * vq.v) AS BIGINT) AS u
+      FROM mq JOIN vq ON mq.j = vq.pos GROUP BY mq.i
+    ),
+    rr AS MATERIALIZED (
+      SELECT CAST(SUM(CAST(vq.v AS HUGEINT) * uq.u) AS HUGEINT) AS r
+      FROM vq JOIN uq USING (pos)
+    ),
+    m2 AS MATERIALIZED (
+      SELECT mq.i, mq.j,
+             aa.a * aa.a * CAST(mq.m AS HUGEINT)
+               - rr.r * (CAST(va.v AS HUGEINT) * vb.v) AS m
+      FROM mq, aa, rr, vq va, vq vb
+      WHERE va.pos = mq.i AND vb.pos = mq.j
+    ),
+    mx2 AS MATERIALIZED (SELECT MAX(ABS(m)) AS ma FROM m2),
+    sh2 AS MATERIALIZED (
+      SELECT MIN(p.k) AS k, MIN_BY(p.p2, p.k) AS p2
+      FROM (VALUES {pows2}) p(k, p2), mx2
+      WHERE mx2.ma < CAST(p.p2 AS HUGEINT) * {_PCA_GBOUND}
+    ),
+    mq2 AS MATERIALIZED (
+      SELECT i, j, CAST({_fd('m', 'sh2.p2')} AS BIGINT) AS m FROM m2, sh2
+    ),
+    itb0 AS MATERIALIZED (
+      SELECT CAST(t.k AS INT) AS pos, CAST({v} AS BIGINT) AS v
+      FROM range(0, {d}) t(k)
+    ),
+    {its2},
+    sgb AS MATERIALIZED (
+      SELECT CASE WHEN COALESCE((SELECT v FROM {last2} WHERE v <> 0
+                                 ORDER BY pos LIMIT 1), 0) < 0
+                  THEN -1 ELSE 1 END AS sg
+    ),
+    v2c AS MATERIALIZED (
+      SELECT fv.pos, CAST(sgb.sg * fv.v AS BIGINT) AS v FROM {last2} fv, sgb
+    ),
+    u2 AS MATERIALIZED (
+      SELECT mq.i AS pos, CAST(SUM(mq.m * v2c.v) AS BIGINT) AS u
+      FROM mq JOIN v2c ON mq.j = v2c.pos GROUP BY mq.i
+    ),
+    ray2 AS MATERIALIZED (
+      SELECT CAST(SUM(CAST(v2c.v AS HUGEINT) * u2.u) AS HUGEINT) AS num,
+             GREATEST(CAST(SUM(CAST(v2c.v AS HUGEINT) * v2c.v) AS HUGEINT),
+                      CAST(1 AS HUGEINT)) AS den
+      FROM v2c JOIN u2 USING (pos)
+    ),
+    orth AS MATERIALIZED (
+      SELECT CAST({_fd(
+          '1000000 * nab * nab',
+          'GREATEST(d1, 1) * GREATEST(d2, 1)')} AS BIGINT) AS ppm
+      FROM (
+        SELECT CAST(SUM(CAST(a.v AS HUGEINT) * b.v) AS HUGEINT) AS nab,
+               CAST(SUM(CAST(a.v AS HUGEINT) * a.v) AS HUGEINT) AS d1,
+               CAST(SUM(CAST(b.v AS HUGEINT) * b.v) AS HUGEINT) AS d2
+        FROM v1c a JOIN v2c b USING (pos)
+      )
+    )
+    SELECT CAST(1 AS BIGINT) AS component, CAST(v1c.pos AS BIGINT) AS pos,
+           v1c.v AS loading_q,
+           CAST({_fd('ray1.num', 'ray1.den')} AS BIGINT) AS eigenvalue_q,
+           CAST({_fd('1000000 * ray1.num', 'ray1.den * tr.trq')} AS BIGINT)
+             AS var_explained_ppm,
+           CAST(0 AS BIGINT) AS ortho_to_prev_ppm
+    FROM v1c, ray1, tr
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS component, CAST(v2c.pos AS BIGINT) AS pos,
+           v2c.v AS loading_q,
+           CAST({_fd('ray2.num', 'ray2.den')} AS BIGINT) AS eigenvalue_q,
+           CAST({_fd('1000000 * ray2.num', 'ray2.den * tr.trq')} AS BIGINT)
+             AS var_explained_ppm,
+           orth.ppm AS ortho_to_prev_ppm
+    FROM v2c, ray2, tr, orth
+    """
+
+
+@register(
+    "embedding_pca_top2_components",
+    oracle=_pca2_sql,
+    doc="Top-2 principal components by EXACT INTEGER DEFLATION — the "
+    "spectral family's completion (solve → score → drift → top-k): "
+    "after the first power iteration, M₂ = a²·M − r·(v₁v₁ᵀ) with "
+    "a = v₁ᵀv₁, r = v₁ᵀMv₁ over the 2^10-requantized v₁ keeps every "
+    "entry inside HUGEINT while preserving the orthogonal spectrum's "
+    "order (for w ⊥ v₁: M₂w = a²·Mw), so the second iteration "
+    "converges to the runner-up direction. Both Rayleigh quotients "
+    "are measured against the SAME shifted M — the eigenvalues and "
+    "variance-explained ppm are directly comparable — and "
+    "ortho_to_prev_ppm = cos²(v₁, v₂) ships as the orthogonality "
+    "self-audit every deflation needs (near-0 = the deflation "
+    "actually removed v₁). The distributed part is unchanged: ONE "
+    "moment pass; both eigensolves are bounded O(d²) driver state. "
+    "Bit-identical Python-int vs HUGEINT arithmetic end to end — an "
+    "exact-value-hash two-component PCA.",
+)
+def embedding_pca_top2_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    gram, s, n_vec = _pca_moments(spark, sf_dir)
+    comps = _pca_solve_top2(gram, s, n_vec)
+    schema = T.StructType(
+        [
+            T.StructField("component", T.LongType()),
+            T.StructField("pos", T.LongType()),
+            T.StructField("loading_q", T.LongType()),
+            T.StructField("eigenvalue_q", T.LongType()),
+            T.StructField("var_explained_ppm", T.LongType()),
+            T.StructField("ortho_to_prev_ppm", T.LongType()),
+        ]
+    )
+    rows = [
+        (c, pos, loadings[pos], lam, var, ortho)
+        for (c, loadings, lam, var, ortho) in comps
+        for pos in range(_PCA_DIM)
+    ]
+    return spark.createDataFrame(rows, schema)

@@ -256,6 +256,7 @@ PRIORITY = [
     "embedding_pca_outlier_scores",
     "embedding_pca_drift_direction",
     "streaming_embedding_pca_score_replay",
+    "embedding_pca_top2_components",
 ]
 
 
