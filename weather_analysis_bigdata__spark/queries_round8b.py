@@ -1,5 +1,5 @@
 """Round-8 continuation batch: the governance family's third rung and
-a distributed spectral operator.
+the spectral (PCA) operator family.
 
 - **t-closeness audit** (`t_closeness_audit`): k_anonymity_audit
   bounds equivalence-class SIZE, l_diversity_audit bounds class
@@ -11,20 +11,29 @@ a distributed spectral operator.
   distance between the class's sensitive distribution and the global
   one, computed in EXACT integer arithmetic.
 
-- **PCA top component** (`embedding_pca_top_component`): the one
-  linear-algebra primitive every embedding-curation pipeline reaches
-  for (drift directions, whitening, matryoshka truncation decisions)
-  that the ANN/centroid family does not cover. Spark-first shape: ONE
-  distributed pass builds the exact d×d second-moment matrix by
-  map-side partial aggregation of per-row outer products (the shuffle
-  carries O(d²·partitions) rows, never O(N)); the O(d²) eigensolve then
-  runs driver-side — the same bounded-driver-state split the unigram
-  trainer and BPE merge table use, and exactly how a 1000-executor
-  PCA over 100 TB is built (d=64 here; the Gram pass is the only part
-  that sees the data). Exactness: a fixed-point integer power
-  iteration (floor-division renormalization) over an integer moment
-  matrix — bit-identical in pure-Python ints and DuckDB HUGEINT
-  arithmetic, so the oracle match is exact, not tolerance-based.
+- **The PCA family** — the linear-algebra primitive every
+  embedding-curation pipeline reaches for that the ANN/centroid
+  family does not cover, as five composable queries:
+  `embedding_pca_top_component` (solve), `embedding_pca_outlier_scores`
+  (score every vector against the PERSISTED component),
+  `embedding_pca_drift_direction` (per-slice components from one
+  tag-multiplexed moment pass, integer squared-cosine drift gate),
+  `embedding_pca_top2_components` (top-2 by exact integer deflation,
+  orthogonality self-audit in the result), and
+  `streaming_embedding_pca_score_replay` (the scorer at ingest —
+  stream ≡ batch via the shared kernel + verbatim oracle).
+
+  Spark-first shape shared by all five: ONE distributed pass builds
+  the exact d×d second-moment matrix by map-side partial aggregation
+  of per-row outer products (the shuffle carries O(d²·partitions)
+  rows, never O(N)); the O(d²) eigensolve runs driver-side — the same
+  bounded-driver-state split the unigram trainer and BPE merge table
+  use, and exactly how a 1000-executor PCA over 100 TB is built
+  (d=64 here; the Gram pass is the only part that sees the data).
+  Exactness: fixed-point integer power iteration (floor-division
+  renormalization) over an integer moment matrix — bit-identical in
+  pure-Python ints and DuckDB HUGEINT arithmetic, so every oracle
+  match is exact, never tolerance-based.
 
 Reference parity note: the reference (Weather_API.py) has neither
 privacy audits nor spectral ops — charter-extension breadth on the
@@ -743,20 +752,22 @@ def _pca_drift_oracle() -> str:
     "component ~2.6%% of variance), so the gate is calibrated to the "
     "MEASURED same-distribution band, not to an assumed ≈1e6 "
     "stability — that honesty is the point of shipping the controls "
-    "in the query. Plan: ONE pass computes all three moment sets — "
-    "each row explodes its d(d+1)/2 products once per slice "
-    "membership tag, map-side partial aggregation keyed (slice, i, "
-    "j) — then three O(d²) driver eigensolves and pure-integer "
-    "comparison; at 100 TB the pass costs the same as the solo "
-    "moment pass times tag multiplicity, and nothing else scales "
-    "with N.",
+    "in the query. Plan: the corpus baseline comes from the PERSISTED "
+    "component index (it IS the corpus solve — drift monitoring "
+    "compares arrivals against yesterday's published component, not a "
+    "re-solve); ONE pass computes the two slice moment sets — each "
+    "row explodes its d(d+1)/2 products once per slice-membership "
+    "tag, map-side partial aggregation keyed (slice, i, j) — then two "
+    "O(d²) driver eigensolves and pure-integer comparison; at 100 TB "
+    "the pass costs the solo moment pass times mean tag multiplicity "
+    "(< 1 here: slices are subsets), and nothing else scales with N.",
+    prepare=_prepare_pca_component,
 )
 def embedding_pca_drift_direction(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     tags = F.array_compact(
         F.array(
-            F.lit("full"),
             F.when(F.col("vec_id") % 3 == 0, F.lit("resample")),
             F.when(F.col("label") >= 8, F.lit("shifted")),
         )
@@ -809,7 +820,11 @@ def embedding_pca_drift_direction(
         k: _pca_power_solve(m["g"], m["s"], m["n"])[0]
         for k, m in moments.items()
     }
-    fl = solved["full"]
+    comp = {
+        r["pos"]: r["loading_q"]
+        for r in _pca_component_index(spark, sf_dir).collect()
+    }
+    fl = [comp[i] for i in range(d)]
     out = []
     for name, _w in _PCA_SLICES:
         v = solved[name]
