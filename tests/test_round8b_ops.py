@@ -271,3 +271,58 @@ def test_pca_top2_matches_top1_and_is_orthogonal(spark, sf_dir):
     assert c1 == one
     orth = {r.ortho_to_prev_ppm for r in two if r.component == 2}
     assert len(orth) == 1 and orth.pop() < 20_000  # cos² < 2%
+
+
+def test_asof_nearest_matches_bruteforce(spark, sf_dir):
+    """Independent recomputation: for every event, scan the user's
+    orders and pick the nearest by |Δt| with ties to backward (and to
+    the family's (ts, kind, id) convention within equal timestamps).
+    The query's pick, direction, and distance must match exactly."""
+    from collections import defaultdict
+
+    from weather_analysis_bigdata__spark.queries_round8b import (
+        asof_join_nearest,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    orders = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_custkey", "CAST(o_orderdate AS TIMESTAMP) AS ts", "o_orderkey"
+        )
+        .collect()
+    ):
+        orders[r.o_custkey].append((r.ts, r.o_orderkey))
+    out = {r.event_id: r for r in asof_join_nearest(spark, sf_dir).collect()}
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    ).collect()
+    assert len(out) == len(events)
+    for ev in events:
+        cands = orders.get(ev.user_id, [])
+        row = out[ev.event_id]
+        back = [(ts, k) for ts, k in cands if ts <= ev.ts]
+        fwd = [(ts, k) for ts, k in cands if ts > ev.ts]
+        # backward candidate: latest ts, then largest key (sort-order
+        # convention); forward: earliest ts, then smallest key.
+        pk = max(back, key=lambda x: (x[0], x[1])) if back else None
+        nk = min(fwd, key=lambda x: (x[0], x[1])) if fwd else None
+        if pk is None and nk is None:
+            assert row.direction == "none"
+            assert row.nearest_orderkey is None and row.dist_us is None
+            continue
+        pd = int((ev.ts - pk[0]).total_seconds() * 1e6) if pk else None
+        nd = int((nk[0] - ev.ts).total_seconds() * 1e6) if nk else None
+        if nk is None or (pk is not None and pd <= nd):
+            assert (row.direction, row.nearest_orderkey, row.dist_us) == (
+                "backward",
+                pk[1],
+                pd,
+            )
+        else:
+            assert (row.direction, row.nearest_orderkey, row.dist_us) == (
+                "forward",
+                nk[1],
+                nd,
+            )

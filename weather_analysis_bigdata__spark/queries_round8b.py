@@ -1154,3 +1154,135 @@ def embedding_pca_top2_components(
         for pos in range(_PCA_DIM)
     ]
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# As-of join, NEAREST direction (pandas merge_asof direction='nearest')
+# ---------------------------------------------------------------------------
+@register(
+    "asof_join_nearest",
+    oracle="""
+    WITH merged AS (
+      SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ts,
+             0 AS kind, o_orderkey AS sort_id,
+             o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_ts,
+             NULL::BIGINT AS event_id
+      FROM orders
+      UNION ALL
+      SELECT user_id, ts, 1 AS kind, event_id AS sort_id,
+             NULL::BIGINT AS o_orderkey, NULL::TIMESTAMP AS o_ts, event_id
+      FROM events
+    ),
+    filled AS (
+      SELECT *,
+             last_value(o_orderkey IGNORE NULLS) OVER wprev AS pk,
+             last_value(o_ts IGNORE NULLS) OVER wprev AS pts,
+             first_value(o_orderkey IGNORE NULLS) OVER wnext AS nk,
+             first_value(o_ts IGNORE NULLS) OVER wnext AS nts
+      FROM merged
+      WINDOW wprev AS (PARTITION BY user_id ORDER BY ts, kind, sort_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wnext AS (PARTITION BY user_id ORDER BY ts, kind, sort_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    dist AS (
+      SELECT event_id, user_id, ts AS event_ts, pk, nk,
+             epoch_us(ts) - epoch_us(pts) AS pd,
+             epoch_us(nts) - epoch_us(ts) AS nd
+      FROM filled WHERE kind = 1
+    )
+    SELECT event_id, user_id, event_ts,
+           CASE WHEN pk IS NULL AND nk IS NULL THEN NULL
+                WHEN nk IS NULL OR (pk IS NOT NULL AND pd <= nd) THEN pk
+                ELSE nk END AS nearest_orderkey,
+           CASE WHEN pk IS NULL AND nk IS NULL THEN 'none'
+                WHEN nk IS NULL OR (pk IS NOT NULL AND pd <= nd)
+                  THEN 'backward'
+                ELSE 'forward' END AS direction,
+           CASE WHEN pk IS NULL AND nk IS NULL THEN NULL
+                WHEN nk IS NULL OR (pk IS NOT NULL AND pd <= nd) THEN pd
+                ELSE nd END AS dist_us
+    FROM dist
+    """,
+    doc="As-of join, NEAREST direction — completing the as-of family "
+    "(asof_join_event_order = backward, asof_join_forward_tolerance = "
+    "forward+tolerance; pandas merge_asof ships all three directions "
+    "and 'nearest' is the default ask for sensor/trade alignment): "
+    "each event picks the user's temporally closest order in EITHER "
+    "direction, ties to backward (an at-or-before order at equal "
+    "distance wins, so a same-instant order always matches at "
+    "dist 0). Same scalable union-merge shape as the backward form — "
+    "tag both sides, ONE shuffle on user_id, one sort — but with TWO "
+    "frame passes over the same sorted partition: forward-fill "
+    "(last_value ignore-nulls, preceding frame) carries the latest "
+    "at-or-before order + its timestamp, backward-fill (first_value, "
+    "following frame) the earliest after; the nearest pick is then a "
+    "row-local integer comparison of microsecond distances. No row "
+    "amplification, no inequality join; users with no orders surface "
+    "direction='none'. Within an equal-timestamp run the backward "
+    "candidate is the largest orderkey at that instant and the "
+    "forward candidate the smallest following — the (ts, kind, id) "
+    "tie-break convention the family shares.",
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.lit(0).alias("kind"),
+        F.col("o_orderkey").alias("sort_id"),
+        F.col("o_orderkey"),
+        F.col("o_orderdate").cast("timestamp").alias("o_ts"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("sort_id"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_ts"),
+        "event_id",
+    )
+    merged = o.unionByName(e)
+    base = Window.partitionBy("user_id").orderBy("ts", "kind", "sort_id")
+    wprev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wnext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    filled = merged.select(
+        "*",
+        F.last("o_orderkey", ignorenulls=True).over(wprev).alias("pk"),
+        F.last("o_ts", ignorenulls=True).over(wprev).alias("pts"),
+        F.first("o_orderkey", ignorenulls=True).over(wnext).alias("nk"),
+        F.first("o_ts", ignorenulls=True).over(wnext).alias("nts"),
+    )
+    dist = filled.filter(F.col("kind") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("event_ts"),
+        "pk",
+        "nk",
+        (F.unix_micros("ts") - F.unix_micros("pts")).alias("pd"),
+        (F.unix_micros("nts") - F.unix_micros("ts")).alias("nd"),
+    )
+    both_null = F.col("pk").isNull() & F.col("nk").isNull()
+    pick_back = F.col("nk").isNull() | (
+        F.col("pk").isNotNull() & (F.col("pd") <= F.col("nd"))
+    )
+    return dist.select(
+        "event_id",
+        "user_id",
+        "event_ts",
+        F.when(both_null, F.lit(None).cast("bigint"))
+        .when(pick_back, F.col("pk"))
+        .otherwise(F.col("nk"))
+        .alias("nearest_orderkey"),
+        F.when(both_null, "none")
+        .when(pick_back, "backward")
+        .otherwise("forward")
+        .alias("direction"),
+        F.when(both_null, F.lit(None).cast("bigint"))
+        .when(pick_back, F.col("pd"))
+        .otherwise(F.col("nd"))
+        .alias("dist_us"),
+    )
