@@ -15,6 +15,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Reviewed regression exceptions (the plan audit's XCHG-exception
+# idiom, applied to wall time): a query listed here may exceed its
+# committed variance band WITH a reason recorded in the bench record.
+# Empty = every band breach flags. A flag is fixed, or earns a row
+# here with its review, never silently tolerated.
+BENCH_EXCEPTIONS: dict = {}
+
 HEADLINE = [
     "a1_group_multi_avg",
     "r2_dedup_full_row",
@@ -332,6 +339,39 @@ def main() -> None:
                     file=sys.stderr,
                 )
     detail.pop("streaming_throughput_error", None)
+    # Machine-adjudicated regressions (round-8 verdict item 6): diff
+    # this run's warm times against the committed 3-run variance band
+    # so "it's the contention band" is a computed verdict, not a prose
+    # argument. A query regresses when its warm time exceeds the band's
+    # observed max by more than its own observed spread (floored at
+    # 0.15 s — the sub-contention noise floor at this SF). New queries
+    # (no band yet) get regressed=null until the next variance run.
+    regressions: dict = {"sf": sf_val, "queries": {}, "flagged": []}
+    band = detail.get("variance_3runs") or {}
+    band_qs = band.get("queries") or {}
+    band_ok = band.get("sf") == sf_val
+    for name, t in times.items():
+        b = band_qs.get(name) if band_ok else None
+        if not b:
+            regressions["queries"][name] = {"observed": t, "regressed": None}
+            continue
+        allowed = round(b["max"] + max(0.15, b["spread"]), 3)
+        flag = t > allowed
+        entry = {
+            "observed": t,
+            "band_max": b["max"],
+            "allowed": allowed,
+            "regressed": flag,
+        }
+        exc = BENCH_EXCEPTIONS.get(name)
+        if flag and exc is not None:
+            entry["exception"] = exc
+            flag = False
+            entry["regressed"] = False
+        regressions["queries"][name] = entry
+        if flag:
+            regressions["flagged"].append(name)
+    detail["regressions"] = regressions
     # Record the serve depth the eval weight tables derive from, so a
     # depth change is visible as a diff against this record instead of
     # a silent metric shift (round-6 advice; guarded by the _EVAL_K
@@ -363,6 +403,7 @@ def main() -> None:
             "queries": {k: round(v, 2) for k, v in times.items()},
             "cold_value": round(sum(cold.values()), 3),
             "sf": sf_val,
+            "regressed": regressions["flagged"],
         },
         separators=(",", ":"),
     )
@@ -377,6 +418,7 @@ def main() -> None:
                 "cold_value": round(sum(cold.values()), 3),
                 "sf": sf_val,
                 "n_queries": len(times),
+                "regressed": regressions["flagged"][:10],
             },
             separators=(",", ":"),
         )

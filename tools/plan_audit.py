@@ -192,11 +192,13 @@ KNOWN_EXCEPTIONS = {
     "broadcast offsets (BNLJ), bucket-partitioned running window, "
     "then the bounded doc→sequence fan-out and the per-sequence "
     "fragment aggregate",
-    "postings_index_compact": "the delta ⋈ removed segment merge is a "
-    "FULL OUTER on the term key (neither side privileged; hash "
-    "full-outer spills worse — the full_outer_join class); both "
-    "sides are term-level segment summaries ≪ postings, and the "
-    "base-dictionary attach broadcasts the merged touched set",
+    "dedup_cc_overmerge_audit": "audit-tier composition (the "
+    "dedup_ladder_audit class): components build eagerly (pinned), "
+    "then the rep-similarity rescore runs entirely over pinned "
+    "clustered-doc-sized tables — the exchanges are shuffle_hash "
+    "pairs and group-key aggregates over the CLUSTERED subset, never "
+    "the corpus; the one corpus-scale pass (tokenize + semi-filter "
+    "to members) happens exactly once behind the shc pin",
     "curriculum_anneal_schedule": "two_pass_ordinals (same reviewed "
     "shape as perplexity_tertile_split, whose deployment this "
     "composes with the epoch axis): one doc exchange, boundary "
@@ -419,7 +421,7 @@ REVIEWED_FLAGS = {
     "curriculum_anneal_schedule": {"XCHG"},
     "loader_resume_window": {"XCHG"},
     "pack_concat_chunk_boundaries": {"XCHG"},
-    "postings_index_compact": {"SORTMERGE"},
+    "dedup_cc_overmerge_audit": {"XCHG"},
     "key_skew_profile": {"WINDOW_GLOBAL"},
     "chisq_independence": {"WINDOW_GLOBAL"},
     "pareto_frontier_2d": {"WINDOW_GLOBAL"},

@@ -906,10 +906,15 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("a.l_suppkey", "b.l_suppkey").alias("v"),
         )
         .distinct()
-        # graph joins need no sorted output — hash join beats sort-merge
-        .hint("shuffle_hash")
     )
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    # graph joins need no sorted output — hash join beats sort-merge.
+    # The hint goes on the JOINED aliases only: hinting `e` itself
+    # leaks the hint into the union/aggregate branches below, where it
+    # reaches the final cross joins and is warned-then-ignored (the
+    # round-9 driver-tail hygiene pass).
+    e1 = e.alias("e1")
+    e2 = e.hint("shuffle_hash").alias("e2")
+    e3 = e.hint("shuffle_hash").alias("e3")
     tri = (
         e1.join(
             e2,

@@ -498,16 +498,16 @@ def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("rrf"),
         F.array_join(F.slice(toks, 2, F.size(toks) - 1), " ").alias("text"),
     )
-    feat = (
-        base.unionByName(planted)
-        .select(
+    from weather_analysis_bigdata__spark.session import persist_once
+
+    feat = persist_once(
+        base.unionByName(planted).select(
             "rank",
             "doc_id",
             "rrf",
             F.size(toks).cast("bigint").alias("n_tokens"),
             F.array_distinct(word_ngrams(toks, _RAG_SHINGLE_N)).alias("sh"),
         )
-        .persist()
     )
     a = feat.select(
         F.col("rank").alias("a_rank"),

@@ -1334,9 +1334,24 @@ def postings_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("df_delta"),
         F.sum("tf").cast("long").alias("tf_delta"),
     )
+    # Preserved side (delta) is the SMALL side, so it can't be the
+    # broadcast build of the left join (Spark supports build-right
+    # only for LeftOuter; a hint on the left is silently ignored —
+    # round-8 verdict item 1). The scale-correct shape: semi-filter
+    # the big dictionary down to the batch's terms with a broadcast
+    # semi join (base never shuffles), then left-join the delta
+    # against the now-batch-sized slice, broadcast on the SUPPORTED
+    # side. Realized plan: two BroadcastHashJoins, zero exchanges of
+    # df_base. delta feeds BOTH joins — pinned once (eager
+    # localCheckpoint, the threshold-sweep idiom; O(batch terms)
+    # rows) so Catalyst doesn't execute its subtree twice.
+    delta = delta.localCheckpoint(eager=True)
+    base_touched = df_base.join(
+        F.broadcast(delta.select("term")), "term", "semi"
+    )
     return (
-        F.broadcast(delta)
-        .join(df_base, "term", "left")
+        delta
+        .join(F.broadcast(base_touched), "term", "left")
         .select(
             "term",
             F.coalesce("df_before", F.lit(0)).cast("long").alias("df_before"),

@@ -136,7 +136,10 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold-sweep idiom) so the three consumers below — per-class
     # terms, the global segment distribution, and N — share ONE
     # execution of the fact scan instead of Spark re-planning the
-    # subtree per reference.
+    # subtree per reference. localCheckpoint blocks are NON-reliable
+    # (lost on executor death) and eager=True runs even if unconsumed;
+    # on a real cluster prefer persist()+count() or a reliable
+    # checkpoint for this pinned table.
     csk = cs.select("*", F.sum("c").over(w_cls).alias("k")).localCheckpoint(
         eager=True
     )
@@ -238,7 +241,7 @@ def _pca_iter_ctes(mat: str, pref: str) -> tuple[str, str]:
     return ",\n    ".join(its), prev
 
 
-def _pca_pows(hi: int = 33) -> str:
+def _pca_pows(hi: int = 63) -> str:
     """Powers-of-two VALUES rows for the shift search: literal rows
     keep every comparison exact (the shift bound multiplies by 2^30,
     so comparisons are cast to HUGEINT where the matrix is)."""
@@ -283,7 +286,7 @@ def _pca_base_ctes(where: str = "TRUE") -> str:
     sh AS MATERIALIZED (
       SELECT MIN(p.k) AS k, MIN_BY(p.p2, p.k) AS p2
       FROM (VALUES {pows}) p(k, p2), mx
-      WHERE mx.ma < p.p2 * {_PCA_GBOUND}
+      WHERE mx.ma < CAST(p.p2 AS HUGEINT) * {_PCA_GBOUND}
     ),
     mq AS MATERIALIZED (
       SELECT i, j, CAST({_fd('m', 'sh.p2')} AS BIGINT) AS m FROM mm, sh
@@ -394,6 +397,25 @@ def _pca_qa_col():
     )
 
 
+def _pca_pairs_expr():
+    """Row-local upper-triangle outer-product expression over the
+    ``qa`` column: one struct (i, j, p = qa[i]·qa[j]) per i ≤ j pair."""
+    idx = F.sequence(F.lit(0), F.lit(_PCA_DIM - 1))
+    return F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, F.lit(_PCA_DIM - 1)),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (F.get(F.col("qa"), i) * F.get(F.col("qa"), j)).alias("p"),
+                ),
+            ),
+        )
+    )
+
+
 def _pca_moments(
     spark: SparkSession, sf_dir: str, cond=None
 ) -> tuple[list[list[int]], list[int], int]:
@@ -407,20 +429,7 @@ def _pca_moments(
         sv = sv.filter(cond)
     sv = sv.select(_pca_qa_col().alias("qa"))
 
-    idx = F.sequence(F.lit(0), F.lit(_PCA_DIM - 1))
-    pairs = F.flatten(
-        F.transform(
-            idx,
-            lambda i: F.transform(
-                F.sequence(i, F.lit(_PCA_DIM - 1)),
-                lambda j: F.struct(
-                    i.cast("int").alias("i"),
-                    j.cast("int").alias("j"),
-                    (F.get(F.col("qa"), i) * F.get(F.col("qa"), j)).alias("p"),
-                ),
-            ),
-        )
-    )
+    pairs = _pca_pairs_expr()
     gram_rows = (
         sv.select(F.explode(pairs).alias("e"))
         .select("e.i", "e.j", "e.p")
@@ -816,6 +825,13 @@ def embedding_pca_drift_direction(
         m["s"][r["i"]] = r["s"]
         m["n"] = r["n"]
 
+    missing = [name for name, _w in _PCA_SLICES if name not in moments]
+    if missing:
+        raise ValueError(
+            f"drift probe slices produced no vectors: {missing} — the "
+            "corpus no longer populates these memberships; regenerate "
+            "the slice predicates before trusting the gate"
+        )
     solved = {
         k: _pca_power_solve(m["g"], m["s"], m["n"])[0]
         for k, m in moments.items()

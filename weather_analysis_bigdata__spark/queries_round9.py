@@ -1,0 +1,632 @@
+"""Round-9 batch: the audits and lifecycle steps the round-8 verdict
+ranked next — pricing CC transitive over-merge, completing the
+spectral lifecycle with the incremental moment update, and pricing
+greedy packing against its lower bound.
+
+- **CC over-merge audit** (`dedup_cc_overmerge_audit`): connected-
+  components dedup inherits the best-known production failure of
+  MinHash+CC at crawl scale — similarity is not transitive, so a
+  chain A~B, B~C merges A and C into one cluster although
+  sim(A, C) < τ, and "keep one per cluster" then deletes documents
+  that are NOT near-duplicates of the kept representative. The
+  ladder's other audits price the span cap, the Bloom false drops,
+  and the SemDeDup cluster cap; this one prices transitive
+  over-merge: re-score every non-representative clustered doc
+  against its cluster representative with the SAME word-3-gram
+  Jaccard that built the edges, and report docs/tokens whose rep
+  similarity falls below τ, split planted vs organic. The planted
+  chain is the CC corpus's own (cc_chained_docs: B = A + 25 filler
+  tokens, C = A + 50 — A~B and B~C edge, no A~C edge for mid-size
+  docs), so planted over-merge > 0 is the positive control proving
+  the audit detects the failure (the no_missed_duplicates role).
+
+Reference parity note: the reference (Weather_API.py) has no dedup
+clustering at all — charter-extension breadth on `documents`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark.sql import types as T
+
+from weather_analysis_bigdata__spark.functions.textops import SQL_TOKENS, tokens
+from weather_analysis_bigdata__spark.queries_llmops import (
+    _CC_TAU,
+    SQL_CC_COMP,
+    _shingles,
+    cc_chained_docs,
+    cc_jaccard_edges,
+)
+from weather_analysis_bigdata__spark.registry import register
+from weather_analysis_bigdata__spark.sources.files import load_table
+
+# ---------------------------------------------------------------------------
+# CC transitive over-merge audit
+# ---------------------------------------------------------------------------
+#: Integer-exact τ comparison: sim < 0.7  ⟺  10·common < 7·union.
+#: Written as integer cross-multiplication so Spark and DuckDB decide
+#: identically with zero float divisions on the audit path.
+_CC_TAU_NUM, _CC_TAU_DEN = 7, 10
+assert _CC_TAU == _CC_TAU_NUM / _CC_TAU_DEN
+
+
+@register(
+    "dedup_cc_overmerge_audit",
+    oracle=f"""
+    WITH RECURSIVE {SQL_CC_COMP},
+    tok AS (
+      SELECT doc_id, len({SQL_TOKENS.format(c='text')}) AS ntok FROM docs
+    ),
+    cl AS (
+      SELECT c.doc_id, c.component_id,
+             MAX(CASE WHEN c2.doc_id >= 3000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY c.component_id) = 1 AS planted
+      FROM comp c JOIN comp c2 ON c.component_id = c2.component_id
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY c.doc_id ORDER BY c2.doc_id) = 1
+    ),
+    nonrep AS (
+      SELECT doc_id, component_id, planted FROM cl
+      WHERE doc_id <> component_id
+    ),
+    cmn AS (
+      SELECT nr.doc_id AS d, nr.component_id AS rep,
+             COUNT(*) AS n_common
+      FROM nonrep nr
+      JOIN sh a ON a.doc_id = nr.doc_id
+      JOIN sh b ON b.doc_id = nr.component_id AND b.gram = a.gram
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT nr.doc_id, nr.planted,
+             COALESCE(c.n_common, 0) AS n_common,
+             s1.n AS sd, s2.n AS sr, t.ntok
+      FROM nonrep nr
+      LEFT JOIN cmn c ON c.d = nr.doc_id
+      JOIN sizes s1 ON nr.doc_id = s1.doc_id
+      JOIN sizes s2 ON nr.component_id = s2.doc_id
+      JOIN tok t ON nr.doc_id = t.doc_id
+    ),
+    ov AS (
+      SELECT planted,
+             CAST(COUNT(*) AS BIGINT) AS n_nonrep_docs,
+             CAST(SUM(CASE WHEN {_CC_TAU_DEN} * n_common <
+                    {_CC_TAU_NUM} * (sd + sr - n_common) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_overmerged_docs,
+             CAST(SUM(CASE WHEN {_CC_TAU_DEN} * n_common <
+                    {_CC_TAU_NUM} * (sd + sr - n_common) THEN ntok ELSE 0 END)
+               AS BIGINT) AS overmerged_tokens
+      FROM scored GROUP BY planted
+    ),
+    ncl AS (
+      SELECT planted, CAST(COUNT(DISTINCT component_id) AS BIGINT)
+               AS n_clusters
+      FROM cl GROUP BY planted
+    )
+    SELECT g.grp AS doc_group,
+           COALESCE(ncl.n_clusters, 0) AS n_clusters,
+           COALESCE(ov.n_nonrep_docs, 0) AS n_nonrep_docs,
+           COALESCE(ov.n_overmerged_docs, 0) AS n_overmerged_docs,
+           COALESCE(ov.overmerged_tokens, 0) AS overmerged_tokens,
+           CASE WHEN COALESCE(ov.n_nonrep_docs, 0) = 0 THEN 0
+                ELSE 1000000 * ov.n_overmerged_docs // ov.n_nonrep_docs
+           END AS overmerged_ppm
+    FROM (SELECT 'planted' AS grp, TRUE AS p
+          UNION ALL SELECT 'organic', FALSE) g
+    LEFT JOIN ov ON ov.planted = g.p
+    LEFT JOIN ncl ON ncl.planted = g.p
+    """,
+    doc="Transitive over-merge audit for dedup_connected_components — "
+    "the classic MinHash+CC production failure at crawl scale: A~B, "
+    "B~C chains merge A and C although sim(A, C) < τ, so cluster-"
+    "level 'keep the representative' deletes docs that are not near-"
+    "duplicates of what is kept. This audit re-scores every non-"
+    "representative clustered doc against its cluster representative "
+    "(min reachable doc_id) with the SAME word-3-gram Jaccard that "
+    "built the edges, and reports over-merged docs, their token mass, "
+    "and ppm, split planted vs organic. The planted chain is the CC "
+    "corpus's own (cc_chained_docs, queries_llmops.py:2141): C = "
+    "A + 50 filler tokens sits two hops from rep A with sim < τ, so "
+    "n_overmerged_docs > 0 on the planted row is the positive control "
+    "(pytest-gated) proving the audit detects the failure. The τ "
+    "comparison is integer cross-multiplication (10·common < "
+    "7·union) — both engines decide identically, no float division. "
+    "Plan (100 TB): rep-similarity is doc-vs-REP only, O(cluster "
+    "size) scoring pairs instead of the O(size²) all-pairs a naive "
+    "audit would do; the common-gram count joins the clustered-doc "
+    "shingle table against the representative shingle table keyed "
+    "(gram, rep) — the rep set is one row per cluster, so the probe "
+    "side is cluster-count-sized, and everything downstream is "
+    "group-key aggregation. Components themselves come from the "
+    "shared iterative min-label operator (operators/components.py).",
+)
+def dedup_cc_overmerge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = cc_chained_docs(spark, sf_dir)
+    from weather_analysis_bigdata__spark.operators.components import (
+        connected_components,
+    )
+
+    comp = connected_components(cc_jaccard_edges(docs))
+    # Cluster flag: planted iff any member carries a chained-copy id.
+    flags = comp.groupBy("comp").agg(
+        F.max((F.col("node") >= 3000000).cast("int")).alias("pl")
+    )
+    # cl is one row per CLUSTERED doc (docs that acquired an edge) —
+    # small relative to the corpus, consumed by six downstream
+    # branches; pinned once (eager localCheckpoint) so the comp⋈flags
+    # join doesn't re-execute per consumer.
+    cl = (
+        comp.join(F.broadcast(flags), "comp")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("comp").alias("rep"),
+            (F.col("pl") == 1).alias("planted"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nonrep = cl.filter(F.col("doc_id") != F.col("rep"))
+    # ONE corpus tokenize pass: shingles semi-filtered to CLUSTERED
+    # docs (cluster membership ≪ corpus — only docs that acquired a
+    # near-dup edge), then pinned (eager localCheckpoint, the
+    # threshold-sweep idiom) so sizes / doc-side / rep-side all read
+    # the small slice instead of re-tokenizing the corpus 3×.
+    members = cl.select("doc_id")
+    shc = (
+        _shingles(docs)
+        .join(F.broadcast(members), "doc_id", "semi")
+        .localCheckpoint(eager=True)
+    )
+    sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Common grams doc-vs-rep: clustered-doc shingles with rep id
+    # attached, joined to the (cluster-count-sized) rep shingle table
+    # keyed (rep, gram).
+    shd = shc.join(F.broadcast(nonrep.select("doc_id", "rep")), "doc_id")
+    reps = nonrep.select(F.col("rep").alias("doc_id")).distinct()
+    shr = shc.join(F.broadcast(reps), "doc_id", "semi").select(
+        F.col("doc_id").alias("rep"), "gram"
+    )
+    # (rep, gram)-keyed hash join — at crawl scale the rep shingle
+    # table is cluster-count-sized but not broadcast-safe, so this
+    # shuffles both (bounded) sides; shuffle_hash skips the sort.
+    cmn = (
+        shd.join(shr.hint("shuffle_hash"), ["rep", "gram"])
+        .groupBy("doc_id", "rep")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    # Token mass only for candidate (non-rep clustered) docs.
+    ntok = docs.join(
+        F.broadcast(nonrep.select("doc_id")), "doc_id", "semi"
+    ).select("doc_id", F.size(tokens("text")).alias("ntok"))
+    # All scoring tables are one-row-per-clustered-doc: doc_id/rep
+    # keyed hash joins, no sort needed.
+    scored = (
+        nonrep.join(cmn.hint("shuffle_hash"), ["doc_id", "rep"], "left")
+        .fillna({"n_common": 0})
+        .join(sizes.withColumnRenamed("n", "sd").hint("shuffle_hash"), "doc_id")
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("rep"), F.col("n").alias("sr")
+            ).hint("shuffle_hash"),
+            "rep",
+        )
+        .join(ntok.hint("shuffle_hash"), "doc_id")
+    )
+    over = (
+        F.lit(_CC_TAU_DEN) * F.col("n_common")
+        < F.lit(_CC_TAU_NUM) * (F.col("sd") + F.col("sr") - F.col("n_common"))
+    ).cast("int")
+    ov = scored.groupBy("planted").agg(
+        F.count(F.lit(1)).alias("n_nonrep_docs"),
+        F.sum(over).alias("n_overmerged_docs"),
+        F.sum(F.when(over == 1, F.col("ntok")).otherwise(0)).alias(
+            "overmerged_tokens"
+        ),
+    )
+    ncl = cl.groupBy("planted").agg(
+        F.countDistinct("rep").alias("n_clusters")
+    )
+    groups = spark.range(2).select(
+        F.when(F.col("id") == 0, "planted").otherwise("organic").alias(
+            "doc_group"
+        ),
+        (F.col("id") == 0).alias("planted"),
+    )
+    return (
+        groups.join(F.broadcast(ov), "planted", "left")
+        .join(F.broadcast(ncl), "planted", "left")
+        .select(
+            "doc_group",
+            F.coalesce("n_clusters", F.lit(0)).alias("n_clusters"),
+            F.coalesce("n_nonrep_docs", F.lit(0)).alias("n_nonrep_docs"),
+            F.coalesce("n_overmerged_docs", F.lit(0)).alias(
+                "n_overmerged_docs"
+            ),
+            F.coalesce("overmerged_tokens", F.lit(0)).alias(
+                "overmerged_tokens"
+            ),
+            F.when(
+                F.coalesce("n_nonrep_docs", F.lit(0)) == 0, F.lit(0).cast("long")
+            )
+            .otherwise(
+                (F.lit(1000000) * F.col("n_overmerged_docs"))
+                .cast("long")
+                / F.col("n_nonrep_docs")
+            )
+            .cast("long")
+            .alias("overmerged_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spectral lifecycle: incremental moment update (round-8 verdict item 5)
+# ---------------------------------------------------------------------------
+#: Base/delta split for the incremental solve: the base index is built
+#: over 4/5 of the corpus, the remaining fifth "arrives" as the update
+#: slice. SQL and Column forms kept adjacent so they cannot drift.
+_PCA_UP_BASE = "vec_id % 5 <> 4"
+_PCA_UP_DELTA = "vec_id % 5 = 4"
+
+
+def _pca_base_moment_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The base slice's exact integer moments as a DISTRIBUTED result:
+    upper-triangle Gram rows (i, j, m), column sums (i, -1, s_i), and
+    the count row (-1, -1, n) — the additive sufficient statistics the
+    incremental update merges with a delta. One pass over the base
+    vectors; the exchange carries O(d²·partitions) partial rows."""
+    from weather_analysis_bigdata__spark.queries_round8b import (
+        _pca_pairs_expr,
+        _pca_qa_col,
+    )
+
+    sv = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.expr(_PCA_UP_BASE))
+        .select(_pca_qa_col().alias("qa"))
+    )
+    gram = (
+        sv.select(F.explode(_pca_pairs_expr()).alias("e"))
+        .select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("m"))
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            F.col("m").cast("long").alias("m"),
+        )
+    )
+    cs = (
+        sv.select(F.posexplode("qa").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("m"))
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.lit(-1).cast("int").alias("j"),
+            F.col("m").cast("long").alias("m"),
+        )
+    )
+    cnt = sv.agg(F.count(F.lit(1)).alias("m")).select(
+        F.lit(-1).cast("int").alias("i"),
+        F.lit(-1).cast("int").alias("j"),
+        F.col("m").cast("long").alias("m"),
+    )
+    return gram.unionByName(cs).unionByName(cnt)
+
+
+def _pca_base_moment_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        persisted_index,
+    )
+
+    return persisted_index(
+        spark,
+        sf_dir,
+        "pca_base_moments",
+        lambda: _pca_base_moment_rows(spark, sf_dir),
+    )
+
+
+def _prepare_pca_base_moments(spark: SparkSession, sf_dir: str) -> None:
+    """Bench prepare hook (fn self-prepares regardless)."""
+    _pca_base_moment_index(spark, sf_dir)
+
+
+def _pca_update_oracle() -> str:
+    from weather_analysis_bigdata__spark.queries_round8b import (
+        _PCA_DIM,
+        _fd,
+        _pca_sql,
+    )
+
+    num = (
+        f"CAST(list_sum(list_transform(generate_series(1, {_PCA_DIM}), "
+        f"i -> CAST(oldc.v[i] AS HUGEINT) * newc.v[i])) AS HUGEINT)"
+    )
+    den = (
+        "(CAST(list_sum(list_transform(oldc.v, x -> CAST(x AS HUGEINT) * x))"
+        " AS HUGEINT)"
+        " * CAST(list_sum(list_transform(newc.v, x -> CAST(x AS HUGEINT) * x))"
+        " AS HUGEINT))"
+    )
+    cos2 = _fd(f"1000000 * ({num}) * ({num})", f"GREATEST({den}, 1)")
+    return f"""
+    WITH newc AS MATERIALIZED (
+      SELECT list(loading_q ORDER BY pos) AS v,
+             MAX(eigenvalue_q) AS lam,
+             MAX(var_explained_ppm) AS vp,
+             MAX(n_vectors) AS n
+      FROM ({_pca_sql()})
+    ),
+    oldc AS MATERIALIZED (
+      SELECT list(loading_q ORDER BY pos) AS v
+      FROM ({_pca_sql(_PCA_UP_BASE)})
+    ),
+    nd AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_delta
+      FROM embeddings WHERE {_PCA_UP_DELTA}
+    )
+    SELECT CAST(t.i - 1 AS BIGINT) AS pos,
+           CAST(newc.v[t.i] AS BIGINT) AS loading_q,
+           newc.lam AS eigenvalue_q,
+           newc.vp AS var_explained_ppm,
+           newc.n AS n_vectors,
+           nd.n_delta AS n_delta,
+           CAST({cos2} AS BIGINT) AS drift_cos2_ppm
+    FROM generate_series(1, {_PCA_DIM}) t(i), newc, oldc, nd
+    """
+
+
+@register(
+    "embedding_pca_incremental_update",
+    oracle=_pca_update_oracle,
+    doc="Spectral-lifecycle UPDATE — the step that completes "
+    "solve → score → drift-gate → top-k the way ivf_index_upsert "
+    "completed IVF's build → upsert → refresh → delete → compact: "
+    "second moments are ADDITIVE sufficient statistics, so an "
+    "arriving slice updates the solved component with one distributed "
+    "pass over the DELTA ONLY. The base corpus's exact integer "
+    "moments (upper-triangle Gram + column sums + count, O(d²) rows) "
+    "are a PERSISTED parquet index (operators/index_store.py — the "
+    "artifact yesterday's solve already paid for); the update pass "
+    "computes the delta slice's moments, merges integer-exactly "
+    "(G += G_δ, s += s_δ, n += n_δ), and re-solves driver-side "
+    "(O(d²) bounded state, the unigram-trainer precedent). Registered "
+    "oracle = the from-scratch solve over base ∪ delta — the hash "
+    "match IS the update ≡ rebuild proof (the postings_index_upsert "
+    "argument, applied to spectra). Also reports component drift: "
+    "exact-integer cos²-ppm between the base component and the "
+    "updated one — the number a daily-refresh pipeline alerts on. At "
+    "100 TB: the full-corpus re-solve costs a pass over N; this "
+    "costs a pass over the arrival slice plus a 2,145-row index scan "
+    "— the ratio is the ingest fraction, typically 100–1000×.",
+    prepare=_prepare_pca_base_moments,
+)
+def embedding_pca_incremental_update(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from weather_analysis_bigdata__spark.queries_round8b import (
+        _PCA_DIM,
+        _pca_moments,
+        _pca_power_solve,
+    )
+
+    d = _PCA_DIM
+    # Persisted base moments → bounded driver state (2,145 rows).
+    gram_b = [[0] * d for _ in range(d)]
+    s_b = [0] * d
+    n_b = 0
+    for r in _pca_base_moment_index(spark, sf_dir).collect():
+        if r["i"] == -1:
+            n_b = r["m"]
+        elif r["j"] == -1:
+            s_b[r["i"]] = r["m"]
+        else:
+            gram_b[r["i"]][r["j"]] = r["m"]
+            gram_b[r["j"]][r["i"]] = r["m"]
+    # ONE distributed pass over the arriving slice only.
+    gram_d, s_d, n_d = _pca_moments(
+        spark, sf_dir, cond=F.expr(_PCA_UP_DELTA)
+    )
+    # Integer-exact merge: the additive-statistics contract.
+    gram = [
+        [gram_b[i][j] + gram_d[i][j] for j in range(d)] for i in range(d)
+    ]
+    s = [s_b[i] + s_d[i] for i in range(d)]
+    n = n_b + n_d
+    new_v, lam_q, var_ppm, _k = _pca_power_solve(gram, s, n)
+    old_v, _, _, _ = _pca_power_solve(gram_b, s_b, n_b)
+    num = sum(a * b for a, b in zip(old_v, new_v))
+    den = max(
+        1,
+        sum(a * a for a in old_v) * sum(b * b for b in new_v),
+    )
+    drift = (1_000_000 * num * num) // den
+    schema = T.StructType(
+        [
+            T.StructField("pos", T.LongType()),
+            T.StructField("loading_q", T.LongType()),
+            T.StructField("eigenvalue_q", T.LongType()),
+            T.StructField("var_explained_ppm", T.LongType()),
+            T.StructField("n_vectors", T.LongType()),
+            T.StructField("n_delta", T.LongType()),
+            T.StructField("drift_cos2_ppm", T.LongType()),
+        ]
+    )
+    rows = [
+        (pos, new_v[pos], lam_q, var_ppm, n, n_d, drift)
+        for pos in range(d)
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Pack-efficiency audit: greedy next-fit vs BFD vs the token lower bound
+# ---------------------------------------------------------------------------
+#: Planted adversarial arrival for the greedy baseline: 6×257-token
+#: then 6×255-token docs, arriving in id order on packer 0
+#: (9000000 ≡ 0 mod 8). Next-fit must strand every 257 alone
+#: (257+257 > 512) while BFD pairs 257+255 = 512 exactly — the
+#: positive control proving the audit prices order-sensitivity, not
+#: just heuristic noise.
+_PEFF_PLANTED = tuple(
+    (9_000_000 + 8 * k, 257 if k < 6 else 255) for k in range(12)
+)
+
+
+def _nextfit_bins(items: list, budget: int) -> int:
+    """GREEDY streaming packer (next-fit): docs arrive in doc_id
+    order, one open bin, closed the moment a doc doesn't fit — the
+    zero-state loader baseline every production packer is judged
+    against. Shared verbatim by the Spark applyInPandas path and the
+    oracle generator (the _bfd_pack pattern)."""
+    n_bins = 0
+    rem = -1
+    for _doc_id, n in sorted(items):
+        if n > rem:
+            n_bins += 1
+            rem = budget - n
+        else:
+            rem -= n
+    return n_bins
+
+
+def _pack_eff_audit(packer_id: int, items: list, budget: int) -> dict:
+    """Greedy-vs-BFD-vs-lower-bound pricing row — shared verbatim by
+    both engines. fill ppm = 1e6·Σtokens // (bins·budget), the number
+    a training run multiplies its GPU bill by."""
+    from weather_analysis_bigdata__spark.queries_quality import _bfd_pack
+
+    total = sum(n for _, n in items)
+    lb = -(-total // budget) if total else 0
+    g_bins = _nextfit_bins(items, budget)
+    b_assign = _bfd_pack(items, budget)
+    b_bins = (max(b_assign.values()) + 1) if b_assign else 0
+    g_fill = (1_000_000 * total) // (g_bins * budget) if g_bins else 0
+    b_fill = (1_000_000 * total) // (b_bins * budget) if b_bins else 0
+    return {
+        "packer_id": packer_id,
+        "n_docs": len(items),
+        "total_tokens": total,
+        "lb_bins": lb,
+        "greedy_bins": g_bins,
+        "bfd_bins": b_bins,
+        "greedy_fill_ppm": g_fill,
+        "bfd_fill_ppm": b_fill,
+        "bfd_gain_ppm": b_fill - g_fill,
+        "has_planted": any(d >= 9_000_000 for d, _ in items),
+    }
+
+
+_PEFF_SCHEMA = (
+    "packer_id long, n_docs long, total_tokens long, lb_bins long, "
+    "greedy_bins long, bfd_bins long, greedy_fill_ppm long, "
+    "bfd_fill_ppm long, bfd_gain_ppm long, has_planted boolean"
+)
+
+
+def _pack_eff_oracle() -> str:
+    """Generator oracle (the _bfd_oracle pattern): DuckDB supplies the
+    (doc_id, n_tokens) pairs independently; the SAME shared audit runs
+    in CPython; the result is emitted as a literal VALUES table."""
+    import duckdb
+
+    from weather_analysis_bigdata__spark.queries_llmops import _bpe_oracle_sf
+    from weather_analysis_bigdata__spark.queries_quality import (
+        _BFD_BUDGET,
+        _BFD_PACKERS,
+    )
+
+    sf = _bpe_oracle_sf()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    toks = SQL_TOKENS.format(c="text")
+    rows = con.execute(
+        f"SELECT doc_id, CAST(len({toks}) AS BIGINT) FROM documents"
+    ).fetchall()
+    con.close()
+    items = [(int(d), int(n)) for d, n in rows] + list(_PEFF_PLANTED)
+    by_packer: dict = {}
+    for d, n in items:
+        by_packer.setdefault(d % _BFD_PACKERS, []).append((d, n))
+    cols = [c.split()[0] for c in _PEFF_SCHEMA.split(", ")]
+    vals = []
+    for p in sorted(by_packer):
+        audit = _pack_eff_audit(p, by_packer[p], _BFD_BUDGET)
+        vals.append(
+            "("
+            + ", ".join(
+                str(audit[c]).upper()
+                if isinstance(audit[c], bool)
+                else str(audit[c])
+                for c in cols
+            )
+            + ")"
+        )
+    casts = []
+    for c in _PEFF_SCHEMA.split(", "):
+        name, typ = c.split()
+        sqlt = "BOOLEAN" if typ == "boolean" else "BIGINT"
+        casts.append(f"CAST({name} AS {sqlt}) AS {name}")
+    return (
+        f"SELECT {', '.join(casts)} FROM (VALUES {', '.join(vals)}) "
+        f"v({', '.join(cols)})"
+    )
+
+
+@register(
+    "pack_efficiency_audit",
+    oracle=_pack_eff_oracle,
+    doc="Pack-efficiency pricing — the audit that completes the "
+    "packing family's coverage the way dedup_span_cap_audit completed "
+    "the span family's: the GREEDY streaming packer (next-fit in "
+    "arrival order, the zero-state loader baseline) priced per packer "
+    "against best-fit-decreasing AND the ceil(Σtokens/budget) lower "
+    "bound, in exact integer fill ppm — the number a 100 TB training "
+    "run multiplies its GPU bill by. Planted positive control: packer "
+    "0 receives an adversarial arrival (6×257 then 6×255 tokens, "
+    "budget 512) where next-fit strands every 257-token doc alone "
+    "while BFD pairs 257+255 = 512 exactly, so the planted row MUST "
+    "show greedy_bins > bfd_bins (pytest-gated) — proving the audit "
+    "prices order-sensitivity. Same distribution scheme as "
+    "pack_sequences_bestfit (pmod packers; per-group state is the "
+    "open-bin list, never the corpus: 100 TB just means more "
+    "packers); both heuristics run inside ONE Arrow-batched "
+    "applyInPandas pass, so the comparison adds no second corpus "
+    "scan. Oracle = the SAME shared audit in CPython on "
+    "DuckDB-supplied inputs (the _bfd_oracle generator pattern).",
+)
+def pack_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from weather_analysis_bigdata__spark.queries_quality import (
+        _BFD_BUDGET,
+        _BFD_PACKERS,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sizes = d.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    ).unionByName(
+        spark.createDataFrame(
+            list(_PEFF_PLANTED), "doc_id long, n_tokens long"
+        )
+    )
+    keyed = sizes.withColumn(
+        "packer_id", F.pmod(F.col("doc_id"), F.lit(_BFD_PACKERS))
+    )
+
+    def audit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["packer_id"].iloc[0])
+        items = [
+            (int(r.doc_id), int(r.n_tokens)) for r in pdf.itertuples()
+        ]
+        return pd.DataFrame([_pack_eff_audit(pid, items, _BFD_BUDGET)])
+
+    return keyed.groupBy("packer_id").applyInPandas(
+        audit_group, schema=_PEFF_SCHEMA
+    )

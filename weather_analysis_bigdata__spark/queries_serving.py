@@ -1560,8 +1560,10 @@ def training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # At 100 TB the survivors are (id, source, score) rows: tiny
     # relative to the corpus, and exactly what a real prep job
     # checkpoints before the global sort.
-    s4 = (
-        s3.join(scored, "doc_id").filter(F.col("score_int") > 0).persist()
+    from weather_analysis_bigdata__spark.session import persist_once
+
+    s4 = persist_once(
+        s3.join(scored, "doc_id").filter(F.col("score_int") > 0)
     )
     # Stage 5: the stride schedule over the survivors.
     return _stride_schedule(s4).select(
