@@ -179,6 +179,12 @@ HEADLINE = [
     "embedding_pca_outlier_scores",
     "embedding_pca_drift_direction",
     "embedding_pca_top2_components",
+    # round 9: the CC transitive-over-merge price, the spectral
+    # lifecycle's incremental step, and the packing family's
+    # greedy-vs-BFD price
+    "dedup_cc_overmerge_audit",
+    "embedding_pca_incremental_update",
+    "pack_efficiency_audit",
 ]
 
 

@@ -99,6 +99,44 @@ _SKEW_PROBE = [
     "dedup_paragraph_bloom",         # m-bounded sketch
     "dedup_paragraph_bloom_audit",   # dominance gate under skew
 ]
+
+# --------------------------------------------------------------------------
+# Hot-KEY join/window mode (round-8 verdict item 3): the Zipf mode above
+# stresses the dedup/ANN caps; the join/window families' 100 TB behavior
+# is governed instead by a hot user/entity key. --skew-join plants:
+# - events: 10% of every replica's events (event_id % 10 == 7; the
+#   shift is ≡ 0 mod 10, so the rule selects the same share per
+#   replica) are reassigned to ONE user (user_id = 42) — the hot user's
+#   event count grows linearly with the multiplier, stressing the
+#   user-keyed window sorts (sessionize, the as-of union-merge family).
+# - lineitem: 10% of every replica's lineitems (l_orderkey % 10 == 7)
+#   are reassigned to ONE global order (l_orderkey = 7) — the hot
+#   equi-join key salted_join_demo's salt exists to split.
+# WHY 10%, not a production-shaped ~1%: skew hurts when the hot
+# partition exceeds the per-core average, i.e. hot_share > 1/cores. A
+# 1000-executor cluster hits that at 0.1%; this local[32] harness
+# needs hot_share ≫ 1/32 ≈ 3% for the hot reducer to become the
+# straggler at all — 10% makes it ~3× the average core's work, the
+# same MECHANICS at a measurable ratio (measured at 1%: the hot task
+# finished inside the scheduling floor and both forms tied).
+# The probe records wall exponents + DuckDB value-hash checks ON the
+# skewed corpus (same gates as the Zipf mode), plus the salted-vs-
+# UNSALTED pair measured with broadcast disabled and AQE skew-split off
+# (the 100 TB regime the manual salt is for: neither side broadcasts,
+# bucketed layouts AQE can't re-split) — proving the cure beats the
+# disease under the planted hot key.
+# NOTE corpora cache by directory (skewjoin_x{m}); `rm -rf
+# /tmp/spark_graft_scale/skewjoin_*` after changing the planting rule.
+_SKEWJOIN_PROBE = [
+    "asof_join_event_order",   # backward as-of: ONE user-keyed sort
+    "asof_join_nearest",       # nearest as-of: same union-merge shape
+    "events_sessionize_30m",   # user-keyed session window
+    "salted_join_demo",        # the skew cure, vs its unsalted twin
+]
+_HOT_USER = 42
+_HOT_EVENT_MOD, _HOT_EVENT_RES = 10, 7
+_HOT_ORDERKEY = 7
+_HOT_LI_MOD, _HOT_LI_RES = 10, 7
 _HOT_BLOCK = " ".join(f"hotblk{j:02d}" for j in range(24))
 _HOT_DOC_MOD, _HOT_DOC_RES = 50, 3
 _HOT_VEC_BASE = 537  # the donor vector every hot row copies
@@ -141,13 +179,14 @@ def _all_tables() -> tuple:
     return TABLES + tuple(_SHIFT_COLS) + _DIM_TABLES
 
 
-def build_corpus(mult: int, skew: bool = False) -> str:
+def build_corpus(mult: int, skew: bool = False, hot_join: bool = False) -> str:
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import shutil
 
-    out_dir = os.path.join(ROOT, f"skew_x{mult}" if skew else f"x{mult}")
+    tag = "skewjoin_" if hot_join else ("skew_" if skew else "")
+    out_dir = os.path.join(ROOT, f"{tag}x{mult}")
     if all(
         os.path.exists(os.path.join(out_dir, f"{t}.parquet"))
         for t in _all_tables()
@@ -174,8 +213,38 @@ def build_corpus(mult: int, skew: bool = False) -> str:
                 shifted = pc.add(rep[c], pa.scalar(r * SHIFT, rep.schema.field(c).type))
                 rep = rep.set_column(idx, rep.schema.field(c), shifted)
             chunks.append(rep)
+        tbl = pa.concat_tables(chunks)
+        def _mod(col, m):
+            # pyarrow ships no modulo kernel; keys are non-negative so
+            # trunc-divide reconstruction is exact.
+            return pc.subtract(col, pc.multiply(pc.divide(col, m), m))
+
+        if hot_join and t == "events":
+            # ~1% of every replica's events → ONE hot user.
+            idx = tbl.schema.get_field_index("user_id")
+            f = tbl.schema.field("user_id")
+            hot = pc.equal(
+                _mod(tbl["event_id"], pa.scalar(_HOT_EVENT_MOD, pa.int64())),
+                pa.scalar(_HOT_EVENT_RES, pa.int64()),
+            )
+            tbl = tbl.set_column(
+                idx, f, pc.if_else(hot, pa.scalar(_HOT_USER, f.type), tbl["user_id"])
+            )
+        if hot_join and t == "lineitem":
+            # ~1% of every replica's lineitems → ONE hot order key.
+            idx = tbl.schema.get_field_index("l_orderkey")
+            f = tbl.schema.field("l_orderkey")
+            hot = pc.equal(
+                _mod(tbl["l_orderkey"], pa.scalar(_HOT_LI_MOD, pa.int64())),
+                pa.scalar(_HOT_LI_RES, pa.int64()),
+            )
+            tbl = tbl.set_column(
+                idx,
+                f,
+                pc.if_else(hot, pa.scalar(_HOT_ORDERKEY, f.type), tbl["l_orderkey"]),
+            )
         pq.write_table(
-            pa.concat_tables(chunks),
+            tbl,
             os.path.join(out_dir, f"{t}.parquet"),
             row_group_size=65536,
         )
@@ -276,7 +345,8 @@ def main() -> None:
     only = None
     if "--only" in sys.argv:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
-    skew = "--skew" in sys.argv
+    hot_join = "--skew-join" in sys.argv
+    skew = "--skew" in sys.argv and not hot_join
 
     from weather_analysis_bigdata__spark.registry import all_queries
     from weather_analysis_bigdata__spark.session import get_spark
@@ -285,13 +355,18 @@ def main() -> None:
     registry = all_queries()
     spark.range(1).count()
 
-    base_probe = _SKEW_PROBE if skew else _probe_names()
+    if hot_join:
+        base_probe = _SKEWJOIN_PROBE
+    elif skew:
+        base_probe = _SKEW_PROBE
+    else:
+        base_probe = _probe_names()
     probe = [n for n in base_probe if n in registry]
     if only is not None:
         probe = [n for n in probe if n in only] + [
             n for n in only if n in registry and n not in probe
         ]
-    dirs = {m: build_corpus(m, skew=skew) for m in mults}
+    dirs = {m: build_corpus(m, skew=skew, hot_join=hot_join) for m in mults}
     times: dict[str, dict[int, float]] = {q: {} for q in probe}
     for m in mults:
         sf_dir = dirs[m]
@@ -317,6 +392,9 @@ def main() -> None:
             "exponent": round(exp, 2) if exp is not None else None,
         }
 
+    if hot_join:
+        _finish_skew_join(spark, registry, probe, dirs, mults, out)
+        return
     if skew:
         _finish_skew(spark, registry, probe, dirs, mults, out)
         return
@@ -421,6 +499,125 @@ def _finish_skew(spark, registry, probe, dirs, mults, out) -> None:
         detail["skew_exponents"] = prev
     else:
         detail["skew_exponents"] = record
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(record, indent=1))
+
+
+def _unsalted_join_twin(spark, sf_dir: str):
+    """salted_join_demo minus the salt — the disease the salt cures.
+    Kept HERE (probe-only) so the registry never carries a known-bad
+    plan; column-identical to the registered query."""
+    from pyspark.sql import functions as F
+
+    from weather_analysis_bigdata__spark.functions.deterministic import dec
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    net = F.round(
+        dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), 2
+    ).cast("double")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "o_custkey", net.alias("net_price")
+    )
+
+
+def _finish_skew_join(spark, registry, probe, dirs, mults, out) -> None:
+    """Hot-key join mode tail: DuckDB value-hash checks on the skewed
+    corpus, le_linear gates, and the salted-vs-unsalted pair measured
+    in the no-broadcast / no-AQE-skew-split regime (the 100 TB shape
+    the manual salt exists for)."""
+    from tools.check_oracle import compare, duck_conn
+
+    hash_mult = sorted(mults)[-2] if len(mults) > 1 else mults[0]
+    hash_dir = dirs[hash_mult]
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = hash_dir
+    con = duck_conn(hash_dir)
+    for name in probe:
+        q = registry[name]
+        try:
+            spark_pdf = q.fn(spark, hash_dir).toPandas()
+            duck_pdf = con.execute(q.oracle_text()).df()
+            res = compare(name, spark_pdf, duck_pdf)
+            out[name]["hash_status"] = res["status"]
+            out[name]["hash_rows"] = res.get("rows")
+        except Exception as e:  # noqa: BLE001
+            out[name]["hash_status"] = f"ERROR: {type(e).__name__}: {e}"[:200]
+        e = out[name]["exponent"]
+        out[name]["le_linear"] = None if e is None else bool(e <= 1.05)
+
+    # Salted vs unsalted under the planted hot order key, with the
+    # broadcast path and AQE skew-split disabled for BOTH forms —
+    # isolating the mechanism the salt provides. Conf restored after.
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.skewJoin.enabled": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.enabled"
+        ),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    pair: dict = {"salted": {}, "unsalted": {}}
+    try:
+        for m in mults:
+            sf_dir = dirs[m]
+            for tag, build in (
+                ("salted", registry["salted_join_demo"].fn),
+                ("unsalted", _unsalted_join_twin),
+            ):
+                per_run = []
+                for _ in range(2):
+                    t0 = time.time()
+                    build(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    per_run.append(time.time() - t0)
+                pair[tag][f"x{m}"] = round(min(per_run), 3)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    hi = max(mults)
+    pair["salted_lt_unsalted_at_max"] = bool(
+        pair["salted"][f"x{hi}"] < pair["unsalted"][f"x{hi}"]
+    )
+    pair["regime"] = (
+        "autoBroadcastJoinThreshold=-1, adaptive.skewJoin=false "
+        "(neither side broadcasts; no runtime skew split — the "
+        "bucketed-layout 100 TB regime the manual salt is for)"
+    )
+
+    record = {
+        "base": BASE_SF,
+        "mults": mults,
+        "hash_mult": hash_mult,
+        "hot_user_rule": f"event_id % {_HOT_EVENT_MOD} == {_HOT_EVENT_RES} "
+        f"-> user_id = {_HOT_USER} "
+        f"({100 // _HOT_EVENT_MOD}% of events per replica; share sized "
+        "so hot > 1/cores — see module comment)",
+        "hot_order_rule": f"l_orderkey % {_HOT_LI_MOD} == {_HOT_LI_RES} "
+        f"-> l_orderkey = {_HOT_ORDERKEY} "
+        f"({100 // _HOT_LI_MOD}% of lineitems per replica)",
+        "queries": out,
+        "salted_vs_unsalted": pair,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_DETAIL.json",
+    )
+    try:
+        with open(detail_path) as f:
+            detail = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        detail = {}
+    prev = detail.get("skew_join_exponents", {})
+    if prev.get("mults") == mults and "--only" in sys.argv:
+        prev.setdefault("queries", {}).update(out)
+        detail["skew_join_exponents"] = prev
+    else:
+        detail["skew_join_exponents"] = record
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     print(json.dumps(record, indent=1))

@@ -1060,10 +1060,19 @@ def gapfill_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Forward-fill via the REVERSED-order backward frame: Spark executes
+    # a CURRENT ROW → UNBOUNDED FOLLOWING frame by re-scanning to the
+    # partition end for EVERY row (UnboundedFollowingWindowFunctionFrame
+    # cannot subtract rows) — O(partition²), measured 8.7 s at 20k rows
+    # / 29.7 s at 40k vs milliseconds for the reversed form. Invisible
+    # on uniform user partitions, catastrophic under a hot key (the
+    # round-9 skew-join probe caught it). last(ignorenulls) over the
+    # DESC order with UNBOUNDED PRECEDING → CURRENT ROW is the same
+    # function, evaluated incrementally in O(partition).
     wf = (
         Window.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("day").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     day_if_obs = F.when(F.col("v").isNotNull(), F.col("day"))
     marked = j.select(
@@ -1072,8 +1081,8 @@ def gapfill_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.last("v", ignorenulls=True).over(wb).alias("pv"),
         F.last(day_if_obs, ignorenulls=True).over(wb).alias("pd"),
-        F.first("v", ignorenulls=True).over(wf).alias("nv"),
-        F.first(day_if_obs, ignorenulls=True).over(wf).alias("nd"),
+        F.last("v", ignorenulls=True).over(wf).alias("nv"),
+        F.last(day_if_obs, ignorenulls=True).over(wf).alias("nd"),
     )
     lerp = (
         F.col("pv") * F.datediff("nd", "day")

@@ -2871,9 +2871,12 @@ def recursive_cte_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user's NEXT order strictly after it, kept only if within 90 days "
     "— the attribution/conversion query shape. Same scalable "
     "union-merge as the backward as-of (one user_id shuffle, no row "
-    "amplification), mirrored: first_value(ignore nulls) over a "
-    "forward frame, kind DESC so an order at the exact event instant "
-    "is NOT matched (strictly-after semantics). The tolerance is a "
+    "amplification), mirrored: the forward fill is last(ignore nulls) "
+    "over the fully REVERSED sort with the incremental backward frame "
+    "(Spark evaluates CURRENT ROW → UNBOUNDED FOLLOWING frames in "
+    "O(partition²) — the round-9 skew-probe finding); kind ordering "
+    "keeps an order at the exact event instant NOT matched "
+    "(strictly-after semantics). The tolerance is a "
     "row-local post-filter, NULLing out conversions beyond the "
     "window. COALESCE'd boolean so non-converting events read false, "
     "not null.",
@@ -2898,15 +2901,21 @@ def asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     merged = o.unionByName(e)
+    # first_value over CURRENT ROW → UNBOUNDED FOLLOWING is O(p²) in
+    # Spark (UnboundedFollowingWindowFunctionFrame re-scans to the
+    # partition end per row — the round-9 skew-probe finding): the
+    # SAME function is last(ignorenulls) over the fully REVERSED order
+    # (every sort key direction inverted) with the incremental O(p)
+    # UNBOUNDED PRECEDING → CURRENT ROW frame.
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts"), F.col("kind").desc(), F.col("sort_id"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("ts").desc(), F.col("kind"), F.col("sort_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = merged.select(
         "*",
-        F.first("o_orderkey", ignorenulls=True).over(w).alias("next_orderkey"),
-        F.first("order_ts", ignorenulls=True).over(w).alias("next_order_ts"),
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("next_orderkey"),
+        F.last("order_ts", ignorenulls=True).over(w).alias("next_order_ts"),
     )
     within = F.col("next_order_ts") <= F.col("ts") + F.expr("INTERVAL 90 DAY")
     return filled.filter(F.col("kind") == 1).select(

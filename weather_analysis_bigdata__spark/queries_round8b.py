@@ -1228,11 +1228,13 @@ def embedding_pca_top2_components(
     "direction, ties to backward (an at-or-before order at equal "
     "distance wins, so a same-instant order always matches at "
     "dist 0). Same scalable union-merge shape as the backward form — "
-    "tag both sides, ONE shuffle on user_id, one sort — but with TWO "
-    "frame passes over the same sorted partition: forward-fill "
-    "(last_value ignore-nulls, preceding frame) carries the latest "
-    "at-or-before order + its timestamp, backward-fill (first_value, "
-    "following frame) the earliest after; the nearest pick is then a "
+    "tag both sides, ONE shuffle on user_id — but with TWO window "
+    "passes: forward-fill (last ignore-nulls, preceding frame) "
+    "carries the latest at-or-before order + its timestamp, and the "
+    "earliest-after fill rides the fully REVERSED sort with the same "
+    "incremental preceding frame (Spark evaluates CURRENT ROW → "
+    "UNBOUNDED FOLLOWING in O(partition²) — the round-9 skew-probe "
+    "finding, fatal under a hot user); the nearest pick is then a "
     "row-local integer comparison of microsecond distances. No row "
     "amplification, no inequality join; users with no orders surface "
     "direction='none'. Within an equal-timestamp run the backward "
@@ -1264,13 +1266,24 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = o.unionByName(e)
     base = Window.partitionBy("user_id").orderBy("ts", "kind", "sort_id")
     wprev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wnext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # The forward pass rides the fully REVERSED order with the same
+    # incremental backward frame: first_value over CURRENT ROW →
+    # UNBOUNDED FOLLOWING is O(p²) in Spark (the executor re-scans to
+    # the partition end per row — the round-9 skew-probe finding), and
+    # a hot user's partition grows linearly at 100 TB.
+    wnext = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").desc(), F.col("kind").desc(), F.col("sort_id").desc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     filled = merged.select(
         "*",
         F.last("o_orderkey", ignorenulls=True).over(wprev).alias("pk"),
         F.last("o_ts", ignorenulls=True).over(wprev).alias("pts"),
-        F.first("o_orderkey", ignorenulls=True).over(wnext).alias("nk"),
-        F.first("o_ts", ignorenulls=True).over(wnext).alias("nts"),
+        F.last("o_orderkey", ignorenulls=True).over(wnext).alias("nk"),
+        F.last("o_ts", ignorenulls=True).over(wnext).alias("nts"),
     )
     dist = filled.filter(F.col("kind") == 1).select(
         "event_id",
