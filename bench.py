@@ -185,6 +185,7 @@ HEADLINE = [
     "dedup_cc_overmerge_audit",
     "embedding_pca_incremental_update",
     "pack_efficiency_audit",
+    "dedup_cc_incremental",
 ]
 
 

@@ -172,3 +172,105 @@ def test_pack_efficiency_monotonicity(spark, sf_dir):
     p = planted[0]
     assert p.greedy_bins > p.bfd_bins, "planted adversarial order missed"
     assert p.bfd_gain_ppm > 0
+
+
+def test_no_unbounded_following_frames():
+    """Spark evaluates CURRENT ROW -> UNBOUNDED FOLLOWING frames in
+    O(partition^2) (UnboundedFollowingWindowFunctionFrame re-scans to
+    the partition end per row; measured 20k rows -> 8.7s, 40k -> 29.7s)
+    — fatal under a hot key. Every forward fill must ride the fully
+    reversed sort with the incremental backward frame instead. This
+    guard greps the package so the frame cannot quietly return; oracle
+    SQL (DuckDB, linear evaluation) is exempt by the string check
+    running only on Python window-builder forms."""
+    import os
+    import re
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "weather_analysis_bigdata__spark",
+    )
+    offenders = []
+    for root, _dirs, files in os.walk(pkg):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            with open(path) as f:
+                src = f.read()
+            # The PySpark builder form: rowsBetween(currentRow,
+            # unboundedFollowing) / rangeBetween(...). SQL strings are
+            # oracle-side (DuckDB) and allowed.
+            for m in re.finditer(
+                r"(?:rows|range)Between\(\s*Window\.currentRow\s*,"
+                r"\s*Window\.unboundedFollowing", src
+            ):
+                line = src[: m.start()].count("\n") + 1
+                offenders.append(f"{path}:{line}")
+    assert not offenders, (
+        "O(partition^2) forward window frame reintroduced: "
+        + ", ".join(offenders)
+    )
+
+
+def test_cc_incremental_paths(spark, sf_dir):
+    """Every assignment path of the incremental clustering, via its
+    planted controls: re-submissions attach to their originals'
+    components; suffixed novels form singleton new clusters; the
+    duplicated novel pair forms ONE new cluster labeled by the smaller
+    id; the geometric bridge (D = base+P+Q between published
+    singletons X = base+P, Y = base+Q) attaches with would_merge=true
+    and exactly 2 existing components. Cluster-id stability: no
+    output row may carry an assigned_component that rewrites a
+    published label."""
+    from weather_analysis_bigdata__spark.queries_round9 import (
+        _MG_D_ID,
+        _MG_X_ID,
+        _PAIR_IDS,
+        _cc_components_index,
+        dedup_cc_incremental,
+    )
+
+    rows = {r.doc_id: r for r in dedup_cc_incremental(spark, sf_dir).collect()}
+    comp = {
+        r.node: r.comp for r in _cc_components_index(spark, sf_dir).collect()
+    }
+
+    resub = {d: r for d, r in rows.items() if 5_000_000 <= d < 6_000_000}
+    assert resub, "no re-submissions in the batch"
+    for d, r in resub.items():
+        orig = d - 5_000_000
+        assert not r.is_new_cluster
+        assert r.n_corpus_neighbors >= 1
+        # The original is a neighbor at jaccard 1.0, so the assigned
+        # component can never exceed the original's published label.
+        assert r.assigned_component <= comp.get(orig, orig)
+
+    novel = {d: r for d, r in rows.items() if 6_000_000 <= d < 7_000_000}
+    assert novel, "no novels in the batch"
+    for d, r in novel.items():
+        assert r.is_new_cluster
+        assert r.assigned_component == d
+        assert r.n_corpus_neighbors == 0
+
+    a, b = sorted(_PAIR_IDS)
+    assert rows[a].is_new_cluster and rows[b].is_new_cluster
+    assert rows[a].assigned_component == a
+    assert rows[b].assigned_component == a
+
+    d = rows[_MG_D_ID]
+    assert not d.is_new_cluster
+    assert d.would_merge
+    assert d.n_existing_components == 2
+    assert d.assigned_component == _MG_X_ID
+
+    # Stability: assignments only reuse published labels or mint
+    # batch-local ones — never a fresh corpus-side label.
+    published = set(comp.values())
+    batch_ids = set(rows)
+    for r in rows.values():
+        assert (
+            r.assigned_component in published
+            or r.assigned_component in batch_ids
+            or not r.is_new_cluster
+        )

@@ -659,3 +659,382 @@ def pack_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.groupBy("packer_id").applyInPandas(
         audit_group, schema=_PEFF_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental CC dedup: assign an arriving batch against the published
+# clustering (the production form — daily shards never re-cluster the corpus)
+# ---------------------------------------------------------------------------
+#: The would-merge bridge geometry (all tokens unique, no organic
+#: overlap): X = base+P and Y = base+Q share only the base block —
+#: jaccard(X, Y) = 58/98 ≈ 0.59 < τ, so they publish as two singleton
+#: clusters — while the arriving D = base+P+Q reaches BOTH at 78/98 ≈
+#: 0.80 and 76/100 = 0.76 ≥ τ: the one-doc bridge that would merge two
+#: published clusters on the next full re-cluster.
+_MG_BASE = " ".join(f"mgbase{j:02d}" for j in range(60))
+_MG_P = " ".join(f"mgp{j:02d}" for j in range(20))
+_MG_Q = " ".join(f"mgq{j:02d}" for j in range(20))
+_MG_X_ID, _MG_Y_ID = 8_000_001, 8_000_002
+_MG_D_ID = 7_000_003
+#: Batch novel pair: two verbatim copies of one synthetic text — they
+#: must form ONE new batch-local cluster labeled by the smaller id.
+_PAIR_TEXT = " ".join(f"pairnov{j:02d}" for j in range(40))
+_PAIR_IDS = (7_000_001, 7_000_002)
+_RESUB_MOD, _RESUB_REM = 40, 9   # corpus docs re-submitted verbatim
+_NOVEL_MOD, _NOVEL_REM = 40, 19  # corpus docs token-suffixed (novel)
+
+_SQL_CCI_CORPUS_EXTRA = f"""xy AS (
+      SELECT CAST({_MG_X_ID} AS BIGINT) AS doc_id,
+             '{_MG_BASE} {_MG_P}' AS text
+      UNION ALL
+      SELECT CAST({_MG_Y_ID} AS BIGINT), '{_MG_BASE} {_MG_Q}'
+    ),
+    corpus2 AS (
+      SELECT doc_id, text FROM docs UNION ALL SELECT doc_id, text FROM xy
+    )"""
+
+_SQL_CCI_BATCH = f"""batch AS (
+      SELECT doc_id + 5000000 AS doc_id, text FROM documents
+      WHERE doc_id % {_RESUB_MOD} = {_RESUB_REM}
+      UNION ALL
+      SELECT doc_id + 6000000,
+             array_to_string(list_transform(
+               regexp_split_to_array(trim(text), '\\s+'), w -> w || 'nv'),
+               ' ')
+      FROM documents WHERE doc_id % {_NOVEL_MOD} = {_NOVEL_REM}
+      UNION ALL
+      SELECT CAST({_PAIR_IDS[0]} AS BIGINT), '{_PAIR_TEXT}'
+      UNION ALL
+      SELECT CAST({_PAIR_IDS[1]} AS BIGINT), '{_PAIR_TEXT}'
+      UNION ALL
+      SELECT CAST({_MG_D_ID} AS BIGINT), '{_MG_BASE} {_MG_P} {_MG_Q}'
+    )"""
+
+
+def _cci_oracle() -> str:
+    from weather_analysis_bigdata__spark.functions.textops import (
+        sql_word_ngrams,
+    )
+
+    toks = SQL_TOKENS.format(c="text")
+    return f"""
+    WITH RECURSIVE {SQL_CC_COMP},
+    {_SQL_CCI_CORPUS_EXTRA},
+    {_SQL_CCI_BATCH},
+    shc2 AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, unnest({sql_word_ngrams('toks')}) AS gram
+        FROM (SELECT doc_id, {toks} AS toks FROM corpus2)
+      )
+    ),
+    shb AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, unnest({sql_word_ngrams('toks')}) AS gram
+        FROM (SELECT doc_id, {toks} AS toks FROM batch)
+      )
+    ),
+    szc AS (SELECT doc_id, COUNT(*) AS n FROM shc2 GROUP BY doc_id),
+    szb AS (SELECT doc_id, COUNT(*) AS n FROM shb GROUP BY doc_id),
+    nb AS (
+      SELECT b.doc_id AS b, c.doc_id AS c, COUNT(*) AS n_common
+      FROM shb b JOIN shc2 c ON b.gram = c.gram
+      GROUP BY 1, 2
+    ),
+    nbr AS (
+      SELECT nb.b, nb.c,
+             COALESCE(cm.component_id, nb.c) AS existing_comp
+      FROM nb
+      JOIN szb s1 ON nb.b = s1.doc_id
+      JOIN szc s2 ON nb.c = s2.doc_id
+      LEFT JOIN comp cm ON nb.c = cm.doc_id
+      WHERE 10 * nb.n_common >= 7 * (s1.n + s2.n - nb.n_common)
+    ),
+    attached AS (
+      SELECT b AS doc_id,
+             MIN(existing_comp) AS assigned_component,
+             CAST(COUNT(*) AS BIGINT) AS n_corpus_neighbors,
+             CAST(COUNT(DISTINCT existing_comp) AS BIGINT)
+               AS n_existing_components
+      FROM nbr GROUP BY b
+    ),
+    un AS (
+      SELECT doc_id FROM batch
+      WHERE doc_id NOT IN (SELECT doc_id FROM attached)
+    ),
+    be AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM (SELECT s.* FROM shb s JOIN un ON s.doc_id = un.doc_id) a
+      JOIN (SELECT s.* FROM shb s JOIN un ON s.doc_id = un.doc_id) b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id
+      JOIN szb s1 ON a.doc_id = s1.doc_id
+      JOIN szb s2 ON b.doc_id = s2.doc_id
+      GROUP BY a.doc_id, b.doc_id, s1.n, s2.n
+      HAVING 10 * COUNT(*) >= 7 * (s1.n + s2.n - COUNT(*))
+    ),
+    bsym AS (SELECT u, v FROM be UNION SELECT v, u FROM be),
+    breach(src, dst) AS (
+      SELECT u, u FROM bsym
+      UNION
+      SELECT r.src, s.v FROM breach r JOIN bsym s ON r.dst = s.u
+    ),
+    bcomp AS (
+      SELECT src AS doc_id, MIN(dst) AS assigned_component
+      FROM breach GROUP BY src
+    )
+    SELECT a.doc_id, a.assigned_component,
+           FALSE AS is_new_cluster,
+           a.n_corpus_neighbors, a.n_existing_components,
+           a.n_existing_components >= 2 AS would_merge
+    FROM attached a
+    UNION ALL
+    SELECT un.doc_id,
+           COALESCE(bc.assigned_component, un.doc_id) AS assigned_component,
+           TRUE AS is_new_cluster,
+           CAST(0 AS BIGINT) AS n_corpus_neighbors,
+           CAST(0 AS BIGINT) AS n_existing_components,
+           FALSE AS would_merge
+    FROM un LEFT JOIN bcomp bc ON un.doc_id = bc.doc_id
+    """
+
+
+def _cci_batch_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    resub = d.filter(F.col("doc_id") % _RESUB_MOD == _RESUB_REM).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+    )
+    novel = d.filter(F.col("doc_id") % _NOVEL_MOD == _NOVEL_REM).select(
+        (F.col("doc_id") + 6_000_000).alias("doc_id"),
+        F.array_join(
+            F.transform(tokens("text"), lambda w: F.concat(w, F.lit("nv"))),
+            " ",
+        ).alias("text"),
+    )
+    # range()-built literals (the dedup_span_cap_audit stats lesson).
+    lit = spark.range(3).select(
+        F.element_at(
+            F.array(
+                F.lit(_PAIR_IDS[0]), F.lit(_PAIR_IDS[1]), F.lit(_MG_D_ID)
+            ),
+            (F.col("id") + 1).cast("int"),
+        ).alias("doc_id"),
+        F.element_at(
+            F.array(
+                F.lit(_PAIR_TEXT),
+                F.lit(_PAIR_TEXT),
+                F.lit(f"{_MG_BASE} {_MG_P} {_MG_Q}"),
+            ),
+            (F.col("id") + 1).cast("int"),
+        ).alias("text"),
+    )
+    return resub.unionByName(novel).unionByName(lit)
+
+
+def _prepare_cci_indexes(spark: SparkSession, sf_dir: str) -> None:
+    """Bench prepare hook: the published clustering AND the corpus
+    shingle postings (fn self-prepares regardless)."""
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        persisted_index,
+    )
+
+    _cc_components_index(spark, sf_dir)
+    persisted_index(
+        spark,
+        sf_dir,
+        "cc_shingle_postings",
+        lambda: _shingles(_cci_corpus_df(spark, sf_dir)),
+    )
+
+
+def _cci_corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    xy = spark.range(2).select(
+        (F.lit(_MG_X_ID) + F.col("id")).alias("doc_id"),
+        F.when(F.col("id") == 0, f"{_MG_BASE} {_MG_P}")
+        .otherwise(f"{_MG_BASE} {_MG_Q}")
+        .alias("text"),
+    )
+    return cc_chained_docs(spark, sf_dir).unionByName(xy)
+
+
+@register(
+    "dedup_cc_incremental",
+    oracle=_cci_oracle,
+    doc="INCREMENTAL connected-components dedup — the production form "
+    "(daily crawl shards assign against the PUBLISHED clustering; "
+    "nobody re-clusters the corpus per shard): each arriving doc "
+    "finds its word-3-gram Jaccard ≥ τ corpus neighbors via the "
+    "shingle inverted index, attaches to the MIN existing component "
+    "among them (published docs absent from the component index are "
+    "singletons = their own id), and docs with NO corpus neighbor "
+    "run batch-local label propagation to form new clusters labeled "
+    "by min batch id. Cluster ids are STABLE by construction — an "
+    "arrival never rewrites published labels; a batch doc reaching "
+    "≥ 2 distinct existing components instead raises would_merge, "
+    "the conflict a daily job logs for the weekly re-cluster (the "
+    "incremental/batch divergence made EXPLICIT rather than silently "
+    "merged). Planted controls cover every path: verbatim "
+    "re-submissions attach to their originals' components; token-"
+    "suffixed novels form singleton new clusters; a duplicated novel "
+    "pair forms ONE new 2-doc cluster labeled by the smaller id; and "
+    "a geometric bridge — corpus X = base+P and Y = base+Q at "
+    "jaccard 0.59 < τ (two published singletons) with arriving "
+    "D = base+P+Q at 0.80/0.76 ≥ τ to both — raises would_merge = "
+    "true with n_existing_components = 2. All τ decisions are integer "
+    "cross-multiplications. Plan (100 TB): the corpus side is the "
+    "published clustering (persisted index, cc_components) + the "
+    "shingle postings; per-shard cost is O(batch shingles) joined "
+    "against postings, batch-local CC runs on the (tiny) "
+    "no-neighbor remainder — the corpus is never re-clustered.",
+    prepare=_prepare_cci_indexes,
+)
+def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        persisted_index,
+    )
+
+    batch = _cci_batch_df(spark, sf_dir)
+    # The corpus side is SERVED, not recomputed: the shingle postings
+    # persist alongside the published clustering (the span family's
+    # gram-postings pattern) — per-shard cost never re-tokenizes the
+    # corpus.
+    shc = persisted_index(
+        spark,
+        sf_dir,
+        "cc_shingle_postings",
+        lambda: _shingles(_cci_corpus_df(spark, sf_dir)),
+    )
+    shb = _shingles(batch).localCheckpoint(eager=True)
+    szb = shb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    comp = _cc_components_index(spark, sf_dir)
+
+    # Postings probe, batch-side BROADCAST (the dedup_span_incremental
+    # shape): the shard's shingles reach every postings partition; the
+    # corpus postings NEVER shuffle. The match set (batch ⋈ corpus
+    # neighbor candidates) is shard-sized, so everything downstream is
+    # broadcast algebra over small tables.
+    cmn = (
+        shc.select(F.col("doc_id").alias("c"), "gram")
+        .join(
+            F.broadcast(shb.select(F.col("doc_id").alias("b"), "gram")),
+            "gram",
+        )
+        .groupBy("b", "c")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .localCheckpoint(eager=True)
+    )
+    # Corpus sizes only for candidate neighbor docs: ONE aggregate over
+    # the postings scan, semi-filtered by the (shard-sized) candidate
+    # set before it ever joins.
+    szc_nb = (
+        shc.join(
+            F.broadcast(cmn.select(F.col("c").alias("doc_id")).distinct()),
+            "doc_id",
+            "semi",
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nbr = (
+        cmn.join(
+            F.broadcast(
+                szb.select(F.col("doc_id").alias("b"), F.col("n").alias("sb"))
+            ),
+            "b",
+        )
+        .join(
+            F.broadcast(
+                szc_nb.select(
+                    F.col("doc_id").alias("c"), F.col("n").alias("sc")
+                )
+            ),
+            "c",
+        )
+        .filter(
+            F.lit(10) * F.col("n_common")
+            >= F.lit(7) * (F.col("sb") + F.col("sc") - F.col("n_common"))
+        )
+        .join(
+            F.broadcast(
+                comp.select(
+                    F.col("node").alias("c"), F.col("comp").alias("cc")
+                )
+            ),
+            "c",
+            "left",
+        )
+        .select("b", "c", F.coalesce("cc", "c").alias("existing_comp"))
+    )
+    # Shard-sized result of the postings probe, pinned once — it feeds
+    # the output AND the no-neighbor remainder (anti join) three ways.
+    attached = nbr.groupBy(F.col("b").alias("doc_id")).agg(
+        F.min("existing_comp").alias("assigned_component"),
+        F.count(F.lit(1)).alias("n_corpus_neighbors"),
+        F.countDistinct("existing_comp").alias("n_existing_components"),
+    ).localCheckpoint(eager=True)
+    un = batch.select("doc_id").join(
+        F.broadcast(attached.select("doc_id")), "doc_id", "anti"
+    ).localCheckpoint(eager=True)
+    shu = shb.join(F.broadcast(un), "doc_id")
+    sz_u = szb.join(F.broadcast(un), "doc_id")
+    be = (
+        shu.alias("a")
+        .join(
+            F.broadcast(shu.alias("bb")),
+            (F.col("a.gram") == F.col("bb.gram"))
+            & (F.col("a.doc_id") < F.col("bb.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("u"), F.col("bb.doc_id").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .join(
+            F.broadcast(
+                sz_u.select(F.col("doc_id").alias("u"), F.col("n").alias("s1"))
+            ),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                sz_u.select(F.col("doc_id").alias("v"), F.col("n").alias("s2"))
+            ),
+            "v",
+        )
+        .filter(
+            F.lit(10) * F.col("nc")
+            >= F.lit(7) * (F.col("s1") + F.col("s2") - F.col("nc"))
+        )
+        .select("u", "v")
+    )
+    from weather_analysis_bigdata__spark.operators.components import (
+        connected_components,
+    )
+
+    bcomp = connected_components(be)
+    out_attached = attached.select(
+        "doc_id",
+        "assigned_component",
+        F.lit(False).alias("is_new_cluster"),
+        "n_corpus_neighbors",
+        "n_existing_components",
+        (F.col("n_existing_components") >= 2).alias("would_merge"),
+    )
+    out_new = (
+        un.join(
+            F.broadcast(
+                bcomp.select(
+                    F.col("node").alias("doc_id"),
+                    F.col("comp").alias("bc"),
+                )
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("bc", "doc_id").alias("assigned_component"),
+            F.lit(True).alias("is_new_cluster"),
+            F.lit(0).cast("long").alias("n_corpus_neighbors"),
+            F.lit(0).cast("long").alias("n_existing_components"),
+            F.lit(False).alias("would_merge"),
+        )
+    )
+    return out_attached.unionByName(out_new)
