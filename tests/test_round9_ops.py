@@ -274,3 +274,22 @@ def test_cc_incremental_paths(spark, sf_dir):
             or r.assigned_component in batch_ids
             or not r.is_new_cluster
         )
+
+
+def test_cc_incremental_stream_equals_batch(spark, sf_dir):
+    """Exact row-set equality between the streaming replay and the
+    one-shot batch assignment (the stream ≡ batch contract every
+    replay in this repo carries)."""
+    from weather_analysis_bigdata__spark.queries_round9 import (
+        dedup_cc_incremental,
+        streaming_cc_incremental_replay,
+    )
+
+    batch = {
+        tuple(r) for r in dedup_cc_incremental(spark, sf_dir).collect()
+    }
+    stream = {
+        tuple(r)
+        for r in streaming_cc_incremental_replay(spark, sf_dir).collect()
+    }
+    assert batch == stream

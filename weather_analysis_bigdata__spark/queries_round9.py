@@ -887,11 +887,20 @@ def _cci_corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare=_prepare_cci_indexes,
 )
 def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cci_assign(spark, sf_dir, _cci_batch_df(spark, sf_dir))
+
+
+def _cci_assign(
+    spark: SparkSession, sf_dir: str, batch: DataFrame
+) -> DataFrame:
+    """The assignment kernel SHARED by the batch query and the
+    streaming replay (stream ≡ batch is a property of one code path):
+    arriving docs → published-component attachments + batch-local new
+    clusters, served entirely from the two persisted indexes."""
     from weather_analysis_bigdata__spark.operators.index_store import (
         persisted_index,
     )
 
-    batch = _cci_batch_df(spark, sf_dir)
     # The corpus side is SERVED, not recomputed: the shingle postings
     # persist alongside the published clustering (the span family's
     # gram-postings pattern) — per-shard cost never re-tokenizes the
@@ -1038,3 +1047,93 @@ def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out_attached.unionByName(out_new)
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin: incremental clustering AT INGEST (the 22nd replay)
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_cc_incremental_replay",
+    oracle=_cci_oracle,  # the batch query's oracle VERBATIM
+    doc="Incremental CC assignment RUN BY THE STREAMING ENGINE — crawl "
+    "shards arrive over time, so the clustering gate must hold at "
+    "ingest: the arriving batch replays as 3 mtime-ordered micro-"
+    "batches sliced by ID BAND (re-submissions 5M.., novels 6M.., "
+    "pair+bridge 7M..), foreachBatch runs the SAME _cci_assign kernel "
+    "per micro-batch against the two PERSISTED indexes and publishes "
+    "batch_id-keyed idempotent segments. Registered oracle = "
+    "dedup_cc_incremental's SQL VERBATIM; the hash match holds "
+    "because (a) attachment is per-doc — trivially commutes — and "
+    "(b) NO batch-local new cluster spans a slice boundary BY "
+    "CONSTRUCTION: the only multi-doc remainder cluster (the novel "
+    "pair) lives inside one id band, and suffixed novels can only "
+    "resemble other novels, which all share band 6M.. — so per-shard "
+    "label propagation mints exactly the labels the one-shot batch "
+    "mints, at ANY SF. A production stream whose shards may split a "
+    "novel cluster instead publishes each shard's labels and logs "
+    "would_merge conflicts for the periodic re-cluster (the batch "
+    "query's documented stability contract); this replay certifies "
+    "the shard-stateless half of that contract end-to-end.",
+    prepare=_prepare_cci_indexes,
+)
+def streaming_cc_incremental_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        read_replay_segments,
+        replay_segment_dir,
+    )
+
+    run = uuid.uuid4().hex[:10]
+    src_dir = tempfile.mkdtemp(prefix=f"cci_src_{run}_")
+    stage_dir = tempfile.mkdtemp(prefix=f"cci_stage_{run}_")
+    seg_dir = replay_segment_dir("cci_seg")
+    try:
+        batch = _cci_batch_df(spark, sf_dir)
+        schema = batch.schema
+        bands = (
+            (5_000_000, 6_000_000),
+            (6_000_000, 7_000_000),
+            (7_000_000, 9_000_000),
+        )
+        for i, (lo, hi) in enumerate(bands):
+            sl = batch.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            d = os.path.join(stage_dir, f"s{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(d)
+            part = next(
+                f
+                for f in os.listdir(d)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            dst = os.path.join(src_dir, f"{i:03d}.parquet")
+            shutil.copy(os.path.join(d, part), dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+        def publish(bdf: DataFrame, batch_id: int) -> None:
+            _cci_assign(spark, sf_dir, bdf).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(seg_dir, f"seg_{batch_id}"))
+
+        q = (
+            stream.writeStream.foreachBatch(publish)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return read_replay_segments(spark, seg_dir)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(stage_dir, ignore_errors=True)
