@@ -280,6 +280,23 @@ def main() -> None:
                 n_in = spark.read.parquet(
                     os.path.join(sf_dir, "embeddings.parquet")
                 ).count()
+            elif name == "streaming_embedding_pca_update_replay":
+                # streams the arriving fifth (queries_round9._PCA_UP_DELTA)
+                n_in = (
+                    spark.read.parquet(
+                        os.path.join(sf_dir, "embeddings.parquet")
+                    )
+                    .filter("vec_id % 5 = 4")
+                    .count()
+                )
+            elif name == "streaming_cc_incremental_replay":
+                # streams the arriving shard (queries_round9._cci_batch_df:
+                # resubmissions + suffixed novels + 3 planted literals)
+                n_in = (
+                    docs.filter("doc_id % 40 = 9").count()
+                    + docs.filter("doc_id % 40 = 19").count()
+                    + 3
+                )
             elif name in (
                 "streaming_paragraph_dedup_replay",
                 "streaming_drift_monitor_replay",

@@ -293,3 +293,24 @@ def test_cc_incremental_stream_equals_batch(spark, sf_dir):
         for r in streaming_cc_incremental_replay(spark, sf_dir).collect()
     }
     assert batch == stream
+
+
+def test_pca_update_stream_equals_batch(spark, sf_dir):
+    """Moment accumulation commutes with micro-batching: the streamed
+    update's rows must equal the one-shot batch update's exactly."""
+    from weather_analysis_bigdata__spark.queries_round9 import (
+        embedding_pca_incremental_update,
+        streaming_embedding_pca_update_replay,
+    )
+
+    batch = {
+        tuple(r)
+        for r in embedding_pca_incremental_update(spark, sf_dir).collect()
+    }
+    stream = {
+        tuple(r)
+        for r in streaming_embedding_pca_update_replay(
+            spark, sf_dir
+        ).collect()
+    }
+    assert batch == stream

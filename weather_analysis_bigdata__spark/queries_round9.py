@@ -1137,3 +1137,180 @@ def streaming_cc_incremental_replay(
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin: the spectral UPDATE at ingest (the 23rd replay)
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_embedding_pca_update_replay",
+    oracle=_pca_update_oracle,  # the batch update's oracle VERBATIM
+    doc="The spectral-lifecycle UPDATE run by the streaming engine — "
+    "embedding slices arrive over time, and second moments are "
+    "ADDITIVE sufficient statistics, so moment accumulation commutes "
+    "with micro-batching BY ALGEBRA: the arriving fifth of the corpus "
+    "(the same vec_id % 5 = 4 slice the batch update consumes) "
+    "replays as 3 mtime-ordered micro-batches, foreachBatch computes "
+    "each batch's exact integer moment rows (the same distributed "
+    "outer-product pass) and publishes them as batch_id-keyed "
+    "idempotent parquet segments; the final step sums the segments "
+    "(integer addition — order-free), merges with the PERSISTED base "
+    "moment index, and re-solves driver-side through the SAME "
+    "_pca_power_solve the batch update uses. Registered oracle = "
+    "embedding_pca_incremental_update's SQL VERBATIM (the from-"
+    "scratch solve over base ∪ delta): the hash match proves "
+    "arrival-order independence end-to-end — publish moments, not "
+    "vectors, and the daily component refresh runs at ingest cost.",
+    prepare=_prepare_pca_base_moments,
+)
+def streaming_embedding_pca_update_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from weather_analysis_bigdata__spark.operators.index_store import (
+        read_replay_segments,
+        replay_segment_dir,
+    )
+    from weather_analysis_bigdata__spark.queries_round8b import (
+        _PCA_DIM,
+        _pca_pairs_expr,
+        _pca_power_solve,
+        _pca_qa_col,
+    )
+
+    run = uuid.uuid4().hex[:10]
+    src_dir = tempfile.mkdtemp(prefix=f"pcau_src_{run}_")
+    stage_dir = tempfile.mkdtemp(prefix=f"pcau_stage_{run}_")
+    seg_dir = replay_segment_dir("pcau_seg")
+    try:
+        delta = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.expr(_PCA_UP_DELTA))
+            .select("vec_id", "embedding")
+        )
+        schema = delta.schema
+        # 3 deterministic arrival slices, mtime-ordered.
+        for i in range(3):
+            sl = delta.filter((F.col("vec_id") % 15).cast("int") % 3 == i)
+            d = os.path.join(stage_dir, f"s{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(d)
+            part = next(
+                f
+                for f in os.listdir(d)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            dst = os.path.join(src_dir, f"{i:03d}.parquet")
+            shutil.copy(os.path.join(d, part), dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+        def publish(bdf: DataFrame, batch_id: int) -> None:
+            sv = bdf.select(_pca_qa_col().alias("qa"))
+            gram = (
+                sv.select(F.explode(_pca_pairs_expr()).alias("e"))
+                .select("e.i", "e.j", "e.p")
+                .groupBy("i", "j")
+                .agg(F.sum("p").alias("m"))
+                .select(
+                    F.col("i").cast("int").alias("i"),
+                    F.col("j").cast("int").alias("j"),
+                    F.col("m").cast("long").alias("m"),
+                )
+            )
+            cs = (
+                sv.select(F.posexplode("qa").alias("i", "x"))
+                .groupBy("i")
+                .agg(F.sum("x").alias("m"))
+                .select(
+                    F.col("i").cast("int").alias("i"),
+                    F.lit(-1).cast("int").alias("j"),
+                    F.col("m").cast("long").alias("m"),
+                )
+            )
+            cnt = sv.agg(F.count(F.lit(1)).alias("m")).select(
+                F.lit(-1).cast("int").alias("i"),
+                F.lit(-1).cast("int").alias("j"),
+                F.col("m").cast("long").alias("m"),
+            )
+            gram.unionByName(cs).unionByName(cnt).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(seg_dir, f"seg_{batch_id}"))
+
+        q = (
+            stream.writeStream.foreachBatch(publish)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        d = _PCA_DIM
+        # Segment sum = the delta moments (integer addition, order-free).
+        gram_d = [[0] * d for _ in range(d)]
+        s_d = [0] * d
+        n_d = 0
+        folded = (
+            read_replay_segments(spark, seg_dir)
+            .groupBy("i", "j")
+            .agg(F.sum("m").alias("m"))
+            .collect()
+        )
+        for r in folded:
+            if r["i"] == -1:
+                n_d = r["m"]
+            elif r["j"] == -1:
+                s_d[r["i"]] = r["m"]
+            else:
+                gram_d[r["i"]][r["j"]] = r["m"]
+                gram_d[r["j"]][r["i"]] = r["m"]
+        gram_b = [[0] * d for _ in range(d)]
+        s_b = [0] * d
+        n_b = 0
+        for r in _pca_base_moment_index(spark, sf_dir).collect():
+            if r["i"] == -1:
+                n_b = r["m"]
+            elif r["j"] == -1:
+                s_b[r["i"]] = r["m"]
+            else:
+                gram_b[r["i"]][r["j"]] = r["m"]
+                gram_b[r["j"]][r["i"]] = r["m"]
+        gram = [
+            [gram_b[i][j] + gram_d[i][j] for j in range(d)]
+            for i in range(d)
+        ]
+        s = [s_b[i] + s_d[i] for i in range(d)]
+        n = n_b + n_d
+        new_v, lam_q, var_ppm, _k = _pca_power_solve(gram, s, n)
+        old_v, _, _, _ = _pca_power_solve(gram_b, s_b, n_b)
+        num = sum(a * b for a, b in zip(old_v, new_v))
+        den = max(
+            1, sum(a * a for a in old_v) * sum(b * b for b in new_v)
+        )
+        drift = (1_000_000 * num * num) // den
+        schema_out = T.StructType(
+            [
+                T.StructField("pos", T.LongType()),
+                T.StructField("loading_q", T.LongType()),
+                T.StructField("eigenvalue_q", T.LongType()),
+                T.StructField("var_explained_ppm", T.LongType()),
+                T.StructField("n_vectors", T.LongType()),
+                T.StructField("n_delta", T.LongType()),
+                T.StructField("drift_cos2_ppm", T.LongType()),
+            ]
+        )
+        rows = [
+            (pos, new_v[pos], lam_q, var_ppm, n, n_d, drift)
+            for pos in range(d)
+        ]
+        return spark.createDataFrame(rows, schema_out)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(stage_dir, ignore_errors=True)
