@@ -130,6 +130,7 @@ _SKEW_PROBE = [
 _SKEWJOIN_PROBE = [
     "asof_join_event_order",   # backward as-of: ONE user-keyed sort
     "asof_join_nearest",       # nearest as-of: same union-merge shape
+    "asof_join_forward_tolerance",  # forward as-of (the O(p²)-frame fix)
     "events_sessionize_30m",   # user-keyed session window
     "salted_join_demo",        # the skew cure, vs its unsalted twin
 ]
