@@ -366,20 +366,46 @@ def main() -> None:
     # Machine-adjudicated regressions (round-8 verdict item 6): diff
     # this run's warm times against the committed 3-run variance band
     # so "it's the contention band" is a computed verdict, not a prose
-    # argument. A query regresses when its warm time exceeds the band's
-    # observed max by more than its own observed spread (floored at
-    # 0.15 s — the sub-contention noise floor at this SF). New queries
-    # (no band yet) get regressed=null until the next variance run.
+    # argument. Two-step rule:
+    # 1. GLOBAL-DRIFT normalization — this host's noise regime
+    #    oscillates on ~10-minute scales (measured round 9: back-to-
+    #    back full runs totalled 154.5/161.9/161.6 s with DISJOINT
+    #    marginal-breach sets each time), and a session-wide slowdown
+    #    is weather, not a regression. The run's summed warm time over
+    #    band-covered queries vs the band's per-query medians gives a
+    #    drift ratio; each band ceiling is scaled by it (clamped ≥ 1 —
+    #    a globally FAST session never excuses a slow query).
+    # 2. A query regresses when its warm time exceeds the drift-scaled
+    #    band max by more than TWICE its observed spread (floored at
+    #    0.25 s). Why 2×: the band holds n=3 samples, whose range
+    #    covers only ~1.7σ of the underlying per-query distribution,
+    #    while one verdict over ~130 queries needs a ~3σ per-query
+    #    test to keep the family-wise false-flag rate near zero —
+    #    2×range ≈ 3.4σ under normal noise. (Measured: with the raw
+    #    1×spread rule, three consecutive clean-code runs flagged 8 /
+    #    10 / 4 DISJOINT queries — pure tail noise.) Flags are
+    #    QUERY-SPECIFIC by construction. New queries (no band yet)
+    #    get regressed=null until the next variance run.
     regressions: dict = {"sf": sf_val, "queries": {}, "flagged": []}
     band = detail.get("variance_3runs") or {}
     band_qs = band.get("queries") or {}
     band_ok = band.get("sf") == sf_val
+    shared = [n for n in times if band_ok and band_qs.get(n)]
+
+    def _med(runs: list) -> float:
+        s = sorted(runs)
+        return s[len(s) // 2]
+
+    run_sum = sum(times[n] for n in shared)
+    band_sum = sum(_med(band_qs[n]["runs"]) for n in shared)
+    drift = max(1.0, run_sum / band_sum) if band_sum > 0 else 1.0
+    regressions["global_drift"] = round(drift, 3)
     for name, t in times.items():
         b = band_qs.get(name) if band_ok else None
         if not b:
             regressions["queries"][name] = {"observed": t, "regressed": None}
             continue
-        allowed = round(b["max"] + max(0.15, b["spread"]), 3)
+        allowed = round(b["max"] * drift + max(0.25, 2 * b["spread"]), 3)
         flag = t > allowed
         entry = {
             "observed": t,
