@@ -264,16 +264,30 @@ def test_cc_incremental_paths(spark, sf_dir):
     assert d.n_existing_components == 2
     assert d.assigned_component == _MG_X_ID
 
-    # Stability: assignments only reuse published labels or mint
-    # batch-local ones — never a fresh corpus-side label.
+    # Stability, asserted path-by-path (the prior disjunction was a
+    # tautology — attached rows satisfied `not is_new_cluster` and
+    # new-cluster rows always carry a batch id, so the published-label
+    # rewrite it claimed to guard could never fail it): new clusters
+    # mint BATCH ids that never collide with a published label;
+    # attachments reuse published labels or singleton corpus ids,
+    # never a batch id.
+    from weather_analysis_bigdata__spark.queries_round9 import (
+        _cci_corpus_df,
+    )
+
     published = set(comp.values())
     batch_ids = set(rows)
+    corpus_ids = {
+        r.doc_id
+        for r in _cci_corpus_df(spark, sf_dir).select("doc_id").collect()
+    }
     for r in rows.values():
-        assert (
-            r.assigned_component in published
-            or r.assigned_component in batch_ids
-            or not r.is_new_cluster
-        )
+        if r.is_new_cluster:
+            assert r.assigned_component in batch_ids
+            assert r.assigned_component not in published
+        else:
+            assert r.assigned_component in (published | corpus_ids)
+            assert r.assigned_component not in batch_ids
 
 
 def test_cc_incremental_stream_equals_batch(spark, sf_dir):

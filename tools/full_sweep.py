@@ -105,6 +105,7 @@ def sweep(sf_dir: str) -> dict:
             print(f"FAIL  {name}: {res}", flush=True)
         out[name] = rec
     spark.stop()
+    con.close()
     return {
         "n_ok": n_ok,
         "n_rows_only": n_rows_only,
@@ -136,11 +137,33 @@ def main() -> int:
             artifact = {}
     artifact.setdefault("sfs", {})
 
+    from weather_analysis_bigdata__spark.registry import all_queries
+
+    registry_size = len(all_queries())
+    try:
+        git_head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(args.out),
+            check=True,
+        ).stdout.strip()
+    except Exception:  # noqa: BLE001 - the hash is advisory
+        git_head = None
+
     any_fail = False
     for sf_dir in args.sf:
         sf_key = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
         print(f"=== sweep {sf_dir} ===", flush=True)
         section = sweep(sf_dir)
+        # Per-SF provenance stamp (round-9 advice): merge-preserve
+        # keeps SF sections this invocation didn't run, so without a
+        # per-section registry_size/git_head a partially refreshed
+        # artifact could silently mix sweeps of different registries —
+        # the top-level values only describe the LAST run.
+        section["registry_size"] = registry_size
+        if git_head is not None:
+            section["git_head"] = git_head
         artifact["sfs"][sf_key] = section
         any_fail |= section["n_fail"] > 0
         print(
@@ -151,20 +174,10 @@ def main() -> int:
             flush=True,
         )
 
-    from weather_analysis_bigdata__spark.registry import all_queries
-
-    artifact["registry_size"] = len(all_queries())
-    try:
-        artifact["git_head"] = (
-            subprocess.run(
-                ["git", "rev-parse", "--short", "HEAD"],
-                capture_output=True,
-                text=True,
-                cwd=os.path.dirname(args.out),
-                check=True,
-            ).stdout.strip()
-        )
-    except Exception:  # noqa: BLE001 - the hash is advisory
+    artifact["registry_size"] = registry_size
+    if git_head is not None:
+        artifact["git_head"] = git_head
+    else:
         artifact.pop("git_head", None)
     with open(args.out, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)

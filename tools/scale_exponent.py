@@ -221,7 +221,7 @@ def build_corpus(mult: int, skew: bool = False, hot_join: bool = False) -> str:
             return pc.subtract(col, pc.multiply(pc.divide(col, m), m))
 
         if hot_join and t == "events":
-            # ~1% of every replica's events → ONE hot user.
+            # ~10% of every replica's events → ONE hot user.
             idx = tbl.schema.get_field_index("user_id")
             f = tbl.schema.field("user_id")
             hot = pc.equal(
@@ -232,7 +232,7 @@ def build_corpus(mult: int, skew: bool = False, hot_join: bool = False) -> str:
                 idx, f, pc.if_else(hot, pa.scalar(_HOT_USER, f.type), tbl["user_id"])
             )
         if hot_join and t == "lineitem":
-            # ~1% of every replica's lineitems → ONE hot order key.
+            # ~10% of every replica's lineitems → ONE hot order key.
             idx = tbl.schema.get_field_index("l_orderkey")
             f = tbl.schema.field("l_orderkey")
             hot = pc.equal(

@@ -275,16 +275,18 @@ def dedup_cc_overmerge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("overmerged_tokens", F.lit(0)).alias(
                 "overmerged_tokens"
             ),
-            F.when(
-                F.coalesce("n_nonrep_docs", F.lit(0)) == 0, F.lit(0).cast("long")
-            )
-            .otherwise(
-                (F.lit(1000000) * F.col("n_overmerged_docs"))
-                .cast("long")
-                / F.col("n_nonrep_docs")
-            )
-            .cast("long")
-            .alias("overmerged_ppm"),
+        )
+        # Integer floor division (DIV), matching the oracle's `//` —
+        # the audit path carries no float division at any magnitude
+        # (DOUBLE-then-truncate was exact only below 2^53).
+        .withColumn(
+            "overmerged_ppm",
+            F.when(F.col("n_nonrep_docs") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr(
+                    "(CAST(1000000 AS BIGINT) * n_overmerged_docs)"
+                    " DIV n_nonrep_docs"
+                )
+            ),
         )
     )
 
