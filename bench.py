@@ -188,6 +188,149 @@ HEADLINE = [
     "dedup_cc_incremental",
 ]
 
+#: Median per-query drift ratio beyond which the session itself is the
+#: suspect: per round-9 advice, a UNIFORM real slowdown (session conf /
+#: dependency regression slowing every query ~1.3×) must not be
+#: absorbed as weather — the drift ratio is now derived from the MEDIAN
+#: of per-query observed/band-median ratios (robust to a few true
+#: regressions, unlike the old sum ratio a single wall-time-dominant
+#: query could tilt), and when the median itself exceeds this bound the
+#: record carries global_drift_alarm=true.
+_DRIFT_ALARM = 1.25
+
+
+def _med(runs: list) -> float:
+    s = sorted(runs)
+    return s[len(s) // 2]
+
+
+def adjudicate_warm(times: dict, band_qs: dict, rerun) -> dict:
+    """Machine-adjudicated warm-time regressions (round-8 verdict item
+    6, made session-transferable per round-9 item 1). Two-step rule:
+
+    1. GLOBAL-DRIFT normalization — this host's noise regime
+       oscillates on ~10-minute scales (measured round 9: back-to-back
+       full runs totalled 154.5/161.9/161.6 s with DISJOINT
+       marginal-breach sets each time), and a session-wide slowdown is
+       weather, not a regression. Drift = MEDIAN of per-query
+       observed/band-median ratios (clamped ≥ 1 — a globally FAST
+       session never excuses a slow query; median, not sum, so one
+       dominant query can't raise its own ceiling and a few true
+       regressions can't masquerade as weather). A median drift above
+       _DRIFT_ALARM raises global_drift_alarm instead of being
+       silently absorbed.
+    2. A query regresses when its warm time exceeds the drift-scaled
+       band max by more than TWICE its observed spread (floored at
+       0.25 s). Why 2×: the band holds n=3 samples, whose range covers
+       only ~1.7σ of the underlying per-query distribution, while one
+       verdict over ~130 queries needs a ~3σ per-query test to keep
+       the family-wise false-flag rate near zero — 2×range ≈ 3.4σ
+       under normal noise.
+    3. RETRY-ON-FLAG (round-9 verdict item 1): the band is measured in
+       the builder's close session but the verdict renders in the
+       driver's session, where position-dependent session state can
+       distort one query 6× (measured: a1 = 5.26 s in BOTH driver-run
+       timed positions vs 0.76 s on the identical commit in a fresh
+       session). Each flagged query is re-run once via ``rerun`` at
+       the END of the loop (a different session position); the flag is
+       kept only if the retry ALSO breaches the same ceiling — a real
+       2× slowdown breaches every time, a position artifact doesn't.
+
+    ``times``: name → observed warm seconds. ``band_qs``: name →
+    {runs, min, max, spread} (pass {} when the band's SF mismatches).
+    ``rerun``: callable(name) → fresh observed seconds. New queries
+    (no band yet) get regressed=None until the next variance run.
+    """
+    reg: dict = {"queries": {}, "flagged": []}
+    shared = [n for n in times if band_qs.get(n)]
+    ratios = sorted(
+        times[n] / max(_med(band_qs[n]["runs"]), 1e-9) for n in shared
+    )
+    drift = max(1.0, ratios[len(ratios) // 2]) if ratios else 1.0
+    reg["global_drift"] = round(drift, 3)
+    reg["global_drift_alarm"] = drift > _DRIFT_ALARM
+    for name, t in times.items():
+        b = band_qs.get(name)
+        if not b:
+            reg["queries"][name] = {"observed": t, "regressed": None}
+            continue
+        allowed = round(b["max"] * drift + max(0.25, 2 * b["spread"]), 3)
+        flag = t > allowed
+        entry = {
+            "observed": t,
+            "band_max": b["max"],
+            "allowed": allowed,
+            "regressed": flag,
+        }
+        exc = BENCH_EXCEPTIONS.get(name)
+        if flag and exc is not None:
+            entry["exception"] = exc
+            entry["regressed"] = flag = False
+        if flag:
+            rt = rerun(name)
+            entry["retry_observed"] = round(rt, 3)
+            if rt <= allowed:
+                entry["regressed"] = flag = False
+                entry["retry_cleared"] = True
+        reg["queries"][name] = entry
+        if flag:
+            reg["flagged"].append(name)
+    return reg
+
+
+def adjudicate_streaming(rates: dict, band_qs: dict, rerun) -> dict:
+    """Round-9 verdict item 5: the 23 replays' rows/s were recorded
+    but never adjudicated — a 3× ingest-rate regression was invisible
+    unless someone eyeballed the dict. Same drift/retry rules as
+    :func:`adjudicate_warm`, inverted for rates (regression = rate
+    LOW): drift = median of band-median/observed ratios (≥ 1 = this
+    session ingests slower across the board = weather); a replay flags
+    when its rate falls below band-min/drift by more than twice the
+    band spread (floored at 25% of band min — rates are noisier than
+    wall times, so the floor is relative); a flagged replay is re-run
+    once and keeps the flag only if the retry also breaches.
+
+    ``rates``: name → observed rows/s. ``band_qs``: name → {runs, min,
+    max, spread} of rows/s. ``rerun``: callable(name) → fresh rows/s.
+    """
+    reg: dict = {"queries": {}, "flagged": []}
+    shared = [n for n in rates if band_qs.get(n) and rates[n]]
+    ratios = sorted(
+        _med(band_qs[n]["runs"]) / max(rates[n], 1e-9) for n in shared
+    )
+    drift = max(1.0, ratios[len(ratios) // 2]) if ratios else 1.0
+    reg["global_drift"] = round(drift, 3)
+    reg["global_drift_alarm"] = drift > _DRIFT_ALARM
+    for name, r in rates.items():
+        b = band_qs.get(name)
+        if not b or not r:
+            reg["queries"][name] = {"observed": r, "regressed": None}
+            continue
+        allowed = round(
+            b["min"] / drift - max(0.25 * b["min"], 2 * b["spread"]), 3
+        )
+        flag = r < allowed
+        entry = {
+            "observed": r,
+            "band_min": b["min"],
+            "allowed": allowed,
+            "regressed": flag,
+        }
+        exc = BENCH_EXCEPTIONS.get(name)
+        if flag and exc is not None:
+            entry["exception"] = exc
+            entry["regressed"] = flag = False
+        if flag:
+            rr = rerun(name)
+            entry["retry_observed"] = round(rr, 3)
+            if rr >= allowed:
+                entry["regressed"] = flag = False
+                entry["retry_cleared"] = True
+        reg["queries"][name] = entry
+        if flag:
+            reg["flagged"].append(name)
+    return reg
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -209,6 +352,20 @@ def main() -> None:
         prep = registry[name].prepare
         if prep is not None:
             prep(spark, sf_dir)
+
+    # Sacrificial UNTIMED execution of the first headline query
+    # (round-9 verdict item 1): range(1).count() warms the JVM but
+    # nothing a real scan-agg needs — parquet footer cache, codegen
+    # cache, shuffle/broadcast machinery. Measured cost of skipping
+    # this: the driver session clocked a1_group_multi_avg at 5.26 s in
+    # BOTH timed runs while the identical commit measured 0.76 s in a
+    # fresh session — the first timed position was absorbing
+    # session-startup state, and min-of-2 can't shed a distortion that
+    # hits both runs.
+    if names:
+        registry[names[0]].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -363,65 +520,49 @@ def main() -> None:
                     file=sys.stderr,
                 )
     detail.pop("streaming_throughput_error", None)
-    # Machine-adjudicated regressions (round-8 verdict item 6): diff
-    # this run's warm times against the committed 3-run variance band
-    # so "it's the contention band" is a computed verdict, not a prose
-    # argument. Two-step rule:
-    # 1. GLOBAL-DRIFT normalization — this host's noise regime
-    #    oscillates on ~10-minute scales (measured round 9: back-to-
-    #    back full runs totalled 154.5/161.9/161.6 s with DISJOINT
-    #    marginal-breach sets each time), and a session-wide slowdown
-    #    is weather, not a regression. The run's summed warm time over
-    #    band-covered queries vs the band's per-query medians gives a
-    #    drift ratio; each band ceiling is scaled by it (clamped ≥ 1 —
-    #    a globally FAST session never excuses a slow query).
-    # 2. A query regresses when its warm time exceeds the drift-scaled
-    #    band max by more than TWICE its observed spread (floored at
-    #    0.25 s). Why 2×: the band holds n=3 samples, whose range
-    #    covers only ~1.7σ of the underlying per-query distribution,
-    #    while one verdict over ~130 queries needs a ~3σ per-query
-    #    test to keep the family-wise false-flag rate near zero —
-    #    2×range ≈ 3.4σ under normal noise. (Measured: with the raw
-    #    1×spread rule, three consecutive clean-code runs flagged 8 /
-    #    10 / 4 DISJOINT queries — pure tail noise.) Flags are
-    #    QUERY-SPECIFIC by construction. New queries (no band yet)
-    #    get regressed=null until the next variance run.
-    regressions: dict = {"sf": sf_val, "queries": {}, "flagged": []}
+    # Machine-adjudicated regressions: rules + history in
+    # adjudicate_warm's docstring. The retry runs the flagged query's
+    # full timed path once more at the END of the loop — a different
+    # session position, which is exactly the variable the round-9
+    # false flags keyed on.
+
+    def _rerun_warm(name: str) -> float:
+        t0 = time.time()
+        registry[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.time() - t0
+
     band = detail.get("variance_3runs") or {}
-    band_qs = band.get("queries") or {}
-    band_ok = band.get("sf") == sf_val
-    shared = [n for n in times if band_ok and band_qs.get(n)]
-
-    def _med(runs: list) -> float:
-        s = sorted(runs)
-        return s[len(s) // 2]
-
-    run_sum = sum(times[n] for n in shared)
-    band_sum = sum(_med(band_qs[n]["runs"]) for n in shared)
-    drift = max(1.0, run_sum / band_sum) if band_sum > 0 else 1.0
-    regressions["global_drift"] = round(drift, 3)
-    for name, t in times.items():
-        b = band_qs.get(name) if band_ok else None
-        if not b:
-            regressions["queries"][name] = {"observed": t, "regressed": None}
-            continue
-        allowed = round(b["max"] * drift + max(0.25, 2 * b["spread"]), 3)
-        flag = t > allowed
-        entry = {
-            "observed": t,
-            "band_max": b["max"],
-            "allowed": allowed,
-            "regressed": flag,
-        }
-        exc = BENCH_EXCEPTIONS.get(name)
-        if flag and exc is not None:
-            entry["exception"] = exc
-            flag = False
-            entry["regressed"] = False
-        regressions["queries"][name] = entry
-        if flag:
-            regressions["flagged"].append(name)
+    band_qs = (band.get("queries") or {}) if band.get("sf") == sf_val else {}
+    regressions = {"sf": sf_val, **adjudicate_warm(times, band_qs, _rerun_warm)}
     detail["regressions"] = regressions
+
+    # Streaming-rate adjudication (round-9 verdict item 5): same
+    # drift/retry rules over rows/s, against the 3-run rate band
+    # tools/bench_variance.py records.
+
+    def _rerun_stream(name: str) -> float:
+        n_in = streaming[name]["input_rows"]
+        t0 = time.time()
+        registry[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        wall = time.time() - t0
+        return n_in / wall if wall > 0 else 0.0
+
+    sband = detail.get("streaming_variance_3runs") or {}
+    sband_qs = (
+        (sband.get("queries") or {}) if sband.get("sf") == sf_val else {}
+    )
+    rates = {
+        n: rec.get("rows_per_sec") for n, rec in streaming.items()
+    }
+    streaming_reg = {
+        "sf": sf_val,
+        **adjudicate_streaming(rates, sband_qs, _rerun_stream),
+    }
+    detail["streaming_regressions"] = streaming_reg
     # Record the serve depth the eval weight tables derive from, so a
     # depth change is visible as a diff against this record instead of
     # a silent metric shift (round-6 advice; guarded by the _EVAL_K
@@ -445,6 +586,13 @@ def main() -> None:
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
+    # Drift alarms surface in the round record (never silently
+    # absorbed): true means the SESSION ran uniformly slow beyond the
+    # _DRIFT_ALARM bound — investigate the session/conf, not one query.
+    alarm = bool(
+        regressions.get("global_drift_alarm")
+        or streaming_reg.get("global_drift_alarm")
+    )
     line = json.dumps(
         {
             "metric": "headline_query_wall_time",
@@ -454,6 +602,8 @@ def main() -> None:
             "cold_value": round(sum(cold.values()), 3),
             "sf": sf_val,
             "regressed": regressions["flagged"],
+            "streaming_regressed": streaming_reg["flagged"],
+            **({"drift_alarm": True} if alarm else {}),
         },
         separators=(",", ":"),
     )
@@ -469,6 +619,8 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(times),
                 "regressed": regressions["flagged"][:10],
+                "streaming_regressed": streaming_reg["flagged"][:10],
+                **({"drift_alarm": True} if alarm else {}),
             },
             separators=(",", ":"),
         )

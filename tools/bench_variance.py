@@ -19,9 +19,26 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DETAIL = os.path.join(HERE, "BENCH_DETAIL.json")
 
 
+def _band(runs: list[dict[str, float]]) -> dict:
+    names = sorted(set().union(*[set(r) for r in runs]))
+    var = {}
+    for q in names:
+        vals = [r[q] for r in runs if q in r and r[q] is not None]
+        if not vals:
+            continue
+        var[q] = {
+            "runs": vals,
+            "min": min(vals),
+            "max": max(vals),
+            "spread": round(max(vals) - min(vals), 3),
+        }
+    return var
+
+
 def main() -> None:
     n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     runs: list[dict[str, float]] = []
+    srunns: list[dict[str, float]] = []
     for i in range(n_runs):
         subprocess.run(
             [sys.executable, os.path.join(HERE, "bench.py")],
@@ -31,20 +48,22 @@ def main() -> None:
             stderr=subprocess.DEVNULL,
         )
         with open(DETAIL) as f:
-            runs.append(json.load(f)["queries"])
+            d = json.load(f)
+        runs.append(d["queries"])
+        # Streaming rate band (round-9 verdict item 5): each run's
+        # rows/s per replay, so bench.py can adjudicate ingest-rate
+        # regressions the way it adjudicates warm wall times.
+        srunns.append(
+            {
+                n: rec.get("rows_per_sec")
+                for n, rec in (d.get("streaming_throughput") or {}).items()
+            }
+        )
         print(f"run {i + 1}/{n_runs}: total "
               f"{round(sum(runs[-1].values()), 2)} s", flush=True)
 
-    names = sorted(set().union(*[set(r) for r in runs]))
-    var = {}
-    for q in names:
-        vals = [r[q] for r in runs if q in r]
-        var[q] = {
-            "runs": vals,
-            "min": min(vals),
-            "max": max(vals),
-            "spread": round(max(vals) - min(vals), 3),
-        }
+    var = _band(runs)
+    svar = _band(srunns) if any(srunns) else {}
     with open(DETAIL) as f:
         detail = json.load(f)
     detail["variance_3runs"] = {
@@ -56,6 +75,12 @@ def main() -> None:
         "queries": var,
         "max_spread": max(v["spread"] for v in var.values()),
         "note": "solo runs (no concurrent load); per-query warm times",
+    }
+    detail["streaming_variance_3runs"] = {
+        "n_runs": n_runs,
+        "sf": detail.get("sf"),
+        "queries": svar,
+        "note": "solo runs; per-replay ingest rates (rows/s)",
     }
     with open(DETAIL, "w") as f:
         json.dump(detail, f, indent=1)
