@@ -1,0 +1,144 @@
+"""Round-10 batch: the PCA oracle's shift-window headroom past 2^62
+(round-9 verdict item 2 / advice #1) and the drift gate's loud,
+symmetric failure on an empty probe slice (item 4 / advice #5).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from weather_analysis_bigdata__spark.queries_round8b import (
+    _PCA_DIM,
+    _pca_drift_oracle,
+    _pca_sql,
+    embedding_pca_drift_direction,
+    embedding_pca_top_component,
+)
+
+
+def _write_embeddings(path: str, n: int, dim0_amp: float, max_label: int):
+    """A synthetic embeddings table (schema-identical to the testdata
+    one): dim 0 alternates ±dim0_amp with an integer jitter (every
+    value integer-valued, so float32 → DOUBLE → DECIMAL(18,8) is exact
+    on both engines); the other 63 dims carry small deterministic
+    residue so no column is constant."""
+    rows = list(range(n))
+    emb = []
+    for r in rows:
+        v = [0.0] * _PCA_DIM
+        # Jitter bounded to +7 so the oracle's DECIMAL(18,8) × 1e8
+        # quantization product stays inside DuckDB's 18-DIGIT decimal
+        # multiply (|x|·1e16 < 1e18 caps |x| below 100 — the window
+        # test gets past 2^62 via ROW COUNT, exactly how a real
+        # 100 TB corpus would).
+        v[0] = (dim0_amp + r % 8) * (1.0 if r % 2 == 0 else -1.0)
+        for d in range(1, _PCA_DIM):
+            v[d] = float((r * 7 + d * 3) % 13 - 6)
+        emb.append(v)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(rows, pa.int64()),
+            "embedding": pa.array(
+                emb, pa.list_(pa.float32())
+            ),
+            "label": pa.array(
+                [r % (max_label + 1) for r in rows], pa.int32()
+            ),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def _duck(corpus_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{corpus_dir}/embeddings.parquet')"
+    )
+    return con
+
+
+def test_pca_oracle_shift_window_past_2pow62(spark, tmp_path):
+    """Round-9 advice #1 (fixed by _pca_pows(63) + the HUGEINT-cast
+    comparison in the sh CTE; this is the done-criterion test): a
+    moment set whose |M| max exceeds 2^62 — past the old hi=33 pows
+    window, where the oracle's shift CTE went empty and every output
+    column silently degraded to NULL — must now solve NON-NULL on both
+    engines, bit-identically, making the doc's N ≈ 1e11 headroom claim
+    checkable.
+
+    The plant: dim-0 amplitude ~90 → qa₀ ≈ ±9e5, and with 4000
+    alternating-sign rows M₀₀ = N·Σqa₀² − (Σqa₀)² ≈ 1.4e19 > 2^62 ≈
+    4.6e18, needing shift_bits ≈ 34 > the old window's max of 32."""
+    _write_embeddings(
+        str(tmp_path / "embeddings.parquet"), n=4000, dim0_amp=90.0,
+        max_label=9,
+    )
+    eng = {
+        r["pos"]: r
+        for r in embedding_pca_top_component(spark, str(tmp_path)).collect()
+    }
+    con = _duck(str(tmp_path))
+    ora = {
+        int(r[0]): r
+        for r in con.execute(_pca_sql()).fetchall()
+    }
+    con.close()
+    assert len(eng) == _PCA_DIM and len(ora) == _PCA_DIM
+    k = eng[0]["shift_bits"]
+    assert k >= 33, (
+        f"shift_bits = {k}: the plant no longer exceeds the old 2^62 "
+        "window — the test would pass vacuously; raise the amplitude"
+    )
+    for pos in range(_PCA_DIM):
+        e, o = eng[pos], ora[pos]
+        # Every oracle column non-NULL (the old failure mode), and
+        # bit-identical to the engine.
+        assert all(x is not None for x in o)
+        assert (
+            e["loading_q"],
+            e["eigenvalue_q"],
+            e["var_explained_ppm"],
+            e["n_vectors"],
+            e["shift_bits"],
+        ) == (int(o[1]), int(o[2]), int(o[3]), int(o[4]), int(o[5]))
+    # The component is the planted dim-0 axis.
+    lead = max(eng.values(), key=lambda r: abs(r["loading_q"]))
+    assert lead["pos"] == 0
+
+
+def test_pca_drift_empty_probe_slice_fails_loudly(spark, tmp_path):
+    """Round-9 advice #5: under a regenerated corpus that no longer
+    populates a probe slice, the engine used to die with a bare
+    KeyError while the oracle politely emitted a NULL row — an
+    ASYMMETRIC failure. The contract is now explicit and tested: the
+    engine refuses with a diagnostic naming the empty slice (fail
+    loud beats fail null for a gate whose output feeds admission
+    decisions), and the oracle's NULL degradation is pinned here so
+    the asymmetry is documented behavior, not an accident."""
+    # max_label=5 → no row satisfies the 'shifted' slice (label >= 8);
+    # vec_id % 3 = 0 keeps 'resample' populated.
+    _write_embeddings(
+        str(tmp_path / "embeddings.parquet"), n=30, dim0_amp=5.0,
+        max_label=5,
+    )
+    with pytest.raises(ValueError, match="shifted"):
+        embedding_pca_drift_direction(spark, str(tmp_path))
+    con = _duck(str(tmp_path))
+    rows = {r[0]: r for r in con.execute(_pca_drift_oracle()).fetchall()}
+    con.close()
+    assert rows["shifted"][2] is None  # cos2_ppm degrades to NULL
+    assert rows["resample"][2] is not None
+
+
+def test_pca_testdata_plants_stay_inside_window(spark, sf_dir):
+    """Guard the guard: the shipped corpus must still solve with a
+    small shift (nowhere near the window edge), so the 2^62 test above
+    is exercising headroom, not the normal path."""
+    rows = embedding_pca_top_component(spark, sf_dir).collect()
+    assert 0 <= rows[0]["shift_bits"] < 33
