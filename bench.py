@@ -186,6 +186,8 @@ HEADLINE = [
     "embedding_pca_incremental_update",
     "pack_efficiency_audit",
     "dedup_cc_incremental",
+    # round 10: the weekly re-cluster that consumes the would_merge log
+    "dedup_cc_recluster_apply",
 ]
 
 #: Median per-query drift ratio beyond which the session itself is the

@@ -136,6 +136,62 @@ def test_pca_drift_empty_probe_slice_fails_loudly(spark, tmp_path):
     assert rows["resample"][2] is not None
 
 
+def test_cc_recluster_merges_planted_bridge(spark, sf_dir):
+    """Round-9 verdict item 3's positive control: the X/Y/D geometry
+    (two published singletons bridged by the arriving D) must fold
+    into EXACTLY ONE merged cluster — 2 published components, both
+    docs re-homed to the new min label, the bridge doc counted, the
+    planted marker set — and no other planted-bridge row exists."""
+    from weather_analysis_bigdata__spark.queries_round9 import (
+        _MG_D_ID,
+        _MG_X_ID,
+        _MG_Y_ID,
+        dedup_cc_recluster_apply,
+    )
+
+    rows = dedup_cc_recluster_apply(spark, sf_dir).collect()
+    planted = [r for r in rows if r.has_planted_bridge]
+    assert len(planted) == 1
+    p = planted[0]
+    assert p.new_component == min(_MG_D_ID, _MG_X_ID, _MG_Y_ID)
+    assert p.merged
+    assert p.n_published_components == 2
+    assert p.n_docs == 2  # X and Y
+    assert p.n_bridge_docs == 1  # D
+    assert p.n_relabeled_docs == 2  # both singletons re-homed
+
+
+def test_cc_recluster_no_conflict_is_label_stable_noop(spark, sf_dir):
+    """The negative control: a batch with no would_merge conflicts
+    (novels only — zero corpus neighbors by construction) leaves the
+    published clustering EXACTLY as it was: one row per published
+    component, merged=false, zero re-homed docs, zero bridge docs,
+    labels identical."""
+    from weather_analysis_bigdata__spark.queries_round9 import (
+        _NOVEL_MOD,
+        _NOVEL_REM,
+        _cc_components_index,
+        _cci_batch_df,
+        _recluster_report,
+    )
+
+    novels = _cci_batch_df(spark, sf_dir).filter(
+        "doc_id >= 6000000 AND doc_id < 7000000"
+    )
+    assert novels.count() > 0
+    rows = _recluster_report(spark, sf_dir, novels).collect()
+    pub = {
+        r.comp for r in _cc_components_index(spark, sf_dir).collect()
+    }
+    assert {r.new_component for r in rows} == pub
+    for r in rows:
+        assert not r.merged
+        assert r.n_published_components == 1
+        assert r.n_relabeled_docs == 0
+        assert r.n_bridge_docs == 0
+        assert not r.has_planted_bridge
+
+
 def test_pca_testdata_plants_stay_inside_window(spark, sf_dir):
     """Guard the guard: the shipped corpus must still solve with a
     small shift (nowhere near the window edge), so the 2^62 test above
