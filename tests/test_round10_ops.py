@@ -192,6 +192,25 @@ def test_cc_recluster_no_conflict_is_label_stable_noop(spark, sf_dir):
         assert not r.has_planted_bridge
 
 
+def test_pin_mode_reliable_identical_results(spark, sf_dir, monkeypatch):
+    """Round-9 verdict item 7: the pinning idiom's cluster-posture
+    switch. t_closeness_audit is pin-heavy (the pinned class table
+    feeds three consumers); the SPARK_GRAFT_PIN_MODE=reliable path
+    (persist DISK_ONLY + count — recomputable after executor loss)
+    must produce row-for-row identical results to the default
+    non-reliable localCheckpoint path."""
+    from weather_analysis_bigdata__spark.queries_round8b import (
+        t_closeness_audit,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_PIN_MODE", raising=False)
+    base = {tuple(r) for r in t_closeness_audit(spark, sf_dir).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_PIN_MODE", "reliable")
+    rel = {tuple(r) for r in t_closeness_audit(spark, sf_dir).collect()}
+    assert base == rel
+    assert len(base) > 0
+
+
 def test_pca_testdata_plants_stay_inside_window(spark, sf_dir):
     """Guard the guard: the shipped corpus must still solve with a
     small shift (nowhere near the window edge), so the 2^62 test above

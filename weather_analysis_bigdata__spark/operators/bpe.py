@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from weather_analysis_bigdata__spark.session import pin
 
 
 def _word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -102,10 +103,10 @@ def train_bpe_merges(
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns
     [(rank, left, right, pair_freq), ...] in merge order."""
-    words = _word_freqs(docs, text_col).localCheckpoint(eager=True)
+    words = _word_freqs(docs, text_col).transform(pin)
     state = words.select(
         F.split(F.col("word"), "").alias("symbols"), "freq"
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
 
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
@@ -128,7 +129,7 @@ def train_bpe_merges(
         state = state.select(
             _apply_merge(F.col("symbols"), left, right).alias("symbols"),
             "freq",
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
     return merges
 
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from weather_analysis_bigdata__spark.session import pin
 
 
 def connected_components(
@@ -42,7 +43,7 @@ def connected_components(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("comp"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     for _ in range(max_iter):
         nbr = sym.join(
@@ -52,7 +53,7 @@ def connected_components(
             nbr.unionByName(labels)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         changed = (
             new_labels.alias("n")

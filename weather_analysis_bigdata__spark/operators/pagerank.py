@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from weather_analysis_bigdata__spark.session import pin
 
 SCALE = 10_000_000_000  # 10^10 fixed-point
 
@@ -43,12 +44,12 @@ def pagerank_fixed_point(
     ``sum(rank_scaled) ≈ SCALE`` (minus truncation + dangling leakage).
     """
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    e = edges.join(out_w, "src").localCheckpoint(eager=True)
+    e = edges.join(out_w, "src").transform(pin)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     n = nodes.count()
     base = (damping_den - damping_num) * SCALE // (damping_den * n)
@@ -71,6 +72,6 @@ def pagerank_fixed_point(
                 .cast("long")
                 .alias("rank_scaled"),
             )
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
     return ranks

@@ -58,6 +58,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from weather_analysis_bigdata__spark.operators.bpe import _word_freqs
+from weather_analysis_bigdata__spark.session import pin
 
 #: Maximum piece length in characters (SentencePiece's
 #: max_sentencepiece_length is 16; 4 keeps the candidate lattice tight
@@ -264,7 +265,7 @@ def train_unigram(
     Then EM_ITERS × (Viterbi E-step over distinct words → driver-side
     quantize/prune M-step). Per iteration only the bounded piece-count
     table is collected (≤ charset + SEED rows)."""
-    words = _word_freqs(docs, text_col).localCheckpoint(eager=True)
+    words = _word_freqs(docs, text_col).transform(pin)
 
     char_seed, multi_seed = _substr_counts(words)
     vocab = _costed_vocab(_prune(char_seed, multi_seed))

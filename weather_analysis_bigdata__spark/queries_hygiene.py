@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from weather_analysis_bigdata__spark.registry import register
+from weather_analysis_bigdata__spark.session import pin
 from weather_analysis_bigdata__spark.sources.files import load_table
 from weather_analysis_bigdata__spark.functions.distributed import (
     two_pass_ordinals,
@@ -1210,7 +1211,7 @@ def postings_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slice broadcast on the supported side. touched feeds BOTH joins
     # — pinned once (eager localCheckpoint, O(touched terms) rows) so
     # Catalyst doesn't execute the delta⋈removed merge twice.
-    touched = touched.localCheckpoint(eager=True)
+    touched = touched.transform(pin)
     base_touched = base.join(
         F.broadcast(touched.select("term")), "term", "semi"
     )

@@ -60,6 +60,7 @@ from weather_analysis_bigdata__spark.queries_llmops import (
     _SQL_VPOS,
 )
 from weather_analysis_bigdata__spark.registry import register
+from weather_analysis_bigdata__spark.session import pin
 from weather_analysis_bigdata__spark.sources.files import load_table
 
 _BATCH_QUERIES = 100  # query vectors: vec_id < 100
@@ -1345,7 +1346,7 @@ def postings_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df_base. delta feeds BOTH joins — pinned once (eager
     # localCheckpoint, the threshold-sweep idiom; O(batch terms)
     # rows) so Catalyst doesn't execute its subtree twice.
-    delta = delta.localCheckpoint(eager=True)
+    delta = delta.transform(pin)
     base_touched = df_base.join(
         F.broadcast(delta.select("term")), "term", "semi"
     )

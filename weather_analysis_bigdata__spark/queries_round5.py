@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from weather_analysis_bigdata__spark.registry import register
+from weather_analysis_bigdata__spark.session import pin
 from weather_analysis_bigdata__spark.sources.files import load_table
 
 # ---------------------------------------------------------------------------
@@ -280,7 +281,7 @@ def multimodal_image_near_dup_groups(
             carry_cols=("rep_id",),
         )
         .select(F.col("rep_id_a").alias("u"), F.col("rep_id_b").alias("v"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     comp = connected_components(edges)
     return (
@@ -1655,7 +1656,7 @@ def ivf_lloyd_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("label").alias("part_label"), "pos")
         .agg(floordiv.cast("long").alias("c_int"))
         .select("part_label", "pos", "c_int")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
 
     w_vec = Window.partitionBy("vec_id").orderBy("dist", "part_label")
 
@@ -1670,7 +1671,7 @@ def ivf_lloyd_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("*", F.row_number().over(w_vec).alias("rn"))
             .filter(F.col("rn") == 1)
             .select("vec_id", "part_label", "dist")
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
 
     def objective(assign: DataFrame):
@@ -1695,7 +1696,7 @@ def ivf_lloyd_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                       vpos["vec_id"] == F.col("cid"))
             .groupBy("part_label", "pos")
             .agg(floordiv.cast("long").alias("c_int"))
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
         shift = (
             cent.alias("a")
             .join(new_cent.alias("b"), "part_label")

@@ -41,6 +41,7 @@ from weather_analysis_bigdata__spark.functions.textops import (
     word_ngrams,
 )
 from weather_analysis_bigdata__spark.registry import register
+from weather_analysis_bigdata__spark.session import pin
 from weather_analysis_bigdata__spark.sources.files import (
     load_table,
     spread_small_scan,
@@ -639,7 +640,7 @@ def quality_classifier_threshold_sweep(
                 f" div {_SWEEP_POINTS}"
             ),
         ).alias("step"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     hist = (
         held.crossJoin(F.broadcast(bounds))
         .select(
@@ -650,7 +651,7 @@ def quality_classifier_threshold_sweep(
         )
         .groupBy("cell", "label")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     tot = hist.agg(
         F.sum("n").cast("long").alias("n_held"),

@@ -48,6 +48,7 @@ from pyspark.sql import types as T
 
 from weather_analysis_bigdata__spark.functions.vectorops import scaled_vec
 from weather_analysis_bigdata__spark.registry import register
+from weather_analysis_bigdata__spark.session import pin
 from weather_analysis_bigdata__spark.sources.files import load_table
 
 # ---------------------------------------------------------------------------
@@ -132,17 +133,14 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c")
     )
     w_cls = Window.partitionBy("c_nationkey", "balance_band")
-    # O(classes·segments) rows, pinned once (localCheckpoint, the
-    # threshold-sweep idiom) so the three consumers below — per-class
-    # terms, the global segment distribution, and N — share ONE
-    # execution of the fact scan instead of Spark re-planning the
-    # subtree per reference. localCheckpoint blocks are NON-reliable
-    # (lost on executor death) and eager=True runs even if unconsumed;
-    # on a real cluster prefer persist()+count() or a reliable
-    # checkpoint for this pinned table.
-    csk = cs.select("*", F.sum("c").over(w_cls).alias("k")).localCheckpoint(
-        eager=True
-    )
+    # O(classes·segments) rows, pinned once (the threshold-sweep
+    # idiom) so the three consumers below — per-class terms, the
+    # global segment distribution, and N — share ONE execution of the
+    # fact scan instead of Spark re-planning the subtree per
+    # reference. Fault-tolerance posture (local non-reliable blocks
+    # vs cluster persist(DISK_ONLY)+count) is session.pin's
+    # SPARK_GRAFT_PIN_MODE switch.
+    csk = cs.select("*", F.sum("c").over(w_cls).alias("k")).transform(pin)
     # Global segment distribution derives from the pinned table —
     # the fact table is never rescanned; N folds from g.
     g = csk.groupBy("s").agg(F.sum("c").alias("gs"))

@@ -40,6 +40,7 @@ from weather_analysis_bigdata__spark.queries_llmops import (
     cc_jaccard_edges,
 )
 from weather_analysis_bigdata__spark.registry import register
+from weather_analysis_bigdata__spark.session import pin
 from weather_analysis_bigdata__spark.sources.files import load_table
 
 # ---------------------------------------------------------------------------
@@ -193,7 +194,7 @@ def dedup_cc_overmerge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("comp").alias("rep"),
             (F.col("pl") == 1).alias("planted"),
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     nonrep = cl.filter(F.col("doc_id") != F.col("rep"))
     # ONE corpus tokenize pass: shingles semi-filtered to CLUSTERED
@@ -205,7 +206,7 @@ def dedup_cc_overmerge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shc = (
         _shingles(docs)
         .join(F.broadcast(members), "doc_id", "semi")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # Common grams doc-vs-rep: clustered-doc shingles with rep id
@@ -937,7 +938,7 @@ def _cci_neighbors(
         )
         .groupBy("b", "c")
         .agg(F.count(F.lit(1)).alias("n_common"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     # Corpus sizes only for candidate neighbor docs: ONE aggregate over
     # the postings scan, semi-filtered by the (shard-sized) candidate
@@ -990,7 +991,7 @@ def _cci_assign(
     streaming replay (stream ≡ batch is a property of one code path):
     arriving docs → published-component attachments + batch-local new
     clusters, served entirely from the two persisted indexes."""
-    shb = _shingles(batch).localCheckpoint(eager=True)
+    shb = _shingles(batch).transform(pin)
     szb = shb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     nbr = _cci_neighbors(spark, sf_dir, shb, szb)
     # Shard-sized result of the postings probe, pinned once — it feeds
@@ -999,10 +1000,10 @@ def _cci_assign(
         F.min("existing_comp").alias("assigned_component"),
         F.count(F.lit(1)).alias("n_corpus_neighbors"),
         F.countDistinct("existing_comp").alias("n_existing_components"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     un = batch.select("doc_id").join(
         F.broadcast(attached.select("doc_id")), "doc_id", "anti"
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     shu = shb.join(F.broadcast(un), "doc_id")
     sz_u = szb.join(F.broadcast(un), "doc_id")
     be = (
@@ -1133,9 +1134,9 @@ def _recluster_report(
         connected_components,
     )
 
-    shb = _shingles(batch).localCheckpoint(eager=True)
+    shb = _shingles(batch).transform(pin)
     szb = shb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    nbr = _cci_neighbors(spark, sf_dir, shb, szb).localCheckpoint(eager=True)
+    nbr = _cci_neighbors(spark, sf_dir, shb, szb).transform(pin)
     # The would_merge log: shard docs reaching >= 2 distinct published
     # components — exactly the rows dedup_cc_incremental flags.
     wm = (
@@ -1143,7 +1144,7 @@ def _recluster_report(
         .agg(F.countDistinct("existing_comp").alias("ncmp"))
         .filter(F.col("ncmp") >= 2)
         .select("b")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     bre = (
         nbr.join(F.broadcast(wm), "b")
