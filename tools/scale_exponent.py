@@ -133,9 +133,29 @@ _SKEWJOIN_PROBE = [
     "asof_join_forward_tolerance",  # forward as-of (the O(p²)-frame fix)
     "events_sessionize_30m",   # user-keyed session window
     "salted_join_demo",        # the skew cure, vs its unsalted twin
+    # round-10 (round-9 verdict item 8): the grouped-window family —
+    # the remaining window consumers without a hot-key certification.
+    "window_rank_topn",        # rank frame under a hot customer
+    "gapfill_forward_fill",    # day-spine window under a hot user <= 5
+    "gapfill_linear_interpolate",  # the reversed-frame fix, re-proven
 ]
 _HOT_USER = 42
 _HOT_EVENT_MOD, _HOT_EVENT_RES = 10, 7
+#: Second hot user INSIDE the gapfill family's user_id <= 5 filter
+#: (user 42 is invisible to it): a disjoint 10% slice of every
+#: replica's events lands on user 3, so the gapfill scan's hot share
+#: grows linearly while its day-spine window partition stays bounded —
+#: the structural hot-key safety the probe certifies. The asof/
+#: sessionize family now sees TWO hot users (20% planted mass), a
+#: strictly harder version of the round-9 stress.
+_HOT_USER2 = 3
+_HOT_EVENT_MOD2, _HOT_EVENT_RES2 = 10, 3
+#: Hot CUSTOMER for the orders-keyed rank window (window_rank_topn
+#: partitions by o_custkey — the event/lineitem plants never reach it):
+#: 10% of every replica's orders reassigned to one customer, so the
+#: rank partition grows linearly with the multiplier.
+_HOT_CUST = 42
+_HOT_ORD_MOD, _HOT_ORD_RES = 10, 7
 _HOT_ORDERKEY = 7
 _HOT_LI_MOD, _HOT_LI_RES = 10, 7
 _HOT_BLOCK = " ".join(f"hotblk{j:02d}" for j in range(24))
@@ -221,15 +241,35 @@ def build_corpus(mult: int, skew: bool = False, hot_join: bool = False) -> str:
             return pc.subtract(col, pc.multiply(pc.divide(col, m), m))
 
         if hot_join and t == "events":
-            # ~10% of every replica's events → ONE hot user.
+            # ~10% of every replica's events → ONE hot user, plus a
+            # DISJOINT ~10% → the second hot user (3, inside the
+            # gapfill family's user_id <= 5 filter).
             idx = tbl.schema.get_field_index("user_id")
             f = tbl.schema.field("user_id")
             hot = pc.equal(
                 _mod(tbl["event_id"], pa.scalar(_HOT_EVENT_MOD, pa.int64())),
                 pa.scalar(_HOT_EVENT_RES, pa.int64()),
             )
+            hot2 = pc.equal(
+                _mod(tbl["event_id"], pa.scalar(_HOT_EVENT_MOD2, pa.int64())),
+                pa.scalar(_HOT_EVENT_RES2, pa.int64()),
+            )
+            u = pc.if_else(hot, pa.scalar(_HOT_USER, f.type), tbl["user_id"])
+            u = pc.if_else(hot2, pa.scalar(_HOT_USER2, f.type), u)
+            tbl = tbl.set_column(idx, f, u)
+        if hot_join and t == "orders":
+            # ~10% of every replica's orders → ONE hot customer (the
+            # o_custkey-partitioned rank window's stress key).
+            idx = tbl.schema.get_field_index("o_custkey")
+            f = tbl.schema.field("o_custkey")
+            hot = pc.equal(
+                _mod(tbl["o_orderkey"], pa.scalar(_HOT_ORD_MOD, pa.int64())),
+                pa.scalar(_HOT_ORD_RES, pa.int64()),
+            )
             tbl = tbl.set_column(
-                idx, f, pc.if_else(hot, pa.scalar(_HOT_USER, f.type), tbl["user_id"])
+                idx,
+                f,
+                pc.if_else(hot, pa.scalar(_HOT_CUST, f.type), tbl["o_custkey"]),
             )
         if hot_join and t == "lineitem":
             # ~10% of every replica's lineitems → ONE hot order key.
