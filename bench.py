@@ -186,8 +186,12 @@ HEADLINE = [
     "embedding_pca_incremental_update",
     "pack_efficiency_audit",
     "dedup_cc_incremental",
-    # round 10: the weekly re-cluster that consumes the would_merge log
+    # round 10: the weekly re-cluster that consumes the would_merge
+    # log, the assignment served from the re-clustered labels, and the
+    # distilled classifier's incremental count update
     "dedup_cc_recluster_apply",
+    "dedup_cc_assign_post_recluster",
+    "quality_classifier_nb_incremental_update",
 ]
 
 #: Median per-query drift ratio beyond which the session itself is the

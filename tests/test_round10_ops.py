@@ -211,6 +211,65 @@ def test_pin_mode_reliable_identical_results(spark, sf_dir, monkeypatch):
     assert len(base) > 0
 
 
+def test_post_recluster_conflict_resolved(spark, sf_dir):
+    """The lifecycle proof: under the v1 clustering the planted bridge
+    doc D raises would_merge with 2 existing components; served from
+    the RE-CLUSTERED v2 labels (X and Y folded into one cluster) the
+    SAME batch's D attaches cleanly — and every other assignment is
+    unchanged row-for-row."""
+    from weather_analysis_bigdata__spark.queries_round9 import (
+        _MG_D_ID,
+        _MG_X_ID,
+        _MG_Y_ID,
+        dedup_cc_incremental,
+    )
+    from weather_analysis_bigdata__spark.queries_round10 import (
+        dedup_cc_assign_post_recluster,
+    )
+
+    v1 = {r.doc_id: r for r in dedup_cc_incremental(spark, sf_dir).collect()}
+    v2 = {
+        r.doc_id: r
+        for r in dedup_cc_assign_post_recluster(spark, sf_dir).collect()
+    }
+    assert set(v1) == set(v2)
+    d1, d2 = v1[_MG_D_ID], v2[_MG_D_ID]
+    assert d1.would_merge and d1.n_existing_components == 2
+    assert not d2.would_merge
+    assert d2.n_existing_components == 1
+    assert d2.assigned_component == min(_MG_D_ID, _MG_X_ID, _MG_Y_ID)
+    for doc_id, r in v1.items():
+        if doc_id == _MG_D_ID:
+            continue
+        assert tuple(r) == tuple(v2[doc_id]), doc_id
+
+
+def test_qnb_incremental_update_equals_served_model(spark, sf_dir):
+    """Update ≡ rebuild, closed against the SERVING path: base ∪ delta
+    IS the full train split, so the incrementally updated parameters
+    must equal the persisted full-train model (qnb_quality256)
+    row-for-row — and the delta must be non-empty with visible
+    parameter drift."""
+    from weather_analysis_bigdata__spark.queries_eval import _qnb_table
+    from weather_analysis_bigdata__spark.queries_round10 import (
+        quality_classifier_nb_incremental_update,
+    )
+
+    upd = quality_classifier_nb_incremental_update(spark, sf_dir).collect()
+    served = {
+        (r["label"], r["bucket"]): r["lp_int"]
+        for r in _qnb_table(spark, sf_dir).collect()
+    }
+    assert len(upd) == len(served)
+    assert upd[0]["n_delta_docs"] > 0
+    assert any(r["lp_changed"] for r in upd)
+    for r in upd:
+        assert r["lp_updated"] == served[(r["label"], r["bucket"])], (
+            r["label"],
+            r["bucket"],
+        )
+
+
 def test_pca_testdata_plants_stay_inside_window(spark, sf_dir):
     """Guard the guard: the shipped corpus must still solve with a
     small shift (nowhere near the window edge), so the 2^62 test above

@@ -714,25 +714,30 @@ _SQL_CCI_BATCH = f"""batch AS (
     )"""
 
 
-def _cci_nbr_ctes() -> str:
+def _cci_nbr_ctes(nbr: str = "nbr", comp: str = "comp") -> str:
     """The corpus-neighbor CTE chain (batch + corpus shingles → sizes
     → τ-filtered neighbor rows carrying existing component labels),
-    shared VERBATIM by the incremental assigner's oracle and the
-    re-cluster oracle so the two can never drift on what counts as a
-    corpus neighbor. Expects ``comp`` (published clustering),
-    ``corpus2`` and ``batch`` CTEs in scope."""
+    shared VERBATIM by the incremental assigner's oracle, the
+    re-cluster oracle, and the post-recluster assigner's oracle so
+    the three can never drift on what counts as a corpus neighbor.
+    Expects ``comp`` (a published clustering, parameterizable so the
+    post-recluster oracle can point the SAME probe at the re-clustered
+    labels), ``corpus2`` and ``batch`` CTEs in scope. The shared
+    prefix (shc2/shb/szc/szb/nb) is comp-independent — a second call
+    with a distinct ``nbr`` name may ask for the tail only via
+    :func:`_cci_nbr_tail`."""
     from weather_analysis_bigdata__spark.functions.textops import (
         sql_word_ngrams,
     )
 
     toks = SQL_TOKENS.format(c="text")
-    return f"""shc2 AS (
+    return f"""shc2 AS MATERIALIZED (
       SELECT DISTINCT doc_id, gram FROM (
         SELECT doc_id, unnest({sql_word_ngrams('toks')}) AS gram
         FROM (SELECT doc_id, {toks} AS toks FROM corpus2)
       )
     ),
-    shb AS (
+    shb AS MATERIALIZED (
       SELECT DISTINCT doc_id, gram FROM (
         SELECT doc_id, unnest({sql_word_ngrams('toks')}) AS gram
         FROM (SELECT doc_id, {toks} AS toks FROM batch)
@@ -740,20 +745,80 @@ def _cci_nbr_ctes() -> str:
     ),
     szc AS (SELECT doc_id, COUNT(*) AS n FROM shc2 GROUP BY doc_id),
     szb AS (SELECT doc_id, COUNT(*) AS n FROM shb GROUP BY doc_id),
-    nb AS (
+    nb AS MATERIALIZED (
       SELECT b.doc_id AS b, c.doc_id AS c, COUNT(*) AS n_common
       FROM shb b JOIN shc2 c ON b.gram = c.gram
       GROUP BY 1, 2
     ),
-    nbr AS (
+    {_cci_nbr_tail(nbr, comp)}"""
+
+
+def _cci_nbr_tail(nbr: str = "nbr", comp: str = "comp") -> str:
+    """Just the comp-dependent neighbor CTE (see _cci_nbr_ctes)."""
+    return f"""{nbr} AS MATERIALIZED (
       SELECT nb.b, nb.c,
              COALESCE(cm.component_id, nb.c) AS existing_comp
       FROM nb
       JOIN szb s1 ON nb.b = s1.doc_id
       JOIN szc s2 ON nb.c = s2.doc_id
-      LEFT JOIN comp cm ON nb.c = cm.doc_id
+      LEFT JOIN {comp} cm ON nb.c = cm.doc_id
       WHERE 10 * nb.n_common >= 7 * (s1.n + s2.n - nb.n_common)
     )"""
+
+
+def _cci_assign_sql(nbr: str = "nbr", sfx: str = "") -> str:
+    """The assignment CTE chain + final SELECT over a neighbor CTE —
+    shared verbatim by the incremental assigner's oracle and the
+    post-recluster assigner's (which runs it against the re-clustered
+    labels). ``sfx`` uniquifies CTE names when two chains share one
+    WITH block."""
+    return f"""attached{sfx} AS MATERIALIZED (
+      SELECT b AS doc_id,
+             MIN(existing_comp) AS assigned_component,
+             CAST(COUNT(*) AS BIGINT) AS n_corpus_neighbors,
+             CAST(COUNT(DISTINCT existing_comp) AS BIGINT)
+               AS n_existing_components
+      FROM {nbr} GROUP BY b
+    ),
+    un{sfx} AS MATERIALIZED (
+      SELECT doc_id FROM batch
+      WHERE doc_id NOT IN (SELECT doc_id FROM attached{sfx})
+    ),
+    be{sfx} AS MATERIALIZED (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM (SELECT s.* FROM shb s JOIN un{sfx} ON s.doc_id = un{sfx}.doc_id) a
+      JOIN (SELECT s.* FROM shb s JOIN un{sfx} ON s.doc_id = un{sfx}.doc_id) b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id
+      JOIN szb s1 ON a.doc_id = s1.doc_id
+      JOIN szb s2 ON b.doc_id = s2.doc_id
+      GROUP BY a.doc_id, b.doc_id, s1.n, s2.n
+      HAVING 10 * COUNT(*) >= 7 * (s1.n + s2.n - COUNT(*))
+    ),
+    bsym{sfx} AS MATERIALIZED (SELECT u, v FROM be{sfx} UNION SELECT v, u FROM be{sfx}),
+    breach{sfx}(src, dst) AS (
+      SELECT u, u FROM bsym{sfx}
+      UNION
+      SELECT r.src, s.v FROM breach{sfx} r JOIN bsym{sfx} s ON r.dst = s.u
+    ),
+    bcomp{sfx} AS MATERIALIZED (
+      SELECT src AS doc_id, MIN(dst) AS assigned_component
+      FROM breach{sfx} GROUP BY src
+    )
+    SELECT a.doc_id, a.assigned_component,
+           FALSE AS is_new_cluster,
+           a.n_corpus_neighbors, a.n_existing_components,
+           a.n_existing_components >= 2 AS would_merge
+    FROM attached{sfx} a
+    UNION ALL
+    SELECT un{sfx}.doc_id,
+           COALESCE(bc.assigned_component, un{sfx}.doc_id)
+             AS assigned_component,
+           TRUE AS is_new_cluster,
+           CAST(0 AS BIGINT) AS n_corpus_neighbors,
+           CAST(0 AS BIGINT) AS n_existing_components,
+           FALSE AS would_merge
+    FROM un{sfx} LEFT JOIN bcomp{sfx} bc ON un{sfx}.doc_id = bc.doc_id
+    """
 
 
 def _cci_oracle() -> str:
@@ -762,51 +827,7 @@ def _cci_oracle() -> str:
     {_SQL_CCI_CORPUS_EXTRA},
     {_SQL_CCI_BATCH},
     {_cci_nbr_ctes()},
-    attached AS (
-      SELECT b AS doc_id,
-             MIN(existing_comp) AS assigned_component,
-             CAST(COUNT(*) AS BIGINT) AS n_corpus_neighbors,
-             CAST(COUNT(DISTINCT existing_comp) AS BIGINT)
-               AS n_existing_components
-      FROM nbr GROUP BY b
-    ),
-    un AS (
-      SELECT doc_id FROM batch
-      WHERE doc_id NOT IN (SELECT doc_id FROM attached)
-    ),
-    be AS (
-      SELECT a.doc_id AS u, b.doc_id AS v
-      FROM (SELECT s.* FROM shb s JOIN un ON s.doc_id = un.doc_id) a
-      JOIN (SELECT s.* FROM shb s JOIN un ON s.doc_id = un.doc_id) b
-        ON a.gram = b.gram AND a.doc_id < b.doc_id
-      JOIN szb s1 ON a.doc_id = s1.doc_id
-      JOIN szb s2 ON b.doc_id = s2.doc_id
-      GROUP BY a.doc_id, b.doc_id, s1.n, s2.n
-      HAVING 10 * COUNT(*) >= 7 * (s1.n + s2.n - COUNT(*))
-    ),
-    bsym AS (SELECT u, v FROM be UNION SELECT v, u FROM be),
-    breach(src, dst) AS (
-      SELECT u, u FROM bsym
-      UNION
-      SELECT r.src, s.v FROM breach r JOIN bsym s ON r.dst = s.u
-    ),
-    bcomp AS (
-      SELECT src AS doc_id, MIN(dst) AS assigned_component
-      FROM breach GROUP BY src
-    )
-    SELECT a.doc_id, a.assigned_component,
-           FALSE AS is_new_cluster,
-           a.n_corpus_neighbors, a.n_existing_components,
-           a.n_existing_components >= 2 AS would_merge
-    FROM attached a
-    UNION ALL
-    SELECT un.doc_id,
-           COALESCE(bc.assigned_component, un.doc_id) AS assigned_component,
-           TRUE AS is_new_cluster,
-           CAST(0 AS BIGINT) AS n_corpus_neighbors,
-           CAST(0 AS BIGINT) AS n_existing_components,
-           FALSE AS would_merge
-    FROM un LEFT JOIN bcomp bc ON un.doc_id = bc.doc_id
+    {_cci_assign_sql()}
     """
 
 
@@ -904,12 +925,17 @@ def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cci_neighbors(
-    spark: SparkSession, sf_dir: str, shb: DataFrame, szb: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    shb: DataFrame,
+    szb: DataFrame,
+    comp: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-neighbor rows (b, c, existing_comp) for a shard's
-    shingle table — the probe kernel SHARED by the assigner and the
-    re-cluster (dedup_cc_recluster_apply), mirroring the
-    ``_cci_nbr_ctes`` SQL verbatim.
+    shingle table — the probe kernel SHARED by the assigner, the
+    re-cluster (dedup_cc_recluster_apply), and the post-recluster
+    assigner (which passes the re-clustered labels as ``comp``),
+    mirroring the ``_cci_nbr_ctes`` SQL verbatim.
 
     The corpus side is SERVED, not recomputed: the shingle postings
     persist alongside the published clustering (the span family's
@@ -929,7 +955,8 @@ def _cci_neighbors(
         "cc_shingle_postings",
         lambda: _shingles(_cci_corpus_df(spark, sf_dir)),
     )
-    comp = _cc_components_index(spark, sf_dir)
+    if comp is None:
+        comp = _cc_components_index(spark, sf_dir)
     cmn = (
         shc.select(F.col("doc_id").alias("c"), "gram")
         .join(
@@ -985,15 +1012,19 @@ def _cci_neighbors(
 
 
 def _cci_assign(
-    spark: SparkSession, sf_dir: str, batch: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    batch: DataFrame,
+    comp: DataFrame | None = None,
 ) -> DataFrame:
-    """The assignment kernel SHARED by the batch query and the
-    streaming replay (stream ≡ batch is a property of one code path):
+    """The assignment kernel SHARED by the batch query, the streaming
+    replay (stream ≡ batch is a property of one code path), and the
+    post-recluster assigner (``comp`` = the re-clustered labels):
     arriving docs → published-component attachments + batch-local new
     clusters, served entirely from the two persisted indexes."""
     shb = _shingles(batch).transform(pin)
     szb = shb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    nbr = _cci_neighbors(spark, sf_dir, shb, szb)
+    nbr = _cci_neighbors(spark, sf_dir, shb, szb, comp=comp)
     # Shard-sized result of the postings probe, pinned once — it feeds
     # the output AND the no-neighbor remainder (anti join) three ways.
     attached = nbr.groupBy(F.col("b").alias("doc_id")).agg(
@@ -1074,31 +1105,40 @@ def _cci_assign(
 # ---------------------------------------------------------------------------
 # Weekly re-cluster: consume the would_merge log (round-9 verdict item 3)
 # ---------------------------------------------------------------------------
+def _recluster_ctes() -> str:
+    """The re-cluster CTE chain (conflict log → bridge edges → union
+    graph → recursive min-label → ``nc``), shared verbatim by the
+    re-cluster oracle and the post-recluster assigner's oracle.
+    Expects ``nbr`` (vs the v1 published clustering) and ``comp`` in
+    scope."""
+    return """wm AS MATERIALIZED (
+      SELECT b FROM nbr GROUP BY b
+      HAVING COUNT(DISTINCT existing_comp) >= 2
+    ),
+    bre AS MATERIALIZED (
+      SELECT DISTINCT nbr.b AS u, nbr.existing_comp AS v
+      FROM nbr JOIN wm ON nbr.b = wm.b
+    ),
+    ae AS MATERIALIZED (
+      SELECT doc_id AS u, component_id AS v FROM comp
+      UNION SELECT u, v FROM bre
+    ),
+    asym AS MATERIALIZED (SELECT u, v FROM ae UNION SELECT v, u FROM ae),
+    rr(src, dst) AS (
+      SELECT u, u FROM asym
+      UNION
+      SELECT r.src, s.v FROM rr r JOIN asym s ON r.dst = s.u
+    ),
+    nc AS MATERIALIZED (SELECT src AS node, MIN(dst) AS new_comp FROM rr GROUP BY src)"""
+
+
 def _recluster_oracle() -> str:
     return f"""
     WITH RECURSIVE {SQL_CC_COMP},
     {_SQL_CCI_CORPUS_EXTRA},
     {_SQL_CCI_BATCH},
     {_cci_nbr_ctes()},
-    wm AS (
-      SELECT b FROM nbr GROUP BY b
-      HAVING COUNT(DISTINCT existing_comp) >= 2
-    ),
-    bre AS (
-      SELECT DISTINCT nbr.b AS u, nbr.existing_comp AS v
-      FROM nbr JOIN wm ON nbr.b = wm.b
-    ),
-    ae AS (
-      SELECT doc_id AS u, component_id AS v FROM comp
-      UNION SELECT u, v FROM bre
-    ),
-    asym AS (SELECT u, v FROM ae UNION SELECT v, u FROM ae),
-    rr(src, dst) AS (
-      SELECT u, u FROM asym
-      UNION
-      SELECT r.src, s.v FROM rr r JOIN asym s ON r.dst = s.u
-    ),
-    nc AS (SELECT src AS node, MIN(dst) AS new_comp FROM rr GROUP BY src),
+    {_recluster_ctes()},
     rep AS (
       SELECT nc.node, nc.new_comp, cm.component_id AS old_pub,
              wm.b IS NOT NULL AS is_bridge
@@ -1124,12 +1164,13 @@ def _recluster_oracle() -> str:
     """
 
 
-def _recluster_report(
+def _recluster_graph(
     spark: SparkSession, sf_dir: str, batch: DataFrame
-) -> DataFrame:
-    """The re-cluster kernel, batch-injectable so tests can prove the
-    no-conflict no-op: fold the shard's would_merge bridges into the
-    published clustering and report per-new-cluster label stability."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The re-cluster kernel's graph step, shared by the stability
+    report and the v2-index publish: returns (nc, comp, wm) — the
+    re-labeled nodes (node, new_comp), the v1 published clustering,
+    and the shard's would_merge conflict log."""
     from weather_analysis_bigdata__spark.operators.components import (
         connected_components,
     )
@@ -1160,6 +1201,16 @@ def _recluster_report(
         F.col("node").alias("u"), F.col("comp").alias("v")
     ).unionByName(bre)
     nc = connected_components(edges).withColumnRenamed("comp", "new_comp")
+    return nc, comp, wm
+
+
+def _recluster_report(
+    spark: SparkSession, sf_dir: str, batch: DataFrame
+) -> DataFrame:
+    """The re-cluster kernel, batch-injectable so tests can prove the
+    no-conflict no-op: fold the shard's would_merge bridges into the
+    published clustering and report per-new-cluster label stability."""
+    nc, comp, wm = _recluster_graph(spark, sf_dir, batch)
     rep = (
         nc.join(
             comp.select("node", F.col("comp").alias("old_pub")),
