@@ -237,10 +237,20 @@ def adjudicate_warm(times: dict, band_qs: dict, rerun) -> dict:
        driver's session, where position-dependent session state can
        distort one query 6× (measured: a1 = 5.26 s in BOTH driver-run
        timed positions vs 0.76 s on the identical commit in a fresh
-       session). Each flagged query is re-run once via ``rerun`` at
-       the END of the loop (a different session position); the flag is
-       kept only if the retry ALSO breaches the same ceiling — a real
-       2× slowdown breaches every time, a position artifact doesn't.
+       session). Each flagged query is re-run via ``rerun`` — in
+       bench's real wiring a FRESH SUBPROCESS SESSION (two runs, min),
+       measured round 10: an in-session end-of-loop retry CONFIRMED
+       marginal false flags because whatever state slowed the timed
+       runs still held (back-to-back same-commit runs flagged
+       dsir+manifest then span_cap+pca_top2 — disjoint, all marginal,
+       all retry-"confirmed" in-session). The flag is kept only if
+       the fresh session ALSO breaches the same ceiling — a kept flag
+       is then a breach reproduced across two sessions.
+
+    The additive noise term is ALSO drift-scaled (round-10 measured:
+    a 1.12×-median session inflated per-query tails far beyond their
+    quiet-session spreads — dispersion grows with the regime, so a
+    fixed floor under-tolerates exactly when the host is loud).
 
     ``times``: name → observed warm seconds. ``band_qs``: name →
     {runs, min, max, spread} (pass {} when the band's SF mismatches).
@@ -260,7 +270,9 @@ def adjudicate_warm(times: dict, band_qs: dict, rerun) -> dict:
         if not b:
             reg["queries"][name] = {"observed": t, "regressed": None}
             continue
-        allowed = round(b["max"] * drift + max(0.25, 2 * b["spread"]), 3)
+        allowed = round(
+            (b["max"] + max(0.25, 2 * b["spread"])) * drift, 3
+        )
         flag = t > allowed
         entry = {
             "observed": t,
@@ -313,7 +325,7 @@ def adjudicate_streaming(rates: dict, band_qs: dict, rerun) -> dict:
             reg["queries"][name] = {"observed": r, "regressed": None}
             continue
         allowed = round(
-            b["min"] / drift - max(0.25 * b["min"], 2 * b["spread"]), 3
+            (b["min"] - max(0.25 * b["min"], 2 * b["spread"])) / drift, 3
         )
         flag = r < allowed
         entry = {
@@ -527,17 +539,48 @@ def main() -> None:
                 )
     detail.pop("streaming_throughput_error", None)
     # Machine-adjudicated regressions: rules + history in
-    # adjudicate_warm's docstring. The retry runs the flagged query's
-    # full timed path once more at the END of the loop — a different
-    # session position, which is exactly the variable the round-9
-    # false flags keyed on.
+    # adjudicate_warm's docstring. The retry runs the flagged query in
+    # a FRESH SUBPROCESS SESSION (two runs, min — the second is warm):
+    # whatever state distorted THIS session's timed runs cannot follow
+    # it there, so a kept flag is a breach reproduced across two
+    # sessions. On any subprocess failure the original time is
+    # returned — a broken retry must never CLEAR a flag.
 
     def _rerun_warm(name: str) -> float:
-        t0 = time.time()
-        registry[name].fn(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        return time.time() - t0
+        import subprocess
+
+        code = (
+            "import sys, time\n"
+            f"sys.path.insert(0, {here!r})\n"
+            "from weather_analysis_bigdata__spark.registry import all_queries\n"
+            "from weather_analysis_bigdata__spark.session import get_spark\n"
+            "spark = get_spark('bench-retry')\n"
+            f"q = all_queries()[{name!r}]\n"
+            f"sf = {sf_dir!r}\n"
+            "if q.prepare is not None:\n"
+            "    q.prepare(spark, sf)\n"
+            "best = None\n"
+            "for _ in range(2):\n"
+            "    t0 = time.time()\n"
+            "    q.fn(spark, sf).write.format('noop')"
+            ".mode('overwrite').save()\n"
+            "    w = time.time() - t0\n"
+            "    best = w if best is None else min(best, w)\n"
+            "print('RETRY_SEC', best)\n"
+        )
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True,
+                text=True,
+                timeout=600,
+            )
+            for ln in out.stdout.splitlines():
+                if ln.startswith("RETRY_SEC "):
+                    return float(ln.split()[1])
+        except Exception:
+            pass
+        return times[name]
 
     band = detail.get("variance_3runs") or {}
     band_qs = (band.get("queries") or {}) if band.get("sf") == sf_val else {}
