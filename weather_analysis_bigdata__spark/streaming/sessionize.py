@@ -3,15 +3,39 @@
 The batch twin is ``events_sessionize_30m`` (lag + prefix-sum windows);
 this is the *streaming* form: per-user session state carried across
 micro-batches, closed sessions emitted in append mode. State per key is
-four scalars — bounded by active users, independent of event volume, the
+five scalars — bounded by active users, independent of event volume, the
 shape that survives a 100 TB/day event stream (state store keyed by
 user_id, sized by concurrency not history).
 
+Out-of-order arrival (round-10 verdict: FileStreamSource delivered a
+late-half file first on an mtime tie and the old gap check silently
+merged the early events into the open session, moving ``last_us``
+BACKWARD and emitting sessions with start > end). Events are sorted
+within a micro-batch, so disorder is only visible ACROSS batches, as an
+arriving ``ts_us < last_us``. Explicit late-event policy, chosen per
+where the late event lands:
+
+- ``start_us <= ts_us < last_us`` — inside the OPEN session's span:
+  merged (n/sum only). Order-safe AND batch-equivalent: an event inside
+  [start, last] can only subdivide intra-session gaps that are already
+  <= GAP, so the batch twin puts it in this exact session with the same
+  boundaries.
+- ``ts_us < start_us`` — before the open session began: it belongs to
+  (or bridges) history that may already be emitted; merging is what
+  produced the inverted sessions. Dropped and COUNTED — the count is
+  surfaced as ``n_late`` on the key's next closed-session row, so data
+  loss is observable in the output, never silent. (The reorder-buffer
+  upgrade would hold events within an event-time watermark before
+  folding; for this engine's replay sources the observable disorder is
+  whole-file, far beyond any buffer a bounded state contract allows.)
+
 Determinism: batch boundaries only affect WHEN a session is emitted,
-never its contents (events are processed in (ts, event_id) order within
-and across batches for time-split sources); sums are integer cents. The
-test suite replays a time-split parquet source and checks closed
-sessions equal the batch sessionizer's output exactly.
+never its contents (in-order sources process events in (ts, event_id)
+order within and across batches); sums are integer cents. The test
+suite replays a time-split parquet source in BOTH file orders: in-order
+must equal the batch sessionizer exactly with every n_late = 0;
+reversed must never emit an inverted session and must account for every
+dropped event in n_late.
 """
 
 from __future__ import annotations
@@ -33,16 +57,20 @@ SESSION_SCHEMA = T.StructType(
         T.StructField("session_end", T.TimestampType()),
         T.StructField("n_events", T.LongType()),
         T.StructField("sum_value", T.DoubleType()),
+        # late events dropped for this key while this session was open
+        # (ts before the session's start — see module docstring)
+        T.StructField("n_late", T.LongType()),
     ]
 )
 
-#: (session_start_us, last_ts_us, n_events, sum_cents)
+#: (session_start_us, last_ts_us, n_events, sum_cents, late_dropped)
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("start_us", T.LongType()),
         T.StructField("last_us", T.LongType()),
         T.StructField("n", T.LongType()),
         T.StructField("cents", T.LongType()),
+        T.StructField("late", T.LongType()),
     ]
 )
 
@@ -54,23 +82,40 @@ def _sessionize_key(
     rows = pd.concat(list(pdfs), ignore_index=True)
     rows = rows.sort_values(["ts", "event_id"])
     if state.exists:
-        start_us, last_us, n, cents = state.get
+        start_us, last_us, n, cents, late = state.get
     else:
         start_us = last_us = -1
-        n = cents = 0
+        n = cents = late = 0
     closed: list[tuple[Any, ...]] = []
     for ts, value in zip(rows["ts"], rows["value"]):
         ts_us = int(ts.value // 1_000)  # pandas ns → µs
         v_cents = int(round(float(value) * 100))
+        if last_us >= 0 and ts_us < last_us:
+            # LATE: an earlier-timestamped event arriving after a
+            # later one was folded (cross-batch disorder only — the
+            # in-batch sort above rules it out within a batch).
+            if ts_us >= start_us:
+                # inside the open session's span: order-safe merge —
+                # boundaries and membership match the batch twin
+                n += 1
+                cents += v_cents
+            else:
+                # before the open session began: folding it would move
+                # last_us backward (the start > end corruption) — drop
+                # and count instead, surfaced as n_late at close time
+                late += 1
+            continue
         if last_us >= 0 and ts_us - last_us > GAP_US:
-            closed.append((user_id, start_us, last_us, n, cents / 100.0))
-            start_us, n, cents = ts_us, 0, 0
+            closed.append(
+                (user_id, start_us, last_us, n, cents / 100.0, late)
+            )
+            start_us, n, cents, late = ts_us, 0, 0, 0
         if last_us < 0:
             start_us = ts_us
         last_us = ts_us
         n += 1
         cents += v_cents
-    state.update((start_us, last_us, n, cents))
+    state.update((start_us, last_us, n, cents, late))
     if closed:
         yield pd.DataFrame(
             {
@@ -79,13 +124,15 @@ def _sessionize_key(
                 "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
                 "n_events": [c[3] for c in closed],
                 "sum_value": [c[4] for c in closed],
+                "n_late": [c[5] for c in closed],
             }
         )
 
 
 def sessionize_stream(events: DataFrame) -> DataFrame:
     """events(user_id, ts, event_id, value) stream → closed-session
-    stream. One state-store shuffle on user_id; emits in append mode."""
+    stream (+ ``n_late`` dropped-late accounting per session). One
+    state-store shuffle on user_id; emits in append mode."""
     return events.groupBy("user_id").applyInPandasWithState(
         _sessionize_key,
         outputStructType=SESSION_SCHEMA,
