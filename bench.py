@@ -4,6 +4,18 @@ wall times.
 
 Headline set = the heaviest representative of each operator family
 (scan+agg, dedup-shuffle, join, window, pivot, topk, text, embedding).
+
+Regression-verdict provenance (round-10 verdict item 6): the
+``regressions`` / ``streaming_regressions`` blocks in BENCH_DETAIL.json
+carry ``bands_git_head`` / ``bands_recorded_at`` (stamped by
+tools/bench_variance.py when the band was measured; null for bands
+recorded before stamping existed) and ``flags_confirmed_fresh_session``
+— true iff every kept flag's retry actually ran in a fresh subprocess
+JVM (false means at least one retry subprocess failed, so that flag is
+in-session-only evidence). A cleared flag additionally records
+``session_suspect: true``: the breach was observed in this session but
+did not reproduce in a fresh one, so the session — not the query — is
+the suspect.
 """
 
 from __future__ import annotations
@@ -244,8 +256,13 @@ def adjudicate_warm(times: dict, band_qs: dict, rerun) -> dict:
        runs still held (back-to-back same-commit runs flagged
        dsir+manifest then span_cap+pca_top2 — disjoint, all marginal,
        all retry-"confirmed" in-session). The flag is kept only if
-       the fresh session ALSO breaches the same ceiling — a kept flag
-       is then a breach reproduced across two sessions.
+       the fresh session ALSO breaches — a kept flag is then a breach
+       reproduced across two sessions. The fresh session carries NONE
+       of this session's drift, so the retry is judged against the
+       UNSCALED ceiling (round-10 advice: against the drift-scaled
+       ceiling, a quiet fresh session could clear a genuine regression
+       up to ~drift× past the band). A cleared flag records
+       ``session_suspect: true`` — the breach died with the session.
 
     The additive noise term is ALSO drift-scaled (round-10 measured:
     a 1.12×-median session inflated per-query tails far beyond their
@@ -270,9 +287,8 @@ def adjudicate_warm(times: dict, band_qs: dict, rerun) -> dict:
         if not b:
             reg["queries"][name] = {"observed": t, "regressed": None}
             continue
-        allowed = round(
-            (b["max"] + max(0.25, 2 * b["spread"])) * drift, 3
-        )
+        unscaled = round(b["max"] + max(0.25, 2 * b["spread"]), 3)
+        allowed = round(unscaled * drift, 3)
         flag = t > allowed
         entry = {
             "observed": t,
@@ -287,9 +303,11 @@ def adjudicate_warm(times: dict, band_qs: dict, rerun) -> dict:
         if flag:
             rt = rerun(name)
             entry["retry_observed"] = round(rt, 3)
-            if rt <= allowed:
+            entry["retry_allowed"] = unscaled
+            if rt <= unscaled:
                 entry["regressed"] = flag = False
                 entry["retry_cleared"] = True
+                entry["session_suspect"] = True
         reg["queries"][name] = entry
         if flag:
             reg["flagged"].append(name)
@@ -306,7 +324,14 @@ def adjudicate_streaming(rates: dict, band_qs: dict, rerun) -> dict:
     when its rate falls below band-min/drift by more than twice the
     band spread (floored at 25% of band min — rates are noisier than
     wall times, so the floor is relative); a flagged replay is re-run
-    once and keeps the flag only if the retry also breaches.
+    in a fresh subprocess session and keeps the flag only if the retry
+    also breaches the UNSCALED floor.
+
+    The noise term is clamped at 50% of band min (round-10 advice: a
+    band whose 2×spread exceeds its min would otherwise push the floor
+    to ≤ 0 and silently disable detection for that replay) — a clamped
+    entry carries ``band_too_noisy: true`` so the weakened check is
+    visible, and a ≥2× genuine rate collapse still flags through it.
 
     ``rates``: name → observed rows/s. ``band_qs``: name → {runs, min,
     max, spread} of rows/s. ``rerun``: callable(name) → fresh rows/s.
@@ -324,9 +349,12 @@ def adjudicate_streaming(rates: dict, band_qs: dict, rerun) -> dict:
         if not b or not r:
             reg["queries"][name] = {"observed": r, "regressed": None}
             continue
-        allowed = round(
-            (b["min"] - max(0.25 * b["min"], 2 * b["spread"])) / drift, 3
-        )
+        noise = max(0.25 * b["min"], 2 * b["spread"])
+        too_noisy = noise > 0.5 * b["min"]
+        if too_noisy:
+            noise = 0.5 * b["min"]
+        floor = round(b["min"] - noise, 3)
+        allowed = round(floor / drift, 3)
         flag = r < allowed
         entry = {
             "observed": r,
@@ -334,6 +362,8 @@ def adjudicate_streaming(rates: dict, band_qs: dict, rerun) -> dict:
             "allowed": allowed,
             "regressed": flag,
         }
+        if too_noisy:
+            entry["band_too_noisy"] = True
         exc = BENCH_EXCEPTIONS.get(name)
         if flag and exc is not None:
             entry["exception"] = exc
@@ -341,9 +371,11 @@ def adjudicate_streaming(rates: dict, band_qs: dict, rerun) -> dict:
         if flag:
             rr = rerun(name)
             entry["retry_observed"] = round(rr, 3)
-            if rr >= allowed:
+            entry["retry_allowed"] = floor
+            if rr >= floor:
                 entry["regressed"] = flag = False
                 entry["retry_cleared"] = True
+                entry["session_suspect"] = True
         reg["queries"][name] = entry
         if flag:
             reg["flagged"].append(name)
@@ -371,19 +403,26 @@ def main() -> None:
         if prep is not None:
             prep(spark, sf_dir)
 
-    # Sacrificial UNTIMED execution of the first headline query
-    # (round-9 verdict item 1): range(1).count() warms the JVM but
-    # nothing a real scan-agg needs — parquet footer cache, codegen
-    # cache, shuffle/broadcast machinery. Measured cost of skipping
-    # this: the driver session clocked a1_group_multi_avg at 5.26 s in
-    # BOTH timed runs while the identical commit measured 0.76 s in a
-    # fresh session — the first timed position was absorbing
-    # session-startup state, and min-of-2 can't shed a distortion that
-    # hits both runs.
-    if names:
-        registry[names[0]].fn(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+    # Sacrificial UNTIMED warmup (round-9 verdict item 1):
+    # range(1).count() warms the JVM but nothing a real scan-agg needs
+    # — parquet footer cache, codegen cache, shuffle/broadcast
+    # machinery. Measured cost of skipping this: the driver session
+    # clocked a1_group_multi_avg at 5.26 s in BOTH timed runs while
+    # the identical commit measured 0.76 s in a fresh session — the
+    # first timed position was absorbing session-startup state, and
+    # min-of-2 can't shed a distortion that hits both runs. The warmup
+    # is a DEDICATED throwaway scan-agg, not names[0] (round-10
+    # advice: executing names[0] untimed silently turned its recorded
+    # cold[...] into a post-warmup time, changing that entry's meaning
+    # vs every prior round's record).
+    (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .groupBy("event_type")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -544,9 +583,15 @@ def main() -> None:
     # whatever state distorted THIS session's timed runs cannot follow
     # it there, so a kept flag is a breach reproduced across two
     # sessions. On any subprocess failure the original time is
-    # returned — a broken retry must never CLEAR a flag.
+    # returned — a broken retry must never CLEAR a flag — and the name
+    # lands in retry_subprocess_failed so the artifact's
+    # flags_confirmed_fresh_session marker can report that the kept
+    # flag is in-session-only evidence.
+    retry_subprocess_failed: set = set()
 
-    def _rerun_warm(name: str) -> float:
+    def _fresh_session_run(name: str) -> float | None:
+        """min-of-2 warm seconds for ``name`` in a fresh subprocess
+        JVM/session, or None when the subprocess fails."""
         import subprocess
 
         code = (
@@ -580,25 +625,48 @@ def main() -> None:
                     return float(ln.split()[1])
         except Exception:
             pass
-        return times[name]
+        return None
+
+    def _rerun_warm(name: str) -> float:
+        fresh = _fresh_session_run(name)
+        if fresh is None:
+            retry_subprocess_failed.add(name)
+            return times[name]
+        return fresh
 
     band = detail.get("variance_3runs") or {}
     band_qs = (band.get("queries") or {}) if band.get("sf") == sf_val else {}
-    regressions = {"sf": sf_val, **adjudicate_warm(times, band_qs, _rerun_warm)}
+    regressions = {
+        "sf": sf_val,
+        "bands_git_head": band.get("git_head"),
+        "bands_recorded_at": band.get("recorded_at"),
+        **adjudicate_warm(times, band_qs, _rerun_warm),
+    }
+    regressions["flags_confirmed_fresh_session"] = not (
+        set(regressions["flagged"]) & retry_subprocess_failed
+    )
     detail["regressions"] = regressions
 
     # Streaming-rate adjudication (round-9 verdict item 5): same
     # drift/retry rules over rows/s, against the 3-run rate band
-    # tools/bench_variance.py records.
+    # tools/bench_variance.py records. The retry is a fresh subprocess
+    # session too (round-10 verdict item 3), and any retry failure
+    # returns the originally observed rate — replay re-runs have
+    # filesystem side effects and have failed before, and a broken
+    # retry must never clear a flag OR abort the run after all timing
+    # work is done (round-10 advice medium).
 
     def _rerun_stream(name: str) -> float:
-        n_in = streaming[name]["input_rows"]
-        t0 = time.time()
-        registry[name].fn(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        wall = time.time() - t0
-        return n_in / wall if wall > 0 else 0.0
+        try:
+            n_in = streaming[name]["input_rows"]
+            fresh = _fresh_session_run(name)
+            if fresh is None or fresh <= 0:
+                retry_subprocess_failed.add(name)
+                return rates.get(name) or 0.0
+            return n_in / fresh
+        except Exception:
+            retry_subprocess_failed.add(name)
+            return rates.get(name) or 0.0
 
     sband = detail.get("streaming_variance_3runs") or {}
     sband_qs = (
@@ -609,8 +677,13 @@ def main() -> None:
     }
     streaming_reg = {
         "sf": sf_val,
+        "bands_git_head": sband.get("git_head"),
+        "bands_recorded_at": sband.get("recorded_at"),
         **adjudicate_streaming(rates, sband_qs, _rerun_stream),
     }
+    streaming_reg["flags_confirmed_fresh_session"] = not (
+        set(streaming_reg["flagged"]) & retry_subprocess_failed
+    )
     detail["streaming_regressions"] = streaming_reg
     # Record the serve depth the eval weight tables derive from, so a
     # depth change is visible as a diff against this record instead of

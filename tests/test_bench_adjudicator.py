@@ -154,6 +154,56 @@ def test_streaming_new_or_null_rate_gets_null():
     assert reg["queries"]["nullrate"]["regressed"] is None
 
 
+def test_warm_retry_judged_against_unscaled_ceiling():
+    """Round-10 advice: the retry runs in a FRESH session that carries
+    none of this session's drift, so it must clear only below the
+    UNSCALED ceiling. Here the session drifts ~1.2× (every stable
+    query 20% over its band median), the probe breaches the scaled
+    ceiling, and the fresh-session retry lands between the unscaled
+    ceiling (1.6+0.4=2.0) and the scaled one (~2.4): the old
+    drift-scaled comparison would clear it; the fix keeps it."""
+    times = {n: 1.2 * t for n, t in _STABLE.items()}
+    times["probe"] = 3.0
+    reg = adjudicate_warm(times, _BAND, lambda n: 2.2)
+    e = reg["queries"]["probe"]
+    assert e["retry_allowed"] == 2.0
+    assert e["retry_observed"] == 2.2
+    assert reg["flagged"] == ["probe"]
+    assert "session_suspect" not in e
+
+
+def test_warm_cleared_flag_marks_session_suspect():
+    times = {**_STABLE, "probe": 5.26}
+    reg = adjudicate_warm(times, _BAND, lambda n: 0.76)
+    e = reg["queries"]["probe"]
+    assert e["retry_cleared"] is True
+    assert e["session_suspect"] is True
+
+
+def test_streaming_noisy_band_clamped_not_disabled():
+    """Round-10 advice: a band with 2*spread >= min used to push the
+    floor negative — no rate could ever flag. The clamp caps noise at
+    half the band min: the weakened check is marked band_too_noisy
+    and a genuine rate collapse (here 5×) still flags through it."""
+    band = dict(_SBAND)
+    band["noisy"] = _b([10_000.0, 12_000.0, 40_000.0])  # spread 30k > min
+    rates = {**_SRATES, "noisy": 2_000.0}
+    reg = adjudicate_streaming(rates, band, lambda n: 2_100.0)
+    e = reg["queries"]["noisy"]
+    assert e["band_too_noisy"] is True
+    assert e["allowed"] > 0
+    assert reg["flagged"] == ["noisy"]
+
+
+def test_streaming_retry_cleared_marks_session_suspect():
+    rates = {**_SRATES, "sprobe": 13_000.0}
+    reg = adjudicate_streaming(rates, _SBAND, lambda n: 41_000.0)
+    e = reg["queries"]["sprobe"]
+    assert e["retry_cleared"] is True
+    assert e["session_suspect"] is True
+    assert e["retry_allowed"] == 30_000.0  # unscaled floor: 40k - 10k
+
+
 @pytest.mark.parametrize("mult", [0.97, 1.0, 1.03])
 def test_warm_inside_band_sessions_emit_empty_flags(mult):
     """The round-10 done criterion in miniature: an unchanged-code run

@@ -10,6 +10,7 @@ Usage: python tools/bench_variance.py [n_runs]
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import subprocess
@@ -66,12 +67,26 @@ def main() -> None:
     svar = _band(srunns) if any(srunns) else {}
     with open(DETAIL) as f:
         detail = json.load(f)
+    # Band provenance (round-10 verdict item 6): bench.py copies these
+    # into the regressions blocks so a reader of BENCH_r{N}.json can
+    # see which commit/date the gating bands describe.
+    head = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        capture_output=True,
+        text=True,
+        cwd=HERE,
+    ).stdout.strip() or None
+    recorded_at = datetime.datetime.now(datetime.timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
     detail["variance_3runs"] = {
         "n_runs": n_runs,
         # sf stamp: the bench runs above used bench.py's default SF
         # (or $SPARK_GRAFT_SF_DIR) — record it so a later bench at a
         # different --sf can't silently mix scale factors (advice r5)
         "sf": detail.get("sf"),
+        "git_head": head,
+        "recorded_at": recorded_at,
         "queries": var,
         "max_spread": max(v["spread"] for v in var.values()),
         "note": "solo runs (no concurrent load); per-query warm times",
@@ -79,6 +94,8 @@ def main() -> None:
     detail["streaming_variance_3runs"] = {
         "n_runs": n_runs,
         "sf": detail.get("sf"),
+        "git_head": head,
+        "recorded_at": recorded_at,
         "queries": svar,
         "note": "solo runs; per-replay ingest rates (rows/s)",
     }
