@@ -22,9 +22,10 @@ Spark-first design:
 - The merge application is a single left-fold (``F.aggregate``) with a
   (done, pending) accumulator — no index lambdas (PERF.md: index
   lambdas re-evaluate their subtree per element).
-- Lineage is truncated per iteration with eager ``localCheckpoint``
-  (same rationale as operators/pagerank.py — the plan would otherwise
-  double per iteration).
+- Lineage is truncated per iteration via ``session.pin_iter`` (eager
+  localCheckpoint; reliable checkpoint under SPARK_GRAFT_PIN_MODE=
+  reliable — the plan would otherwise double per iteration) and the
+  superseded superstep is ``unpin``'d.
 
 Determinism: counts are exact integers; the arg-max is fully
 tie-broken; symbol folds are order-fixed per row — the merge list is
@@ -40,7 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from weather_analysis_bigdata__spark.session import pin
+from weather_analysis_bigdata__spark.session import pin, pin_iter, unpin
 
 
 def _word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -106,7 +107,8 @@ def train_bpe_merges(
     words = _word_freqs(docs, text_col).transform(pin)
     state = words.select(
         F.split(F.col("word"), "").alias("symbols"), "freq"
-    ).transform(pin)
+    ).transform(pin_iter)
+    unpin(words)  # folded into the pinned state; release
 
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
@@ -126,10 +128,12 @@ def train_bpe_merges(
         pair, n = best[0].pair, best[0].n
         left, right = pair.split(" ", 1)
         merges.append((rank, left, right, int(n)))
+        prev = state
         state = state.select(
             _apply_merge(F.col("symbols"), left, right).alias("symbols"),
             "freq",
-        ).transform(pin)
+        ).transform(pin_iter)
+        unpin(prev)
     return merges
 
 

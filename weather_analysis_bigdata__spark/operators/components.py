@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from weather_analysis_bigdata__spark.session import pin
+from weather_analysis_bigdata__spark.session import pin_iter, unpin
 
 
 def connected_components(
@@ -43,7 +43,7 @@ def connected_components(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("comp"))
-        .transform(pin)
+        .transform(pin_iter)
     )
     for _ in range(max_iter):
         nbr = sym.join(
@@ -53,7 +53,7 @@ def connected_components(
             nbr.unionByName(labels)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .transform(pin)
+            .transform(pin_iter)
         )
         changed = (
             new_labels.alias("n")
@@ -62,6 +62,7 @@ def connected_components(
             .limit(1)
             .count()
         )
+        unpin(labels)  # new_labels is materialized; release the prior pin
         labels = new_labels
         if changed == 0:
             break

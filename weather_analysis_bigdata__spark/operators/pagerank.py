@@ -20,15 +20,17 @@ simplification; the base term keeps every node positive.
 Scale design: each superstep is join(ranks ⋈ edges on src) +
 groupBy(dst) — both shuffle on node id; ranks is broadcast when the
 node set is small (event-type graphs) and hash-joined otherwise.
-Lineage is truncated per superstep with eager localCheckpoint, same as
-components.py (without it the plan doubles per iteration).
+Lineage is truncated per superstep via session.pin_iter (eager
+localCheckpoint; reliable checkpoint in reliable mode), same as
+components.py — without truncation the plan doubles per iteration —
+and the superseded superstep is unpin'd.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from weather_analysis_bigdata__spark.session import pin
+from weather_analysis_bigdata__spark.session import pin, pin_iter, unpin
 
 SCALE = 10_000_000_000  # 10^10 fixed-point
 
@@ -64,6 +66,7 @@ def pagerank_fixed_point(
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )
+        prev = ranks
         ranks = (
             nodes.join(sums, "node", "left")
             .select(
@@ -72,6 +75,7 @@ def pagerank_fixed_point(
                 .cast("long")
                 .alias("rank_scaled"),
             )
-            .transform(pin)
+            .transform(pin_iter)
         )
+        unpin(prev)  # the new pin is materialized; release the superseded one
     return ranks

@@ -1732,6 +1732,12 @@ def ivf_lloyd_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "centroid_shift_total",
             )
         )
+        # Superseded pins are NOT unpin()'d here (unlike the CC/BPE/
+        # pagerank loops): every appended report plan still references
+        # its iteration's cent/assign and only executes in the final
+        # union — releasing them would force full-lineage recomputes
+        # at collection in reliable mode. Bounded by design:
+        # _LLOYD_ITERS(3) × 2 pins, each O(centroids)/O(vectors) rows.
         cent, assign = new_cent, new_assign
     out = rows[0]
     for r in rows[1:]:

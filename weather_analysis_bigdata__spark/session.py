@@ -60,6 +60,10 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             "-Dderby.system.home=/tmp/spark_graft_derby",
         )
+        # Reliable-mode iterative pins (session.pin_iter) checkpoint
+        # per superstep; let the ContextCleaner delete superseded
+        # checkpoint dirs when their RDDs are GC'd.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     spark = builder.getOrCreate()
     _quiet_streaming_loggers(spark)
@@ -119,7 +123,25 @@ def pin(df):
     bounded iterations; a very long iterative job would graduate to a
     reliable ``checkpoint()`` with a checkpoint dir). Both modes
     produce IDENTICAL results (pytest-pinned on the pin-heavy
-    t_closeness_audit); the flag changes fault-tolerance posture only.
+    t_closeness_audit, full-registry-swept in reliable mode — see
+    CORRECTNESS_RELIABLE.json); the flag changes fault-tolerance
+    posture only.
+
+    Two caveats on the reliable posture (round-10 advice):
+
+    - Re-derivability assumes the lineage's INPUTS outlive the pin. A
+      pin whose lineage reads an ephemeral path the caller deletes
+      right after (streaming replay temp dirs) is NOT recoverable in
+      either mode — those sites use :func:`pin_ephemeral`, which
+      says so and always localCheckpoints.
+    - persist KEEPS the logical plan, so per-superstep pins inside
+      iterative loops must NOT use it: supersteps reference the
+      previous pin 2-3×, the retained tree grows exponentially, and
+      the CC loop OOMs the driver within 25 supersteps (measured
+      round 11). Iterative loops pin through :func:`pin_iter`
+      (reliable ``checkpoint()``, which truncates lineage) and
+      :func:`unpin` the superseded superstep — see
+      operators/components.py, bpe.py, pagerank.py.
     """
     if os.environ.get("SPARK_GRAFT_PIN_MODE", "local") == "reliable":
         from pyspark import StorageLevel
@@ -128,6 +150,69 @@ def pin(df):
         out.count()
         return out
     return df.localCheckpoint(eager=True)
+
+
+def pin_iter(df):
+    """Per-superstep :func:`pin` for iterative loops (CC label
+    propagation, BPE merge training, pagerank, Lloyd refinement).
+
+    Local mode: identical to ``pin`` (eager localCheckpoint). Reliable
+    mode: a RELIABLE ``checkpoint()`` instead of persist — persist
+    keeps the logical plan, and each superstep references the previous
+    pin 2-3 times (union + join + convergence probe), so the retained
+    tree grows EXPONENTIALLY in iteration count: measured this round,
+    the 25-superstep CC loop OOMs an 8 GiB driver under persist-only
+    pinning before any data is large. ``checkpoint()`` truncates
+    lineage AND keeps blocks recoverable from the checkpoint dir after
+    executor loss — the classic iterative-algorithm posture (at the
+    cost of one extra computation per superstep for the checkpoint
+    write, and durable-dir I/O). Checkpoint dir:
+    ``$SPARK_GRAFT_CHECKPOINT_DIR`` (default /tmp/spark_graft_ckpt —
+    point it at durable storage on a real cluster); superseded
+    checkpoints are garbage-collected by the ContextCleaner
+    (``spark.cleaner.referenceTracking.cleanCheckpoints`` is set true
+    in :func:`get_spark`)."""
+    if os.environ.get("SPARK_GRAFT_PIN_MODE", "local") == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(
+                os.environ.get(
+                    "SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/spark_graft_ckpt"
+                )
+            )
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def pin_ephemeral(df):
+    """:func:`pin` for intermediates whose lineage reads paths the
+    caller deletes immediately after (streaming replay temp source
+    dirs: streaming/joins.py, streaming/foreach_batch.py). Reliable
+    mode's persist+lineage posture buys nothing at such sites — a
+    post-executor-loss recompute would read deleted paths either way —
+    so this always materializes via ``localCheckpoint`` and the
+    docstring, not the env flag, is the honest fault-tolerance
+    contract: these bounded replay harnesses accept block loss; a
+    production deployment would land the stream in a durable sink
+    (streaming_file_sink_replay) instead of pinning it."""
+    return df.localCheckpoint(eager=True)
+
+
+def unpin(df) -> None:
+    """Release a :func:`pin` superseded inside an iterative loop.
+
+    Reliable-mode pins are CacheManager entries that persist until
+    released — a 25-superstep loop would otherwise hold 25 DISK_ONLY
+    datasets at once (round-10 advice). Local-mode localCheckpoint
+    blocks are freed by RDD garbage collection, so this is a cheap
+    no-op there (unpersist on an uncached frame is harmless). Callers
+    unpin the PREVIOUS superstep only after the successor pin has
+    materialized (pin is eager), so no recompute ever needs the
+    released blocks."""
+    try:
+        df.unpersist()
+    except Exception:
+        pass
 
 
 def persist_once(df):

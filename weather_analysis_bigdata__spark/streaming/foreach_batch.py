@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from weather_analysis_bigdata__spark.streaming.windows import stream_events
-from weather_analysis_bigdata__spark.session import pin
+from weather_analysis_bigdata__spark.session import pin_ephemeral
 
 
 def foreachbatch_upsert_replay(
@@ -90,7 +90,7 @@ def foreachbatch_upsert_replay(
         "user_id",
         F.col("n_events").cast("long").alias("n_events"),
         F.col("dec_value").cast("double").alias("total_value"),
-    ).transform(pin)
+    ).transform(pin_ephemeral)
     shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(target_dir, ignore_errors=True)
     return out

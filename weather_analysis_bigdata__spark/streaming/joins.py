@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from weather_analysis_bigdata__spark.streaming.windows import as_stream_dir, stream_events
-from weather_analysis_bigdata__spark.session import pin
+from weather_analysis_bigdata__spark.session import pin_ephemeral
 
 
 def _sink(joined: DataFrame, name: str) -> DataFrame:
@@ -300,6 +300,6 @@ def _interval_outer_join_replay(
         return out.filter(
             (F.coalesce(F.col("c_user"), F.lit(0)) >= 0)
             & (F.coalesce(F.col("p_user"), F.lit(0)) >= 0)
-        ).transform(pin)
+        ).transform(pin_ephemeral)
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
