@@ -263,6 +263,111 @@ def test_stateful_sessionize_in_span_late_merge_equals_batch(spark):
     assert r.n_late == 1  # the before-start event dropped, counted
 
 
+def test_sessionize_reorder_within_watermark_equals_batch(spark):
+    """The reorder-within-watermark sessionizer: a late file whose
+    events land BEFORE the open session's start — the disorder class
+    the base sessionizer can only drop-and-count — folds in exact
+    event-time order and yields the batch sessions byte-for-byte,
+    INCLUDING the session-bridging merge (2:40→3:00 gap is 20m, so
+    the late pair fuses with the later session). A straggler older
+    than the watermark is still counted into n_late."""
+    import pandas as pd
+
+    from weather_analysis_bigdata__spark.streaming.sessionize import (
+        sessionize_stream_reorder,
+    )
+
+    t0 = pd.Timestamp("2024-03-01 12:00:00")
+    m = pd.Timedelta(minutes=1)
+
+    def write_batch(dirpath, name, mtime, rows):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [r[1] for r in rows],
+                "user_id": [1] * len(rows),
+                "event_type": ["click"] * len(rows),
+                "value": [float(r[0]) for r in rows],
+            }
+        )
+        path = os.path.join(dirpath, name)
+        pdf.to_parquet(path, coerce_timestamps="us")
+        os.utime(path, (mtime, mtime))
+
+    out = tempfile.mkdtemp(prefix=f"reorder_{uuid.uuid4().hex[:8]}_")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    old_ndm = spark.conf.get("spark.sql.streaming.noDataMicroBatches", None)
+    try:
+        t = 1_700_000_000
+        # batch 0: sessions [0:00,0:10] and (3:00,3:10) — gap 2h50m
+        write_batch(
+            out, "b0.parquet", t,
+            [(1, t0), (2, t0 + 10 * m), (3, t0 + 180 * m), (4, t0 + 190 * m)],
+        )
+        # batch 1: LATE pair at 2:30/2:40 — before the open session's
+        # start (3:00) but within the 2h watermark (wm = 3:10 − 2h =
+        # 1:10) → must fold, bridging into [2:30, 3:10]; plus one
+        # straggler at 0:30 < wm → counted
+        write_batch(
+            out, "b1.parquet", t + 2,
+            [(5, t0 + 150 * m), (6, t0 + 160 * m), (7, t0 + 30 * m)],
+        )
+        # batch 2: far-future sentinel advances the watermark past
+        # everything; the trailing no-data batch fires the event-time
+        # timeouts that fold and close the pending sessions
+        write_batch(out, "b2.parquet", t + 4, [(8, t0 + pd.Timedelta(days=30))])
+
+        # the timeout flush rides the trailing no-data micro-batch
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches", "true")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(out)
+        )
+        sink = f"reorder_{uuid.uuid4().hex[:8]}"
+        q = (
+            sessionize_stream_reorder(stream, watermark="2 hours")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = sorted(
+            spark.table(sink).collect(), key=lambda r: r.session_start
+        )
+    finally:
+        if old_ndm is None:
+            spark.conf.unset("spark.sql.streaming.noDataMicroBatches")
+        else:
+            spark.conf.set("spark.sql.streaming.noDataMicroBatches", old_ndm)
+        shutil.rmtree(out, ignore_errors=True)
+
+    assert [
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.n_late)
+        for r in rows
+    ] == [
+        # the straggler (event 7) was counted against the session open
+        # at its arrival — the first session, closed first
+        (1, t0, t0 + 10 * m, 2, 1),
+        # the late pair folded in order and BRIDGED into the later
+        # session — the batch result on the union, which the base
+        # sessionizer cannot produce (it would emit (3:00, 3:10))
+        (1, t0 + 150 * m, t0 + 190 * m, 4, 0),
+    ]
+    assert rows[0].sum_value == 3.0  # events 1+2
+    assert rows[1].sum_value == 18.0  # events 5+6+3+4
+
+
 def test_watermark_drops_late_rows(spark):
     """Event-time watermark semantics: the streaming aggregation must
     DROP input older than the committed watermark (update mode). The

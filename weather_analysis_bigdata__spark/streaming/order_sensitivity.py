@@ -292,6 +292,23 @@ REPLAYS: dict[str, dict] = {
         "gated": "registers only where google.protobuf exists "
         "(transformWithStateInPandas protocol dependency)",
     },
+    "sessionize_stream_reorder": {
+        "class": ORDER_GUARDED,
+        "why": "the reorder-within-watermark upgrade: arriving events "
+        "buffer in state until the event-time watermark confirms no "
+        "earlier admissible arrival, then fold in exact (ts, event_id) "
+        "order — byte-identical to the batch sessionizer under ANY "
+        "disorder the watermark bounds; only data older than the "
+        "watermark (genuinely late) is dropped-and-counted into "
+        "n_late. Costs O(rate × watermark) state per key vs the base "
+        "variant's 5 scalars.",
+        "gated": "test-gated operator (streaming/sessionize.py); same "
+        "registry rationale as sessionize_stream",
+        "enforced_by": "tests/test_streaming.py::"
+        "test_sessionize_reorder_within_watermark_equals_batch "
+        "(out-of-order delivery the base variant can only drop, "
+        "folded exactly; beyond-watermark straggler counted)",
+    },
     "sessionize_stream": {
         "class": ORDER_GUARDED,
         "why": "per-user gap-based session fold — the transition is "

@@ -24,10 +24,16 @@ where the late event lands:
   (or bridges) history that may already be emitted; merging is what
   produced the inverted sessions. Dropped and COUNTED — the count is
   surfaced as ``n_late`` on the key's next closed-session row, so data
-  loss is observable in the output, never silent. (The reorder-buffer
-  upgrade would hold events within an event-time watermark before
-  folding; for this engine's replay sources the observable disorder is
-  whole-file, far beyond any buffer a bounded state contract allows.)
+  loss is observable in the output, never silent.
+
+Two variants ship, differing in what they pay for disorder:
+:func:`sessionize_stream` keeps O(1) state per key and sheds all
+before-start disorder (counted); :func:`sessionize_stream_reorder`
+buffers events within an event-time watermark and folds them in exact
+order — byte-identical to batch under any disorder the watermark
+bounds, at O(rate × watermark) state per key. Unbounded-disorder
+sources (a reversed whole-file replay) exceed any finite watermark,
+so the reorder variant too counts-and-drops past its bound.
 
 Determinism: batch boundaries only affect WHEN a session is emitted,
 never its contents (in-order sources process events in (ts, event_id)
@@ -139,4 +145,150 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark-reorder variant: disorder WITHIN the watermark folds
+# exactly; only genuinely-late data (older than the watermark) drops.
+# ---------------------------------------------------------------------------
+
+#: (folded-session scalars, watermark-pending event buffer). The
+#: buffer holds events newer than the current watermark — bounded by
+#: rate × watermark horizon per key, the standard stream-stream-join
+#: state shape (vs the O(1)-per-key base sessionizer, which buys that
+#: bound by dropping ALL before-start disorder).
+REORDER_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("cents", T.LongType()),
+        T.StructField("late", T.LongType()),
+        T.StructField("buf_ts", T.ArrayType(T.LongType())),
+        T.StructField("buf_eid", T.ArrayType(T.LongType())),
+        T.StructField("buf_cents", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _sessionize_reorder_key(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    wm_us = state.getCurrentWatermarkMs() * 1_000
+    if state.exists:
+        start_us, last_us, n, cents, late, b_ts, b_eid, b_c = state.get
+        buf = list(zip(b_ts, b_eid, b_c))
+    else:
+        start_us = last_us = -1
+        n = cents = late = 0
+        buf = []
+    if not state.hasTimedOut:
+        frames = [f for f in pdfs if len(f)]
+        if frames:
+            rows = pd.concat(frames, ignore_index=True)
+            for ts, eid, value in zip(
+                rows["ts"], rows["event_id"], rows["value"]
+            ):
+                ts_us = int(ts.value // 1_000)
+                if ts_us < wm_us:
+                    # older than the allowed-lateness bound: the one
+                    # disorder class this variant still sheds (counted,
+                    # surfaced at the next session close)
+                    late += 1
+                else:
+                    buf.append(
+                        (ts_us, int(eid), int(round(float(value) * 100)))
+                    )
+    # Fold the watermark-CONFIRMED prefix: an event <= wm is final —
+    # any future arrival below wm is dropped above, so the folded
+    # order can never be contradicted. Events > wm stay buffered.
+    buf.sort()
+    closed: list[tuple[Any, ...]] = []
+    keep: list[tuple[int, int, int]] = []
+    for ts_us, eid, v_cents in buf:
+        if ts_us > wm_us:
+            keep.append((ts_us, eid, v_cents))
+            continue
+        if last_us >= 0 and ts_us - last_us > GAP_US:
+            closed.append(
+                (user_id, start_us, last_us, n, cents / 100.0, late)
+            )
+            start_us, n, cents, late = ts_us, 0, 0, 0
+        if last_us < 0:
+            start_us = ts_us
+        last_us = ts_us
+        n += 1
+        cents += v_cents
+    # Watermark-based close: once wm > last + GAP, every still-
+    # admissible event has ts >= wm > last + GAP, so nothing can
+    # extend the open session — emit it WITHOUT waiting for a
+    # successor (a session whose user went quiet closes when the
+    # watermark proves the gap, not when they eventually return).
+    if last_us >= 0 and wm_us > last_us + GAP_US:
+        closed.append((user_id, start_us, last_us, n, cents / 100.0, late))
+        start_us = last_us = -1
+        n = cents = late = 0
+    state.update(
+        (
+            start_us,
+            last_us,
+            n,
+            cents,
+            late,
+            [b[0] for b in keep],
+            [b[1] for b in keep],
+            [b[2] for b in keep],
+        )
+    )
+    if keep:
+        # Event-time timeout at the oldest pending event (+1 ms: the
+        # engine requires a timestamp strictly above the watermark):
+        # when the watermark passes it, this key is re-invoked with no
+        # data and the newly-confirmed prefix folds — including on the
+        # trailing no-data micro-batch, which is what flushes the
+        # final folds in an availableNow replay.
+        state.setTimeoutTimestamp(keep[0][0] // 1_000 + 1)
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [c[0] for c in closed],
+                "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                "n_events": [c[3] for c in closed],
+                "sum_value": [c[4] for c in closed],
+                "n_late": [c[5] for c in closed],
+            }
+        )
+
+
+def sessionize_stream_reorder(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """The reorder-within-watermark upgrade of :func:`sessionize_stream`:
+    arriving events buffer in state until the event-time watermark
+    confirms no earlier arrival is still admissible, then fold in
+    exact (ts, event_id) order — so ANY disorder bounded by
+    ``watermark`` yields byte-identical sessions to the batch
+    sessionizer (test-proven on an out-of-order delivery the base
+    sessionizer can only drop-and-count), and only data older than
+    the watermark is dropped-and-counted into ``n_late``. Sessions
+    also close by WATERMARK, not just by successor event: once the
+    watermark passes last_event + gap, nothing admissible can extend
+    the session, so it emits even if its user never returns (the base
+    variant holds such sessions open forever). The price is the
+    buffer: state per key grows from 5 scalars to
+    O(rate × watermark), which is why both variants exist — pick by
+    whether the source's disorder bound is worth that state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_reorder_key,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=REORDER_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
