@@ -239,6 +239,10 @@ KNOWN_EXCEPTIONS = {
     "key_skew_profile": "global rank over the O(distinct keys) count "
     "table — the docstring's point: the window sorts keys, not rows; "
     "the only fact-scale op is the map-combinable first count",
+    "events_disorder_profile": "cumulative-coverage / lag windows over "
+    "the <= 14-row lateness-digit bucket table (the crosstab_share "
+    "class); the fact-scale work is one user-keyed runmax window + "
+    "one map-combinable bucket aggregate",
     "chisq_independence": "margin windows over the O(event_types × 5) "
     "contingency cells",
     "pareto_frontier_2d": "running-max sweep over the DISTINCT-price "
@@ -416,6 +420,7 @@ REVIEWED_FLAGS = {
     "nulls_ordering": {"WINDOW_GLOBAL"},
     "crosstab_share": {"WINDOW_GLOBAL"},
     "token_budget_pareto": {"WINDOW_GLOBAL"},
+    "events_disorder_profile": {"WINDOW_GLOBAL"},
     "epoch_shuffle_order": {"XCHG"},
     "shard_manifest_fixed_tokens": {"XCHG"},
     "curriculum_anneal_schedule": {"XCHG"},

@@ -287,6 +287,7 @@ def all_queries() -> dict[str, Query]:
     import weather_analysis_bigdata__spark.queries_round8b  # noqa: F401
     import weather_analysis_bigdata__spark.queries_round9  # noqa: F401
     import weather_analysis_bigdata__spark.queries_round10  # noqa: F401
+    import weather_analysis_bigdata__spark.queries_round11  # noqa: F401
 
     # A typo'd / renamed PRIORITY entry would silently demote a flagship
     # query out of the sampled-first set — fail loudly instead.
