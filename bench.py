@@ -204,6 +204,9 @@ HEADLINE = [
     "dedup_cc_recluster_apply",
     "dedup_cc_assign_post_recluster",
     "quality_classifier_nb_incremental_update",
+    # round 11: the watermark-sizing diagnostic (one user-keyed window
+    # shuffle + a <= 14-row bucket aggregate)
+    "events_disorder_profile",
 ]
 
 #: Median per-query drift ratio beyond which the session itself is the
