@@ -204,6 +204,36 @@ def test_streaming_retry_cleared_marks_session_suspect():
     assert e["retry_allowed"] == 30_000.0  # unscaled floor: 40k - 10k
 
 
+def test_band_history_merges_across_invocations():
+    """Round-11: bands are multi-session — a new variance run FOLDS
+    into the previous per-query history (host noise is bimodal on
+    ~hour scales; a single-window band produced disjoint marginal
+    false flags on three consecutive same-commit runs)."""
+    import sys, os
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
+    )
+    from bench_variance import _MAX_HISTORY, _merge_history
+
+    prev = {"sf": 0.1, "queries": {"q": _b([0.49, 0.591, 0.561])}}
+    new = {"q": _b([0.87, 0.89]), "brand_new": _b([1.0, 1.1])}
+    out = _merge_history(new, prev, 0.1)
+    assert out["q"]["runs"] == [0.49, 0.591, 0.561, 0.87, 0.89]
+    assert out["q"]["min"] == 0.49 and out["q"]["max"] == 0.89
+    assert out["brand_new"]["runs"] == [1.0, 1.1]  # no history → as-is
+    # cap: only the last _MAX_HISTORY runs survive
+    prev2 = {"sf": 0.1, "queries": {"q": {"runs": list(range(1, 9)),
+                                          "min": 1, "max": 8, "spread": 7}}}
+    out2 = _merge_history({"q": _b([9.0, 10.0])}, prev2, 0.1)
+    assert len(out2["q"]["runs"]) == _MAX_HISTORY
+    assert out2["q"]["runs"][-1] == 10.0
+    # SF-mismatched history is discarded, never mixed
+    out3 = _merge_history({"q": _b([2.0, 2.1])}, prev, 0.01)
+    assert out3["q"]["runs"] == [2.0, 2.1]
+
+
 @pytest.mark.parametrize("mult", [0.97, 1.0, 1.03])
 def test_warm_inside_band_sessions_emit_empty_flags(mult):
     """The round-10 done criterion in miniature: an unchanged-code run

@@ -190,8 +190,24 @@ def main() -> None:
             datetime.timezone.utc
         ).strftime("%Y-%m-%dT%H:%M:%SZ"),
     }
-    with open(os.path.join(HERE, "REGEN_PROBE.json"), "w") as f:
-        json.dump(record, f, indent=1)
+    # Append-style artifact: one record per (seed, sf) probe, newest
+    # last — a second seed must not erase the first seed's evidence.
+    path = os.path.join(HERE, "REGEN_PROBE.json")
+    records = []
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            records = prev if isinstance(prev, list) else [prev]
+        except (OSError, json.JSONDecodeError):
+            records = []
+    records = [
+        r
+        for r in records
+        if not (r.get("seed") == args.seed and r.get("base_sf") == args.sf)
+    ] + [record]
+    with open(path, "w") as f:
+        json.dump(records, f, indent=1)
     print(json.dumps({k: record[k] for k in ("seed", "ok", "failed")}))
     if not args.keep_twin and proc.returncode == 0:
         shutil.rmtree(twin, ignore_errors=True)
