@@ -273,6 +273,47 @@ def test_pca_top2_matches_top1_and_is_orthogonal(spark, sf_dir):
     assert len(orth) == 1 and orth.pop() < 20_000  # cos² < 2%
 
 
+def test_pca_arrow_moments_match_bruteforce(spark, sf_dir):
+    """Round-11 optimization guard: the mapInArrow moment kernel
+    (NumPy int64 QᵀQ per batch, one pass for Gram + column sums +
+    count) must reproduce the moments a pure-Python brute force
+    computes from the SAME quantized vectors — exact integer equality,
+    every entry. Isolates the kernel: the quantization expression
+    (_pca_qa_col) is shared by both sides, so a mismatch here is the
+    kernel, not the quantization."""
+    from pyspark.sql import functions as F
+
+    from weather_analysis_bigdata__spark.queries_round8b import (
+        _PCA_DIM,
+        _pca_moments,
+        _pca_qa_col,
+    )
+    from weather_analysis_bigdata__spark.sources.files import load_table
+
+    qa_rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(_pca_qa_col().alias("qa"))
+        .collect()
+    )
+    d = _PCA_DIM
+    ref_g = [[0] * d for _ in range(d)]
+    ref_s = [0] * d
+    for r in qa_rows:
+        q = r.qa
+        for i in range(d):
+            ref_s[i] += q[i]
+            for j in range(i, d):
+                ref_g[i][j] += q[i] * q[j]
+    for i in range(d):
+        for j in range(i):
+            ref_g[i][j] = ref_g[j][i]
+
+    gram, s, n = _pca_moments(spark, sf_dir)
+    assert n == len(qa_rows)
+    assert s == ref_s
+    assert gram == ref_g
+
+
 def test_asof_nearest_matches_bruteforce(spark, sf_dir):
     """Independent recomputation: for every event, scan the user's
     orders and pick the nearest by |Δt| with ties to backward (and to

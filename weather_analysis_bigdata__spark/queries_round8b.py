@@ -395,63 +395,148 @@ def _pca_qa_col():
     )
 
 
-def _pca_pairs_expr():
-    """Row-local upper-triangle outer-product expression over the
-    ``qa`` column: one struct (i, j, p = qa[i]·qa[j]) per i ≤ j pair."""
-    idx = F.sequence(F.lit(0), F.lit(_PCA_DIM - 1))
-    return F.flatten(
-        F.transform(
-            idx,
-            lambda i: F.transform(
-                F.sequence(i, F.lit(_PCA_DIM - 1)),
-                lambda j: F.struct(
-                    i.cast("int").alias("i"),
-                    j.cast("int").alias("j"),
-                    (F.get(F.col("qa"), i) * F.get(F.col("qa"), j)).alias("p"),
-                ),
-            ),
+def _qa_matrix(batch) -> "object":
+    """Arrow list<int64> ``qa`` column of a record batch → N×d int64
+    NumPy matrix (zero-copy of the values buffer when possible)."""
+    import numpy as np
+
+    col = batch.column(batch.schema.get_field_index("qa"))
+    n = len(col)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    if flat.shape[0] != n * _PCA_DIM:
+        raise ValueError(
+            f"qa vectors are not uniformly {_PCA_DIM}-dim: "
+            f"{flat.shape[0]} values over {n} rows"
+        )
+    return flat.reshape(n, _PCA_DIM).astype(np.int64, copy=False)
+
+
+def _gram_rows_arrays(q) -> tuple:
+    """Partial-moment rows for one int64 matrix ``q``: the upper
+    triangle of QᵀQ as (i, j, p), the column sums as (i, -1, s_i), and
+    the row count as (-1, -1, n). Exactness: |qa| ≤ 1e4 (DECIMAL(18,8)
+    quantization of |x| ≤ 1 floats, downscaled by _PCA_DOWN), so each
+    product ≤ 1e8 and a ≤ 10k-row Arrow batch keeps every partial sum
+    ≤ 1e12 — exact in int64; the global fold stays in Spark's int64
+    SUM with the documented N ≈ 1e11 headroom."""
+    import numpy as np
+
+    d = _PCA_DIM
+    iu0, iu1 = np.triu_indices(d)
+    g = q.T @ q
+    s = q.sum(axis=0, dtype=np.int64)
+    i_arr = np.concatenate([iu0, np.arange(d), [-1]]).astype(np.int32)
+    j_arr = np.concatenate([iu1, np.full(d, -1), [-1]]).astype(np.int32)
+    p_arr = np.concatenate([g[iu0, iu1], s, [q.shape[0]]]).astype(np.int64)
+    return i_arr, j_arr, p_arr
+
+
+def _gram_partial_batches(it):
+    """mapInArrow kernel (guide §4.2): per Arrow batch, compute the
+    exact integer partial Gram, column sums and count with one NumPy
+    int64 matmul instead of exploding d(d+1)/2 = 2080 struct rows per
+    vector through interpreted higher-order functions. The downstream
+    groupBy("i","j") folds O(d²·batches) partial rows — never O(N·d²)."""
+    import pyarrow as pa
+
+    for batch in it:
+        if batch.num_rows == 0:
+            continue
+        i_arr, j_arr, p_arr = _gram_rows_arrays(_qa_matrix(batch))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(i_arr), pa.array(j_arr), pa.array(p_arr)],
+            ["i", "j", "p"],
+        )
+
+
+def _gram_partial_batches_tagged(it):
+    """The tagged variant for per-slice moment passes (drift gate): one
+    partial-moment row block per distinct ``slice`` value per batch."""
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in it:
+        if batch.num_rows == 0:
+            continue
+        tags = np.asarray(
+            batch.column(batch.schema.get_field_index("slice")).to_pylist(),
+            dtype=object,
+        )
+        q = _qa_matrix(batch)
+        t_out: list = []
+        i_out: list = []
+        j_out: list = []
+        p_out: list = []
+        for t in np.unique(tags):
+            i_arr, j_arr, p_arr = _gram_rows_arrays(q[tags == t])
+            t_out.append(np.full(i_arr.shape[0], t, dtype=object))
+            i_out.append(i_arr)
+            j_out.append(j_arr)
+            p_out.append(p_arr)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.concatenate(t_out), pa.string()),
+                pa.array(np.concatenate(i_out)),
+                pa.array(np.concatenate(j_out)),
+                pa.array(np.concatenate(p_out)),
+            ],
+            ["slice", "i", "j", "p"],
+        )
+
+
+def _moment_rows_df(sv: DataFrame) -> DataFrame:
+    """Distributed (i, j, m) sufficient-statistic rows — upper-triangle
+    Gram at (i, j), column sums at (i, -1), count at (-1, -1) — from a
+    (qa)-schema frame: the Arrow kernel per batch, then one tiny
+    (i, j) fold. Shared by the collecting solvers, the persisted
+    base-moment index and the streaming moment publisher (they all
+    speak this row encoding already)."""
+    return (
+        sv.mapInArrow(_gram_partial_batches, "i int, j int, p long")
+        .groupBy("i", "j")
+        .agg(F.sum("p").cast("long").alias("m"))
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            "m",
         )
     )
+
+
+def _moments_assemble(rows: list) -> tuple[list[list[int]], list[int], int]:
+    d = _PCA_DIM
+    gram = [[0] * d for _ in range(d)]
+    s = [0] * d
+    n_vec = 0
+    for r in rows:
+        if r["i"] == -1:
+            n_vec = r["m"]
+        elif r["j"] == -1:
+            s[r["i"]] = r["m"]
+        else:
+            gram[r["i"]][r["j"]] = r["m"]
+            gram[r["j"]][r["i"]] = r["m"]
+    return gram, s, n_vec
 
 
 def _pca_moments(
     spark: SparkSession, sf_dir: str, cond=None
 ) -> tuple[list[list[int]], list[int], int]:
-    """The distributed pass: exact integer second-moment matrix G and
-    column sums s over the (optionally ``cond``-filtered) vector
-    population. Map-side partial aggregation of per-row outer
-    products — the exchange carries O(d²·partitions) rows, never
-    O(N). Returns (gram d×d, s, n) as pure-Python ints."""
+    """The distributed pass: exact integer second-moment matrix G,
+    column sums s and count over the (optionally ``cond``-filtered)
+    vector population — ONE scan (previously two: a 2080-struct-per-row
+    explode for G plus a posexplode for s/n), with the per-row outer
+    products computed as a per-batch NumPy int64 QᵀQ inside
+    ``mapInArrow`` (guide §4.2). The exchange carries O(d²·batches)
+    partial rows, never O(N). Returns (gram d×d, s, n) as pure-Python
+    ints — bit-identical to the old path (integer arithmetic end to
+    end; only the fold tree changed, and integer addition is
+    associative)."""
     sv = load_table(spark, sf_dir, "embeddings")
     if cond is not None:
         sv = sv.filter(cond)
     sv = sv.select(_pca_qa_col().alias("qa"))
-
-    pairs = _pca_pairs_expr()
-    gram_rows = (
-        sv.select(F.explode(pairs).alias("e"))
-        .select("e.i", "e.j", "e.p")
-        .groupBy("i", "j")
-        .agg(F.sum("p").alias("g"))
-        .collect()
-    )
-    cs_rows = (
-        sv.select(F.posexplode("qa").alias("i", "x"))
-        .groupBy("i")
-        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    d = _PCA_DIM
-    s = [0] * d
-    n_vec = 0
-    for r in cs_rows:
-        s[r["i"]] = r["s"]
-        n_vec = r["n"]
-    gram = [[0] * d for _ in range(d)]
-    for r in gram_rows:
-        gram[r["i"]][r["j"]] = r["g"]
-        gram[r["j"]][r["i"]] = r["g"]
-    return gram, s, n_vec
+    return _moments_assemble(_moment_rows_df(sv).collect())
 
 
 #: Axis-alignment flag threshold for the outlier/alignment scorer, in
@@ -782,46 +867,30 @@ def embedding_pca_drift_direction(
     sv = load_table(spark, sf_dir, "embeddings").select(
         F.explode(tags).alias("slice"), _pca_qa_col().alias("qa")
     )
-    idx = F.sequence(F.lit(0), F.lit(_PCA_DIM - 1))
-    pairs = F.flatten(
-        F.transform(
-            idx,
-            lambda i: F.transform(
-                F.sequence(i, F.lit(_PCA_DIM - 1)),
-                lambda j: F.struct(
-                    i.cast("int").alias("i"),
-                    j.cast("int").alias("j"),
-                    (F.get(F.col("qa"), i) * F.get(F.col("qa"), j)).alias("p"),
-                ),
-            ),
+    # ONE Arrow pass computes both slices' Gram + column sums + count
+    # (previously two explode-heavy collects); see _gram_partial_batches.
+    rows = (
+        sv.mapInArrow(
+            _gram_partial_batches_tagged, "slice string, i int, j int, p long"
         )
-    )
-    gram_rows = (
-        sv.select("slice", F.explode(pairs).alias("e"))
-        .select("slice", "e.i", "e.j", "e.p")
         .groupBy("slice", "i", "j")
-        .agg(F.sum("p").alias("g"))
-        .collect()
-    )
-    cs_rows = (
-        sv.select("slice", F.posexplode("qa").alias("i", "x"))
-        .groupBy("slice", "i")
-        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("p").alias("m"))
         .collect()
     )
 
     d = _PCA_DIM
     moments: dict = {}
-    for r in gram_rows:
-        g = moments.setdefault(
+    for r in rows:
+        m = moments.setdefault(
             r["slice"], {"g": [[0] * d for _ in range(d)], "s": [0] * d, "n": 0}
         )
-        g["g"][r["i"]][r["j"]] = r["g"]
-        g["g"][r["j"]][r["i"]] = r["g"]
-    for r in cs_rows:
-        m = moments[r["slice"]]
-        m["s"][r["i"]] = r["s"]
-        m["n"] = r["n"]
+        if r["i"] == -1:
+            m["n"] = r["m"]
+        elif r["j"] == -1:
+            m["s"][r["i"]] = r["m"]
+        else:
+            m["g"][r["i"]][r["j"]] = r["m"]
+            m["g"][r["j"]][r["i"]] = r["m"]
 
     missing = [name for name, _w in _PCA_SLICES if name not in moments]
     if missing:

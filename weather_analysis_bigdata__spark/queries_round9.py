@@ -306,10 +306,12 @@ def _pca_base_moment_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The base slice's exact integer moments as a DISTRIBUTED result:
     upper-triangle Gram rows (i, j, m), column sums (i, -1, s_i), and
     the count row (-1, -1, n) — the additive sufficient statistics the
-    incremental update merges with a delta. One pass over the base
-    vectors; the exchange carries O(d²·partitions) partial rows."""
+    incremental update merges with a delta. ONE Arrow-kernel pass over
+    the base vectors (queries_round8b._moment_rows_df — previously
+    three subplans: a 2080-struct explode, a posexplode and a count);
+    the exchange carries O(d²·batches) partial rows."""
     from weather_analysis_bigdata__spark.queries_round8b import (
-        _pca_pairs_expr,
+        _moment_rows_df,
         _pca_qa_col,
     )
 
@@ -318,33 +320,7 @@ def _pca_base_moment_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr(_PCA_UP_BASE))
         .select(_pca_qa_col().alias("qa"))
     )
-    gram = (
-        sv.select(F.explode(_pca_pairs_expr()).alias("e"))
-        .select("e.i", "e.j", "e.p")
-        .groupBy("i", "j")
-        .agg(F.sum("p").alias("m"))
-        .select(
-            F.col("i").cast("int").alias("i"),
-            F.col("j").cast("int").alias("j"),
-            F.col("m").cast("long").alias("m"),
-        )
-    )
-    cs = (
-        sv.select(F.posexplode("qa").alias("i", "x"))
-        .groupBy("i")
-        .agg(F.sum("x").alias("m"))
-        .select(
-            F.col("i").cast("int").alias("i"),
-            F.lit(-1).cast("int").alias("j"),
-            F.col("m").cast("long").alias("m"),
-        )
-    )
-    cnt = sv.agg(F.count(F.lit(1)).alias("m")).select(
-        F.lit(-1).cast("int").alias("i"),
-        F.lit(-1).cast("int").alias("j"),
-        F.col("m").cast("long").alias("m"),
-    )
-    return gram.unionByName(cs).unionByName(cnt)
+    return _moment_rows_df(sv)
 
 
 def _pca_base_moment_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1404,7 +1380,7 @@ def streaming_embedding_pca_update_replay(
     )
     from weather_analysis_bigdata__spark.queries_round8b import (
         _PCA_DIM,
-        _pca_pairs_expr,
+        _moment_rows_df,
         _pca_power_solve,
         _pca_qa_col,
     )
@@ -1442,35 +1418,9 @@ def streaming_embedding_pca_update_replay(
 
         def publish(bdf: DataFrame, batch_id: int) -> None:
             sv = bdf.select(_pca_qa_col().alias("qa"))
-            gram = (
-                sv.select(F.explode(_pca_pairs_expr()).alias("e"))
-                .select("e.i", "e.j", "e.p")
-                .groupBy("i", "j")
-                .agg(F.sum("p").alias("m"))
-                .select(
-                    F.col("i").cast("int").alias("i"),
-                    F.col("j").cast("int").alias("j"),
-                    F.col("m").cast("long").alias("m"),
-                )
+            _moment_rows_df(sv).write.mode("overwrite").parquet(
+                os.path.join(seg_dir, f"seg_{batch_id}")
             )
-            cs = (
-                sv.select(F.posexplode("qa").alias("i", "x"))
-                .groupBy("i")
-                .agg(F.sum("x").alias("m"))
-                .select(
-                    F.col("i").cast("int").alias("i"),
-                    F.lit(-1).cast("int").alias("j"),
-                    F.col("m").cast("long").alias("m"),
-                )
-            )
-            cnt = sv.agg(F.count(F.lit(1)).alias("m")).select(
-                F.lit(-1).cast("int").alias("i"),
-                F.lit(-1).cast("int").alias("j"),
-                F.col("m").cast("long").alias("m"),
-            )
-            gram.unionByName(cs).unionByName(cnt).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(seg_dir, f"seg_{batch_id}"))
 
         q = (
             stream.writeStream.foreachBatch(publish)
