@@ -89,6 +89,118 @@ def sql_norm(a: str) -> str:
     return f"sqrt({sql_dot(a, a)})"
 
 
+def _list_col_matrix(batch, name: str):
+    """Arrow list<int64> column of a record batch → N×d int64 NumPy
+    matrix (caller guarantees non-empty batch, uniform dims)."""
+    import numpy as np
+
+    col = batch.column(batch.schema.get_field_index(name))
+    n = len(col)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(n, flat.shape[0] // n).astype(np.int64, copy=False)
+
+
+def arrow_pair_cosine(
+    df,
+    a: str = "a_sva",
+    b: str = "b_sva",
+    an: str = "a_nrm",
+    bn: str = "b_nrm",
+    out: str = "cosine_sim",
+):
+    """Score joined candidate pairs in Arrow batches (guide §4.2): the
+    exact integer dot of the two scaled-long arrays as a NumPy int64
+    row-wise product-sum, then the identical float steps the JVM
+    :func:`cosine` performs — int64→double (correctly rounded in both),
+    ÷ 1e16 (exact power of two times 5^16), ÷ (nrm_a·nrm_b). Integer
+    addition is associative and the sum is bounded by the same 2^63
+    headroom as the JVM aggregate, so the result is bit-identical to
+    the interpreted higher-order-function form it replaces; the per-pair
+    cost drops from 64 interpreted lambda evaluations to a vectorized
+    batch multiply. The two array columns and the two norm columns are
+    consumed (dropped from the output); every other column passes
+    through."""
+    from pyspark.sql import types as T
+
+    keep_fields = [
+        f for f in df.schema.fields if f.name not in (a, b, an, bn)
+    ]
+    keep = [f.name for f in keep_fields]
+    schema = T.StructType(
+        keep_fields + [T.StructField(out, T.DoubleType(), True)]
+    )
+
+    def score(it):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            av = _list_col_matrix(batch, a)
+            bv = _list_col_matrix(batch, b)
+            dots = (av * bv).sum(axis=1, dtype=np.int64)
+            anv = batch.column(batch.schema.get_field_index(an)).to_numpy(
+                zero_copy_only=False
+            )
+            bnv = batch.column(batch.schema.get_field_index(bn)).to_numpy(
+                zero_copy_only=False
+            )
+            cos = (dots.astype(np.float64) / _SCALE_SQ) / (anv * bnv)
+            arrays = [
+                batch.column(batch.schema.get_field_index(k)) for k in keep
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays + [pa.array(cos, pa.float64())], keep + [out]
+            )
+
+    return df.mapInArrow(score, schema)
+
+
+def arrow_bucket_norm(df, planes: list[list[int]], sva: str = "sva"):
+    """Hyperplane-LSH bucket + Euclidean norm from the scaled-long
+    ``sva`` column in one Arrow pass: proj = Q·Wᵀ in int64 (|w| ≤ 15,
+    |q| ≤ 1e8, d = 64 → |proj| ≤ 1e11, exact), bucket = Σ 2^p over
+    proj_p > 0 — the identical sign rule :func:`lsh_bucket` folds —
+    and nrm = sqrt((Q·Q)/1e16), op-for-op :func:`norm`. Replaces
+    dims×planes interpreted multiply-adds per row with one batch
+    matmul; bit-identical output."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("nrm", T.DoubleType(), True),
+            T.StructField("bucket", T.IntegerType(), True),
+        ]
+    )
+    names = [f.name for f in df.schema.fields]
+
+    def tag(it):
+        import numpy as np
+        import pyarrow as pa
+
+        w = np.asarray(planes, dtype=np.int64)  # P×d
+        pow2 = (1 << np.arange(w.shape[0])).astype(np.int64)
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            q = _list_col_matrix(batch, sva)
+            proj = q @ w.T
+            bucket = ((proj > 0) * pow2).sum(axis=1).astype(np.int32)
+            x2 = (q * q).sum(axis=1, dtype=np.int64)
+            nrm = np.sqrt(x2.astype(np.float64) / _SCALE_SQ)
+            arrays = [
+                batch.column(batch.schema.get_field_index(k)) for k in names
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays + [pa.array(nrm, pa.float64()), pa.array(bucket)],
+                names + ["nrm", "bucket"],
+            )
+
+    return df.mapInArrow(tag, schema)
+
+
 def lsh_bucket(emb_col: Column, planes: list[list[int]]) -> Column:
     """Hyperplane-LSH bucket id in ONE pass over the embedding.
 

@@ -749,26 +749,30 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "before the pair join, not per pair.",
 )
 def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.vectorops import (
+        arrow_pair_cosine,
+    )
+
+    # sva/nrm computed ONCE PER VECTOR below the join (the old form
+    # re-ran the 64-element quantization per PAIR side); the O(N²)
+    # pair scoring itself is the Arrow batch kernel (guide §4.2).
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", norm(scaled_vec("embedding")).alias("nrm")
+        "vec_id",
+        scaled_vec("embedding").alias("sva"),
+        norm(scaled_vec("embedding")).alias("nrm"),
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
-    sim = cosine(
-        scaled_vec(F.col("a.embedding")),
-        scaled_vec(F.col("b.embedding")),
-        F.col("a.nrm"),
-        F.col("b.nrm"),
+    a = emb.select(
+        F.col("vec_id").alias("vec_id_1"),
+        F.col("sva").alias("a_sva"),
+        F.col("nrm").alias("a_nrm"),
     )
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_id_1"),
-            F.col("b.vec_id").alias("vec_id_2"),
-            sim.alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= 0.35)
+    b = emb.select(
+        F.col("vec_id").alias("vec_id_2"),
+        F.col("sva").alias("b_sva"),
+        F.col("nrm").alias("b_nrm"),
     )
+    pairs = a.join(b, F.col("vec_id_1") < F.col("vec_id_2"))
+    return arrow_pair_cosine(pairs).filter(F.col("cosine_sim") >= 0.35)
 
 
 _TOPK_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -801,25 +805,29 @@ _TOPK = 5
     "answer — the recall yardstick for the LSH variant.",
 )
 def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.vectorops import (
+        arrow_pair_cosine,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", norm(scaled_vec("embedding")).alias("nrm")
+        "vec_id",
+        scaled_vec("embedding").alias("sva"),
+        norm(scaled_vec("embedding")).alias("nrm"),
     )
-    q = emb.filter(F.col("vec_id") < _TOPK_QUERIES).alias("q")
-    c = emb.alias("c")
-    sim = cosine(
-        scaled_vec(F.col("q.embedding")),
-        scaled_vec(F.col("c.embedding")),
-        F.col("q.nrm"),
-        F.col("c.nrm"),
+    q = emb.filter(F.col("vec_id") < _TOPK_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sva").alias("a_sva"),
+        F.col("nrm").alias("a_nrm"),
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("c.vec_id") != F.col("q.vec_id"))
-        .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            sim.alias("cosine_sim"),
-        )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("sva").alias("b_sva"),
+        F.col("nrm").alias("b_nrm"),
     )
+    pairs = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select("query_id", "neighbor_id", "a_sva", "b_sva", "a_nrm", "b_nrm")
+    scored = arrow_pair_cosine(pairs)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), "neighbor_id"
     )
@@ -909,46 +917,42 @@ def _sql_bucket(n_planes: int = _LSH_PLANES) -> str:
     "sums (deterministic bucket assignment).",
 )
 def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    planes = _hyperplanes()
-    # Precompute the scaled-integer vector (sva) BELOW the join: the
-    # cosine above the join then reads two ready arrays per candidate
-    # pair instead of re-running the 64-element transform per pair side
-    # (O(vectors·d) transforms instead of O(pairs·d) — measured ~25%
-    # off the whole query at sf0.1).
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        scaled_vec("embedding").alias("sva"),
-        norm(scaled_vec("embedding")).alias("nrm"),
-        F.col("embedding"),
+    from weather_analysis_bigdata__spark.functions.vectorops import (
+        arrow_bucket_norm,
+        arrow_pair_cosine,
     )
-    from weather_analysis_bigdata__spark.functions.vectorops import lsh_bucket
 
-    bucket = lsh_bucket(F.col("embedding"), planes)
-    # shuffle_hash hint: auto-broadcast would collect one side through the
-    # driver and re-evaluate the bucket/norm subtree there (measured 2×
-    # slower); a shuffle join computes each side once in executors and is
-    # the strategy a real-scale self-join takes anyway.
-    bucketed = emb.select(
-        "vec_id", "sva", "nrm", bucket.alias("bucket")
-    ).hint("shuffle_hash")
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    sim = cosine(
-        F.col("a.sva"),
-        F.col("b.sva"),
-        F.col("a.nrm"),
-        F.col("b.nrm"),
+    planes = _hyperplanes()
+    # Quantize in the JVM (the verified DECIMAL(18,8) contract), then
+    # ONE Arrow pass computes bucket + norm per vector (guide §4.2 —
+    # previously dims×planes interpreted multiply-adds per row), and a
+    # second Arrow pass scores the joined candidate pairs (previously
+    # 64 interpreted lambda evals per pair). shuffle_hash hint: auto-
+    # broadcast would collect one side through the driver (measured 2×
+    # slower); a shuffle join is the strategy a real-scale self-join
+    # takes anyway.
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", scaled_vec("embedding").alias("sva")
     )
-    scored = a.join(
+    bucketed = arrow_bucket_norm(emb, planes).hint("shuffle_hash")
+    a = bucketed.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("query_id"),
+        F.col("sva").alias("a_sva"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = bucketed.select(
+        F.col("bucket").alias("b_bucket"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("sva").alias("b_sva"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    pairs = a.join(
         b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") != F.col("b.vec_id")),
-    ).select(
-        F.col("a.bucket").alias("bucket"),
-        F.col("a.vec_id").alias("query_id"),
-        F.col("b.vec_id").alias("neighbor_id"),
-        sim.alias("cosine_sim"),
-    )
+        (F.col("bucket") == F.col("b_bucket"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).select("bucket", "query_id", "neighbor_id", "a_sva", "b_sva", "a_nrm", "b_nrm")
+    scored = arrow_pair_cosine(pairs)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), "neighbor_id"
     )
@@ -1007,47 +1011,39 @@ _MP_PLANES = 10  # 1024 buckets; multi-probe widens each query to 11 probes
     "needed before the exact cosine top-3.",
 )
 def sim_search_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    planes = _hyperplanes(_MP_PLANES)
-    # sva precomputed below the join — see sim_search_lsh.
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        scaled_vec("embedding").alias("sva"),
-        norm(scaled_vec("embedding")).alias("nrm"),
-        F.col("embedding"),
+    from weather_analysis_bigdata__spark.functions.vectorops import (
+        arrow_bucket_norm,
+        arrow_pair_cosine,
     )
-    from weather_analysis_bigdata__spark.functions.vectorops import lsh_bucket
 
-    bucketed = emb.select(
-        "vec_id",
-        "sva",
-        "nrm",
-        lsh_bucket(F.col("embedding"), planes).alias("bucket"),
-    ).hint("shuffle_hash")
+    planes = _hyperplanes(_MP_PLANES)
+    # Arrow bucket/norm pass + Arrow pair scorer — see sim_search_lsh.
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", scaled_vec("embedding").alias("sva")
+    )
+    bucketed = arrow_bucket_norm(emb, planes).hint("shuffle_hash")
     probe_arr = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(_MP_PLANES)],
     )
     probes = bucketed.select(
         F.col("vec_id").alias("query_id"),
-        F.col("sva").alias("q_sva"),
-        F.col("nrm").alias("q_nrm"),
+        F.col("sva").alias("a_sva"),
+        F.col("nrm").alias("a_nrm"),
         F.explode(probe_arr).alias("probe_bucket"),
     )
-    sim = cosine(
-        F.col("q_sva"),
-        F.col("sva"),
-        F.col("q_nrm"),
-        F.col("nrm"),
-    )
-    scored = probes.join(
-        bucketed,
-        (F.col("probe_bucket") == F.col("bucket"))
-        & (F.col("query_id") != F.col("vec_id")),
-    ).select(
-        "query_id",
+    cand = bucketed.select(
         F.col("vec_id").alias("neighbor_id"),
-        sim.alias("cosine_sim"),
+        F.col("sva").alias("b_sva"),
+        F.col("nrm").alias("b_nrm"),
+        F.col("bucket"),
     )
+    pairs = probes.join(
+        cand,
+        (F.col("probe_bucket") == F.col("bucket"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).select("query_id", "neighbor_id", "a_sva", "b_sva", "a_nrm", "b_nrm")
+    scored = arrow_pair_cosine(pairs)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), "neighbor_id"
     )
@@ -3242,24 +3238,30 @@ def _prepare_semdedup(spark: SparkSession, sf_dir: str) -> None:
     prepare=_prepare_semdedup,
 )
 def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assign = _semdedup_assign(spark, sf_dir)
-    a, b = assign.alias("a"), assign.alias("b")
-    sim = cosine(
-        F.col("a.sva"), F.col("b.sva"), F.col("a.nrm"), F.col("b.nrm")
+    from weather_analysis_bigdata__spark.functions.vectorops import (
+        arrow_pair_cosine,
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.cluster").alias("cluster"),
-            F.col("a.vec_id").alias("vec_id_1"),
-            F.col("b.vec_id").alias("vec_id_2"),
-            sim.alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= _SEMDEDUP_TAU)
+
+    assign = _semdedup_assign(spark, sf_dir)
+    a = assign.select(
+        "cluster",
+        F.col("vec_id").alias("vec_id_1"),
+        F.col("sva").alias("a_sva"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = assign.select(
+        F.col("cluster").alias("b_cluster"),
+        F.col("vec_id").alias("vec_id_2"),
+        F.col("sva").alias("b_sva"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("cluster") == F.col("b_cluster"))
+        & (F.col("vec_id_1") < F.col("vec_id_2")),
+    ).select("cluster", "vec_id_1", "vec_id_2", "a_sva", "b_sva", "a_nrm", "b_nrm")
+    return arrow_pair_cosine(pairs).filter(
+        F.col("cosine_sim") >= _SEMDEDUP_TAU
     )
 
 
@@ -3309,30 +3311,38 @@ _SEMDEDUP_CAP = 256
     prepare=_prepare_semdedup,
 )
 def dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.vectorops import (
+        arrow_pair_cosine,
+    )
+
     assign = _semdedup_assign(spark, sf_dir)
     wsub = Window.partitionBy("cluster").orderBy("vec_id")
     sub = assign.withColumn(
         "subcl",
         F.floor((F.row_number().over(wsub) - 1) / _SEMDEDUP_CAP).cast("long"),
     )
-    a, b = sub.alias("a"), sub.alias("b")
-    sim = cosine(
-        F.col("a.sva"), F.col("b.sva"), F.col("a.nrm"), F.col("b.nrm")
+    a = sub.select(
+        "cluster",
+        "subcl",
+        F.col("vec_id").alias("vec_id_1"),
+        F.col("sva").alias("a_sva"),
+        F.col("nrm").alias("a_nrm"),
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.subcl") == F.col("b.subcl"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.cluster").alias("cluster"),
-            F.col("a.vec_id").alias("vec_id_1"),
-            F.col("b.vec_id").alias("vec_id_2"),
-            sim.alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= _SEMDEDUP_TAU)
+    b = sub.select(
+        F.col("cluster").alias("b_cluster"),
+        F.col("subcl").alias("b_subcl"),
+        F.col("vec_id").alias("vec_id_2"),
+        F.col("sva").alias("b_sva"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("cluster") == F.col("b_cluster"))
+        & (F.col("subcl") == F.col("b_subcl"))
+        & (F.col("vec_id_1") < F.col("vec_id_2")),
+    ).select("cluster", "vec_id_1", "vec_id_2", "a_sva", "b_sva", "a_nrm", "b_nrm")
+    return arrow_pair_cosine(pairs).filter(
+        F.col("cosine_sim") >= _SEMDEDUP_TAU
     )
 
 

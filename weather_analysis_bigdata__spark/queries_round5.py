@@ -833,19 +833,17 @@ from weather_analysis_bigdata__spark.queries_llmops import (  # noqa: E402
     "and scaled-integer cosine as the uncapped rung.",
 )
 def sim_search_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from weather_analysis_bigdata__spark.functions.vectorops import lsh_bucket
+    from weather_analysis_bigdata__spark.functions.vectorops import (
+        arrow_bucket_norm,
+        arrow_pair_cosine,
+    )
 
     planes = _hyperplanes()
+    # Arrow bucket/norm pass + Arrow pair scorer — see sim_search_lsh.
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        scaled_vec("embedding").alias("sva"),
-        norm(scaled_vec("embedding")).alias("nrm"),
-        F.col("embedding"),
+        "vec_id", scaled_vec("embedding").alias("sva")
     )
-    bucketed = emb.select(
-        "vec_id", "sva", "nrm",
-        lsh_bucket(F.col("embedding"), planes).alias("bucket"),
-    ).hint("shuffle_hash")
+    bucketed = arrow_bucket_norm(emb, planes).hint("shuffle_hash")
     wb = Window.partitionBy("bucket").orderBy("vec_id")
     kept = (
         bucketed.select(
@@ -853,21 +851,34 @@ def sim_search_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("brank") <= _LSH_BUCKET_CAP)
     )
-    a, b = bucketed.alias("a"), kept.alias("b")
-    sim = cosine(
-        F.col("a.sva"), F.col("b.sva"), F.col("a.nrm"), F.col("b.nrm")
+    a = bucketed.select(
+        "bucket",
+        F.col("vec_id").alias("query_id"),
+        F.col("sva").alias("a_sva"),
+        F.col("nrm").alias("a_nrm"),
     )
-    scored = a.join(
+    b = kept.select(
+        F.col("bucket").alias("b_bucket"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("brank").alias("neighbor_brank"),
+        F.col("sva").alias("b_sva"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    pairs = a.join(
         b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") != F.col("b.vec_id")),
+        (F.col("bucket") == F.col("b_bucket"))
+        & (F.col("query_id") != F.col("neighbor_id")),
     ).select(
-        F.col("a.bucket").alias("bucket"),
-        F.col("a.vec_id").alias("query_id"),
-        F.col("b.vec_id").alias("neighbor_id"),
-        F.col("b.brank").alias("neighbor_brank"),
-        sim.alias("cosine_sim"),
+        "bucket",
+        "query_id",
+        "neighbor_id",
+        "neighbor_brank",
+        "a_sva",
+        "b_sva",
+        "a_nrm",
+        "b_nrm",
     )
+    scored = arrow_pair_cosine(pairs)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), "neighbor_id"
     )
