@@ -65,6 +65,88 @@ def sql_word_ngrams(toks: str, n: int = 3) -> str:
     )
 
 
+#: JVM-exact trim/split mirrors for the Arrow text kernels below.
+#: Spark's ``trim(col)`` strips the SPACE character (U+0020) only —
+#: NOT Java String.trim's ≤U+0020 range (probed: control chars at the
+#: edges survive F.trim). Java regex \s is exactly [ \t\n\x0B\f\r ]
+#: and Python's re.ASCII \s is the same set (\x0B == \v), so a
+#: compiled ASCII pattern splits identically.
+_JAVA_TRIM_CHARS = " "
+
+
+def _java_tokens(text: str, _ws=None) -> list[str]:
+    """CPython mirror of :func:`tokens` = split(trim(text), '\\s+'):
+    Spark trim (space-only), then Java-regex \\s+ split (empty string
+    → [''], matching Java split semantics)."""
+    import re
+
+    ws = _ws or re.compile(r"\s+", re.ASCII)
+    return ws.split(text.strip(_JAVA_TRIM_CHARS))
+
+
+def arrow_paragraph_rows(df, w: int, text: str = "text", with_pos: bool = True):
+    """(…, text) → one row per fixed-width paragraph window, in Arrow
+    batches (guide §4.2): tokens = Java-exact trim+\\s+ split, windows
+    of ``w`` consecutive tokens (last one ragged), para = ' '-join.
+    Replaces ``posexplode(paragraphs(text))`` — the w-deep zip_with/
+    concat expression chain (O(n·w) interpreted string concats per doc
+    plus a Catalyst tree that costs real planning time) — with one
+    C-speed regex split per document. Output rows/values are identical:
+    the splitter and joiner mirror the JVM ops char for char (see
+    _java_tokens), and win_id reproduces posexplode's 0-based int pos.
+    ``text`` is consumed; every other column passes through (repeated
+    per window)."""
+    import re
+
+    from pyspark.sql import types as T
+
+    keep_fields = [f for f in df.schema.fields if f.name != text]
+    keep = [f.name for f in keep_fields]
+    out_fields = list(keep_fields)
+    if with_pos:
+        out_fields.append(T.StructField("win_id", T.IntegerType(), False))
+    out_fields.append(T.StructField("para", T.StringType(), True))
+    schema = T.StructType(out_fields)
+
+    def seg(it):
+        import numpy as np
+        import pyarrow as pa
+
+        ws = re.compile(r"\s+", re.ASCII)
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            texts = batch.column(
+                batch.schema.get_field_index(text)
+            ).to_pylist()
+            paras: list[str] = []
+            counts = np.empty(len(texts), dtype=np.int64)
+            for i, t in enumerate(texts):
+                toks = ws.split(t.strip(_JAVA_TRIM_CHARS))
+                n = len(toks)
+                c = (n + w - 1) // w
+                counts[i] = c
+                for j in range(0, n, w):
+                    paras.append(" ".join(toks[j : j + w]))
+            idx = pa.array(np.repeat(np.arange(len(texts)), counts))
+            arrays = [
+                batch.column(batch.schema.get_field_index(k)).take(idx)
+                for k in keep
+            ]
+            names = list(keep)
+            if with_pos:
+                pos = np.concatenate(
+                    [np.arange(c, dtype=np.int32) for c in counts]
+                ) if len(counts) else np.empty(0, dtype=np.int32)
+                arrays.append(pa.array(pos, pa.int32()))
+                names.append("win_id")
+            arrays.append(pa.array(paras, pa.string()))
+            names.append("para")
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return df.mapInArrow(seg, schema)
+
+
 def normalized_text(col: Column | str) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse interior
     whitespace, trim."""

@@ -157,6 +157,46 @@ def arrow_pair_cosine(
     return df.mapInArrow(score, schema)
 
 
+def arrow_sqdist(df, a: str = "q_sva", b: str = "sva", out: str = "dist"):
+    """Exact squared-L2 between two scaled-long array columns of joined
+    pair rows, in Arrow batches (guide §4.2): (x−y)² summed row-wise in
+    NumPy int64 — elementwise diff ≤ 2·10⁸·‖x‖∞ so the 64-dim sum stays
+    exact in 64 bits, the identical bound :func:`_sqdist_col`'s JVM
+    aggregate relies on. Integer arithmetic is associative, so the
+    result is bit-identical to the interpreted zip_with/aggregate form
+    it replaces; per-pair cost drops from 64 interpreted lambda
+    evaluations to one vectorized batch subtract-square-sum. The two
+    array columns are consumed (dropped from the output); every other
+    column passes through."""
+    from pyspark.sql import types as T
+
+    keep_fields = [f for f in df.schema.fields if f.name not in (a, b)]
+    keep = [f.name for f in keep_fields]
+    schema = T.StructType(
+        keep_fields + [T.StructField(out, T.LongType(), True)]
+    )
+
+    def score(it):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            av = _list_col_matrix(batch, a)
+            bv = _list_col_matrix(batch, b)
+            d = av - bv
+            dist = (d * d).sum(axis=1, dtype=np.int64)
+            arrays = [
+                batch.column(batch.schema.get_field_index(k)) for k in keep
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays + [pa.array(dist, pa.int64())], keep + [out]
+            )
+
+    return df.mapInArrow(score, schema)
+
+
 def arrow_bucket_norm(df, planes: list[list[int]], sva: str = "sva"):
     """Hyperplane-LSH bucket + Euclidean norm from the scaled-long
     ``sva`` column in one Arrow pass: proj = Q·Wᵀ in int64 (|w| ≤ 15,

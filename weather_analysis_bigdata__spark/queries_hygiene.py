@@ -53,6 +53,7 @@ from weather_analysis_bigdata__spark.functions.distributed import (
 )
 from weather_analysis_bigdata__spark.functions.textops import (
     SQL_TOKENS,
+    arrow_paragraph_rows,
     hex15_to_long,
     md5s,
     sql_hex15_to_long,
@@ -140,10 +141,11 @@ def paragraph_dedup(docs: DataFrame) -> DataFrame:
     text, exactly the economy the incremental/bloom forms already had.
     Only the doc-side regroup still carries text (inherent: the
     reconstruction fingerprint needs the surviving paragraphs)."""
-    d = docs.select(
-        "doc_id", F.posexplode(paragraphs(F.col("text"))).alias(
-            "win_id", "para"
-        )
+    # Segmentation is the Arrow kernel (one C-speed split per doc)
+    # instead of the w-deep zip_with concat chain — guide §4.2;
+    # identical rows, see functions/textops.py:arrow_paragraph_rows.
+    d = arrow_paragraph_rows(
+        docs.select("doc_id", "text"), _PARA_W
     ).withColumn("pid", md5s(F.col("para")))
     dup = (
         d.groupBy("pid")
@@ -238,9 +240,9 @@ def _paragraph_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build() -> DataFrame:
-        d = load_table(spark, sf_dir, "documents").select(
-            "doc_id",
-            F.posexplode(paragraphs(F.col("text"))).alias("win_id", "para"),
+        d = arrow_paragraph_rows(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            _PARA_W,
         )
         return (
             d.select("doc_id", md5s(F.col("para")).alias("pid"))
@@ -329,10 +331,8 @@ def _incremental_decisions(batch: DataFrame, idx: DataFrame) -> DataFrame:
     """Per-arriving-doc paragraph-dedup decision vs the persisted
     index — the kernel shared by the batch query and the streaming
     replay (so stream ≡ batch is a property of ONE code path)."""
-    b = batch.select(
-        "doc_id", F.posexplode(paragraphs(F.col("text"))).alias(
-            "win_id", "para"
-        )
+    b = arrow_paragraph_rows(
+        batch.select("doc_id", "text"), _PARA_W
     ).select("doc_id", md5s(F.col("para")).alias("pid"))
     m = b.join(idx.select("pid", F.lit(1).alias("_known")), "pid", "left")
     known = F.col("_known").isNotNull()
@@ -1287,12 +1287,11 @@ def _pb_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         dp = (
-            load_table(spark, sf_dir, "documents")
-            .select(
-                "doc_id",
-                F.posexplode(paragraphs(F.col("text"))).alias(
-                    "win_id", "para"
+            arrow_paragraph_rows(
+                load_table(spark, sf_dir, "documents").select(
+                    "doc_id", "text"
                 ),
+                _PARA_W,
             )
             .select("doc_id", md5s(F.col("para")).alias("pid"))
             .distinct()
@@ -1351,9 +1350,7 @@ def _pb_estimates(docs: DataFrame, pcnt: DataFrame) -> DataFrame:
     probed against a prior corpus's sketch — the incremental direction
     the near-dup rung already takes."""
     pids = (
-        docs.select(
-            F.posexplode(paragraphs(F.col("text"))).alias("win_id", "para")
-        )
+        arrow_paragraph_rows(docs.select("text"), _PARA_W)
         .select(md5s(F.col("para")).alias("pid"))
         .distinct()
     )
@@ -1417,10 +1414,9 @@ def _pb_estimates(docs: DataFrame, pcnt: DataFrame) -> DataFrame:
 )
 def dedup_paragraph_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    occ = docs.select(
-        "doc_id",
-        F.posexplode(paragraphs(F.col("text"))).alias("win_id", "para"),
-    ).withColumn("pid", md5s(F.col("para")))
+    occ = arrow_paragraph_rows(docs, _PARA_W).withColumn(
+        "pid", md5s(F.col("para"))
+    )
     est = _pb_estimates(docs, _pb_sketch(spark, sf_dir))
     m = occ.join(est, "pid")
     dropped = F.col("est_df") >= _PARA_MIN_DOCS
@@ -1505,10 +1501,9 @@ def dedup_paragraph_bloom_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    occ = docs.select(
-        "doc_id",
-        F.posexplode(paragraphs(F.col("text"))).alias("win_id", "para"),
-    ).select("doc_id", md5s(F.col("para")).alias("pid"))
+    occ = arrow_paragraph_rows(docs, _PARA_W).select(
+        "doc_id", md5s(F.col("para")).alias("pid")
+    )
     exact = occ.groupBy("pid").agg(
         F.countDistinct("doc_id").cast("long").alias("df"),
         F.count(F.lit(1)).cast("long").alias("n_occ"),
@@ -1633,9 +1628,10 @@ def _para_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         paras = (
-            load_table(spark, sf_dir, "documents")
-            .select(
-                F.explode(paragraphs(F.col("text"))).alias("para")
+            arrow_paragraph_rows(
+                load_table(spark, sf_dir, "documents").select("text"),
+                _PARA_W,
+                with_pos=False,
             )
             .select(md5s(F.col("para")).alias("pid"), "para")
             .distinct()
@@ -1761,9 +1757,8 @@ def _pn_oracle() -> str:
 )
 def dedup_paragraph_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = _paragraph_batch(spark, sf_dir)
-    bocc = batch.select(
-        "doc_id",
-        F.posexplode(paragraphs(F.col("text"))).alias("win_id", "para"),
+    bocc = arrow_paragraph_rows(
+        batch.select("doc_id", "text"), _PARA_W
     ).withColumn("bpid", md5s(F.col("para")))
     bb = _para_bands(
         bocc.select(F.col("bpid").alias("pid"), "para").distinct()

@@ -934,13 +934,13 @@ def multimodal_interleave_assembly(
         synth_media,
         wav_fingerprint,
     )
-    from weather_analysis_bigdata__spark.queries_hygiene import paragraphs
+    from weather_analysis_bigdata__spark.functions.textops import (
+        arrow_paragraph_rows,
+    )
+    from weather_analysis_bigdata__spark.queries_hygiene import _PARA_W
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    para = docs.select(
-        "doc_id",
-        F.posexplode(paragraphs(F.col("text"))).alias("win_id", "para"),
-    )
+    para = arrow_paragraph_rows(docs, _PARA_W)
     np_ = para.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("np")
     )
