@@ -197,6 +197,126 @@ def arrow_sqdist(df, a: str = "q_sva", b: str = "sva", out: str = "dist"):
     return df.mapInArrow(score, schema)
 
 
+def arrow_centroid_argmin(
+    df,
+    centroids: list[tuple[int, list[int]]],
+    sva: str = "sva",
+    out_label: str = "part_label",
+    out_dist: str = "dist",
+    keep_vec: bool = False,
+):
+    """Nearest-centroid assignment in one Arrow pass (guide §4.2 / §8:
+    the centroid table is k×d bounded driver state, so it rides the
+    task closure instead of a crossJoin): per batch, k exact int64
+    (q−c)² row sums — the same 2⁶³-headroom arithmetic as
+    :func:`arrow_sqdist` — then argmin over centroids SORTED BY LABEL,
+    which reproduces ``row_number() OVER (ORDER BY dist, label) = 1``
+    exactly (NumPy argmin returns the first minimum). Replaces a
+    broadcast-crossJoin (N×k rows), k·d interpreted lambda evals per
+    vector, and a full window exchange+sort with zero shuffles.
+    ``sva`` is consumed unless ``keep_vec``; other columns pass
+    through."""
+    from pyspark.sql import types as T
+
+    cents = sorted(centroids)
+    keep_fields = [
+        f
+        for f in df.schema.fields
+        if keep_vec or f.name != sva
+    ]
+    keep = [f.name for f in keep_fields]
+    schema = T.StructType(
+        keep_fields
+        + [
+            T.StructField(out_label, T.LongType(), True),
+            T.StructField(out_dist, T.LongType(), True),
+        ]
+    )
+
+    def assign(it):
+        import numpy as np
+        import pyarrow as pa
+
+        labels = np.asarray([c[0] for c in cents], dtype=np.int64)
+        cmat = np.asarray([c[1] for c in cents], dtype=np.int64)  # k×d
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            q = _list_col_matrix(batch, sva)
+            dists = np.empty((q.shape[0], cmat.shape[0]), dtype=np.int64)
+            for j in range(cmat.shape[0]):
+                d = q - cmat[j]
+                dists[:, j] = (d * d).sum(axis=1, dtype=np.int64)
+            idx = dists.argmin(axis=1)
+            best = dists[np.arange(q.shape[0]), idx]
+            arrays = [
+                batch.column(batch.schema.get_field_index(k)) for k in keep
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays
+                + [
+                    pa.array(labels[idx], pa.int64()),
+                    pa.array(best, pa.int64()),
+                ],
+                keep + [out_label, out_dist],
+            )
+
+    return df.mapInArrow(assign, schema)
+
+
+def arrow_label_moments(df, sva: str = "sva", label: str = "part_label"):
+    """Per-(label, dimension) partial sums/counts of scaled-long
+    vectors, one Arrow pass: each batch emits ≤ k×d rows of
+    (label, pos, s, n) — map-side aggregation for a centroid update
+    (guide §2.3, aggregate before the shuffle), replacing a
+    posexplode of N×d rows into the exchange. Exact int64 partials
+    (elements ≤ 1e8, corpus rows ≪ 2^33); the caller finishes with
+    groupBy(label, pos).sum — integer addition is associative, so the
+    final sums are bit-identical to the exploded form."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(label, T.LongType(), True),
+            T.StructField("pos", T.IntegerType(), False),
+            T.StructField("s", T.LongType(), True),
+            T.StructField("n", T.LongType(), True),
+        ]
+    )
+
+    def moments(it):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            v = _list_col_matrix(batch, sva)
+            labs = batch.column(
+                batch.schema.get_field_index(label)
+            ).to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(labs, return_inverse=True)
+            k, d = uniq.shape[0], v.shape[1]
+            sums = np.zeros((k, d), dtype=np.int64)
+            np.add.at(sums, inv, v)
+            cnts = np.bincount(inv, minlength=k).astype(np.int64)
+            out_lab = np.repeat(uniq, d)
+            out_pos = np.tile(np.arange(d, dtype=np.int32), k)
+            out_s = sums.reshape(-1)
+            out_n = np.repeat(cnts, d)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_lab, pa.int64()),
+                    pa.array(out_pos, pa.int32()),
+                    pa.array(out_s, pa.int64()),
+                    pa.array(out_n, pa.int64()),
+                ],
+                [label, "pos", "s", "n"],
+            )
+
+    return df.mapInArrow(moments, schema)
+
+
 def arrow_bucket_norm(df, planes: list[list[int]], sva: str = "sva"):
     """Hyperplane-LSH bucket + Euclidean norm from the scaled-long
     ``sva`` column in one Arrow pass: proj = Q·Wᵀ in int64 (|w| ≤ 15,

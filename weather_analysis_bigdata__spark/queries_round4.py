@@ -171,8 +171,14 @@ def _batch_pair_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Exact re-rank distances: ONE (query×probed-list) exchange joins
     # candidates to their vectors; the query side (batch×d longs)
-    # broadcasts.
-    return (
+    # broadcasts. Scoring is the Arrow sqdist kernel (guide §4.2) —
+    # one batch subtract-square-sum instead of 64 interpreted lambda
+    # evals per pair; bit-identical int64 output.
+    from weather_analysis_bigdata__spark.functions.vectorops import (
+        arrow_sqdist,
+    )
+
+    pairs = (
         cands.join(sv, F.col("cand_id") == F.col("vec_id"))
         .join(F.broadcast(q), "query_id")
         .select(
@@ -180,9 +186,11 @@ def _batch_pair_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_label",
             "cand_id",
             F.col("label").alias("cand_label"),
-            _sqdist_col(F.col("q_sva"), F.col("sva")).alias("dist"),
+            "q_sva",
+            "sva",
         )
     )
+    return arrow_sqdist(pairs)
 
 
 def _batch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,13 +298,20 @@ def ann_batch_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = sv.filter(F.col("vec_id") < _BATCH_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("sva").alias("q_sva")
     )
-    pairs = (
+    # Brute-force truth pass: batch×corpus pairs — the biggest pair
+    # set in the family, scored by the Arrow sqdist kernel (§4.2).
+    from weather_analysis_bigdata__spark.functions.vectorops import (
+        arrow_sqdist,
+    )
+
+    pairs = arrow_sqdist(
         sv.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
-            _sqdist_col(F.col("q_sva"), F.col("sva")).alias("dist"),
+            "q_sva",
+            "sva",
         )
     )
     exact = grouped_topk(

@@ -1643,11 +1643,19 @@ def _sql_lloyd_convergence(k_iter: int) -> str:
     "the only sequential dimension.",
 )
 def ivf_lloyd_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.vectorops import (
+        arrow_centroid_argmin,
+        arrow_label_moments,
+    )
+
     sv = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", scaled_vec("embedding").alias("sva")
     )
-    vpos = sv.select("vec_id", F.posexplode("sva").alias("pos", "v_int"))
-    s, n = F.sum("v_int"), F.count(F.lit(1))
+    # Floor-mean over the Arrow moments kernel's exact (s, n) partials
+    # — identical integers to the old posexplode + groupBy form (sums
+    # are associative), but the exchange carries ≤ batches·k·d partial
+    # rows instead of N·d exploded rows (guide §2.3).
+    s, n = F.sum("s"), F.sum("n")
     floordiv = (s - (((s % n) + n) % n)) / n
 
     def to_arr(cent_long: DataFrame) -> DataFrame:
@@ -1658,31 +1666,39 @@ def ivf_lloyd_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c_arr")
         )
 
-    e = load_table(spark, sf_dir, "embeddings")
-    cent = to_arr(
-        e.select(
-            "label",
-            F.posexplode(scaled_vec("embedding")).alias("pos", "v_int"),
+    def mean_cent(labeled: DataFrame) -> DataFrame:
+        """(part_label, sva) rows → (part_label, c_arr) floor-means."""
+        return to_arr(
+            arrow_label_moments(labeled)
+            .groupBy("part_label", "pos")
+            .agg(floordiv.cast("long").alias("c_int"))
         )
-        .groupBy(F.col("label").alias("part_label"), "pos")
-        .agg(floordiv.cast("long").alias("c_int"))
-        .select("part_label", "pos", "c_int")
+
+    cent = mean_cent(
+        load_table(spark, sf_dir, "embeddings").select(
+            F.col("label").alias("part_label"),
+            scaled_vec("embedding").alias("sva"),
+        )
     ).transform(pin)
 
-    w_vec = Window.partitionBy("vec_id").orderBy("dist", "part_label")
-
     def assign_against(cent_arr: DataFrame) -> DataFrame:
-        return (
-            sv.crossJoin(F.broadcast(cent_arr))
-            .select(
-                "vec_id",
-                "part_label",
-                _sqdist_col(F.col("sva"), F.col("c_arr")).alias("dist"),
-            )
-            .select("*", F.row_number().over(w_vec).alias("rn"))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "part_label", "dist")
-            .transform(pin)
+        # k×d centroids are bounded driver state (the NB-count-index
+        # pattern); the Arrow argmin kernel then assigns with ZERO
+        # shuffles — the old form paid a broadcast crossJoin (N×k
+        # rows), k·d interpreted lambdas per vector, and a window
+        # exchange+sort per pass. Ties break identically (centroids
+        # sorted by label, argmin takes the first minimum). sva rides
+        # along so the centroid update needs no join back to vectors.
+        # Pinned, as before: three readers (centroid update, moved-
+        # count, objective) reference each assignment, and the eager
+        # pin of the shuffle-free kernel output measured faster than
+        # either re-running the kernel per reader or materializing
+        # centroid generations as local relations.
+        cent_rows = sorted(
+            (r["part_label"], list(r["c_arr"])) for r in cent_arr.collect()
+        )
+        return arrow_centroid_argmin(sv, cent_rows, keep_vec=True).transform(
+            pin
         )
 
     def objective(assign: DataFrame):
@@ -1702,12 +1718,9 @@ def ivf_lloyd_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     for i in range(1, _LLOYD_ITERS + 1):
-        new_cent = to_arr(
-            vpos.join(assign.select(F.col("vec_id").alias("cid"), "part_label"),
-                      vpos["vec_id"] == F.col("cid"))
-            .groupBy("part_label", "pos")
-            .agg(floordiv.cast("long").alias("c_int"))
-        ).transform(pin)
+        new_cent = mean_cent(assign.select("part_label", "sva")).transform(
+            pin
+        )
         shift = (
             cent.alias("a")
             .join(new_cent.alias("b"), "part_label")

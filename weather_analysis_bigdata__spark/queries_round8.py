@@ -561,21 +561,29 @@ def _decon_hits(
         F.broadcast(qprobes),
         F.col("part_label") == F.col("probe_label"),
     ).filter(F.col("cand_id") % 97 != 0).select("query_id", "cand_id")
+    from weather_analysis_bigdata__spark.functions.vectorops import (
+        arrow_pair_cosine,
+    )
+
     qn = qset.select("query_id", "qsva", norm(F.col("qsva")).alias("qnrm"))
     cn = sv.filter(F.col("vec_id") % 97 != 0).select(
         "vec_id", "sva", norm(F.col("sva")).alias("cnrm")
     )
-    return (
+    # Pair scoring via the Arrow cosine kernel (guide §4.2): one batch
+    # int64 dot per candidate pair instead of 64 interpreted lambdas;
+    # bit-identical to the dot()/norm product it replaces.
+    pairs = (
         cands.join(F.broadcast(qn), "query_id")
         .join(cn.hint("shuffle_hash"), F.col("cand_id") == F.col("vec_id"))
         .select(
             "cand_id",
-            (
-                dot(F.col("qsva"), F.col("sva"))
-                / (F.col("qnrm") * F.col("cnrm"))
-            ).alias("cosine"),
+            F.col("qsva").alias("a_sva"),
+            F.col("sva").alias("b_sva"),
+            F.col("qnrm").alias("a_nrm"),
+            F.col("cnrm").alias("b_nrm"),
         )
     )
+    return arrow_pair_cosine(pairs, out="cosine")
 
 
 def _decon_report(
