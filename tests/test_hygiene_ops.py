@@ -447,3 +447,53 @@ def test_streaming_drift_monitor_slice_ordering(spark, sf_dir, registry):
     resub, edited, novel = rows
     assert resub.tv_ppm < edited.tv_ppm < novel.tv_ppm
     assert novel.tv_ppm > 10 * resub.tv_ppm
+
+
+def test_paragraph_kernel_edge_parity_with_jvm_form(spark):
+    """Round-11 verdict item 5 (now committed as a pytest): the Arrow
+    segmenter `arrow_paragraph_rows` must emit rows IDENTICAL to the
+    JVM `posexplode(paragraphs(text))` form it replaced, including on
+    the whitespace edge cases where a trim/\\s+ mismatch is possible —
+    Spark trim strips U+0020 ONLY (control chars at the edges survive),
+    Java-regex \\s is the ASCII set [ \\t\\n\\x0B\\f\\r]. This probe
+    caught a real bug in the first kernel draft (Python str.strip()
+    strips the whole Unicode space set). NULL text additionally must
+    null-propagate (emit no rows) exactly like posexplode over a NULL
+    array."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from weather_analysis_bigdata__spark.functions.textops import (
+        arrow_paragraph_rows,
+    )
+    from weather_analysis_bigdata__spark.queries_hygiene import paragraphs
+
+    texts = [
+        "",  # empty string → [''] from Java split → 1 window
+        " ",  # space-only: trimmed to '' → ['']
+        "\t\n",  # whitespace-only but NOT space: trim keeps it
+        "\x00ctl\x00",  # control chars at the edges survive trim
+        "a\x0bb\fc\rd\ne f\tg",  # every ASCII \s separator class
+        "  lead and trail  ",  # U+0020 runs at both edges
+        "one two three four five six seven eight nine",  # ragged tail
+        " ".join(f"t{i}" for i in range(25)),  # 3 full windows + tail
+        None,  # NULL text: both forms emit no rows
+        "x",  # single token
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("text", T.StringType(), True),
+            ]
+        ),
+    )
+    jvm = df.select(
+        "doc_id", F.posexplode(paragraphs(F.col("text"))).alias("win_id", "para")
+    )
+    kernel = arrow_paragraph_rows(df, w=8)
+    jvm_rows = sorted((r.doc_id, r.win_id, r.para) for r in jvm.collect())
+    k_rows = sorted((r.doc_id, r.win_id, r.para) for r in kernel.collect())
+    assert k_rows == jvm_rows
+    assert jvm_rows, "probe degenerated: JVM form emitted nothing"

@@ -122,7 +122,13 @@ def arrow_paragraph_rows(df, w: int, text: str = "text", with_pos: bool = True):
             paras: list[str] = []
             counts = np.empty(len(texts), dtype=np.int64)
             for i, t in enumerate(texts):
-                toks = ws.split(t.strip(_JAVA_TRIM_CHARS))
+                if t is None:
+                    # posexplode(paragraphs(NULL)) emitted no rows —
+                    # null-propagate instead of crashing the task
+                    # (round-11 advice item 2).
+                    counts[i] = 0
+                    continue
+                toks = _java_tokens(t, ws)
                 n = len(toks)
                 c = (n + w - 1) // w
                 counts[i] = c

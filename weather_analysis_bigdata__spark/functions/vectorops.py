@@ -91,12 +91,27 @@ def sql_norm(a: str) -> str:
 
 def _list_col_matrix(batch, name: str):
     """Arrow list<int64> column of a record batch → N×d int64 NumPy
-    matrix (caller guarantees non-empty batch, uniform dims)."""
+    matrix. Contract: non-empty batch, NO null entries, uniform dims —
+    flatten() drops nulls silently, so a null list would misalign every
+    row after it; raise loudly instead (round-11 advice item 2). The
+    embeddings sources are non-null by construction, so this is a
+    tripwire, not a path."""
     import numpy as np
 
     col = batch.column(batch.schema.get_field_index(name))
     n = len(col)
+    if col.null_count:
+        raise ValueError(
+            f"_list_col_matrix: column {name!r} has {col.null_count} "
+            "null entries; the Arrow vector kernels require non-null "
+            "fixed-width lists"
+        )
     flat = col.flatten().to_numpy(zero_copy_only=False)
+    if flat.shape[0] % n:
+        raise ValueError(
+            f"_list_col_matrix: column {name!r} is ragged "
+            f"({flat.shape[0]} values / {n} rows)"
+        )
     return flat.reshape(n, flat.shape[0] // n).astype(np.int64, copy=False)
 
 
@@ -146,12 +161,81 @@ def arrow_pair_cosine(
             bnv = batch.column(batch.schema.get_field_index(bn)).to_numpy(
                 zero_copy_only=False
             )
-            cos = (dots.astype(np.float64) / _SCALE_SQ) / (anv * bnv)
+            denom = anv * bnv
+            zero = denom == 0.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (dots.astype(np.float64) / _SCALE_SQ) / denom
+            arrays = [
+                batch.column(batch.schema.get_field_index(k)) for k in keep
+            ]
+            # Spark's Divide yields NULL on a zero divisor (ANSI off);
+            # NumPy yields NaN/±inf, which would sort ABOVE every
+            # double in a descending top-k — mask zero-norm pairs to
+            # null to reproduce the JVM semantics exactly (round-11
+            # advice item 3; no zero-norm vector exists in the corpus,
+            # so current results are unchanged — oracle-gated).
+            yield pa.RecordBatch.from_arrays(
+                arrays
+                + [
+                    pa.array(cos, pa.float64(), mask=zero)
+                    if zero.any()
+                    else pa.array(cos, pa.float64())
+                ],
+                keep + [out],
+            )
+
+    return df.mapInArrow(score, schema)
+
+
+def arrow_pair_cosine_selfnorm(
+    df, a: str = "a_sva", b: str = "b_sva", out: str = "cosine_sim"
+):
+    """:func:`arrow_pair_cosine` for pair rows that do NOT carry
+    precomputed norm columns: the norms are derived inside the batch
+    with the identical float steps :func:`norm` performs on the JVM —
+    x² int64 row-sum (exact), int64→double (correctly rounded), ÷ 1e16
+    (exact), sqrt — so the result is bit-identical to
+    ``cosine(a, b, norm(a), norm(b))`` while removing BOTH the per-pair
+    interpreted dot and the per-row interpreted norm pass. Zero-norm
+    pairs null out (Spark Divide semantics). The two array columns are
+    consumed; every other column passes through."""
+    from pyspark.sql import types as T
+
+    keep_fields = [f for f in df.schema.fields if f.name not in (a, b)]
+    keep = [f.name for f in keep_fields]
+    schema = T.StructType(
+        keep_fields + [T.StructField(out, T.DoubleType(), True)]
+    )
+
+    def score(it):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            av = _list_col_matrix(batch, a)
+            bv = _list_col_matrix(batch, b)
+            dots = (av * bv).sum(axis=1, dtype=np.int64)
+            a2 = (av * av).sum(axis=1, dtype=np.int64)
+            b2 = (bv * bv).sum(axis=1, dtype=np.int64)
+            anrm = np.sqrt(a2.astype(np.float64) / _SCALE_SQ)
+            bnrm = np.sqrt(b2.astype(np.float64) / _SCALE_SQ)
+            denom = anrm * bnrm
+            zero = denom == 0.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (dots.astype(np.float64) / _SCALE_SQ) / denom
             arrays = [
                 batch.column(batch.schema.get_field_index(k)) for k in keep
             ]
             yield pa.RecordBatch.from_arrays(
-                arrays + [pa.array(cos, pa.float64())], keep + [out]
+                arrays
+                + [
+                    pa.array(cos, pa.float64(), mask=zero)
+                    if zero.any()
+                    else pa.array(cos, pa.float64())
+                ],
+                keep + [out],
             )
 
     return df.mapInArrow(score, schema)

@@ -25,7 +25,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from weather_analysis_bigdata__spark.session import pin_iter, unpin
+from weather_analysis_bigdata__spark.session import (
+    pin_iter,
+    pin_iter_probed,
+    unpin,
+)
 
 
 def connected_components(
@@ -53,7 +57,10 @@ def connected_components(
             nbr.unionByName(labels)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .transform(pin_iter)
+            # Probed-lazy pin: the convergence count below is the
+            # action that materializes this superstep's checkpoint —
+            # one job per superstep instead of two (round 12).
+            .transform(pin_iter_probed)
         )
         changed = (
             new_labels.alias("n")

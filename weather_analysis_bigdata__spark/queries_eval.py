@@ -1260,11 +1260,22 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_keep"),
     )
-    tot = agg.agg(
+    # The 1-row corpus total used to ride a crossJoin(broadcast(agg.agg))
+    # — whose build side re-executed the ENTIRE ensemble+documents
+    # subtree (captured before-plan: 22 parquet scans, the whole tree
+    # twice). Pin the O(sources) aggregate lazily and collect the total
+    # as a literal: the collect materializes the subtree ONCE and the
+    # final select is O(sources) arithmetic (guide §1.2/§5; round-12).
+    from weather_analysis_bigdata__spark.session import pin_lazy
+
+    agg = agg.transform(pin_lazy)
+    corpus_tokens = agg.agg(
         F.sum("total_tokens").cast("long").alias("corpus_tokens")
-    )
+    ).collect()[0]["corpus_tokens"]
     t = F.col("total_tokens")
-    return agg.crossJoin(F.broadcast(tot)).select(
+    return agg.withColumn(
+        "corpus_tokens", F.lit(corpus_tokens).cast("long")
+    ).select(
         "source",
         "n_docs",
         "total_tokens",

@@ -486,10 +486,20 @@ def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stitch) re-references it, and without the cache each reference
     # would replay the entire retrieval DAG (the plan audit counted 25
     # exchanges before the persist).
+    from weather_analysis_bigdata__spark.session import pin
+
+    # PIN the k-row candidate base: it is referenced twice inside feat
+    # (base ∪ planted-from-base) and the whole retrieval DAG hides
+    # beneath it — unpinned, the round-12 plan survey counted 100
+    # parquet scans / 100 Generates in this query's plan (the hybrid
+    # subtree replicated ~12×; persist_once(feat) caches at execution
+    # but does not stop the plan-side replication of base). Eagerly
+    # materializing 12 rows runs retrieval exactly once.
     base = (
         F.broadcast(hits)
         .join(docs, "doc_id")
         .select("rank", "doc_id", "rrf", "text")
+        .transform(pin)
     )
     toks = tokens("text")
     planted = base.filter(F.col("rank") <= _RAG_PLANT_RANKS).select(

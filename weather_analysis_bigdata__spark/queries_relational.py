@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from weather_analysis_bigdata__spark.functions.deterministic import (
     davg,
@@ -54,14 +55,30 @@ def _revenue() -> F.Column:
     "side broadcasts under AQE.",
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.functions.moneyops import (
+        revenue_from_partials,
+        revenue_partials,
+    )
+
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    joined = c.join(o, c.c_custkey == o.o_custkey).join(
+        li, F.col("o_orderkey") == li.l_orderkey
+    )
+    # Revenue via the q1/q5 Arrow-partials pattern: the join output is
+    # clustered by orderkey, so per-batch partials compress ~4 lines →
+    # 1 row per (order, date) before the exchange AND replace the
+    # object-path DECIMAL(38,4) per-row adds (guide §2.3/§4.2;
+    # bit-identical combine, oracle-gated).
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        revenue_partials(joined, ["l_orderkey", "o_orderdate"])
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(_revenue().cast("double").alias("revenue"))
+        .agg(
+            revenue_from_partials(
+                F.sum(F.col("rev4").cast(T.DecimalType(38, 0)))
+            ).alias("revenue")
+        )
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
@@ -95,13 +112,28 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             c, c.c_nationkey == n.n_nationkey
         )
     )
+    joined = dims.join(o, F.col("o_custkey") == F.col("c_custkey")).join(
+        li, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    # Revenue via the q1 Arrow-partials pattern (guide §2.3/§4.2;
+    # round-12): every joined row paid an object-path DECIMAL(38,4)
+    # accumulator add — now cent-scaled int64 batch partials compress
+    # 600k rows to ≤ batches×25 partial rows before the exchange, and
+    # the DECIMAL(38,0) combine + /10⁴ reproduces the old sum
+    # bit-identically (oracle-gated at three SFs).
+    from weather_analysis_bigdata__spark.functions.moneyops import (
+        revenue_from_partials,
+        revenue_partials,
+    )
+
     return (
-        dims.join(o, F.col("o_custkey") == F.col("c_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        revenue_partials(joined, ["r_name", "n_name"])
         .groupBy("r_name", "n_name")
         .agg(
-            _revenue().cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+            revenue_from_partials(
+                F.sum(F.col("rev4").cast(T.DecimalType(38, 0)))
+            ).alias("revenue"),
+            F.sum("cnt").alias("n_items"),
         )
     )
 

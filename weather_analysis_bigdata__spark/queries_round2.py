@@ -2964,22 +2964,34 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _RRF_K,
         rank_col="rank_b",
     ).select("doc_id", "rank_b")
+    # Dense side through the Arrow self-norm cosine kernel (guide
+    # §4.2; round 12): the old form paid an interpreted zip_with dot
+    # per candidate PLUS an interpreted norm pass over every vector —
+    # the kernel derives both from the scaled-long arrays in one NumPy
+    # batch, bit-identically (see arrow_pair_cosine_selfnorm).
+    from weather_analysis_bigdata__spark.functions.vectorops import (
+        arrow_pair_cosine_selfnorm,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", norm(scaled_vec("embedding")).alias("nrm")
+        "vec_id", scaled_vec("embedding").alias("sva")
     )
     q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+        F.col("sva").alias("a_sva")
     )
-    sim = cosine(
-        scaled_vec(F.col("q_emb")),
-        scaled_vec(F.col("embedding")),
-        F.col("q_nrm"),
-        F.col("nrm"),
-    )
-    vec = ranked_topk(
+    pairs = (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
-        .select(F.col("vec_id").alias("doc_id"), sim.alias("_sim")),
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("sva").alias("b_sva"),
+            "a_sva",
+        )
+    )
+    vec = ranked_topk(
+        arrow_pair_cosine_selfnorm(pairs).select(
+            "doc_id", F.col("cosine_sim").alias("_sim")
+        ),
         [-F.col("_sim"), F.col("doc_id")],
         _RRF_K,
         rank_col="rank_v",

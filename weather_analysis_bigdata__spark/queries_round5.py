@@ -1647,6 +1647,7 @@ def ivf_lloyd_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         arrow_centroid_argmin,
         arrow_label_moments,
     )
+    from weather_analysis_bigdata__spark.session import pin_lazy
 
     sv = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", scaled_vec("embedding").alias("sva")
@@ -1658,48 +1659,72 @@ def ivf_lloyd_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     s, n = F.sum("s"), F.sum("n")
     floordiv = (s - (((s % n) + n) % n)) / n
 
-    def to_arr(cent_long: DataFrame) -> DataFrame:
-        return cent_long.groupBy("part_label").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c_int"))),
-                lambda st: st["c_int"],
-            ).alias("c_arr")
-        )
-
-    def mean_cent(labeled: DataFrame) -> DataFrame:
-        """(part_label, sva) rows → (part_label, c_arr) floor-means."""
-        return to_arr(
+    def mean_cent_rows(labeled: DataFrame) -> list[tuple[int, list[int]]]:
+        """(part_label, sva) rows → label-sorted (label, centroid)
+        floor-means as BOUNDED DRIVER STATE (k×d longs — the
+        NB-count-index pattern). Every generation was already
+        collect()ed for the argmin kernel's task closure; collecting
+        the mean aggregate DIRECTLY (instead of pinning a centroid
+        DataFrame and collecting from it) removes one eager
+        materialization job per generation — the round-11 eager-pin
+        build-time class, guide §1/§5."""
+        rows = (
             arrow_label_moments(labeled)
             .groupBy("part_label", "pos")
             .agg(floordiv.cast("long").alias("c_int"))
+            .collect()
+        )
+        by: dict[int, dict[int, int]] = {}
+        for r in rows:
+            by.setdefault(r["part_label"], {})[r["pos"]] = r["c_int"]
+        return sorted(
+            (lab, [d[p] for p in sorted(d)]) for lab, d in by.items()
         )
 
-    cent = mean_cent(
+    def py_shift(
+        old: list[tuple[int, list[int]]], new: list[tuple[int, list[int]]]
+    ) -> float | None:
+        """Σ sqdist(old, new) over labels present in BOTH generations —
+        the old `cent ⋈ new_cent` aggregate, computed exactly in driver
+        integer arithmetic over the already-collected k×d state
+        (Python ints are exact; the single float(int) at the end is
+        the same correctly-rounded conversion as the JVM's
+        DECIMAL(38,0)→DOUBLE cast). Empty intersection mirrors the old
+        inner join's NULL sum."""
+        od = dict(old)
+        tot, seen = 0, False
+        for lab, arr in new:
+            oa = od.get(lab)
+            if oa is None:
+                continue
+            seen = True
+            tot += sum((x - y) * (x - y) for x, y in zip(oa, arr))
+        return float(tot) / 1e16 if seen else None
+
+    cent_rows = mean_cent_rows(
         load_table(spark, sf_dir, "embeddings").select(
             F.col("label").alias("part_label"),
             scaled_vec("embedding").alias("sva"),
         )
-    ).transform(pin)
+    )
 
-    def assign_against(cent_arr: DataFrame) -> DataFrame:
-        # k×d centroids are bounded driver state (the NB-count-index
-        # pattern); the Arrow argmin kernel then assigns with ZERO
-        # shuffles — the old form paid a broadcast crossJoin (N×k
-        # rows), k·d interpreted lambdas per vector, and a window
-        # exchange+sort per pass. Ties break identically (centroids
-        # sorted by label, argmin takes the first minimum). sva rides
-        # along so the centroid update needs no join back to vectors.
-        # Pinned, as before: three readers (centroid update, moved-
-        # count, objective) reference each assignment, and the eager
-        # pin of the shuffle-free kernel output measured faster than
-        # either re-running the kernel per reader or materializing
-        # centroid generations as local relations.
-        cent_rows = sorted(
-            (r["part_label"], list(r["c_arr"])) for r in cent_arr.collect()
-        )
-        return arrow_centroid_argmin(sv, cent_rows, keep_vec=True).transform(
-            pin
-        )
+    def assign_against(
+        cent_rows: list[tuple[int, list[int]]], last: bool
+    ) -> DataFrame:
+        # k×d centroids ride the task closure; the Arrow argmin kernel
+        # assigns with ZERO shuffles — the old form paid a broadcast
+        # crossJoin (N×k rows), k·d interpreted lambdas per vector, and
+        # a window exchange+sort per pass. Ties break identically
+        # (centroids sorted by label, argmin takes the first minimum).
+        # sva rides along so the centroid update needs no join back to
+        # vectors. Intermediate assigns pin LAZILY: their first reader
+        # is the next generation's moments collect, which materializes
+        # the blocks in the same job (one job per generation instead of
+        # pin + collect). The LAST assign has no such single-reader
+        # probe — the final union references it twice (objective +
+        # moved-count), so it keeps the eager pin.
+        a = arrow_centroid_argmin(sv, cent_rows, keep_vec=True)
+        return a.transform(pin if last else pin_lazy)
 
     def objective(assign: DataFrame):
         return (
@@ -1707,7 +1732,7 @@ def ivf_lloyd_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     rows = []
-    assign = assign_against(cent)
+    assign = assign_against(cent_rows, last=_LLOYD_ITERS == 0)
     obj0 = assign.agg(objective(assign).alias("objective"))
     rows.append(
         obj0.select(
@@ -1718,24 +1743,9 @@ def ivf_lloyd_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     for i in range(1, _LLOYD_ITERS + 1):
-        new_cent = mean_cent(assign.select("part_label", "sva")).transform(
-            pin
-        )
-        shift = (
-            cent.alias("a")
-            .join(new_cent.alias("b"), "part_label")
-            .agg(
-                (
-                    F.sum(
-                        _sqdist_col(F.col("a.c_arr"), F.col("b.c_arr")).cast(
-                            "decimal(38,0)"
-                        )
-                    ).cast("double")
-                    / 1e16
-                ).alias("centroid_shift_total")
-            )
-        )
-        new_assign = assign_against(new_cent)
+        new_cent_rows = mean_cent_rows(assign.select("part_label", "sva"))
+        shift_val = py_shift(cent_rows, new_cent_rows)
+        new_assign = assign_against(new_cent_rows, last=i == _LLOYD_ITERS)
         moved = (
             assign.select("vec_id", F.col("part_label").alias("old_l"))
             .join(
@@ -1748,21 +1758,23 @@ def ivf_lloyd_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         obj = new_assign.agg(objective(new_assign).alias("objective"))
         rows.append(
             obj.crossJoin(moved)
-            .crossJoin(shift)
             .select(
                 F.lit(i).cast("long").alias("iteration"),
                 "objective",
                 "n_reassigned",
-                "centroid_shift_total",
+                F.lit(shift_val)
+                .cast("double")
+                .alias("centroid_shift_total"),
             )
         )
-        # Superseded pins are NOT unpin()'d here (unlike the CC/BPE/
-        # pagerank loops): every appended report plan still references
-        # its iteration's cent/assign and only executes in the final
-        # union — releasing them would force full-lineage recomputes
-        # at collection in reliable mode. Bounded by design:
-        # _LLOYD_ITERS(3) × 2 pins, each O(centroids)/O(vectors) rows.
-        cent, assign = new_cent, new_assign
+        # Superseded assign pins are NOT unpin()'d here (unlike the
+        # CC/BPE/pagerank loops): every appended report plan still
+        # references its iteration's assign and only executes in the
+        # final union — releasing them would force recomputes at
+        # collection. Bounded by design: _LLOYD_ITERS(3) + 1 pins,
+        # each O(vectors) rows; centroid generations are k×d driver
+        # lists, never pinned DataFrames.
+        cent_rows, assign = new_cent_rows, new_assign
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)

@@ -120,7 +120,10 @@ def _span_postings(d: DataFrame) -> DataFrame:
 
 
 def _span_pairs_from(
-    d: DataFrame, occ_cap: int = _SPAN_OCC_CAP
+    d: DataFrame,
+    occ_cap: int = _SPAN_OCC_CAP,
+    postings: DataFrame | None = None,
+    occ: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal duplicated spans per (doc_a, doc_b) pair: the dotplot
     diagonal-run merge. Distributed shape: postings shuffle once on the
@@ -129,13 +132,24 @@ def _span_pairs_from(
     global order. Factored on a (doc_id, text) DataFrame so the planted
     positive controls (tests/test_round7_ops.py) drive the REAL kernel;
     ``occ_cap`` parameterized so dedup_span_cap_audit can run the SAME
-    kernel at the production cap and at its audit yardstick."""
-    p = _span_postings(d)
+    kernel at the production cap and at its audit yardstick.
+
+    The postings table is referenced THREE times in one plan (the occ
+    aggregate + both sides of the gram self-join) and nothing reuses
+    across those references (round-12 captured plan: 22 parquet scans /
+    24 posexplode Generates in the two-cap audit, 0 ReusedExchange) —
+    so the explode+md5 pass is PINNED once per call (guide §1.2: don't
+    compute things twice; the md5 work itself stays in JVM codegen, the
+    round-11 measured winner). ``postings``/``occ`` let the cap audit
+    share one pinned pass across BOTH cap levels."""
+    from weather_analysis_bigdata__spark.session import pin
+
+    p = postings if postings is not None else _span_postings(d).transform(pin)
     # Pair only grams occurring 2..cap times corpus-wide: singletons
     # can't form a duplicated span; hot grams are capped (skew guard).
-    keep = p.groupBy("gh").agg(F.count(F.lit(1)).alias("occ")).filter(
-        (F.col("occ") >= 2) & (F.col("occ") <= occ_cap)
-    )
+    if occ is None:
+        occ = p.groupBy("gh").agg(F.count(F.lit(1)).alias("occ"))
+    keep = occ.filter((F.col("occ") >= 2) & (F.col("occ") <= occ_cap))
     pc = p.join(keep.select("gh"), "gh")
     a, b = pc.alias("a"), pc.alias("b")
     pairs = a.join(
@@ -626,11 +640,19 @@ def quality_classifier_threshold_sweep(
     )
     # Two-pass grid statistic (the equi_depth_bins_twopass shape):
     # pass 1 reduces the held-out chain to a 1-row bounds table, pass 2
-    # to the <= 2x(grid+1)-row histogram. Both reductions are eagerly
-    # checkpointed so the downstream grid algebra — which references
-    # them repeatedly — reuses the materialized rows instead of
-    # re-executing the scoring+labeling subtree per reference.
-    bounds = held.agg(
+    # to the <= 2x(grid+1)-row histogram. Round-12 restructure (guide
+    # §1/§5, the eager-pin build-time class): the old form pinned the
+    # two REDUCTIONS, so the expensive scoring+labeling subtree
+    # executed twice (once per pin job); now `held` itself pins LAZILY
+    # — the 1-row bounds collect materializes it — and the bounds/
+    # histogram/totals travel as bounded driver state (1 + ≤2·(grid+1)
+    # rows, the NB-count-index pattern), so the chain runs ONCE and the
+    # downstream grid algebra is literal/local-relation arithmetic with
+    # bit-identical integer semantics.
+    from weather_analysis_bigdata__spark.session import pin_lazy
+
+    held = held.transform(pin_lazy)
+    b = held.agg(
         F.min("m").alias("mn"),
         F.max("m").alias("mx"),
         F.greatest(
@@ -640,24 +662,30 @@ def quality_classifier_threshold_sweep(
                 f" div {_SWEEP_POINTS}"
             ),
         ).alias("step"),
-    ).transform(pin)
-    hist = (
-        held.crossJoin(F.broadcast(bounds))
-        .select(
-            F.least(
-                F.expr("(m - mn) div step"), F.lit(_SWEEP_POINTS).cast("long")
-            ).alias("cell"),
+    ).collect()[0]
+    mn = F.lit(b["mn"]).cast("long")
+    step = F.lit(b["step"]).cast("long")
+    # `div` (integer division) with the collected bounds as literals —
+    # the identical expression the old crossJoin(bounds) form evaluated.
+    cell = (
+        F.expr(f"(m - {b['mn']}) div {b['step']}")
+        if b["mn"] is not None
+        else F.lit(None).cast("long")
+    )
+    hist_rows = (
+        held.select(
+            F.least(cell, F.lit(_SWEEP_POINTS).cast("long")).alias("cell"),
             "label",
         )
         .groupBy("cell", "label")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .transform(pin)
+        .collect()
     )
-    tot = hist.agg(
-        F.sum("n").cast("long").alias("n_held"),
-        F.sum(F.when(F.col("label") == "keep", F.col("n")).otherwise(0))
-        .cast("long")
-        .alias("n_pos"),
+    n_held = sum(int(r["n"]) for r in hist_rows)
+    n_pos = sum(int(r["n"]) for r in hist_rows if r["label"] == "keep")
+    hist = spark.createDataFrame(
+        [(r["cell"], r["label"], r["n"]) for r in hist_rows],
+        "cell BIGINT, label STRING, n BIGINT",
     )
     grid = spark.range(0, _SWEEP_POINTS + 1).select(F.col("id").alias("k"))
     per_k = (
@@ -676,17 +704,15 @@ def quality_classifier_threshold_sweep(
         F.col("fp"), F.lit(0)
     )
     return (
-        per_k.crossJoin(F.broadcast(bounds))
-        .crossJoin(F.broadcast(tot))
-        .select(
+        per_k.select(
             F.col("k").cast("int").alias("threshold_rank"),
-            (F.col("mn") + F.col("k") * F.col("step"))
+            (mn + F.col("k") * step)
             .cast("long")
             .alias("threshold_micro"),
             n_keep.cast("long").alias("n_keep"),
             (
                 n_keep.cast("double")
-                / F.nullif(F.col("n_held"), F.lit(0))
+                / F.nullif(F.lit(n_held).cast("long"), F.lit(0))
             ).alias("keep_rate"),
             (
                 F.col("tp").cast("double")
@@ -694,7 +720,7 @@ def quality_classifier_threshold_sweep(
             ).alias("precision_keep"),
             (
                 F.coalesce(F.col("tp"), F.lit(0)).cast("double")
-                / F.nullif(F.col("n_pos"), F.lit(0))
+                / F.nullif(F.lit(n_pos).cast("long"), F.lit(0))
             ).alias("recall_keep"),
         )
     )

@@ -239,13 +239,21 @@ def _sql_cap_level(cap: int, sfx: str) -> str:
     "N·cap_hi-bounded — an audit-tier query, not the production path.",
 )
 def dedup_span_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.session import pin
+
     docs = _cap_audit_corpus(spark, sf_dir)
-    dt_cap = _span_iv_union(_span_pairs_from(docs, _SPAN_OCC_CAP)).select(
-        "doc_id", F.col("dup_tokens").alias("dt_cap")
-    )
-    dt_hi = _span_iv_union(_span_pairs_from(docs, _CAP_AUDIT_HI)).select(
-        "doc_id", F.col("dup_tokens").alias("dt_hi")
-    )
+    # ONE postings pass and ONE occurrence count, pinned and shared by
+    # both cap levels AND the overcap probe — the pre-round-12 plan
+    # re-ran the corpus tokenize+posexplode+md5 ~8× (22 parquet scans /
+    # 24 Generates captured in plans/r12/..._before.txt, zero reuse).
+    p = _span_postings(docs).transform(pin)
+    occ = p.groupBy("gh").agg(F.count(F.lit(1)).alias("occ")).transform(pin)
+    dt_cap = _span_iv_union(
+        _span_pairs_from(docs, _SPAN_OCC_CAP, postings=p, occ=occ)
+    ).select("doc_id", F.col("dup_tokens").alias("dt_cap"))
+    dt_hi = _span_iv_union(
+        _span_pairs_from(docs, _CAP_AUDIT_HI, postings=p, occ=occ)
+    ).select("doc_id", F.col("dup_tokens").alias("dt_hi"))
     spine = docs.select(
         "doc_id",
         (F.col("doc_id") < 0).alias("is_planted"),
@@ -261,10 +269,7 @@ def dedup_span_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("dt_hi", F.lit(0)).alias("dt_hi"),
         )
     )
-    p = _span_postings(docs)
-    hot = p.groupBy("gh").agg(F.count(F.lit(1)).alias("c")).filter(
-        F.col("c") > _CAP_AUDIT_HI
-    )
+    hot = occ.filter(F.col("occ") > _CAP_AUDIT_HI)
     oc = (
         p.join(hot.select("gh"), "gh")
         .groupBy((F.col("doc_id") < 0).alias("is_planted"))

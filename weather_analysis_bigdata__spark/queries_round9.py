@@ -40,7 +40,7 @@ from weather_analysis_bigdata__spark.queries_llmops import (
     cc_jaccard_edges,
 )
 from weather_analysis_bigdata__spark.registry import register
-from weather_analysis_bigdata__spark.session import pin
+from weather_analysis_bigdata__spark.session import pin, pin_lazy
 from weather_analysis_bigdata__spark.sources.files import load_table
 
 # ---------------------------------------------------------------------------
@@ -194,7 +194,7 @@ def dedup_cc_overmerge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("comp").alias("rep"),
             (F.col("pl") == 1).alias("planted"),
         )
-        .transform(pin)
+        .transform(pin_lazy)
     )
     nonrep = cl.filter(F.col("doc_id") != F.col("rep"))
     # ONE corpus tokenize pass: shingles semi-filtered to CLUSTERED
@@ -206,7 +206,7 @@ def dedup_cc_overmerge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shc = (
         _shingles(docs)
         .join(F.broadcast(members), "doc_id", "semi")
-        .transform(pin)
+        .transform(pin_lazy)
     )
     sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # Common grams doc-vs-rep: clustered-doc shingles with rep id
@@ -941,7 +941,7 @@ def _cci_neighbors(
         )
         .groupBy("b", "c")
         .agg(F.count(F.lit(1)).alias("n_common"))
-        .transform(pin)
+        .transform(pin_lazy)
     )
     # Corpus sizes only for candidate neighbor docs: ONE aggregate over
     # the postings scan, semi-filtered by the (shard-sized) candidate
@@ -998,7 +998,7 @@ def _cci_assign(
     post-recluster assigner (``comp`` = the re-clustered labels):
     arriving docs → published-component attachments + batch-local new
     clusters, served entirely from the two persisted indexes."""
-    shb = _shingles(batch).transform(pin)
+    shb = _shingles(batch).transform(pin_lazy)
     szb = shb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     nbr = _cci_neighbors(spark, sf_dir, shb, szb, comp=comp)
     # Shard-sized result of the postings probe, pinned once — it feeds
@@ -1007,10 +1007,10 @@ def _cci_assign(
         F.min("existing_comp").alias("assigned_component"),
         F.count(F.lit(1)).alias("n_corpus_neighbors"),
         F.countDistinct("existing_comp").alias("n_existing_components"),
-    ).transform(pin)
+    ).transform(pin_lazy)
     un = batch.select("doc_id").join(
         F.broadcast(attached.select("doc_id")), "doc_id", "anti"
-    ).transform(pin)
+    ).transform(pin_lazy)
     shu = shb.join(F.broadcast(un), "doc_id")
     sz_u = szb.join(F.broadcast(un), "doc_id")
     be = (
@@ -1151,9 +1151,9 @@ def _recluster_graph(
         connected_components,
     )
 
-    shb = _shingles(batch).transform(pin)
+    shb = _shingles(batch).transform(pin_lazy)
     szb = shb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    nbr = _cci_neighbors(spark, sf_dir, shb, szb).transform(pin)
+    nbr = _cci_neighbors(spark, sf_dir, shb, szb).transform(pin_lazy)
     # The would_merge log: shard docs reaching >= 2 distinct published
     # components — exactly the rows dedup_cc_incremental flags.
     wm = (
@@ -1161,7 +1161,7 @@ def _recluster_graph(
         .agg(F.countDistinct("existing_comp").alias("ncmp"))
         .filter(F.col("ncmp") >= 2)
         .select("b")
-        .transform(pin)
+        .transform(pin_lazy)
     )
     bre = (
         nbr.join(F.broadcast(wm), "b")

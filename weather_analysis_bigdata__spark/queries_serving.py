@@ -560,11 +560,20 @@ def _prepare_ivf_pqres_both(spark: SparkSession, sf_dir: str) -> None:
     prepare=_prepare_ivf_pqres_both,
 )
 def ann_pq_variant_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_analysis_bigdata__spark.session import pin
+
+    # truth feeds FOUR plan branches (the possible count + three
+    # variant-hit broadcasts) and adc feeds two (raw_k + the refine
+    # shortlist) — unpinned, each branch re-ran the full exact-topk /
+    # ADC-join subtree (guide §1.2: don't compute things twice). Both
+    # are batch-bounded (batch×k and batch×candidates), so the pins
+    # are small at any corpus size.
     truth = (
         _batch_ivf_topk(spark, sf_dir)
         .select("query_id", "neighbor_id")
+        .transform(pin)
     )
-    adc = _batch_adc_dists(spark, sf_dir)
+    adc = _batch_adc_dists(spark, sf_dir).transform(pin)
     raw_k = grouped_topk(
         adc,
         ["query_id"],
@@ -1555,16 +1564,20 @@ def training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage 4: DSIR gate (scorer trains on the full corpus).
     scored = _dsir_scored(spark, sf_dir).select("doc_id", "score_int")
     # two_pass_ordinals evaluates its input three times (boundary
-    # sketch, bucket counts, final join) — persist the survivor set so
+    # sketch, bucket counts, final join) — PIN the survivor set so
     # the whole decontaminate→dedup→score pipeline runs ONCE, not 3×.
     # At 100 TB the survivors are (id, source, score) rows: tiny
     # relative to the corpus, and exactly what a real prep job
-    # checkpoints before the global sort.
-    from weather_analysis_bigdata__spark.session import persist_once
+    # checkpoints before the global sort. Round 12: the old
+    # persist_once only cached at execution — the PLAN still carried
+    # the full pipeline 3× (plan survey: 70 parquet scans / 164
+    # exchanges, and the optimizer re-plans that tree per reference);
+    # the eager pin truncates it.
+    from weather_analysis_bigdata__spark.session import pin
 
-    s4 = persist_once(
-        s3.join(scored, "doc_id").filter(F.col("score_int") > 0)
-    )
+    s4 = s3.join(scored, "doc_id").filter(
+        F.col("score_int") > 0
+    ).transform(pin)
     # Stage 5: the stride schedule over the survivors.
     return _stride_schedule(s4).select(
         "position", "doc_id", "source", "src_ordinal", "sched_key",

@@ -109,6 +109,15 @@ def _q1_partials(li: DataFrame) -> DataFrame:
         for b in it:
             if b.num_rows == 0:
                 continue
+            # NULL money would flow rint(NaN)→int64 as undefined values
+            # — the lineitem measures are non-null by construction, so
+            # trip loudly rather than emit garbage (round-11 advice).
+            for ci in range(2, 6):
+                if b.column(ci).null_count:
+                    raise ValueError(
+                        "_q1_partials: null in measure column "
+                        f"{b.schema.names[ci]!r}"
+                    )
             fd = pc.dictionary_encode(b.column(0))
             sd = pc.dictionary_encode(b.column(1))
             fi = fd.indices.to_numpy(zero_copy_only=False).astype(np.int64)

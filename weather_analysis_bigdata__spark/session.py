@@ -45,6 +45,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The Arrow kernels' int64 exactness bounds (q1 partials ≤
+        # maxRecordsPerBatch·1.1e11, PCA/label-moment partials) assume
+        # the 10000-row default batch size — pin it so a deployment
+        # override can't silently push a per-batch sum past 2^63
+        # (round-11 advice item 1).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
@@ -152,6 +158,41 @@ def pin(df):
     return df.localCheckpoint(eager=True)
 
 
+def pin_lazy(df):
+    """:func:`pin` whose materialization merges into the FIRST reader's
+    job instead of running as its own eager job (round-11 verdict item
+    3: the eager-pin build-time class — ~10 serial 0.3 s
+    localCheckpoint jobs per pin-heavy query — capped every measurable
+    win at bench SF). Semantics are identical to :func:`pin`: the
+    intermediate is computed once and every subsequent reader consumes
+    the materialized blocks; only the *scheduling* changes — the first
+    action over the pin computes and stores it as a side effect (local
+    mode: ``localCheckpoint(eager=False)`` piggybacks on the caching
+    subsystem; reliable mode: ``persist(DISK_ONLY)`` without the
+    forcing ``count()``).
+
+    Use where an intermediate's first reader runs BEFORE any plan that
+    references the pin more than once (collect-style probes, sweep
+    bounds, centroid moments): the probe then pays the one
+    materialization and later multi-reference plans hit blocks. Do NOT
+    use when the first action is itself a multi-reference plan (e.g. a
+    final union reading the pin 3×) — concurrent stages could
+    duplicate the subtree's computation before the cache populates;
+    that is what :func:`pin` (eager) is for.
+
+    ``SPARK_GRAFT_PIN_LAZY=0`` reverts every lazy site to the eager
+    :func:`pin` — the A/B lever the round-12 measurements used, kept
+    so a deployment that prefers deterministic one-job-per-pin
+    scheduling can have it back without a code change."""
+    if os.environ.get("SPARK_GRAFT_PIN_LAZY", "1") == "0":
+        return pin(df)
+    if os.environ.get("SPARK_GRAFT_PIN_MODE", "local") == "reliable":
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.DISK_ONLY)
+    return df.localCheckpoint(eager=False)
+
+
 def pin_iter(df):
     """Per-superstep :func:`pin` for iterative loops (CC label
     propagation, BPE merge training, pagerank, Lloyd refinement).
@@ -171,7 +212,16 @@ def pin_iter(df):
     point it at durable storage on a real cluster); superseded
     checkpoints are garbage-collected by the ContextCleaner
     (``spark.cleaner.referenceTracking.cleanCheckpoints`` is set true
-    in :func:`get_spark`)."""
+    in :func:`get_spark`).
+
+    EAGERNESS IS LOAD-BEARING here: callers ``unpin`` the superseded
+    superstep right after this returns (bpe.py, pagerank.py) — the
+    new pin must be materialized BEFORE the old pin's blocks are
+    released, or the released lineage-truncated blocks would be
+    unrecoverable. Loops that probe the fresh pin with an action
+    before releasing the old one (the CC loop's convergence count)
+    can use :func:`pin_iter_probed` instead and fold the
+    materialization into the probe job."""
     if os.environ.get("SPARK_GRAFT_PIN_MODE", "local") == "reliable":
         sc = df.sparkSession.sparkContext
         if sc._jsc.sc().getCheckpointDir().isEmpty():
@@ -182,6 +232,27 @@ def pin_iter(df):
             )
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def pin_iter_probed(df):
+    """:func:`pin_iter` for loop bodies that run an ACTION over the
+    fresh pin (a convergence probe, a merge pick) BEFORE the
+    superseded pin is released: local mode checkpoints LAZILY so the
+    probe job materializes the blocks — the separate eager
+    materialization job per superstep was pure scheduling overhead
+    (round 12, the eager-pin job-count class). The caller contract is
+    stricter than pin_iter's: the probe MUST run before ``unpin`` of
+    the predecessor. Reliable mode stays the eager reliable
+    ``checkpoint()`` — a lazy reliable checkpoint computes its data
+    twice (the classic caveat), and durability-before-release is the
+    whole point there. ``SPARK_GRAFT_PIN_LAZY=0`` restores the eager
+    local behavior (the A/B lever)."""
+    if (
+        os.environ.get("SPARK_GRAFT_PIN_MODE", "local") == "reliable"
+        or os.environ.get("SPARK_GRAFT_PIN_LAZY", "1") == "0"
+    ):
+        return pin_iter(df)
+    return df.localCheckpoint(eager=False)
 
 
 def pin_ephemeral(df):
